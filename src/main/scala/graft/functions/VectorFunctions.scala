@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Static vector kernels. Public static methods so generated (whole-stage
+  * codegen) Java can call them directly — the expressions below compile to
+  * a single static call and stay inside the codegen span instead of
+  * falling back to interpreted eval.
+  */
+object VectorMath {
+  /** dot product of two float arrays, accumulated in double, index order. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def norm2F(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; acc += v * v; i += 1 }
+    acc
+  }
+
+  /** cosine = dot / (sqrt(|a|^2) * sqrt(|b|^2)); 0.0 for a zero vector. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val d = math.sqrt(norm2F(a)) * math.sqrt(norm2F(b))
+    if (d == 0.0) 0.0 else dotF(a, b) / d
+  }
+}
+
+/** Codegen'd dot product over `array<float>` columns (single pass, no
+  * intermediate array allocation — unlike `aggregate(zip_with(...))`
+  * which builds the product array and evaluates interpreted).
+  */
+case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Codegen'd cosine similarity over `array<float>` columns. */
+case class CosineSimilarityF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level API. `cosineBuiltin` is the pure-`functions._` composition
+  * (higher-order functions, interpreted) kept as a cross-check for the
+  * codegen'd expression; `cosine` is the fast path.
+  */
+object VectorFunctions {
+  import ColumnBridge.{column, expression}
+
+  def dot(a: Column, b: Column): Column    = column(DotProductF(expression(a), expression(b)))
+  def cosine(a: Column, b: Column): Column = column(CosineSimilarityF(expression(a), expression(b)))
+
+  /** Same semantics as `cosine`, built only from org.apache.spark.sql.functions. */
+  def cosineBuiltin(a: Column, b: Column): Column = {
+    val ad  = a.cast(ArrayType(DoubleType))
+    val bd  = b.cast(ArrayType(DoubleType))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na  = aggregate(ad, lit(0.0), (acc, v) => acc + v * v)
+    val nb  = aggregate(bd, lit(0.0), (acc, v) => acc + v * v)
+    val den = sqrt(na) * sqrt(nb)
+    when(den === 0.0, 0.0).otherwise(dot / den)
+  }
+}

@@ -1,0 +1,312 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core over the TPC-H-ish star schema: aggregations, joins
+  * (broadcast for dims), windows, set ops, rollup/cube, scalar function
+  * coverage, top-k. All declarative DataFrame plans — Catalyst handles
+  * pushdown/pruning/join strategy; AQE handles skew at scale. The
+  * reference has none of these natively (SURVEY.md §2.3) but they're
+  * derivable clients of its kernel and are graded as capability surface.
+  */
+object Relational {
+
+  /** money-in-cents as exact BIGINT: double sums are order-dependent in
+    * the last ULPs (parallel partial aggregation here, segment trees in
+    * DuckDB), so exact-hash comparisons need integer domains. Prices in
+    * the fixtures are 2-decimal, so cents are exact. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** TPC-H Q1-shaped aggregation: partial+final hash agg; only
+    * (flag,status) groups shuffle — safe at any scale. Aggregates are
+    * integer-exact (quantity is integral, money summed as cents) so the
+    * result is bit-identical regardless of partitioning. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_cents"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        (sum(cents(col("l_discount"))) / (count(lit(1)) * lit(100.0))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped join: lineitem ⋈ orders ⋈ customer. customer is the
+    * small side → broadcast; orders⋈lineitem shuffles on orderkey. */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped star join: dims (region, nation, customer) broadcast;
+    * the only real shuffle is lineitem⋈orders + the final group. */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-semi join: parts that ship (EXISTS). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .join(Tables.lineitem(spark, dir).select(col("l_partkey")),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** rank / dense_rank / row_number within nation, one window shuffle. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** running sum + 3-row moving average per customer over order history.
+    * Cents-exact: engines disagree in double window accumulation order
+    * (running adds vs segment trees), integers never do. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w  = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wR = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("running_cents", sum("price_cents").over(wR))
+      .withColumn("moving_avg3",
+        sum("price_cents").over(w3) / (count(lit(1)).over(w3) * lit(100.0)))
+      .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** UNION (distinct) of customer and supplier nation keys. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+      .union(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+      .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  /** ROLLUP (flag, status): partial aggregates at every level. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE (status, priority). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** distinct aggregate alongside plain aggregates (expand+two-phase). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+      .orderBy("o_orderstatus")
+
+  /** scalar string-function coverage (all codegen'd Catalyst built-ins). */
+  def scalarString(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        length(col("p_name")).cast("long").as("len"),
+        regexp_replace(col("p_name"), " ", "_").as("rep"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("cat"),
+        instr(col("p_name"), "e").cast("long").as("pos"),
+        trim(col("p_name")).as("trm"),
+        lpad(col("p_brand"), 12, "*").as("pad"))
+      .orderBy("p_partkey")
+
+  /** scalar date/time-function coverage. */
+  def scalarDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon"),
+        datediff(col("o_orderdate").cast("date"), lit(java.sql.Date.valueOf("1995-01-01")))
+          .cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** scalar math-function coverage; irrational results rounded to 6dp so
+    * libm ULP differences between engines can't flip the compare. */
+  def scalarMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("r1"),
+        floor(col("l_discount") * 100).as("fl"),
+        ceil(col("l_tax") * 100).as("ce"),
+        abs(col("l_quantity") - 25.0).as("ab"),
+        round(sqrt(col("l_quantity")), 6).as("sq"),
+        round(pow(col("l_discount") + 1.0, 2), 6).as("pw"),
+        (col("l_orderkey") % 7).as("md"),
+        greatest(col("l_tax"), col("l_discount")).as("gr"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** top-k: Catalyst plans TakeOrderedAndProject — no global sort. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+      .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("q1_agg",
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+        |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+        |       sum(l_quantity) / count(*) AS avg_qty,
+        |       sum(CAST(round(l_discount * 100) AS BIGINT)) / (count(*) * 100.0) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)(q1Agg),
+    QueryDef.sql("q3_join",
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin)(q3Join),
+    QueryDef.sql("q5_join",
+      """SELECT r_name, n_name,
+        |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)(q5Join),
+    QueryDef.sql("join_semi",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin)(joinSemi),
+    QueryDef.sql("join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)(joinAnti),
+    QueryDef.sql("window_rank",
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk, drnk, rn FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |         rank() OVER w AS rnk, dense_rank() OVER w AS drnk, row_number() OVER w AS rn
+        |  FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)) t
+        |WHERE rn <= 5 ORDER BY c_nationkey, rn""".stripMargin)(windowRank),
+    QueryDef.sql("window_running",
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       price_cents,
+        |       sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+        |       sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |         / (count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0) AS moving_avg3
+        |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders) t
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)(windowRunning),
+    QueryDef.sql("set_union",
+      "SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY nk")(setUnion),
+    QueryDef.sql("set_intersect",
+      "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk")(setIntersect),
+    QueryDef.sql("set_except",
+      "SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk")(setExcept),
+    QueryDef.sql("rollup_agg",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)(rollupAgg),
+    QueryDef.sql("cube_agg",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)(cubeAgg),
+    QueryDef.sql("agg_distinct",
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(aggDistinct),
+    QueryDef.sql("scalar_string",
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        |       substring(p_name, 1, 5) AS sub, CAST(length(p_name) AS BIGINT) AS len,
+        |       replace(p_name, ' ', '_') AS rep, concat_ws('#', p_brand, p_type) AS cat,
+        |       CAST(instr(p_name, 'e') AS BIGINT) AS pos, trim(p_name) AS trm,
+        |       lpad(p_brand, 12, '*') AS pad
+        |FROM part ORDER BY p_partkey""".stripMargin)(scalarString),
+    QueryDef.sql("scalar_date",
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(day(o_orderdate) AS BIGINT) AS d,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin)(scalarDate),
+    QueryDef.sql("scalar_math",
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       round(l_extendedprice, 1) AS r1,
+        |       CAST(floor(l_discount * 100) AS BIGINT) AS fl,
+        |       CAST(ceil(l_tax * 100) AS BIGINT) AS ce, abs(l_quantity - 25.0) AS ab,
+        |       round(sqrt(l_quantity), 6) AS sq, round(pow(l_discount + 1.0, 2), 6) AS pw,
+        |       l_orderkey % 7 AS md, greatest(l_tax, l_discount) AS gr
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)(scalarMath),
+    QueryDef.sql("topk",
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)(topK),
+  )
+}
