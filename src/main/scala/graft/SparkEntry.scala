@@ -15,6 +15,11 @@ object SparkEntry {
   def modules: Seq[Seq[QueryDef]] = Seq(
     Parity.entries,
     Relational.entries,
+    Events.entries,
+    Dedup.entries,
+    Similarity.entries,
+    TextAnalysis.entries,
+    Multimodal.entries,
   )
 
   lazy val allQueries: Seq[QueryDef] = modules.flatten

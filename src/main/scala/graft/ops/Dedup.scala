@@ -1,0 +1,222 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline:
+  * exact (hash groupBy), MinHash+LSH near-dup, SimHash near-dup,
+  * character-n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * The synthetic fixtures contain no natural near-duplicates, so the
+  * near-dup queries first build a deterministic corpus: every document
+  * plus a copy truncated to 80% of its tokens (id + 1,000,000). The
+  * construction is pure SQL, so the DuckDB oracle builds the identical
+  * corpus and verifies the *full pipeline output* — for MinHash-LSH the
+  * oracle is the brute-force O(n²) jaccard join, i.e. it also proves the
+  * LSH banding loses no pair above threshold at these parameters.
+  *
+  * Scale design: signatures (128 hashes) and simhashes are computed
+  * map-side per row by codegen'd expressions (`MinHashSig`, `SimHash64`)
+  * — no shuffle until the band-bucket join, whose fan-out is #bands per
+  * doc. Candidate verification joins only bucket-collision pairs. At
+  * 100 TB the brute-force oracle is impossible but LSH cost stays
+  * ~linear: bands × docs shuffle rows, skew handled by AQE.
+  */
+object Dedup {
+
+  /** 128 hashes in 32 bands of 4 — P(detect) at jaccard 0.75 is
+    * 1-(1-0.75^4)^32 ≈ 1-8e-6, and corpus near-dup pairs all sit at
+    * jaccard ≥ 0.75 (min doc length 10 tokens). */
+  val NumHashes = 128
+  val NumBands  = 32
+  val RowsPerBand: Int = NumHashes / NumBands
+  val JaccardThreshold = 0.7
+
+  /** exact dedup: representative (min key) + multiplicity per equal name. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_name")
+      .agg(min("p_partkey").as("keep_key"), count(lit(1)).as("n_dups"))
+      .orderBy("p_name")
+
+  /** documents ∪ 80%-token-truncated copies (deterministic near-dups). */
+  def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val keep = greatest(lit(1), floor(size(toks) * 0.8).cast("int"))
+    val truncated = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), keep)).as("text"))
+    docs.union(truncated)
+  }
+
+  private def shingled(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("shingles", array_distinct(wordShingles(tokens(col("text")), 3)))
+      .filter(size(col("shingles")) > 0)
+
+  /** set-jaccard from distinct-shingle arrays, via |∩|/(|A|+|B|-|∩|) so
+    * both engines compute the same exact integer ratio. */
+  private def jaccardOf(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash + LSH banding near-dup pairs, verified by exact jaccard. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = shingled(nearDupCorpus(spark, dir))
+      .withColumn("sig", minhashSig(col("shingles"), NumHashes))
+    // (band, hash(band slice)) buckets; join within buckets only.
+    val bands = sigs.select(
+      col("doc_id"), col("shingles"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)),
+        j => struct(j.as("band"),
+          xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)), j).as("bh"))))
+        .as("b"))
+      .select(col("doc_id"), col("shingles"), col("b.band"), col("b.bh"))
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        col("l.shingles").as("sa"), col("r.shingles").as("sb"))
+      .distinct()
+      .withColumn("jaccard", jaccardOf(col("sa"), col("sb")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup: 64-bit signature per doc (map-side), candidates
+    * via 16-bit chunk collision (hamming ≤ 16 ⇒ some chunk equal by
+    * pigeonhole over 4 chunks), verified by exact hamming distance.
+    * No SQL oracle (hash family not expressible in DuckDB) → rows-only.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = nearDupCorpus(spark, dir)
+      .withColumn("sh", simhash(filter(tokens(col("text")), t => t =!= "")))
+    val chunks = hashed.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk"),
+          shiftrightunsigned(col("sh"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*))
+        .as("c"))
+      .select(col("doc_id"), col("sh"), col("c.chunk"), col("c.ck"))
+    val l = chunks.as("l")
+    val r = chunks.as("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        col("l.sh").as("ha"), col("r.sh").as("hb"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("ha"), col("hb")).cast("long"))
+      .filter(col("hamming") <= 16)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** character-5-gram jaccard near-dup on a corpus slice, brute force —
+    * the exact-verification baseline the LSH paths approximate. Oracle
+    * is the same O(n²) join in DuckDB. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("grams", array_distinct(charShingles(col("text"), 5)))
+      .filter(size(col("grams")) > 0)
+      .select("doc_id", "grams")
+    val l = corpus.as("l")
+    val r = corpus.as("r")
+    l.join(r, col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        jaccardOf(col("l.grams"), col("r.grams")).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** embedding-cosine near-dup: corpus = embeddings ∪ exact copies
+    * (id + 1,000,000); pairs with cosine ≥ 0.99 (random pairs max ≈0.4
+    * in the fixtures, copies are exactly 1 — wide safety margin).
+    * Brute force with the codegen'd cosine expression; oracle uses
+    * DuckDB's list_cosine_similarity. Sim rounded to 4dp (copies hit
+    * exactly 1.0) for FP-proof compare. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val corpus = base.union(
+      base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val l = corpus.as("l")
+    val r = corpus.as("r")
+    l.join(r, col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+        round(VectorFunctions.cosine(col("l.embedding"), col("r.embedding")), 4).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** corpus construction as SQL, shared by the near-dup oracles. */
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(list_slice(string_split(text, ' '), 1,
+      |           greatest(1, CAST(floor(len(string_split(text, ' ')) * 0.8) AS INT))), ' ') AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  private val shingleSql =
+    """shingled AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 2),
+      |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+      |  FROM corpus
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |)""".stripMargin
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("dedup_exact",
+      """SELECT p_name, min(p_partkey) AS keep_key, count(*) AS n_dups
+        |FROM part GROUP BY p_name ORDER BY p_name""".stripMargin)(dedupExact),
+    QueryDef.sql("dedup_minhash",
+      s"""WITH $corpusSql, $shingleSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin)(dedupMinhash),
+    QueryDef.rowsOnly("dedup_simhash")(dedupSimhash),
+    QueryDef.sql("ngram_jaccard",
+      s"""WITH $corpusSql, grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |           generate_series(1, len(text) - 4),
+         |           i -> substr(text, CAST(i AS INT), 5))) AS g
+         |  FROM corpus WHERE doc_id % 5 = 0 AND len(text) >= 5
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |         / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+         |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin)(ngramJaccard),
+    QueryDef.sql("embedding_neardup",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |             CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |            CAST(b.embedding AS DOUBLE[])), 4) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin)(embeddingNearDup),
+  )
+}

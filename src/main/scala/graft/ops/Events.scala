@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators, batch form: JSON extraction, tumbling and
+  * sliding event-time windows, gap-based sessionization — both the
+  * window-function formulation and Spark's native `session_window`.
+  * The Structured Streaming formulation of the same windows lives in
+  * `graft.streaming.Streams` (same aggregation code paths, so the batch
+  * oracle here also validates the streaming logic).
+  *
+  * Window starts are emitted as epoch millis (integer arithmetic —
+  * engine/timezone-proof); money-like `value` sums as exact cents.
+  */
+object Events {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** JSON scalar extraction (`props` is a JSON string column). */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k_struct"))
+      .orderBy("event_id")
+
+  /** tumbling 1-hour windows via Spark's native window(); start emitted
+    * as epoch ms. Partial aggregation applies — scales like any groupBy. */
+  def eventTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
+      .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
+        col("n"), col("sum_value_cents"))
+      .orderBy("ws_ms", "event_type")
+
+  /** sliding 1-hour windows every 30 minutes (each event lands in two
+    * windows — Spark explodes internally, same two starts the oracle
+    * derives by integer epoch arithmetic). */
+  def eventSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
+      .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
+        col("n"), col("sum_value_cents"))
+      .orderBy("ws_ms", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity), window-function form:
+    * new session when ts - lag(ts) >= gap (matches `session_window`
+    * merge semantics: events merge while next < prev_end). One shuffle
+    * on user_id; cumulative-sum session ids stay partition-local. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs  = 30L * 60 * 1000
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), cents(col("value")).as("v_cents"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || (unix_millis(col("ts")) - col("prev_ms")) >= gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum("v_cents").as("sum_value_cents"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Same sessions through Spark's native session_window (the engine
+    * merges adjacent windows; end = last event + gap). */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_value_cents"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+        unix_millis(col("w.end")).as("end_ms"), col("n_events"), col("sum_value_cents"))
+      .orderBy("user_id", "start_ms")
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("json_funcs",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+        |FROM events ORDER BY event_id""".stripMargin)(jsonFuncs),
+    QueryDef.sql("event_tumbling",
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
+        |       count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        |FROM events GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin)(
+      eventTumbling),
+    QueryDef.sql("event_sliding",
+      """SELECT ws_ms, event_type, count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        |FROM (
+        |  SELECT (epoch_ms(ts) // 1800000) * 1800000 AS ws_ms, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT (epoch_ms(ts) // 1800000) * 1800000 - 1800000 AS ws_ms, event_type, value FROM events
+        |) t GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin)(eventSliding),
+    QueryDef.sql("sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS v_cents,
+        |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+        |       count(*) AS n_events, sum(v_cents) AS sum_value_cents
+        |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)(
+      sessionize),
+    QueryDef.sql("event_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_cents,
+        |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) + 1800000 AS end_ms,
+        |       count(*) AS n_events, sum(v_cents) AS sum_value_cents
+        |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin)(
+      sessionWindow),
+  )
+}

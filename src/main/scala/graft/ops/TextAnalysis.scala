@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for the training-data pipeline: token counting
+  * (whitespace + regex), quality scoring, n-gram-heuristic language ID,
+  * and rolling-hash document fingerprinting. All pure per-row column
+  * expressions — map-side only, no shuffle beyond the final sort, so
+  * they stream through 100 TB at scan speed.
+  */
+object TextAnalysis {
+
+  /** stopword profiles for the language-ID heuristic (tiny on purpose —
+    * the interesting part is the deterministic argmax plumbing). */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "fr" -> Seq("le", "la", "les", "des"),
+    "zh" -> Seq("de", "le", "shi", "bu"))
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** whitespace tokens vs regex word-ish tokens (BPE-flavored classes:
+    * letter runs / digit runs / single punctuation). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(filter(toks(col("text")), t => t =!= "")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** length/stopword/char-class quality metrics; ratios are exact-int
+    * divisions so both engines produce identical doubles. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t       = toks(col("text"))
+    val nTok    = size(filter(t, x => x =!= "")).cast("long")
+    val nChars  = length(col("text")).cast("long")
+    val alphaCt = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+    val stopCt  = size(filter(t, x => x.isin("the", "a", "of", "and"))).cast("long")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        nChars.as("n_chars"),
+        (nChars.cast("double") / nTok).as("chars_per_token"),
+        (alphaCt.cast("double") / nChars).as("alpha_ratio"),
+        (stopCt.cast("double") / nTok).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** language ID: count stopword-profile hits per language, argmax with
+    * deterministic alphabetical tie-break; emitted next to the labeled
+    * lang for eyeball accuracy. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = filter(toks(col("text")), x => x =!= "")
+    val scores = Profiles.map { case (lang, words) =>
+      lang -> size(filter(t, x => x.isin(words: _*))).cast("long")
+    }
+    // argmax by (score desc, lang asc) via array of structs + array_max:
+    // struct ordering is field-by-field, so (score, negated-lang) works;
+    // simpler: sort_array desc on (score, lang) structs is not
+    // lexicographically invertible per-field — use explicit fold instead.
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) { case (acc, (lang, sc)) =>
+      when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        best.getField("l").as("predicted_lang"),
+        best.getField("s").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** rolling polynomial fingerprint (mod 1e9+7) over the raw characters. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val langCaseSql: String = {
+    // identical argmax fold in SQL: nested CASE chain, same > comparisons
+    val scoreSql = Profiles.map { case (lang, words) =>
+      lang -> s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    }
+    val (l0, s0) = scoreSql.head
+    var accS     = s0
+    var accL     = s"'$l0'"
+    for ((lang, sc) <- scoreSql.tail) {
+      val newS = s"CASE WHEN $sc > ($accS) THEN $sc ELSE $accS END"
+      val newL = s"CASE WHEN $sc > ($accS) THEN '$lang' ELSE $accL END"
+      accS = newS
+      accL = newL
+    }
+    s"SELECT doc_id, lang AS labeled_lang, CAST($accL AS VARCHAR) AS predicted_lang, CAST($accS AS BIGINT) AS score FROM documents ORDER BY doc_id"
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("token_count",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)(tokenCount),
+    QueryDef.sql("text_quality",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) AS DOUBLE)
+        |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS chars_per_token,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS alpha_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin)(textQuality),
+    QueryDef.sql("lang_id", langCaseSql)(langId),
+    QueryDef.sql("fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)(fingerprint),
+  )
+}
