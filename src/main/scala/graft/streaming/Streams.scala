@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming formulations of the event operators: windowed
+  * aggregation with watermarks (late-data policy), and custom stateful
+  * sessionization via flatMapGroupsWithState.
+  *
+  * The reference engine is strictly batch (SURVEY.md §2.3) — these are
+  * the streaming extension of the same semantics: `tumblingCounts`
+  * computes exactly what `Events.eventTumbling` computes per window,
+  * incrementally. Tested with MemoryStream in StreamingSpec.
+  *
+  * Scale design: watermark + append mode bounds state (windows close and
+  * evict); sessionization state is per-key and evicted on timeout — at
+  * 1000 executors state lives in the state store, partitioned by key.
+  */
+object Streams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(
+      user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+  /** 1-hour tumbling windows, 10-minute watermark: late events beyond
+    * the watermark are dropped; windows emit once finalized (append). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
+        col("n"), col("sum_value_cents"))
+
+  /** Custom stateful sessionization (30-min gap) via
+    * flatMapGroupsWithState — the streaming twin of Events.sessionize.
+    * A session is emitted when a later event proves the gap passed, or
+    * when the event-time watermark passes start+gap (event-time timeout —
+    * processing-time timeouts would busy-loop the no-data trigger).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        // inactivity timeout: close and emit the open session
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, s.startMs, s.lastMs + gapMs, s.n))
+      } else {
+        val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur    = state.getOption
+        val out    = Seq.newBuilder[SessionOut]
+        for (e <- sorted) {
+          val ms = e.ts.getTime
+          cur match {
+            case Some(s) if ms - s.lastMs < gapMs =>
+              cur = Some(s.copy(lastMs = ms, n = s.n + 1))
+            case Some(s) =>
+              out += SessionOut(userId, s.startMs, s.lastMs + gapMs, s.n)
+              cur = Some(SessionState(ms, ms, 1))
+            case None =>
+              cur = Some(SessionState(ms, ms, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close via watermark; never set a timeout at/behind it
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs() + 1, s.lastMs + gapMs))
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions, VectorMath}
+import org.apache.spark.sql.functions._
+
+/** Correctness of the custom Catalyst expressions against independent
+  * references: the codegen'd cosine vs the pure-builtin composition and
+  * a driver-side computation; simhash/minhash sanity; text utilities.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("codegen cosine == builtin-composition cosine == driver-side") {
+    val two = emb.limit(2).collect().map(_.getSeq[Float](1).toArray)
+    val a   = two(0)
+    val b   = two(1)
+    def cosRef(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val na  = math.sqrt(x.map(v => v.toDouble * v.toDouble).sum)
+      val nb  = math.sqrt(y.map(v => v.toDouble * v.toDouble).sum)
+      dot / (na * nb)
+    }
+    val pairs = emb.as("l").limit(50)
+      .crossJoin(emb.as("r").limit(50))
+      .select(
+        VectorFunctions.cosine(col("l.embedding"), col("r.embedding")).as("fast"),
+        VectorFunctions.cosineBuiltin(col("l.embedding"), col("r.embedding")).as("ref"))
+      .collect()
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"codegen ${r.getDouble(0)} vs builtin ${r.getDouble(1)}")
+    }
+    assert(math.abs(cosRef(a, a) - 1.0) < 1e-12)
+  }
+
+  test("dot product expression matches driver-side computation") {
+    val rows = emb.limit(10).select(col("vec_id"),
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("d"),
+      col("embedding")).collect()
+    rows.foreach { r =>
+      val v        = r.getSeq[Float](2)
+      val expected = v.map(x => x.toDouble * x.toDouble).sum
+      assert(math.abs(r.getDouble(1) - expected) < 1e-9)
+    }
+  }
+
+  test("simhash: identical docs collide, near-dups are close, it is deterministic") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different words appear in this unrelated sentence here")
+    ).toDF("id", "text")
+    val hashed = docs
+      .select(col("id"), TextFunctions.simhash(split(col("text"), " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(1L) == hashed(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashed(1L), hashed(3L)) < ham(hashed(1L), hashed(4L)))
+  }
+
+  test("minhash signature: identical inputs identical sigs; jaccard-ish similarity") {
+    val docs = Seq(
+      (1L, Seq("a b", "b c", "c d", "d e")),
+      (2L, Seq("a b", "b c", "c d", "d e")),
+      (3L, Seq("a b", "b c", "c d", "x y")),
+      (4L, Seq("p q", "q r", "r s", "s t"))
+    ).toDF("id", "sh")
+    val sigs = docs
+      .select(col("id"), TextFunctions.minhashSig(col("sh"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(1L), sigs(3L)) > agree(sigs(1L), sigs(4L)))
+    assert(sigs.values.forall(_.size == 64))
+  }
+
+  test("wordShingles/charShingles handle short inputs") {
+    val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextFunctions.wordShingles(split(col("text"), " "), 3).as("ws"),
+      TextFunctions.charShingles(col("text"), 5).as("cs")).collect()
+    val short = out.find(_.getLong(0) == 1L).get
+    assert(short.getSeq[String](1).isEmpty)   // 2 tokens < 3 → empty
+    val longer = out.find(_.getLong(0) == 2L).get
+    assert(longer.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(longer.getSeq[String](2).head == "a b c")
+  }
+
+  test("fingerprint matches driver-side rolling hash") {
+    val df  = Seq((1L, "hello world")).toDF("id", "text")
+    val got = df.select(TextFunctions.fingerprint(col("text"))).head().getLong(0)
+    val expected = "hello world".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(got == expected)
+  }
+
+  test("VectorMath handles zero vectors without NaN") {
+    val z = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0f, 0f))
+    assert(VectorMath.cosineF(z, z) == 0.0)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming specs driven by MemoryStream: watermarked
+  * tumbling windows finalize and drop late data; stateful
+  * sessionization emits on gap.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** offset from epoch: a row with ts == 0 == the initial watermark is
+    * dropped as late, so test times live one hour in. */
+  private val Base = 60L
+  private def ts(minutes: Long) = new java.sql.Timestamp((Base + minutes) * 60000L)
+  private def ms(minutes: Long) = (Base + minutes) * 60000L
+
+  test("watermarked tumbling window finalizes closed windows (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour-0 events, then an event far enough (hour 3) to advance the
+      // watermark past hour 0 + 10 min, finalizing the first window.
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(40), 2, "view", 3.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(200), 1, "click", 4.0))
+      query.processAllAvailable()
+      input.addData(Event(5, ts(400), 1, "click", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select("ws_ms", "event_type", "n", "sum_value_cents")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows.contains((ms(0), "click", 2L, 300L))) // first-hour clicks: 1.00+2.00
+      assert(rows.contains((ms(0), "view", 1L, 300L)))
+    } finally query.stop()
+  }
+
+  test("stateful sessionization emits a session once the gap passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 0 and 10 min (one session), then 60 min (gap
+      // >= 30 min → first session closes and is emitted)
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(3, ts(60), 1, "click", 1.0))
+      query.processAllAvailable()
+      val sessions = spark.table("session_out").as[SessionOut].collect()
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.user_id == 1L)
+      assert(s.start_ms == ms(0))
+      assert(s.end_ms == ms(10) + 30 * 60000L) // last event + gap
+      assert(s.n_events == 2L)
+    } finally query.stop()
+  }
+}
