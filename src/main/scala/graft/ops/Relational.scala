@@ -203,6 +203,17 @@ object Relational {
         greatest(col("l_tax"), col("l_discount")).as("gr"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** HLL++ sketch distinct (approx_count_distinct) beside the exact
+    * count — the constant-memory path for 100 TB cardinalities. Sketches
+    * are engine-specific, so no cross-engine oracle (rows-only). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   /** top-k: Catalyst plans TakeOrderedAndProject — no global sort. */
   def topK(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -305,6 +316,7 @@ object Relational {
         |       round(sqrt(l_quantity), 6) AS sq, round(pow(l_discount + 1.0, 2), 6) AS pw,
         |       l_orderkey % 7 AS md, greatest(l_tax, l_discount) AS gr
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)(scalarMath),
+    QueryDef.rowsOnly("approx_distinct")(approxDistinct),
     QueryDef.sql("topk",
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)(topK),
