@@ -16,6 +16,8 @@ object SparkEntry {
     Parity.entries,
     Relational.entries,
     Events.entries,
+    TemporalJoins.entries,
+    Centroids.entries,
     Dedup.entries,
     Similarity.entries,
     TextAnalysis.entries,

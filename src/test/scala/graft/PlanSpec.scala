@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale are asserted, not assumed — filter pushdown reaching the scan,
+  * column pruning, broadcast joins for dims, TakeOrderedAndProject for
+  * top-k (no global sort), whole-stage codegen presence.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("search_contains pushes Contains into the parquet scan and prunes columns") {
+    val p = planOf("search_contains")
+    assert(p.contains("StringContains(p_name,id)"), "filter not pushed to scan")
+    assert(p.contains("struct<p_partkey:bigint,p_name:string>"), "columns not pruned")
+  }
+
+  test("q1_agg prunes lineitem to the referenced columns and pushes the date filter") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate filter not pushed")
+    assert(!p.contains("l_partkey"), "unreferenced column read")
+  }
+
+  test("q5_join broadcasts the dimension tables") {
+    val p = planOf("q5_join")
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join in star join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("topk plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1_agg aggregates partially before the shuffle (map-side combine)") {
+    val p = planOf("q1_agg")
+    assert(p.contains("HashAggregate"))
+    // partial + final pattern: two HashAggregate nodes around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // AQE shows the un-finalized plan pre-execution; run, then inspect
+    val df = SparkEntry.queries("search_contains")(spark, sfDir)
+    df.collect()
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact form
+    assert(codegenStages(df) > 0)
+  }
+
+  private def codegenStages(df: org.apache.spark.sql.DataFrame): Int =
+    "\\*\\(\\d+\\)".r.findAllIn(df.queryExecution.executedPlan.toString).size
+
+  test("custom expressions stay inside codegen (no CodegenFallback rows)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions, VectorFunctions}
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+    df.collect()
+    assert(codegenStages(df) > 0, "cosine fell out of codegen")
+    val df2 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.simhash(split(col("text"), " ")).as("sh"))
+    df2.collect()
+    assert(codegenStages(df2) > 0, "text expressions fell out of codegen")
+  }
+}
