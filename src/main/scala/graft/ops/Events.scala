@@ -85,7 +85,27 @@ object Events {
         unix_millis(col("w.end")).as("end_ms"), col("n_events"), col("sum_value_cents"))
       .orderBy("user_id", "start_ms")
 
+  /** pivot: event_type counts as columns per user (relational pivot =
+    * conditional aggregation; Spark's .pivot() generates exactly that). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      // n_-prefixed: "view" is a reserved word in the oracle dialect
+      .toDF("user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view")
+      .orderBy("user_id")
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("pivot_counts",
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)(pivotCounts),
     QueryDef.sql("json_funcs",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct

@@ -214,6 +214,18 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** the SQL entry path: temp views + spark.sql (same Catalyst pipeline
+    * as the DataFrame API — this exercises the parser/analyzer front
+    * end). TPC-H Q6-shaped: pure scan + filter + scalar aggregate. */
+  def sqlQ6(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+  }
+
   /** top-k: Catalyst plans TakeOrderedAndProject — no global sort. */
   def topK(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -317,6 +329,11 @@ object Relational {
         |       l_orderkey % 7 AS md, greatest(l_tax, l_discount) AS gr
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)(scalarMath),
     QueryDef.rowsOnly("approx_distinct")(approxDistinct),
+    QueryDef.sql("sql_q6",
+      """SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)(sqlQ6),
     QueryDef.sql("topk",
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)(topK),

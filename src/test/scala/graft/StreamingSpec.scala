@@ -46,6 +46,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(5), 1, "click", 1.0))
+      query.processAllAvailable()
+      // advance watermark far past the first hour …
+      input.addData(Event(2, ts(600), 1, "click", 1.0))
+      query.processAllAvailable()
+      // … then send an event for the (closed) first hour: must be dropped
+      input.addData(Event(3, ts(6), 1, "click", 99.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(1200), 1, "click", 1.0))
+      query.processAllAvailable()
+      val firstHour = spark.table("late_out")
+        .filter(s"ws_ms = ${ms(0)}")
+        .collect()
+      assert(firstHour.length == 1)
+      assert(firstHour.head.getAs[Long]("n") == 1L) // the late event is absent
+    } finally query.stop()
+  }
+
   test("stateful sessionization emits a session once the gap passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
