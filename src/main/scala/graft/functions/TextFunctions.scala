@@ -128,6 +128,19 @@ object ShingleMath {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** count of array elements contained in a fixed word set (with
+    * multiplicity) — the hot kernel of stopword scoring / language ID. */
+  def countInSet(tokens: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n   = tokens.numElements()
+    var cnt = 0L
+    var i   = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && set.contains(tokens.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** rolling polynomial hash: fold(acc*31 + codepoint) mod 1e9+7 over the
     * string's characters — same value as the SQL
     * aggregate(transform(sequence(...), ascii(substr(...)))) form. */
@@ -161,6 +174,25 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
     ShingleMath.wordNGramsDistinct(v.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.wordNGramsDistinct($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** count of tokens present in a fixed word set, codegen'd (the set is a
+  * referenced object in the generated class — one hash probe per token
+  * instead of an interpreted lambda + isin chain). */
+case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleMath.countInSet(v.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.countInSet($c, $setRef)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -243,6 +275,10 @@ object TextFunctions {
   /** same value for already-distinct arrays, single-pass codegen'd. */
   def jaccardDistinctCol(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** tokens-in-fixed-set count (multiplicity preserved), codegen'd. */
+  def countInSetCol(tokens: Column, words: Seq[String]): Column =
+    ColumnBridge.column(CountInSet(ColumnBridge.expression(tokens), words))
 
   /** distinct word/char n-gram shingles via the codegen'd expressions
     * (single pass per row; the transform(sequence(...)) composition costs

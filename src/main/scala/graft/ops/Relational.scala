@@ -209,9 +209,11 @@ object Relational {
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
+      // sketch only: adding countDistinct alongside would Expand the
+      // whole scan 2×; the exact path is agg_distinct's job
       .agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
   /** the SQL entry path: temp views + spark.sql (same Catalyst pipeline

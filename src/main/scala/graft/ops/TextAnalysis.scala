@@ -42,7 +42,7 @@ object TextAnalysis {
     val nTok    = size(filter(t, x => x =!= "")).cast("long")
     val nChars  = length(col("text")).cast("long")
     val alphaCt = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
-    val stopCt  = size(filter(t, x => x.isin("the", "a", "of", "and"))).cast("long")
+    val stopCt  = TextFunctions.countInSetCol(t, Seq("the", "a", "of", "and"))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
@@ -60,7 +60,7 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val t = filter(toks(col("text")), x => x =!= "")
     val scores = Profiles.map { case (lang, words) =>
-      lang -> size(filter(t, x => x.isin(words: _*))).cast("long")
+      lang -> TextFunctions.countInSetCol(t, words)
     }
     // argmax by (score desc, lang asc) via array of structs + array_max:
     // struct ordering is field-by-field, so (score, negated-lang) works;
