@@ -38,6 +38,16 @@ object Streams {
       .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
         col("n"), col("sum_value_cents"))
 
+  /** Streaming exact dedup by event_id with bounded state: duplicates
+    * arriving within the watermark horizon are dropped; state for ids
+    * older than the watermark is evicted (the streaming form of the
+    * batch dedup operators — at 100 TB/day this is the standard
+    * idempotent-ingest guard). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom stateful sessionization (30-min gap) via
     * flatMapGroupsWithState — the streaming twin of Events.sessionize.
     * A session is emitted when a later event proves the gap passed, or

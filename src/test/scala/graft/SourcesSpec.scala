@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage (SURVEY §2.3 "Scans/sources"): parquet is
+  * the fixture default; csv/json/text round-trip through the same
+  * DataFrame surface. Plus SQL registration of the custom expressions.
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("csv and json round-trip a table sample losslessly") {
+    val tmp  = Files.createTempDirectory("graft-sources").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id").limit(50)
+    docs.write.option("header", "true").csv(s"$tmp/csv")
+    docs.write.json(s"$tmp/json")
+    val fromCsv = spark.read.option("header", "true")
+      .schema(docs.schema).csv(s"$tmp/csv")
+    val fromJson = spark.read.schema(docs.schema).json(s"$tmp/json")
+    assert(fromCsv.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    assert(fromJson.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("text source reads raw lines") {
+    val tmp = Files.createTempDirectory("graft-text").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").limit(20).write.text(s"$tmp/txt")
+    assert(spark.read.text(s"$tmp/txt").count() == 20)
+  }
+
+  test("custom expressions are callable from spark.sql after registration") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_fingerprint(text) AS fp,
+        |       graft_simhash64(split(text, ' ')) AS sh
+        |FROM docs_v WHERE doc_id < 5 ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaApi = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+        graft.functions.TextFunctions.simhash(split(col("text"), " ")).as("sh"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.size == 5)
+  }
+}

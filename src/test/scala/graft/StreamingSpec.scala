@@ -71,6 +71,23 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(1, ts(2), 1, "click", 1.0)) // duplicate id
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L)) // the duplicate did not re-emit
+    } finally query.stop()
+  }
+
   test("stateful sessionization emits a session once the gap passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
