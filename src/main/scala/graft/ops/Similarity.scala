@@ -85,6 +85,47 @@ object Similarity {
     rankedTopK(pairs)
   }
 
+  /** IVF-style ANN: a coarse quantizer (here: per-label centroids — the
+    * k-means step a real IVF would run; same Aggregator machinery) maps
+    * every vector to its nearest centroid's inverted list; queries probe
+    * only their own list (nprobe=1). The corpus shuffles once on the
+    * list id; at scale each list is a partition and a query touches
+    * 1/k of the data. Approximate ⇒ rows-only.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // coarse centroids (k = 10 label groups), collected: k×dim doubles
+    val cents = Centroids.labelCentroids(spark, dir)
+      .groupBy("label").agg(collect_list(struct(col("dim"), col("avg_val"))).as("dims"))
+      .collect().map { r =>
+        val arr = new Array[Double](64)
+        r.getSeq[org.apache.spark.sql.Row](1).foreach(d => arr(d.getLong(0).toInt) = d.getDouble(1))
+        (r.getLong(0), arr)
+      }
+    val bc = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      var bestId = -1L
+      var bestD  = Double.MaxValue
+      for ((id, c) <- bc.value) {
+        var d = 0.0
+        var i = 0
+        while (i < 64) { val x = v(i) - c(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; bestId = id }
+      }
+      bestId
+    }
+    val listed = base.withColumn("ivf_list", assignUdf(col("embedding")))
+    val queries = listed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("ivf_list"))
+    val pairs = listed.join(broadcast(queries), Seq("ivf_list"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
+    rankedTopK(pairs)
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("ann_bruteforce",
       s"""WITH pairs AS (
@@ -100,5 +141,6 @@ object Similarity {
          |SELECT query_id, neighbor_id, rank, sim FROM ranked
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)(annBruteforce),
     QueryDef.rowsOnly("ann_lsh")(annLsh),
+    QueryDef.rowsOnly("ann_ivf")(annIvf),
   )
 }
