@@ -216,6 +216,16 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** explicit GROUPING SETS (the general form of rollup/cube). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   /** the SQL entry path: temp views + spark.sql (same Catalyst pipeline
     * as the DataFrame API — this exercises the parser/analyzer front
     * end). TPC-H Q6-shaped: pure scan + filter + scalar aggregate. */
@@ -331,6 +341,12 @@ object Relational {
         |       l_orderkey % 7 AS md, greatest(l_tax, l_discount) AS gr
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)(scalarMath),
     QueryDef.rowsOnly("approx_distinct")(approxDistinct),
+    QueryDef.sql("grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)(
+      groupingSets),
     QueryDef.sql("sql_q6",
       """SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents,
         |       count(*) AS n
