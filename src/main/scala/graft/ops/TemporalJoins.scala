@@ -39,7 +39,10 @@ object TemporalJoins {
       .filter(col("tag") === 1)
       .select(col("event_id"), col("user_id"),
         unix_millis(col("ts")).as("ts_ms"),
-        unix_millis(col("last_signup")).as("last_signup_ms"))
+        // -1 sentinel: a nullable BIGINT degrades to float64+NaN in
+        // arrow/pandas readers, making hash compares representation-
+        // dependent; keep the column non-null
+        coalesce(unix_millis(col("last_signup")), lit(-1L)).as("last_signup_ms"))
       .orderBy("event_id")
   }
 
@@ -63,7 +66,8 @@ object TemporalJoins {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("asof_join",
-      """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, epoch_ms(s.ts) AS last_signup_ms
+      """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+        |       coalesce(epoch_ms(s.ts), -1) AS last_signup_ms
         |FROM events e ASOF LEFT JOIN
         |  (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
