@@ -53,7 +53,65 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** per-frame record emitted by the frame sampler. */
+  final case class FrameSample(doc_id: Long, frame_idx: Long, frame_hash: Long)
+
+  /** a fixed-size content feature extracted per asset (what an image/
+    * audio featurizer would emit). STUB: a 4-bin byte histogram — the
+    * Spark-side shape (binary in, fixed-length vector out, computed in
+    * a partition-mapping batch) is the real part. */
+  final case class MediaFeatures(
+      doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[RawMedia]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bins = new Array[Long](4)
+          r.payload.foreach(b => bins((b & 0xFF) / 64) += 1)
+          MediaFeatures(r.doc_id, bins(0), bins(1), bins(2), bins(3))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** frame sampling: one output row per sampled "frame" (every asset
+    * pretends to have n_frames frames; we sample every 2nd). The 1→n
+    * generator shape — flatMap, partition-preserving, no shuffle. The
+    * frame hash stands in for decoded frame bytes. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[RawMedia]
+      .flatMap { r =>
+        val meta = decodeStub(r.doc_id, r.payload)
+        (0L until meta.n_frames by 2).map { i =>
+          FrameSample(r.doc_id, i, (meta.n_bytes * 31L + i) % 1000000007L)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("media_features",
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x00-\x3f]', '', 'g')) AS BIGINT) AS b0,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x40-\x7f]', '', 'g')) AS BIGINT) AS b1,
+        |  CAST(0 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS b3
+        |FROM documents ORDER BY doc_id""".stripMargin)(featureExtract),
+    QueryDef.sql("media_frames",
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       (CAST(octet_length(encode(text)) AS BIGINT) * 31 + f) % 1000000007 AS frame_hash
+        |FROM documents,
+        |     (SELECT unnest(generate_series(0, 7)) AS f) frames
+        |WHERE f < 1 + octet_length(encode(text)) % 8 AND f % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin)(frameSample),
     QueryDef.sql("media_meta",
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -203,6 +203,68 @@ object Relational {
         greatest(col("l_tax"), col("l_discount")).as("gr"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** window-function breadth: lag/lead/ntile/first/last/percent_rank/
+    * cume_dist (ratios are exact-int divisions → identical doubles). */
+  def windowMisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("first_key", first("o_orderkey").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .na.fill(-1.0, Seq("prev_price", "next_price"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** string-function breadth, second batch. */
+  def scalarString2(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_brand"), 2).as("rep2"),
+        col("p_name").startsWith("small").as("is_small"),
+        col("p_name").endsWith("bolt").as("is_bolt"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+        ascii(col("p_name")).cast("long").as("asc"),
+        format_string("%s|%s", col("p_brand"), col("p_type")).as("fmt"))
+      .orderBy("p_partkey")
+
+  /** math breadth: transcendental functions on small arguments, rounded
+    * to 6dp (libm vs java.lang.Math agree well inside [0, 0.1]). */
+  def scalarMath2(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(exp(col("l_discount")), 6).as("e"),
+        round(log1p(col("l_discount")), 6).as("ln1p"),
+        round(log10(col("l_discount") + 1.0), 6).as("lg10"),
+        round(sin(col("l_tax")), 6).as("sn"),
+        round(cos(col("l_tax")), 6).as("cs"),
+        round(atan(col("l_discount")), 6).as("at"),
+        signum(col("l_discount") - 0.05).cast("long").as("sg"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** array-function breadth over the embedding column (values rounded;
+    * structure ops are exact). */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(array_max(col("embedding")).cast("double"), 6).as("mx"),
+        round(array_min(col("embedding")).cast("double"), 6).as("mn"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_el"),
+        round(element_at(col("embedding"), -1).cast("double"), 6).as("last_el"),
+        round(aggregate(col("embedding").cast("array<double>"), lit(0.0), (a, v) => a + v), 6)
+          .as("sm"))
+      .orderBy("vec_id")
+
   /** HLL++ sketch distinct (approx_count_distinct) beside the exact
     * count — the constant-memory path for 100 TB cardinalities. Sketches
     * are engine-specific, so no cross-engine oracle (rows-only). */
@@ -340,6 +402,45 @@ object Relational {
         |       round(sqrt(l_quantity), 6) AS sq, round(pow(l_discount + 1.0, 2), 6) AS pw,
         |       l_orderkey % 7 AS md, greatest(l_tax, l_discount) AS gr
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)(scalarMath),
+    QueryDef.sql("window_misc",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       coalesce(lag(o_totalprice) OVER w, -1.0) AS prev_price,
+        |       coalesce(lead(o_totalprice) OVER w, -1.0) AS next_price,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)(windowMisc),
+    QueryDef.sql("scalar_string2",
+      """SELECT p_partkey, reverse(p_name) AS rev, repeat(p_brand, 2) AS rep2,
+        |       starts_with(p_name, 'small') AS is_small,
+        |       ends_with(p_name, 'bolt') AS is_bolt,
+        |       string_split(p_name, ' ')[1] AS first_word,
+        |       translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        |       CAST(ascii(p_name) AS BIGINT) AS asc,
+        |       format('{}|{}', p_brand, p_type) AS fmt
+        |FROM part ORDER BY p_partkey""".stripMargin)(scalarString2),
+    QueryDef.sql("scalar_math2",
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       round(exp(l_discount), 6) AS e,
+        |       round(ln(1 + l_discount), 6) AS ln1p,
+        |       round(log10(l_discount + 1.0), 6) AS lg10,
+        |       round(sin(l_tax), 6) AS sn, round(cos(l_tax), 6) AS cs,
+        |       round(atan(l_discount), 6) AS at,
+        |       CAST(sign(l_discount - 0.05) AS BIGINT) AS sg
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)(scalarMath2),
+    QueryDef.sql("array_funcs",
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+        |       round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+        |       round(CAST(embedding[-1] AS DOUBLE), 6) AS last_el,
+        |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, v) -> a + v), 6) AS sm
+        |FROM embeddings ORDER BY vec_id""".stripMargin)(arrayFuncs),
     QueryDef.rowsOnly("approx_distinct")(approxDistinct),
     QueryDef.sql("grouping_sets",
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
