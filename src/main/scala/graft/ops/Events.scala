@@ -97,7 +97,27 @@ object Events {
       .toDF("user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view")
       .orderBy("user_id")
 
+  /** map-type functions: parse props into map<string,string>, then key
+    * extraction / cardinality / flattening. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+      .select(
+        col("event_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        element_at(map_keys(col("m")), 1).as("first_key"),
+        element_at(col("m"), "k").cast("long").as("k_val"))
+      .orderBy("event_id")
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("map_funcs",
+      """SELECT event_id,
+        |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |       json_keys(props)[1] AS first_key,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin)(mapFuncs),
     QueryDef.sql("pivot_counts",
       """SELECT user_id,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,

@@ -133,6 +133,18 @@ object Relational {
       .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
       .orderBy("nk")
 
+  /** multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL preserve
+    * multiplicity — the §1.3 bag laws at the relational level. */
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+      .intersectAll(Tables.customer(spark, dir).select(col("c_custkey").as("k")))
+      .orderBy("k")
+
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+      .exceptAll(Tables.customer(spark, dir).select(col("c_custkey").as("k")))
+      .orderBy("k")
+
   /** ROLLUP (flag, status): partial aggregates at every level. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -366,6 +378,12 @@ object Relational {
       "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk")(setIntersect),
     QueryDef.sql("set_except",
       "SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk")(setExcept),
+    QueryDef.sql("set_intersect_all",
+      "SELECT o_custkey AS k FROM orders INTERSECT ALL SELECT c_custkey FROM customer ORDER BY k")(
+      setIntersectAll),
+    QueryDef.sql("set_except_all",
+      "SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT c_custkey FROM customer ORDER BY k")(
+      setExceptAll),
     QueryDef.sql("rollup_agg",
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
