@@ -71,11 +71,14 @@ object Dedup {
     */
   private def lshCandidatesVerified(
       docs0: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    // persist: the shingle+signature pipeline feeds both sides of the
-    // band self-join and both verify re-attach joins — without a
-    // materialization Spark recomputes it 4×. (At cluster scale this is
-    // the materialized signature table of a standard LSH pipeline.)
-    val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize: the shingle+signature pipeline feeds both sides of
+    // the band self-join and both verify re-attach joins — without a
+    // materialization Spark recomputes it 4×. localCheckpoint (not
+    // persist) so nothing registers in the CacheManager forever; the
+    // ContextCleaner reclaims the blocks once unreferenced. At cluster
+    // scale this is the materialized signature *table* of a standard
+    // LSH pipeline (a reliable checkpoint / intermediate write).
+    val docs = docs0.localCheckpoint()
     val sigs = docs
       .withColumn("sig", minhashSig(col("shingles"), NumHashes))
     val bands = sigs.select(
@@ -85,7 +88,7 @@ object Dedup {
           xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)), j).as("bh"))))
         .as("b"))
       .select(col(idCol), col("b.band"), col("b.bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val candidates = bands.as("l")
       .join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
