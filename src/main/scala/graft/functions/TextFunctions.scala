@@ -80,14 +80,24 @@ object TextMath {
 object ShingleMath {
   import scala.collection.mutable
 
-  /** distinct character n-grams, first-occurrence order (matches
-    * array_distinct(transform(...)) exactly). */
+  /** distinct character n-grams, first-occurrence order, by CODE POINT
+    * (matching SQL substr semantics — indexing UTF-16 units would split
+    * surrogate pairs for non-BMP text and diverge from the oracle). */
   def charNGramsDistinct(text: UTF8String, n: Int): ArrayData = {
     val chars = text.toString
-    if (chars.length < n) return ArrayData.toArrayData(Array.empty[UTF8String])
+    // offsets(k) = UTF-16 index where the k-th code point starts
+    val offs = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < chars.length) { offs.add(i); i += Character.charCount(chars.codePointAt(i)) }
+    val cp = offs.size()
+    if (cp < n) return ArrayData.toArrayData(Array.empty[UTF8String])
     val seen = mutable.LinkedHashSet.empty[String]
-    var i    = 0
-    while (i <= chars.length - n) { seen.add(chars.substring(i, i + n)); i += 1 }
+    var k    = 0
+    while (k <= cp - n) {
+      val end = if (k + n < cp) offs.get(k + n).intValue() else chars.length
+      seen.add(chars.substring(offs.get(k).intValue(), end))
+      k += 1
+    }
     ArrayData.toArrayData(seen.iterator.map(UTF8String.fromString).toArray)
   }
 
@@ -239,6 +249,11 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object TextFunctions {
+
+  /** money-to-exact-integer-cents. Correctness-critical invariant of the
+    * whole oracle scheme (double sums are order-dependent; cents sums
+    * are not) — ALL query modules must use this one definition. */
+  def cents(c: Column): Column = round(c * 100).cast(LongType)
 
   /** whitespace tokens (single-space split, reference-style; empties kept
     * out by the caller when needed). */

@@ -19,12 +19,14 @@ import org.apache.spark.sql.SparkSession
 final class RunLogger(logPath: String) extends SparkListener {
 
   private val lines = new ConcurrentLinkedQueue[String]()
-  @volatile private var jobStartNs = 0L
+  // per-job start times: overlapping jobs (parallel actions, AQE
+  // sub-jobs) must not clobber each other's durations
+  private val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
 
   private def now(): String = java.time.Instant.now().toString
 
   override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
-    jobStartNs = System.nanoTime()
+    jobStartNs.put(jobStart.jobId, System.nanoTime())
     lines.add(s"runMapReduceFramework started with ${jobStart.stageInfos.map(_.numTasks).sum} tasks")
   }
 
@@ -35,7 +37,8 @@ final class RunLogger(logPath: String) extends SparkListener {
     lines.add(s"Thread ExecTask ${taskEnd.taskInfo.taskId} terminated [${now()}]")
 
   override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit = {
-    val tookNs = System.nanoTime() - jobStartNs
+    val start = jobStartNs.remove(jobEnd.jobId)
+    val tookNs = if (start == null) -1L else System.nanoTime() - start.longValue()
     lines.add(s"Job ${jobEnd.jobId} took $tookNs ns")
     lines.add("runMapReduceFramework finished")
     flush()

@@ -110,13 +110,20 @@ object Dedup {
     lshCandidatesVerified(shingled(nearDupCorpus(spark, dir)), "doc_id", JaccardThreshold)
 
   /** SimHash near-dup: 64-bit signature per doc (map-side), candidates
-    * via 16-bit chunk collision (hamming ≤ 16 ⇒ some chunk equal by
-    * pigeonhole over 4 chunks), verified by exact hamming distance.
+    * via 16-bit chunk collision, verified by exact hamming distance.
+    * Recall note: pigeonhole over 4 chunks only *guarantees* a shared
+    * chunk for hamming ≤ 3; pairs at hamming 4..16 are found with high
+    * probability when differing bits cluster (the near-dup case) but not
+    * guaranteed — this is the standard simhash chunk-index trade-off
+    * (guaranteeing ≤16 would need 17 chunks and useless 3-bit buckets).
     * No SQL oracle (hash family not expressible in DuckDB) → rows-only.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val hashed = nearDupCorpus(spark, dir)
       .withColumn("sh", simhash(filter(tokens(col("text")), t => t =!= "")))
+      // materialized: feeds both sides of the self-join (see
+      // lshCandidatesVerified for the rationale)
+      .localCheckpoint()
     val chunks = hashed.select(
       col("doc_id"), col("sh"),
       explode(array((0 until 4).map(j =>

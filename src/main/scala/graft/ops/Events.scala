@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private def cents(c: org.apache.spark.sql.Column) =
+    graft.functions.TextFunctions.cents(c)
 
   /** JSON scalar extraction (`props` is a JSON string column). */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
@@ -162,14 +163,14 @@ object Events {
       sessionize),
     QueryDef.sql("event_session_window",
       """WITH flagged AS (
-        |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_cents,
+        |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS v_cents,
         |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
         |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
         |              THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessions AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged
         |)

@@ -99,6 +99,10 @@ object Multimodal {
   }
 
   val entries: Seq[QueryDef] = Seq(
+    // NOTE: the media_features oracle counts characters per range and
+    // pins b2=b3=0 — equivalent to the Spark byte histogram only for
+    // pure-ASCII fixtures (which TESTDATA guarantees). Non-ASCII text
+    // would need a byte-level oracle.
     QueryDef.sql("media_features",
       """SELECT doc_id,
         |  CAST(length(text) - length(regexp_replace(text, '[\x00-\x3f]', '', 'g')) AS BIGINT) AS b0,

@@ -17,9 +17,10 @@ object Relational {
   /** money-in-cents as exact BIGINT: double sums are order-dependent in
     * the last ULPs (parallel partial aggregation here, segment trees in
     * DuckDB), so exact-hash comparisons need integer domains. Prices in
-    * the fixtures are 2-decimal, so cents are exact. */
+    * the fixtures are 2-decimal, so cents are exact. One shared
+    * definition for all modules. */
   private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100).cast("long")
+    graft.functions.TextFunctions.cents(c)
 
   /** TPC-H Q1-shaped aggregation: partial+final hash agg; only
     * (flag,status) groups shuffle — safe at any scale. Aggregates are

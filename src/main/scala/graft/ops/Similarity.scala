@@ -15,11 +15,11 @@ import org.apache.spark.sql.functions._
   * no shuffle of the corpus (queries broadcast, partial top-k per
   * partition would be the next optimization).
   *
-  * `ann_lsh`: the scale path — sign-random-projection buckets (16
-  * deterministic hyperplanes → 16-bit code); candidates = same-bucket
-  * vectors (multi-probe: exact code only here), then exact cosine top-k
-  * within the bucket. Approximate ⇒ rows-only check; the bruteforce
-  * query is its quality oracle in spirit.
+  * `ann_lsh`: the scale path — sign-random-projection buckets
+  * (NumPlanes deterministic hyperplanes → NumPlanes-bit code);
+  * candidates = same-bucket vectors (exact code only, no multi-probe),
+  * then exact cosine top-k within the bucket. Approximate ⇒ rows-only
+  * check; the bruteforce query is its quality oracle in spirit.
   *
   * Sims are rounded to 6dp and ranked by (rounded sim, id) so engine ULP
   * differences cannot flip ranks.
@@ -62,11 +62,14 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
 
-  /** 16-bit sign code of a vector under the fixed hyperplanes. */
+  /** embedding dimensionality of the fixtures (FIXTURES.md). */
+  val Dim = 64
+
+  /** NumPlanes-bit sign code of a vector under the fixed hyperplanes. */
   private def bucketCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val embD = emb.cast("array<double>")
     val bits = (0 until NumPlanes).map { p =>
-      val weights = array((0 until 64).map(d => lit(planeWeight(p, d))): _*)
+      val weights = array((0 until Dim).map(d => lit(planeWeight(p, d))): _*)
       val dot     = aggregate(zip_with(embD, weights, (x, w) => x * w), lit(0.0), (a, v) => a + v)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -99,7 +102,7 @@ object Similarity {
     val cents = Centroids.labelCentroids(spark, dir)
       .groupBy("label").agg(collect_list(struct(col("dim"), col("avg_val"))).as("dims"))
       .collect().map { r =>
-        val arr = new Array[Double](64)
+        val arr = new Array[Double](Dim)
         r.getSeq[org.apache.spark.sql.Row](1).foreach(d => arr(d.getLong(0).toInt) = d.getDouble(1))
         (r.getLong(0), arr)
       }
@@ -111,7 +114,8 @@ object Similarity {
       for ((id, c) <- bc.value) {
         var d = 0.0
         var i = 0
-        while (i < 64) { val x = v(i) - c(i); d += x * x; i += 1 }
+        val n = math.min(v.length, c.length) // tolerate short vectors
+        while (i < n) { val x = v(i) - c(i); d += x * x; i += 1 }
         if (d < bestD) { bestD = d; bestId = id }
       }
       bestId

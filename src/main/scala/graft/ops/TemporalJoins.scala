@@ -60,7 +60,7 @@ object TemporalJoins {
         col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
       .groupBy("band_id", "label")
       .agg(count(lit(1)).as("n"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        sum(graft.functions.TextFunctions.cents(col("o_totalprice"))).as("sum_cents"))
       .orderBy("band_id")
   }
 

@@ -43,14 +43,16 @@ object TextAnalysis {
     val nChars  = length(col("text")).cast("long")
     val alphaCt = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
     val stopCt  = TextFunctions.countInSetCol(t, Seq("the", "a", "of", "and"))
+    // zero guards: Spark returns NULL on x/0 while DuckDB returns ±Inf —
+    // pin empty-doc rows to 0.0 on both sides so the compare can't split
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
         nChars.as("n_chars"),
-        (nChars.cast("double") / nTok).as("chars_per_token"),
-        (alphaCt.cast("double") / nChars).as("alpha_ratio"),
-        (stopCt.cast("double") / nTok).as("stopword_ratio"))
+        when(nTok === 0, 0.0).otherwise(nChars.cast("double") / nTok).as("chars_per_token"),
+        when(nChars === 0, 0.0).otherwise(alphaCt.cast("double") / nChars).as("alpha_ratio"),
+        when(nTok === 0, 0.0).otherwise(stopCt.cast("double") / nTok).as("stopword_ratio"))
       .orderBy("doc_id")
   }
 
@@ -110,13 +112,16 @@ object TextAnalysis {
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars,
-        |  CAST(length(text) AS DOUBLE)
-        |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS chars_per_token,
-        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |    / length(text) AS alpha_ratio,
-        |  CAST(len(list_filter(string_split(text, ' '),
-        |       t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
-        |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS stopword_ratio
+        |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) = 0 THEN 0.0
+        |       ELSE CAST(length(text) AS DOUBLE)
+        |            / len(list_filter(string_split(text, ' '), t -> t <> '')) END AS chars_per_token,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |            / length(text) END AS alpha_ratio,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |            / len(list_filter(string_split(text, ' '), t -> t <> '')) END AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin)(textQuality),
     QueryDef.sql("lang_id", langCaseSql)(langId),
     QueryDef.sql("fingerprint",

@@ -34,7 +34,8 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.TextFunctions.cents(col("value"))).as("sum_value_cents"))
       .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
         col("n"), col("sum_value_cents"))
 
