@@ -18,6 +18,7 @@ object SparkEntry {
     Events.entries,
     TemporalJoins.entries,
     Centroids.entries,
+    TopK.entries,
     Dedup.entries,
     Similarity.entries,
     TextAnalysis.entries,

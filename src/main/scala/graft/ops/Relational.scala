@@ -278,6 +278,32 @@ object Relational {
           .as("sm"))
       .orderBy("vec_id")
 
+  /** exact interpolated percentiles (both engines use the standard
+    * (n-1)*p linear interpolation; rounded 4dp to absorb ULP drift). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** arg_min/arg_max with a composite deterministic score (price ties
+    * broken by key inside the score, so the argmax is unique). */
+  def argMinMax(spark: SparkSession, dir: String): DataFrame = {
+    // score = cents*1e6 + key: unique per row, orders by (price, key)
+    val score = (cents(col("o_totalprice")) * 1000000L) + col("o_orderkey")
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        max_by(col("o_orderkey"), score).as("max_price_key"),
+        min_by(col("o_orderkey"), score).as("min_price_key"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** HLL++ sketch distinct (approx_count_distinct) beside the exact
     * count — the constant-memory path for 100 TB cardinalities. Sketches
     * are engine-specific, so no cross-engine oracle (rows-only). */
@@ -460,6 +486,18 @@ object Relational {
         |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |             list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, v) -> a + v), 6) AS sm
         |FROM embeddings ORDER BY vec_id""".stripMargin)(arrayFuncs),
+    QueryDef.sql("quantiles",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(quantiles),
+    QueryDef.sql("arg_minmax",
+      """SELECT o_orderstatus,
+        |       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS max_price_key,
+        |       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS min_price_key,
+        |       max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(argMinMax),
     QueryDef.rowsOnly("approx_distinct")(approxDistinct),
     QueryDef.sql("grouping_sets",
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
