@@ -279,14 +279,21 @@ object Relational {
       .orderBy("vec_id")
 
   /** exact interpolated percentiles (both engines use the standard
-    * (n-1)*p linear interpolation; rounded 4dp to absorb ULP drift). */
+    * (n-1)*p linear interpolation; rounded 4dp to absorb ULP drift).
+    * Two-phase: pre-aggregate to (value, frequency) so the percentile
+    * state is per-distinct-value, not per-row — the exact-quantile form
+    * that survives row counts the single-phase buffer can't hold.
+    * Values flow as exact cents; /100 rescales after interpolation
+    * (linear interpolation is scale-invariant). */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
+      .agg(count(lit(1)).as("freq"))
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        round(expr("percentile(pc, 0.5, freq)") / 100.0, 4).as("p50"),
+        round(expr("percentile(pc, 0.9, freq)") / 100.0, 4).as("p90"),
+        round(expr("percentile(pc, 0.99, freq)") / 100.0, 4).as("p99"))
       .orderBy("l_returnflag")
 
   /** arg_min/arg_max with a composite deterministic score (price ties

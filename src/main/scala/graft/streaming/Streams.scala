@@ -39,6 +39,12 @@ object Streams {
       .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
         col("n"), col("sum_value_cents"))
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * static dimension (broadcast per batch — no stream state). The
+    * standard shape for attaching user/session metadata on ingest. */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
+
   /** Streaming exact dedup by event_id with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for ids
     * older than the watermark is evicted (the streaming form of the

@@ -68,6 +68,15 @@ class KernelLawsSpec extends SparkSpec {
     assert(Set("p+q", "q+p").contains(xGroup)) // in-group order unspecified (§1.3 pt 3)
   }
 
+  test("kernel is re-runnable in-process with identical results (§1.3 pt 7)") {
+    val pairs = samples(1).head
+    val ds    = spark.createDataset(pairs)
+    def go() = MapReduce.run(ds)(
+      map = (k, v) => Iterator.single((k, v)))(
+      reduce = (k, vs) => Iterator.single((k, vs.sum))).collect().toList
+    assert(go() == go())
+  }
+
   test("empty input produces empty output (zero-folders edge case)") {
     val ds = spark.createDataset(List.empty[(String, String)])
     val out = MapReduce.run(ds)(

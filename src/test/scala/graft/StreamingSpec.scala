@@ -71,6 +71,23 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static join enriches events with the dimension per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim   = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val query = Streams.enrich(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 3, "view", 2.0))
+      query.processAllAvailable()
+      val rows = spark.table("enrich_out").select("event_id", "tier")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, None))) // left join keeps unmatched
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
