@@ -278,6 +278,24 @@ object Relational {
           .as("sm"))
       .orderBy("vec_id")
 
+  /** statistical aggregates — corr/covariance/stddev/variance in their
+    * population and sample forms (identical definitions across engines;
+    * skewness/kurtosis are excluded because engines disagree on bias
+    * correction). Small-magnitude inputs + 6dp rounding absorb the
+    * one-pass-moment ULP drift. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qd"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covs_qd"),
+        round(stddev_pop(col("l_discount")), 6).as("sdp_d"),
+        round(stddev_samp(col("l_discount")), 6).as("sds_d"),
+        round(var_pop(col("l_tax")), 6).as("varp_t"),
+        round(var_samp(col("l_tax")), 6).as("vars_t"))
+      .orderBy("l_returnflag")
+
   /** exact interpolated percentiles (both engines use the standard
     * (n-1)*p linear interpolation; rounded 4dp to absorb ULP drift).
     * Two-phase: pre-aggregate to (value, frequency) so the percentile
@@ -493,6 +511,16 @@ object Relational {
         |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |             list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, v) -> a + v), 6) AS sm
         |FROM embeddings ORDER BY vec_id""".stripMargin)(arrayFuncs),
+    QueryDef.sql("stats_agg",
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_discount), 6) AS corr_qd,
+        |       round(covar_pop(l_quantity, l_discount), 6) AS covp_qd,
+        |       round(covar_samp(l_quantity, l_discount), 6) AS covs_qd,
+        |       round(stddev_pop(l_discount), 6) AS sdp_d,
+        |       round(stddev_samp(l_discount), 6) AS sds_d,
+        |       round(var_pop(l_tax), 6) AS varp_t,
+        |       round(var_samp(l_tax), 6) AS vars_t
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(statsAgg),
     QueryDef.sql("quantiles",
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
