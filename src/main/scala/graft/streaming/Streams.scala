@@ -45,6 +45,26 @@ object Streams {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
 
+  /** Stream-stream interval join: purchases matched to the clicks of
+    * the same user in the preceding 15 minutes. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's buffered state is evictable — the only stream-stream
+    * join shape that runs unbounded. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        c("click_ts") <= p("purchase_ts") &&
+        c("click_ts") >= p("purchase_ts") - expr("INTERVAL 15 minutes"))
+      .select(p("user_id"), col("purchase_id"), col("click_id"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+  }
+
   /** Streaming exact dedup by event_id with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for ids
     * older than the watermark is evicted (the streaming form of the

@@ -88,6 +88,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks    = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = Streams.purchaseAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Event(10, ts(0), 1, "click", 0),   // 20 min before → outside window
+        Event(11, ts(10), 1, "click", 0),  // 10 min before → attributed
+        Event(12, ts(5), 2, "click", 0))   // other user
+      purchases.addData(Event(20, ts(20), 1, "purchase", 9.99))
+      query.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((20L, 11L))) // only the in-window same-user click
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
