@@ -35,12 +35,31 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / NumBands
   val JaccardThreshold = 0.7
 
-  /** exact dedup: representative (min key) + multiplicity per equal name. */
+  /** exact dedup: representative (min key) + multiplicity per equal name.
+    * `part` has real duplicates (64 names over 2000 rows). */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .groupBy("p_name")
       .agg(min("p_partkey").as("keep_key"), count(lit(1)).as("n_dups"))
       .orderBy("p_name")
+
+  /** exact dedup over documents (the corpus with constructed duplicates:
+    * every doc plus an identical copy at id+1,000,000 — full-text
+    * hash-groupBy keeps the min id; at 100 TB one groups on a
+    * fingerprint of the text, never the text itself, so the shuffle
+    * carries (hash, id) pairs — demonstrated here by grouping on the
+    * rolling-hash fingerprint and verifying it reproduces the text
+    * grouping exactly on this corpus). */
+  def dedupExactDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.union(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    corpus
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+  }
 
   /** documents ∪ 80%-token-truncated copies (deterministic near-dups). */
   def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
@@ -234,6 +253,18 @@ object Dedup {
     QueryDef.sql("dedup_exact",
       """SELECT p_name, min(p_partkey) AS keep_key, count(*) AS n_dups
         |FROM part GROUP BY p_name ORDER BY p_name""".stripMargin)(dedupExact),
+    QueryDef.sql("dedup_exact_docs",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |)
+        |SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(generate_series(1, length(text)),
+        |           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM corpus GROUP BY fp ORDER BY fp""".stripMargin)(dedupExactDocs),
     QueryDef.sql("dedup_minhash",
       s"""WITH $corpusSql, $shingleSql
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -79,6 +79,37 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** resize: the fit-into-a-bounding-box dimension computation a real
+    * image pipeline runs before the codec call (integer math on the
+    * decoded metadata — the codec-side rescale is the stubbed part).
+    * Preserves aspect ratio, fits 32×32, floors, min 1. */
+  def resizeDims(meta: MediaMeta, box: Long): (Long, Long) = {
+    val scaleNum = box
+    val scaleDen = math.max(meta.width, meta.height)
+    val w = math.max(1L, meta.width * scaleNum / scaleDen)  // integer floor
+    val h = math.max(1L, meta.height * scaleNum / scaleDen)
+    (w, h)
+  }
+
+  final case class ResizedMeta(
+      doc_id: Long, width: Long, height: Long, out_w: Long, out_h: Long)
+
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[RawMedia]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val m      = decodeStub(r.doc_id, r.payload)
+          val (w, h) = resizeDims(m, 32L)
+          ResizedMeta(m.doc_id, m.width, m.height, w, h)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** frame sampling: one output row per sampled "frame" (every asset
     * pretends to have n_frames frames; we sample every 2nd). The 1→n
     * generator shape — flatMap, partition-preserving, no shuffle. The
@@ -116,6 +147,17 @@ object Multimodal {
         |     (SELECT unnest(generate_series(0, 7)) AS f) frames
         |WHERE f < 1 + octet_length(encode(text)) % 8 AND f % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin)(frameSample),
+    QueryDef.sql("media_resize",
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    1 + CAST(octet_length(encode(text)) AS BIGINT) % 64 AS width,
+        |    1 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 64 AS height
+        |  FROM documents
+        |)
+        |SELECT doc_id, width, height,
+        |       greatest(1, width * 32 // greatest(width, height)) AS out_w,
+        |       greatest(1, height * 32 // greatest(width, height)) AS out_h
+        |FROM meta ORDER BY doc_id""".stripMargin)(mediaResize),
     QueryDef.sql("media_meta",
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
