@@ -36,15 +36,20 @@ object Multimodal {
       n_frames = 1L + n % 8L)
   }
 
-  /** binary ingestion + per-partition batch decode. The `text` column
-    * stands in for media bytes (utf-8 encode) since the fixtures carry
-    * no real blobs.
-    */
-  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+  /** the shared binary-column ingestion: the `text` column stands in
+    * for media bytes (utf-8 encode) since the fixtures carry no real
+    * blobs — swap this one projection to read true blob columns. */
+  private def rawMedia(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[RawMedia] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[RawMedia]
+  }
+
+  /** binary ingestion + per-partition batch decode. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rawMedia(spark, dir)
       .mapPartitions { rows =>
         // real codecs would be initialized once per partition here
         rows.map(r => decodeStub(r.doc_id, r.payload))
@@ -65,9 +70,7 @@ object Multimodal {
 
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      .as[RawMedia]
+    rawMedia(spark, dir)
       .mapPartitions { rows =>
         rows.map { r =>
           val bins = new Array[Long](4)
@@ -96,9 +99,7 @@ object Multimodal {
 
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      .as[RawMedia]
+    rawMedia(spark, dir)
       .mapPartitions { rows =>
         rows.map { r =>
           val m      = decodeStub(r.doc_id, r.payload)
@@ -116,9 +117,7 @@ object Multimodal {
     * frame hash stands in for decoded frame bytes. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      .as[RawMedia]
+    rawMedia(spark, dir)
       .flatMap { r =>
         val meta = decodeStub(r.doc_id, r.payload)
         (0L until meta.n_frames by 2).map { i =>

@@ -17,19 +17,28 @@ object TopK {
   final case class TopBuf(var items: List[(Double, Long)])
 
   /** keeps the k best (price, key) pairs, "best" = (price desc, key asc)
-    * — the window form's ordering exactly; buffers are best-first and
-    * never exceed k elements. */
+    * — the window form's ordering exactly; buffers are best-first, never
+    * exceed k elements, and the common reduce case (new row worse than
+    * the current k-th) is a single comparison, no sort. */
   class TopKAgg(k: Int) extends Aggregator[Keyed, TopBuf, Seq[Keyed]] {
-    private def trim(items: List[(Double, Long)]): List[(Double, Long)] =
-      items.sortBy { case (p, key) => (-p, key) }.take(k)
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    /** ordered insert into a best-first list capped at k. */
+    private def insert(items: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] =
+      if (items.sizeIs >= k && !better(v, items.last)) items
+      else {
+        val (front, back) = items.span(better(_, v))
+        (front ::: v :: back).take(k)
+      }
 
     override def zero: TopBuf = TopBuf(Nil)
     override def reduce(b: TopBuf, v: Keyed): TopBuf = {
-      b.items = trim((v.o_totalprice, v.o_orderkey) :: b.items)
+      b.items = insert(b.items, (v.o_totalprice, v.o_orderkey))
       b
     }
     override def merge(a: TopBuf, b: TopBuf): TopBuf = {
-      a.items = trim(a.items ++ b.items)
+      a.items = b.items.foldLeft(a.items)(insert)
       a
     }
     override def finish(b: TopBuf): Seq[Keyed] =

@@ -76,7 +76,9 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom stateful sessionization (30-min gap) via
-    * flatMapGroupsWithState — the streaming twin of Events.sessionize.
+    * flatMapGroupsWithState — the streaming twin of
+    * Events.sessionWindow (same end semantics: end = last event + gap;
+    * Events.sessionize instead reports end = last event).
     * A session is emitted when a later event proves the gap passed, or
     * when the event-time watermark passes start+gap (event-time timeout —
     * processing-time timeouts would busy-loop the no-data trigger).
@@ -100,7 +102,11 @@ object Streams {
           val ms = e.ts.getTime
           cur match {
             case Some(s) if ms - s.lastMs < gapMs =>
-              cur = Some(s.copy(lastMs = ms, n = s.n + 1))
+              // out-of-order (late-but-in-watermark) events may arrive in a
+              // later batch with ms < lastMs: extend the session envelope,
+              // never move its boundaries backward
+              cur = Some(SessionState(
+                math.min(s.startMs, ms), math.max(s.lastMs, ms), s.n + 1))
             case Some(s) =>
               out += SessionOut(userId, s.startMs, s.lastMs + gapMs, s.n)
               cur = Some(SessionState(ms, ms, 1))

@@ -88,6 +88,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionization absorbs late-but-in-watermark events without splitting") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("late_session_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(40), 1, "click", 1.0))
+      query.processAllAvailable()
+      // 8 min out of order, ahead of the watermark → must merge, and must
+      // NOT regress the session's last-seen time
+      input.addData(Event(2, ts(32), 1, "click", 1.0))
+      query.processAllAvailable()
+      // 23 min after the true latest event (40) → still the same session
+      input.addData(Event(3, ts(63), 1, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(120), 1, "click", 1.0)) // gap → emit
+      query.processAllAvailable()
+      val sessions = spark.table("late_session_out").as[SessionOut].collect()
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.start_ms == ms(32)) // envelope extends down to the late event
+      assert(s.end_ms == ms(63) + 30 * 60000L)
+      assert(s.n_events == 3L)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks    = MemoryStream[Event]
