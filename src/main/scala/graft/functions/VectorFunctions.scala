@@ -31,10 +31,28 @@ object VectorMath {
     acc
   }
 
-  /** cosine = dot / (sqrt(|a|^2) * sqrt(|b|^2)); 0.0 for a zero vector. */
+  /** cosine = dot / (sqrt(|a|^2) * sqrt(|b|^2)); 0.0 for a zero vector.
+    * Single pass over both arrays (dot and both norms accumulated
+    * together — one memory walk instead of three). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val d = math.sqrt(norm2F(a)) * math.sqrt(norm2F(b))
-    if (d == 0.0) 0.0 else dotF(a, b) / d
+    val n  = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na  = 0.0
+    var nb  = 0.0
+    var i   = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    // tail elements of the longer vector still count toward its norm
+    var j = n
+    while (j < a.numElements()) { val x = a.getFloat(j).toDouble; na += x * x; j += 1 }
+    j = n
+    while (j < b.numElements()) { val y = b.getFloat(j).toDouble; nb += y * y; j += 1 }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
   }
 }
 

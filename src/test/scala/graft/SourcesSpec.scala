@@ -25,6 +25,16 @@ class SourcesSpec extends SparkSpec {
       docs.orderBy("doc_id").collect().toSeq)
   }
 
+  test("orc round-trips a table sample losslessly") {
+    val tmp  = Files.createTempDirectory("graft-orc").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id").limit(50)
+    docs.write.orc(s"$tmp/orc")
+    val back = spark.read.orc(s"$tmp/orc")
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
   test("text source reads raw lines") {
     val tmp = Files.createTempDirectory("graft-text").toString
     spark.read.parquet(s"$sfDir/documents.parquet")

@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.TopK
+import graft.ops.TopK.{Keyed, TopKAgg}
+import org.apache.spark.sql.functions._
+
+/** The hand-rolled bounded insert must agree with the window row_number
+  * formulation under ties and k-overflow — checked on adversarial data
+  * (duplicate prices, groups larger and smaller than k).
+  */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aggregator top-k equals window top-k under price ties") {
+    val rows = Seq(
+      Keyed("A", 1, 100.0), Keyed("A", 2, 100.0), Keyed("A", 3, 100.0),
+      Keyed("A", 4, 100.0), Keyed("A", 5, 50.0),
+      Keyed("B", 6, 10.0), Keyed("B", 7, 20.0),
+      Keyed("C", 8, 1.0))
+    val ds = rows.toDS()
+    val viaAgg = ds.groupByKey(_.o_orderpriority)
+      .agg(new TopKAgg(3).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("g"), col("t.o_orderkey").as("k"), (col("i") + 1).as("rn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = ds.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaAgg == viaWindow)
+    // ties broken by key: group A top-3 must be keys 1,2,3 in order
+    assert(viaAgg.filter(_._1 == "A").map(t => (t._3, t._2)).toList.sorted ==
+      List((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("groups smaller than k emit all members") {
+    val out = TopK.groupTopKAgg(spark, sfDir)
+    val counts = out.groupBy("o_orderpriority").count().collect()
+    assert(counts.forall(_.getLong(1) <= 3))
+  }
+}
