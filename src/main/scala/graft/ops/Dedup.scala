@@ -229,6 +229,47 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate-cluster formation: connected components over the near-dup
+    * pair graph (the stage after pair detection in a real dedup
+    * pipeline — clusters get one representative, the min doc_id).
+    * Iterative min-label propagation on DataFrames: each round joins
+    * labels across edges and keeps the minimum; converges in
+    * O(cluster diameter) rounds (driver loop, checkpointed per round —
+    * the standard large-scale CC shape, cf. small-star/large-star).
+    * Oracle: recursive-CTE transitive closure over the same
+    * (brute-force) pair set.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select("id_a", "id_b")
+    // undirected edge list
+    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    val maxIters = 20
+    var iter     = 0
+    var changed  = 1L
+    while (changed > 0 && iter < maxIters) {
+      // candidate labels from neighbors; keep the min of (own, neighbors')
+      val next = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("rep").as("nbr_rep"))
+        .join(labels, "id")
+        .select(col("id"), least(col("rep"), col("nbr_rep")).as("new_rep"), col("rep"))
+      changed = next.filter(col("new_rep") < col("rep")).count()
+      labels = next.select(col("id"), col("new_rep").as("rep")).localCheckpoint()
+      iter += 1
+    }
+    labels
+      .groupBy("rep")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("rep").as("cluster_rep"), col("cluster_size"))
+      .orderBy("cluster_rep")
+  }
+
   /** corpus construction as SQL, shared by the near-dup oracles. */
   private val corpusSql =
     """corpus AS (
@@ -275,6 +316,27 @@ object Dedup {
          |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin)(dedupMinhash),
     QueryDef.rowsOnly("dedup_simhash")(dedupSimhash),
+    QueryDef.sql("dedup_clusters",
+      s"""WITH RECURSIVE $corpusSql, $shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT rep AS cluster_rep, count(*) AS cluster_size FROM (
+         |  SELECT src AS id, least(src, min(dst)) AS rep FROM reach GROUP BY src
+         |) t GROUP BY rep ORDER BY cluster_rep""".stripMargin)(dedupClusters),
     QueryDef.sql("ngram_jaccard",
       s"""WITH $corpusSql, grams AS (
          |  SELECT doc_id, list_distinct(list_transform(
