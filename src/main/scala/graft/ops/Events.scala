@@ -133,12 +133,12 @@ object Events {
         |FROM events ORDER BY event_id""".stripMargin)(jsonFuncs),
     QueryDef.sql("event_tumbling",
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
-        |       count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin)(
       eventTumbling),
     QueryDef.sql("event_sliding",
       """SELECT ws_ms, event_type, count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM (
         |  SELECT (epoch_ms(ts) // 1800000) * 1800000 AS ws_ms, event_type, value FROM events
         |  UNION ALL
@@ -153,12 +153,12 @@ object Events {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessions AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
-        |       count(*) AS n_events, sum(v_cents) AS sum_value_cents
+        |       count(*) AS n_events, CAST(sum(v_cents) AS BIGINT) AS sum_value_cents
         |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)(
       sessionize),
     QueryDef.sql("event_session_window",
@@ -175,7 +175,7 @@ object Events {
         |  FROM flagged
         |)
         |SELECT user_id, min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) + 1800000 AS end_ms,
-        |       count(*) AS n_events, sum(v_cents) AS sum_value_cents
+        |       count(*) AS n_events, CAST(sum(v_cents) AS BIGINT) AS sum_value_cents
         |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin)(
       sessionWindow),
   )

@@ -375,8 +375,8 @@ object Relational {
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg",
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-        |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
         |       sum(l_quantity) / count(*) AS avg_qty,
         |       sum(CAST(round(l_discount * 100) AS BIGINT)) / (count(*) * 100.0) AS avg_disc,
         |       count(*) AS count_order
@@ -384,7 +384,7 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)(q1Agg),
     QueryDef.sql("q3_join",
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -392,7 +392,7 @@ object Relational {
         |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin)(q3Join),
     QueryDef.sql("q5_join",
       """SELECT r_name, n_name,
-        |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -416,8 +416,8 @@ object Relational {
     QueryDef.sql("window_running",
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |       price_cents,
-        |       sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+        |       CAST(sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
         |       sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |         / (count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -442,12 +442,12 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)(rollupAgg),
     QueryDef.sql("cube_agg",
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)(cubeAgg),
     QueryDef.sql("agg_distinct",
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders,
-        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(aggDistinct),
     QueryDef.sql("scalar_string",
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
@@ -541,7 +541,7 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)(
       groupingSets),
     QueryDef.sql("sql_q6",
-      """SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents,
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |       count(*) AS n
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)(sqlQ6),

@@ -73,8 +73,8 @@ object TemporalJoins {
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY event_id""".stripMargin)(asofJoin),
     QueryDef.sql("range_join",
-      """SELECT band_id, label, count(*) AS n,
-        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+      """SELECT CAST(band_id AS BIGINT) AS band_id, label, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders JOIN (VALUES
         |    (1, 0.0, 20000.0, 'low'),
         |    (2, 20000.0, 50000.0, 'mid'),

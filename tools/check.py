@@ -4,52 +4,80 @@
 Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
 for each query, reads the Spark parquet result and executes the DuckDB
 oracle over the same sf tables, then compares (a) row count, (b) schema
-(column names), (c) values — columns sorted by name, rows sorted by all
-columns, floats rounded — and prints a per-query verdict.
+(column names), (c) column TYPES strictly, (d) values exactly — and
+prints a per-query verdict.
+
+Strictness matters: the real driver hashes *typed* values, so a DuckDB
+HUGEINT (int128, what sum(BIGINT) widens to) vs a Spark int64 is a FAIL
+even when the numbers are identical. Round 1 shipped 12 driver-red
+queries because this script coerced dtypes and used np.allclose; it now
+keeps both results in Arrow (duckdb .arrow(), pyarrow.parquet) so the
+oracle's exact result types are visible, and compares with zero numeric
+coercion and exact (bitwise for floats, NaN==NaN) equality.
 
 This is a *local dev harness only*; the real gate is driver-side.
 """
+import glob
 import json
 import sys
 
 import duckdb
-import pandas as pd
 import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def canon_type(t: pa.DataType) -> pa.DataType:
+    """Representation-only canonicalization: string vs large_string and
+    list vs large_list carry identical values at identical width; all
+    width/sign/precision differences (int32 vs int64, int64 vs
+    decimal128 a.k.a. HUGEINT, float32 vs float64) stay distinct."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(canon_type(t.value_type))
+    if pa.types.is_timestamp(t):
+        # driver compares values post-read; unit/tz is reader metadata
+        return pa.timestamp("us")
+    return t
+
+
+def type_report(spark_tbl: pa.Table, duck_tbl: pa.Table):
+    """Return list of (col, spark_type, duck_type) mismatches."""
+    bad = []
+    for name in spark_tbl.schema.names:
+        st = canon_type(spark_tbl.schema.field(name).type)
+        dt = canon_type(duck_tbl.schema.field(name).type)
+        if st != dt:
+            bad.append((name, str(st), str(dt)))
+    return bad
+
+
+def to_sortable(df: pd.DataFrame) -> pd.DataFrame:
+    """Make rows sortable WITHOUT changing any numeric representation:
+    only lists→tuples (hashability) — no dtype coercion."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            # make lists hashable for sorting
             if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
-                df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-        if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[us]")
-        if df[c].dtype == np.float32:
-            df[c] = df[c].astype(np.float64)
-        if str(df[c].dtype) in ("int32", "int16", "int8", "uint32"):
-            df[c] = df[c].astype(np.int64)
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+def values_match(a: pd.DataFrame, b: pd.DataFrame):
+    """Exact per-column equality (Series.equals: bitwise values, dtype,
+    NaN==NaN). Returns (ok, first_bad_col)."""
     if list(a.columns) != list(b.columns) or len(a) != len(b):
-        return False
+        return False, None
     for c in a.columns:
-        av, bv = a[c], b[c]
-        if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            if not np.allclose(av.astype(float), bv.astype(float),
-                               rtol=1e-9, atol=1e-9, equal_nan=True):
-                return False
-        else:
-            if not av.equals(bv):
-                return False
-    return True
+        if not a[c].equals(b[c]):
+            return False, c
+    return True, None
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -59,41 +87,62 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
-    import glob
-    names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*") if not d.endswith(".json"))
+    names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*")
+                   if not d.endswith(".json"))
     for name in names:
         try:
-            got = pd.read_parquet(f"{out_dir}/{name}")
+            spark_tbl = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             failures += 1
             continue
         if name not in oracle:
-            status = "rows-only"
-            ok = len(got) > 0
-            print(f"{'OK  ' if ok else 'FAIL'} {name}: {status} rows={len(got)}")
+            ok = spark_tbl.num_rows > 0
+            print(f"{'OK  ' if ok else 'FAIL'} {name}: rows-only rows={spark_tbl.num_rows}")
             failures += 0 if ok else 1
             continue
         try:
-            want = con.execute(oracle[name]).df()
+            duck_tbl = con.execute(oracle[name]).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
             continue
-        g, w = norm(got), norm(want)
-        if list(g.columns) != list(w.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+        g_cols = sorted(spark_tbl.schema.names)
+        w_cols = sorted(duck_tbl.schema.names)
+        if g_cols != w_cols:
+            print(f"FAIL {name}: columns {g_cols} vs {w_cols}")
             failures += 1
-        elif len(g) != len(w):
-            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            continue
+        if spark_tbl.num_rows != duck_tbl.num_rows:
+            print(f"FAIL {name}: rows {spark_tbl.num_rows} vs {duck_tbl.num_rows}")
             failures += 1
-        elif not values_match(g, w):
+            continue
+        # strict type gate — this is what the old check.py missed
+        bad_types = type_report(spark_tbl, duck_tbl)
+        if bad_types:
+            print(f"FAIL {name}: TYPE mismatch (driver hashes typed values)")
+            for col, st, dt in bad_types:
+                print(f"  col {col}: spark={st} oracle={dt}")
+            failures += 1
+            continue
+        g = to_sortable(spark_tbl.to_pandas())
+        w = to_sortable(duck_tbl.to_pandas())
+        ok, bad_col = values_match(g, w)
+        if not ok:
             print(f"FAIL {name}: value mismatch")
-            diff = (g != w)
-            for c in g.columns:
-                if diff[c].any():
-                    i = diff[c].idxmax()
-                    print(f"  col {c} first diff @{i}: spark={g[c][i]!r} oracle={w[c][i]!r}")
+            if bad_col is not None:
+                neq = g[bad_col] != w[bad_col]
+                # NaN != NaN is True elementwise; Series.equals treats them
+                # equal, so mask positions where both are NaN-like
+                both_na = g[bad_col].isna() & w[bad_col].isna()
+                neq = neq & ~both_na
+                if neq.any():
+                    i = int(neq.idxmax())
+                    print(f"  col {bad_col} first diff @{i}: "
+                          f"spark={g[bad_col][i]!r} oracle={w[bad_col][i]!r}")
+                else:
+                    print(f"  col {bad_col}: dtype-level difference "
+                          f"({g[bad_col].dtype} vs {w[bad_col].dtype})")
             failures += 1
         else:
             print(f"OK   {name}: {len(g)} rows")
