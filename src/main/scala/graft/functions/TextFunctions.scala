@@ -70,6 +70,47 @@ object TextMath {
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
   }
+
+  private val threadMd5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** token hash for the SQL-checkable simhash: the last 8 md5 bytes,
+    * little-endian — bit-for-bit the oracle engine's `md5_number_lower`,
+    * so a SQL oracle can recompute signatures exactly. md5 costs ~2× an
+    * xxhash per token but the kernel stays a pure per-row map; at scale
+    * the hash choice is orthogonal to the simhash structure. */
+  def md5Lower64(token: UTF8String): Long = {
+    val d = threadMd5.get()
+    d.reset()
+    val bytes = d.digest(token.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (bytes(i) & 0xFFL); i -= 1 }
+    h
+  }
+
+  /** 64-bit SimHash over an array of tokens with the md5-derived token
+    * hash above; vote/assembly logic identical to `simhash64`. */
+  def simhashMd5(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n      = tokens.numElements()
+    var i      = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = md5Lower64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b   = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
 }
 
 /** Static shingling/fingerprint kernels (see VectorMath for the
@@ -238,6 +279,17 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** SimHashMd5(array<string>) -> long: simhash with the md5-derived
+  * (oracle-recomputable) token hash; codegen'd via static call. */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextMath.simhashMd5(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextMath.simhashMd5($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHashSig(array<string>, k) -> array<long>, codegen'd via static call. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -276,6 +328,9 @@ object TextFunctions {
 
   def simhash(toks: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(toks)))
+
+  def simhashMd5(toks: Column): Column =
+    ColumnBridge.column(SimHashMd5(ColumnBridge.expression(toks)))
 
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))

@@ -54,6 +54,32 @@ object VectorMath {
     val d = math.sqrt(na) * math.sqrt(nb)
     if (d == 0.0) 0.0 else dot / d
   }
+
+  /** 0-based index of the nearest centroid by squared L2 distance over a
+    * float vector and an array<array<double>> centroid matrix; strict
+    * less-than keeps the FIRST (lowest-index) centroid on exact ties,
+    * and per-centroid accumulation runs in index order d=0..n — both
+    * invariants the SQL oracle's `ORDER BY dist, label` + left-fold
+    * reproduce bit-for-bit. */
+  def nearestCentroid(emb: ArrayData, cents: ArrayData): Int = {
+    var best  = -1
+    var bestD = Double.PositiveInfinity
+    var c     = 0
+    while (c < cents.numElements()) {
+      val cv = cents.getArray(c)
+      val n  = math.min(emb.numElements(), cv.numElements())
+      var d  = 0.0
+      var i  = 0
+      while (i < n) {
+        val x = emb.getFloat(i).toDouble - cv.getDouble(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
 }
 
 /** Plain-array twins of VectorMath for driver/executor Scala loops
@@ -101,6 +127,21 @@ case class CosineSimilarityF(left: Expression, right: Expression) extends Binary
     copy(left = l, right = r)
 }
 
+/** Codegen'd nearest-centroid index: (array<float>, array<array<double>>)
+  * -> int. The centroid matrix is a (foldable) literal built from a
+  * collected k×dim coarse quantizer — the IVF assignment step stays in
+  * whole-stage codegen instead of boxing Seq[Float] through a Scala UDF.
+  */
+case class NearestCentroidIdx(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.nearestCentroid(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.nearestCentroid($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API. `cosineBuiltin` is the pure-`functions._` composition
   * (higher-order functions, interpreted) kept as a cross-check for the
   * codegen'd expression; `cosine` is the fast path.
@@ -110,6 +151,8 @@ object VectorFunctions {
 
   def dot(a: Column, b: Column): Column    = column(DotProductF(expression(a), expression(b)))
   def cosine(a: Column, b: Column): Column = column(CosineSimilarityF(expression(a), expression(b)))
+  def nearestCentroidIdx(emb: Column, cents: Column): Column =
+    column(NearestCentroidIdx(expression(emb), expression(cents)))
 
   /** Same semantics as `cosine`, built only from org.apache.spark.sql.functions. */
   def cosineBuiltin(a: Column, b: Column): Column = {

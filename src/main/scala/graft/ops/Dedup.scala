@@ -128,18 +128,20 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     lshCandidatesVerified(shingled(nearDupCorpus(spark, dir)), "doc_id", JaccardThreshold)
 
-  /** SimHash near-dup: 64-bit signature per doc (map-side), candidates
-    * via 16-bit chunk collision, verified by exact hamming distance.
-    * Recall note: pigeonhole over 4 chunks only *guarantees* a shared
-    * chunk for hamming ≤ 3; pairs at hamming 4..16 are found with high
-    * probability when differing bits cluster (the near-dup case) but not
-    * guaranteed — this is the standard simhash chunk-index trade-off
-    * (guaranteeing ≤16 would need 17 chunks and useless 3-bit buckets).
-    * No SQL oracle (hash family not expressible in DuckDB) → rows-only.
+  /** SimHash near-dup: 64-bit signature per doc (map-side, codegen'd),
+    * candidates via 16-bit chunk collision, verified by exact hamming
+    * distance ≤ 3. Pigeonhole over the 4 chunks makes this EXACT: 3
+    * differing bits can touch at most 3 chunks, so every hamming≤3 pair
+    * shares at least one chunk and is found — the output equals the
+    * brute-force all-pairs hamming≤3 set the DuckDB oracle computes
+    * (token hash = last-8-md5-bytes LE, recomputable in SQL). At scale
+    * the chunk index costs ~4 shuffle rows/doc vs the impossible O(n²).
     */
+  val SimhashMaxHamming = 3
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val hashed = nearDupCorpus(spark, dir)
-      .withColumn("sh", simhash(filter(tokens(col("text")), t => t =!= "")))
+      .withColumn("sh", simhashMd5(filter(tokens(col("text")), t => t =!= "")))
       // materialized: feeds both sides of the self-join (see
       // lshCandidatesVerified for the rationale)
       .localCheckpoint()
@@ -159,7 +161,7 @@ object Dedup {
         col("l.sh").as("ha"), col("r.sh").as("hb"))
       .distinct()
       .withColumn("hamming", hamming64(col("ha"), col("hb")).cast("long"))
-      .filter(col("hamming") <= 16)
+      .filter(col("hamming") <= SimhashMaxHamming)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }
@@ -315,7 +317,41 @@ object Dedup {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin)(dedupMinhash),
-    QueryDef.rowsOnly("dedup_simhash")(dedupSimhash),
+    // full oracle: brute-force all-pairs hamming over signatures
+    // recomputed in SQL — md5_number_lower(token) is bit-identical to
+    // TextMath.md5Lower64; vote sums and the ±1 mapping are pure integer
+    // arithmetic; codes kept as two 32-bit halves (no BIGINT overflow).
+    // Exactness argument: pigeonhole (SimhashMaxHamming=3 < 4 chunks).
+    QueryDef.sql("dedup_simhash",
+      s"""WITH $corpusSql,
+         |tokenized AS (
+         |  SELECT doc_id, list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+         |                                t -> md5_number_lower(t)) AS hs
+         |  FROM corpus
+         |),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, 63), b ->
+         |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(hs, h -> 2 * CAST((h >> b) & 1 AS BIGINT) - 1)),
+         |           (a, v) -> a + v) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+         |  FROM tokenized
+         |),
+         |codes AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, 32), i -> bits[i] * (CAST(1 AS BIGINT) << (i - 1)))),
+         |      (a, v) -> a + v) AS lo,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(33, 64), i -> bits[i] * (CAST(1 AS BIGINT) << (i - 33)))),
+         |      (a, v) -> a + v) AS hi
+         |  FROM sigs
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+         |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $SimhashMaxHamming
+         |ORDER BY id_a, id_b""".stripMargin)(dedupSimhash),
     QueryDef.sql("dedup_clusters",
       s"""WITH RECURSIVE $corpusSql, $shingleSql,
          |pairs AS (

@@ -330,16 +330,25 @@ object Relational {
   }
 
   /** HLL++ sketch distinct (approx_count_distinct) beside the exact
-    * count — the constant-memory path for 100 TB cardinalities. Sketches
-    * are engine-specific, so no cross-engine oracle (rows-only). */
+    * count — the constant-memory path for 100 TB cardinalities. The
+    * sketch estimate itself is engine-specific, so the DRIVER-CHECKED
+    * output is the deterministic error-bound verdict: HLL++ is
+    * deterministic for a given input set, and |approx−exact| ≤ 3·rsd·
+    * exact holds with overwhelming margin (small cardinalities run in
+    * HLL++'s near-exact sparse mode), so `within_bounds` is a stable
+    * TRUE the SQL oracle states literally, alongside the exact counts
+    * it recomputes. The exact count here is the verification harness;
+    * the production path at 100 TB is the sketch alone. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      // sketch only: adding countDistinct alongside would Expand the
-      // whole scan 2×; the exact path is agg_distinct's job
       .agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("n_exact"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_exact"), col("n_rows"),
+        (abs(col("approx_parts") - col("n_exact")).cast("double")
+          <= col("n_exact") * lit(0.03)).as("within_bounds"))
       .orderBy("l_returnflag")
 
   /** explicit GROUPING SETS (the general form of rollup/cube). */
@@ -533,7 +542,10 @@ object Relational {
         |       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS min_price_key,
         |       max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(argMinMax),
-    QueryDef.rowsOnly("approx_distinct")(approxDistinct),
+    QueryDef.sql("approx_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, count(*) AS n_rows,
+        |       TRUE AS within_bounds
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(approxDistinct),
     QueryDef.sql("grouping_sets",
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem

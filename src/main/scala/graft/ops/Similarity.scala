@@ -2,8 +2,8 @@ package graft.ops
 
 import graft.functions.VectorFunctions
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column.
@@ -11,15 +11,28 @@ import org.apache.spark.sql.functions._
   * `ann_bruteforce`: exact cosine top-k — the correctness baseline. The
   * small query set is broadcast against the (arbitrarily large) corpus,
   * cosine runs in whole-stage codegen (`CosineSimilarityF`), and the
-  * per-query top-k is a window row_number — at scale this is one scan,
-  * no shuffle of the corpus (queries broadcast, partial top-k per
-  * partition would be the next optimization).
+  * per-query top-k is a bounded-heap Aggregator with map-side partial
+  * aggregation — each input partition contributes at most K rows per
+  * query to the shuffle, so there is no single low-cardinality sort of
+  * the full pair set (the windowed row_number form would funnel all
+  * n×q pairs through ≤NumQueries partitions).
   *
   * `ann_lsh`: the scale path — sign-random-projection buckets
-  * (NumPlanes deterministic hyperplanes → NumPlanes-bit code);
-  * candidates = same-bucket vectors (exact code only, no multi-probe),
-  * then exact cosine top-k within the bucket. Approximate ⇒ rows-only
-  * check; the bruteforce query is its quality oracle in spirit.
+  * (NumPlanes deterministic hyperplanes → NumPlanes-bit code); the
+  * per-plane dot product is the codegen'd `DotProductF` against a
+  * literal weight vector. Candidates = same-bucket vectors, then exact
+  * cosine top-k within the bucket. The plane weights are float-quantized
+  * and inlined into the DuckDB oracle as exact decimal literals, so the
+  * oracle recomputes the bucket codes (and hence the whole output)
+  * bit-for-bit — the "approximate" query gets an EXACT oracle.
+  *
+  * `ann_ivf`: coarse-quantizer inverted lists (per-label centroids —
+  * the k-means step a real IVF would run); assignment is the codegen'd
+  * `NearestCentroidIdx` against the collected (k×dim, 6dp-rounded)
+  * centroid matrix; queries probe their own list (nprobe=1). Centroids
+  * round-trip exactly through the oracle's `round(avg(...), 6)` (the
+  * hash-green label_centroids invariant), so IVF assignment and output
+  * are SQL-recomputable too.
   *
   * Sims are rounded to 6dp and ranked by (rounded sim, id) so engine ULP
   * differences cannot flip ranks.
@@ -33,14 +46,67 @@ object Similarity {
     * more planes would empty the buckets at these corpus sizes. */
   val NumPlanes  = 8
 
-  private def rankedTopK(pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select("query_id", "neighbor_id", "rank", "sim")
+  /** embedding dimensionality of the fixtures (FIXTURES.md). */
+  val Dim = 64
+
+  final case class SimPair(query_id: Long, neighbor_id: Long, sim: Double)
+  final case class Neighbor(neighbor_id: Long, sim: Double)
+  final case class SimBuf(var items: List[(Double, Long)])
+
+  /** bounded top-k of (sim desc, neighbor_id asc) per query — partial
+    * buffers never exceed K elements, so the map-side combine reduces
+    * each partition's contribution to ≤K rows per query before the
+    * shuffle (same Aggregator shape as ops.TopK.TopKAgg). */
+  class TopNeighborsAgg(k: Int) extends Aggregator[SimPair, SimBuf, Seq[Neighbor]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    private def insert(items: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] =
+      if (items.sizeIs >= k && !better(v, items.last)) items
+      else {
+        val (front, back) = items.span(better(_, v))
+        (front ::: v :: back).take(k)
+      }
+
+    override def zero: SimBuf = SimBuf(Nil)
+    override def reduce(b: SimBuf, v: SimPair): SimBuf = {
+      b.items = insert(b.items, (v.sim, v.neighbor_id))
+      b
+    }
+    override def merge(a: SimBuf, b: SimBuf): SimBuf = {
+      a.items = b.items.foldLeft(a.items)(insert)
+      a
+    }
+    override def finish(b: SimBuf): Seq[Neighbor] =
+      b.items.map { case (s, id) => Neighbor(id, s) }
+    override def bufferEncoder: Encoder[SimBuf] = Encoders.product[SimBuf]
+    override def outputEncoder: Encoder[Seq[Neighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Neighbor]]()
+  }
+
+  /** (query_id, neighbor_id, sim) pairs → per-query top-K with dense
+    * rank, ordered (sim desc, neighbor_id). Output identical to the
+    * row_number-window form, so it shares that form's SQL oracle. */
+  private def rankedTopK(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pairs.select(col("query_id"), col("neighbor_id"), col("sim")).as[SimPair]
+      .groupByKey(_.query_id)
+      .agg(new TopNeighborsAgg(K).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), col("t.neighbor_id"),
+        (col("i") + 1).cast("long").as("rank"), col("t.sim"))
       .orderBy("query_id", "rank")
   }
+
+  /** the shared SQL tail: rank pairs per query, keep top K. */
+  private def rankSql(pairsCte: String): String =
+    s"""ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM $pairsCte
+       |)
+       |SELECT query_id, neighbor_id, rank, sim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val base    = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -49,7 +115,7 @@ object Similarity {
     val pairs = base.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
-    rankedTopK(pairs)
+    rankedTopK(spark, pairs)
   }
 
   /** deterministic pseudo-random unit-ish hyperplanes: weight(p, d) from
@@ -62,19 +128,36 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
 
-  /** embedding dimensionality of the fixtures (FIXTURES.md). */
-  val Dim = 64
+  /** plane weights quantized to float so the oracle can inline each
+    * weight's exact decimal expansion as a SQL literal (every float is
+    * exactly representable as a finite decimal AND as a double, so both
+    * engines multiply bit-identical operands). */
+  def planeWeightsF(p: Int): Array[Float] = Array.tabulate(Dim)(d => planeWeight(p, d).toFloat)
 
-  /** NumPlanes-bit sign code of a vector under the fixed hyperplanes. */
-  private def bucketCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val embD = emb.cast("array<double>")
+  /** NumPlanes-bit sign code of a vector under the fixed hyperplanes —
+    * one codegen'd DotProductF per plane against a literal weight array
+    * (the aggregate(zip_with(...)) form evaluates interpreted lambdas
+    * per element and falls out of whole-stage codegen). */
+  def bucketCode(emb: Column): Column = {
     val bits = (0 until NumPlanes).map { p =>
-      val weights = array((0 until Dim).map(d => lit(planeWeight(p, d))): _*)
-      val dot     = aggregate(zip_with(embD, weights, (x, w) => x * w), lit(0.0), (a, v) => a + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      val w = array(planeWeightsF(p).map(x => lit(x)): _*)
+      when(VectorFunctions.dot(emb, w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  /** the same bucket code as a DuckDB SQL expression: per plane, a
+    * left-fold dot product in index order (matching VectorMath.dotF's
+    * accumulation exactly) against the float weights' exact decimals. */
+  private def bucketSql(embCol: String): String =
+    (0 until NumPlanes).map { p =>
+      val weights = planeWeightsF(p)
+        .map(w => new java.math.BigDecimal(w.toDouble).toPlainString)
+        .mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, $Dim), d -> CAST($embCol[d] AS DOUBLE) * ($weights)[d])),
+         |  (a, v) -> a + v) >= 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -85,7 +168,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
-    rankedTopK(pairs)
+    rankedTopK(spark, pairs)
   }
 
   /** IVF-style ANN: a coarse quantizer (here: per-label centroids — the
@@ -93,12 +176,13 @@ object Similarity {
     * every vector to its nearest centroid's inverted list; queries probe
     * only their own list (nprobe=1). The corpus shuffles once on the
     * list id; at scale each list is a partition and a query touches
-    * 1/k of the data. Approximate ⇒ rows-only.
+    * 1/k of the data.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // coarse centroids (k = 10 label groups), collected: k×dim doubles
+    // coarse centroids (k = 10 label groups), collected: k×dim doubles,
+    // 6dp-rounded (= labelCentroids' oracle-stable output), sorted by
+    // label so first-wins tie-breaking = the oracle's ORDER BY dist,label
     val cents = Centroids.labelCentroids(spark, dir)
       .groupBy("label").agg(collect_list(struct(col("dim"), col("avg_val"))).as("dims"))
       .collect().map { r =>
@@ -106,45 +190,60 @@ object Similarity {
         r.getSeq[org.apache.spark.sql.Row](1).foreach(d => arr(d.getLong(0).toInt) = d.getDouble(1))
         (r.getLong(0), arr)
       }
-    val bc = spark.sparkContext.broadcast(cents)
-    val assignUdf = udf { (emb: Seq[Float]) =>
-      val v = emb.toArray
-      var bestId = -1L
-      var bestD  = Double.MaxValue
-      for ((id, c) <- bc.value) {
-        var d = 0.0
-        var i = 0
-        val n = math.min(v.length, c.length) // tolerate short vectors
-        while (i < n) { val x = v(i) - c(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; bestId = id }
-      }
-      bestId
-    }
-    val listed = base.withColumn("ivf_list", assignUdf(col("embedding")))
+      .sortBy(_._1)
+    val labelsLit = typedLit(cents.map(_._1).toSeq)
+    val matrixLit = typedLit(cents.map(_._2.toSeq).toSeq)
+    val listed = base.withColumn("ivf_list",
+      element_at(labelsLit, VectorFunctions.nearestCentroidIdx(col("embedding"), matrixLit) + 1))
     val queries = listed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("ivf_list"))
     val pairs = listed.join(broadcast(queries), Seq("ivf_list"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
-    rankedTopK(pairs)
+    rankedTopK(spark, pairs)
   }
+
+  private val cosineSql =
+    """round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |             CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("ann_bruteforce",
       s"""WITH pairs AS (
-         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-         |               CAST(b.embedding AS DOUBLE[])), 6) AS sim
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
          |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
          |  WHERE q.vec_id < $NumQueries
-         |), ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM pairs
-         |)
-         |SELECT query_id, neighbor_id, rank, sim FROM ranked
-         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)(annBruteforce),
-    QueryDef.rowsOnly("ann_lsh")(annLsh),
-    QueryDef.rowsOnly("ann_ivf")(annIvf),
+         |), ${rankSql("pairs")}""".stripMargin)(annBruteforce),
+    QueryDef.sql("ann_lsh",
+      s"""WITH buckets AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+         |), pairs AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
+         |  FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), ${rankSql("pairs")}""".stripMargin)(annLsh),
+    QueryDef.sql("ann_ivf",
+      s"""WITH cents AS (
+         |  SELECT label, list(avg_val ORDER BY d) AS c FROM (
+         |    SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
+         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+         |    GROUP BY label, d) t
+         |  GROUP BY label
+         |), assigned AS (
+         |  SELECT vec_id, embedding, ivf_list FROM (
+         |    SELECT e.vec_id, e.embedding, c.label AS ivf_list,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |               list_transform(generate_series(1, $Dim), d ->
+         |                 (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
+         |               (a, v) -> a + v) ASC, c.label ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) t
+         |  WHERE rn = 1
+         |), pairs AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
+         |  FROM assigned q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), ${rankSql("pairs")}""".stripMargin)(annIvf),
   )
 }

@@ -101,4 +101,69 @@ class FunctionsSpec extends SparkSpec {
     val z = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0f, 0f))
     assert(VectorMath.cosineF(z, z) == 0.0)
   }
+
+  test("md5Lower64 equals the oracle's md5_number_lower (last 8 md5 bytes, LE)") {
+    // md5('hello') = 5d41402abc4b2a76b9719d911017c592; last 8 bytes
+    // little-endian = 0x92c51710919d71b9 (verified against DuckDB 1.0)
+    val h = graft.functions.TextMath.md5Lower64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
+    assert(h == 0x92c51710919d71b9L)
+  }
+
+  test("simhashMd5: identical docs collide, near-dups closer than unrelated") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different words appear in this unrelated sentence here")
+    ).toDF("id", "text")
+    val hashed = docs
+      .select(col("id"), TextFunctions.simhashMd5(split(col("text"), " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(1L) == hashed(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashed(1L), hashed(3L)) < ham(hashed(1L), hashed(4L)))
+  }
+
+  test("nearestCentroid: picks min distance, FIRST centroid wins exact ties") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def cents(cs: Array[Double]*): ArrayData =
+      ArrayData.toArrayData(cs.map(c => ArrayData.toArrayData(c)).toArray)
+    val emb = ArrayData.toArrayData(Array(1f, 0f))
+    assert(VectorMath.nearestCentroid(emb,
+      cents(Array(5.0, 5.0), Array(1.0, 0.0), Array(0.0, 0.0))) == 1)
+    // equidistant (+1,0) vs (-1,0) from origin-ish point: first wins
+    val origin = ArrayData.toArrayData(Array(0f, 0f))
+    assert(VectorMath.nearestCentroid(origin,
+      cents(Array(1.0, 0.0), Array(-1.0, 0.0))) == 0)
+  }
+
+  test("TopNeighborsAgg output equals the row_number-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 200
+    val pairs = (0 until n).map { i =>
+      // deliberate sim ties (i % 7) to exercise the id tie-break
+      (i % 4L, i.toLong + 100, (i % 7).toDouble)
+    }.toDF("query_id", "neighbor_id", "sim")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val windowed = pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= ops.Similarity.K)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+      .collect().toSeq
+    val agged = {
+      import spark.implicits._
+      pairs.as[ops.Similarity.SimPair]
+        .groupByKey(_.query_id)
+        .agg(new ops.Similarity.TopNeighborsAgg(ops.Similarity.K).toColumn.name("top"))
+        .toDF("query_id", "top")
+        .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("query_id"), col("t.neighbor_id"),
+          (col("i") + 1).cast("long").as("rank"), col("t.sim"))
+        .orderBy("query_id", "rank")
+        .collect().toSeq
+    }
+    assert(agged == windowed)
+  }
 }

@@ -64,8 +64,25 @@ class PlanSpec extends SparkSpec {
     assert(codegenStages(df) > 0, "cosine fell out of codegen")
     val df2 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(TextFunctions.fingerprint(col("text")).as("fp"),
-        TextFunctions.simhash(split(col("text"), " ")).as("sh"))
+        TextFunctions.simhash(split(col("text"), " ")).as("sh"),
+        TextFunctions.simhashMd5(split(col("text"), " ")).as("shm"))
     df2.collect()
     assert(codegenStages(df2) > 0, "text expressions fell out of codegen")
+  }
+
+  test("LSH bucket code and IVF assignment stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val bucketed = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(ops.Similarity.bucketCode(col("embedding")).as("bucket"))
+    bucketed.collect()
+    assert(codegenStages(bucketed) > 0, "bucketCode fell out of codegen")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("aggregate("), "bucketCode still uses interpreted lambdas")
+    val cents = Seq(Seq.fill(64)(0.0), Seq.fill(64)(1.0))
+    val assigned = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(VectorFunctions.nearestCentroidIdx(col("embedding"), typedLit(cents)).as("idx"))
+    assigned.collect()
+    assert(codegenStages(assigned) > 0, "nearestCentroidIdx fell out of codegen")
   }
 }
