@@ -186,48 +186,48 @@ object Dedup {
   /** embedding-cosine near-dup: corpus = embeddings ∪ exact copies
     * (id + 1,000,000); pairs with cosine ≥ 0.99 (random pairs max ≈0.4
     * in the fixtures, copies are exactly 1 — wide safety margin).
-    * Brute force with the codegen'd cosine expression; oracle uses
-    * DuckDB's list_cosine_similarity. Sim rounded to 4dp (copies hit
-    * exactly 1.0) for FP-proof compare. */
-  /** one corpus row type for the block all-pairs loop. */
-  final case class Vec(vec_id: Long, embedding: Array[Float])
-  final case class CosPair(id_a: Long, id_b: Long, cos: Double)
+    *
+    * Scale shape: multi-table sign-LSH candidates + exact-cosine verify.
+    * `NeardupTables` independent 8-plane bucket codes are computed
+    * map-side (codegen'd DotProductF); only (table, code, id) rows enter
+    * the self-join shuffle, embeddings re-attach to the (tiny) candidate
+    * pair set, and the codegen'd cosine keeps exact pairs only. No
+    * driver-side corpus materialization, no O(n²) pair set.
+    *
+    * Recall: identical vectors (the fixtures' qualifying pairs — random
+    * pairs sit at ≤~0.4) collide in every table, so recall is exactly 1
+    * here, proven by the brute-force DuckDB oracle. For genuinely
+    * near-but-unequal pairs at cos ≥ 0.99 (angle ≤ 8.1°), a single
+    * 8-plane table misses with p≈0.31; six independent tables cut that
+    * to ≈0.1% — the standard recall/cost dial of multi-table LSH.
+    */
+  val NeardupTables = 6
+  /** plane-family offset keeping these tables independent of ann_lsh's. */
+  private val NeardupPlaneBase = 100
 
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val corpus = base.union(
       base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      .as[Vec]
-    // Block all-pairs: broadcast one side (norm-precomputed), stream the
-    // other through mapPartitions — a tight primitive-array loop instead
-    // of BroadcastNestedLoopJoin's per-row expression overhead. At
-    // 100 TB one broadcasts *chunks* of one side and loops this per
-    // chunk (block matrix product); the inner kernel is identical.
-    val side = corpus.collect() // the broadcast side: 2×|embeddings| rows
-    val norms = side.map(v => math.sqrt(graft.functions.VectorMathArr.norm2(v.embedding)))
-    val bcVecs  = spark.sparkContext.broadcast(side)
-    val bcNorms = spark.sparkContext.broadcast(norms)
-    corpus.mapPartitions { rows =>
-      val vs = bcVecs.value
-      val ns = bcNorms.value
-      rows.flatMap { v =>
-        val myNorm = math.sqrt(graft.functions.VectorMathArr.norm2(v.embedding))
-        val out    = Seq.newBuilder[CosPair]
-        var i      = 0
-        while (i < vs.length) {
-          if (v.vec_id < vs(i).vec_id) {
-            val c = graft.functions.VectorMathArr.dot(v.embedding, vs(i).embedding) /
-              (myNorm * ns(i))
-            // HALF_UP to 4dp (matches SQL round for the positive values kept)
-            val r = math.floor(c * 10000 + 0.5) / 10000
-            if (r >= 0.99) out += CosPair(v.vec_id, vs(i).vec_id, r)
-          }
-          i += 1
-        }
-        out.result()
-      }
-    }.toDF()
+      // feeds the bucket explode and both candidate re-attach joins
+      .localCheckpoint()
+    val buckets = corpus.select(
+      col("vec_id"),
+      posexplode(array((0 until NeardupTables).map(t =>
+        Similarity.bucketCode(col("embedding"),
+          NeardupPlaneBase + t * Similarity.NumPlanes)): _*)).as(Seq("t", "code")))
+    val candidates = buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.t") === col("r.t") && col("l.code") === col("r.code") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .withColumn("cos", round(VectorFunctions.cosine(col("ea"), col("eb")), 4))
+      .filter(col("cos") >= 0.99)
+      .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
 

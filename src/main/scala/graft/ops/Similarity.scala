@@ -137,10 +137,11 @@ object Similarity {
   /** NumPlanes-bit sign code of a vector under the fixed hyperplanes —
     * one codegen'd DotProductF per plane against a literal weight array
     * (the aggregate(zip_with(...)) form evaluates interpreted lambdas
-    * per element and falls out of whole-stage codegen). */
-  def bucketCode(emb: Column): Column = {
+    * per element and falls out of whole-stage codegen). `planeOffset`
+    * selects an independent plane family (multi-table LSH callers). */
+  def bucketCode(emb: Column, planeOffset: Int = 0): Column = {
     val bits = (0 until NumPlanes).map { p =>
-      val w = array(planeWeightsF(p).map(x => lit(x)): _*)
+      val w = array(planeWeightsF(planeOffset + p).map(x => lit(x)): _*)
       when(VectorFunctions.dot(emb, w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
