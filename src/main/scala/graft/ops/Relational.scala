@@ -302,7 +302,13 @@ object Relational {
     * state is per-distinct-value, not per-row — the exact-quantile form
     * that survives row counts the single-phase buffer can't hold.
     * Values flow as exact cents; /100 rescales after interpolation
-    * (linear interpolation is scale-invariant). */
+    * (linear interpolation is scale-invariant).
+    *
+    * Scaling bound: the final-phase state is O(distinct values per
+    * group), NOT O(rows) — safe for 2-decimal prices (≤ ~10^7 distinct
+    * cents regardless of row count) but NOT for high-cardinality
+    * domains (raw doubles, timestamps). For those, use the
+    * constant-memory sketch path instead: `approx_quantiles` below. */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
@@ -364,6 +370,62 @@ object Relational {
         (abs(col("approx_parts") - col("n_exact")).cast("double")
           <= col("n_exact") * lit(0.05)).as("within_bounds"))
       .orderBy("l_returnflag")
+
+  /** hot-key aggregation via two-phase salting (`Skew.saltedSumCount`):
+    * 3 distinct return flags over the whole of lineitem is the canonical
+    * one-hot-group shape — an unsalted groupBy funnels ~1/3 of all rows
+    * into a single reducer partition. The salt spreads each key over 32
+    * partial groups (map-side combine still applies), then a 3×32-row
+    * final reduce recombines. Output-invariant vs a plain GROUP BY:
+    * cents are exact integers, so the re-association the salt introduces
+    * cannot change the sum. */
+  def skewSaltedSum(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(
+      Tables.lineitem(spark, dir),
+      key = col("l_returnflag"),
+      value = cents(col("l_extendedprice")),
+      saltOn = col("l_orderkey"),
+      buckets = 32)
+      .orderBy("k")
+
+  /** approx_percentile (GK sketch) beside the exact two-phase percentile
+    * — the bounded-memory quantile path for when the distinct-value
+    * domain is NOT small (see `quantiles`' scaling note). The sketch
+    * estimate is engine-specific, so the driver-checked output is the
+    * deterministic verdict: with accuracy 1000 the rank error is ≤0.1%,
+    * so the approx p50/p90 must land between the exact 45th/55th and
+    * 85th/95th percentile values — an interval the true p50/p90 satisfy
+    * by construction, which the oracle therefore states as literal TRUE
+    * alongside the exact percentiles it recomputes.
+    *
+    * The sketch runs over RAW rows (frequencies matter to it; the
+    * two-phase (value, freq) form only works for aggregates that take a
+    * frequency argument, which approx_percentile does not). The exact
+    * side is verification harness — the production path at 100 TB is
+    * the sketch aggregate alone: one pass, O(accuracy) state per
+    * group. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sketch = li.groupBy("l_returnflag")
+      .agg(
+        percentile_approx(cents(col("l_extendedprice")), lit(0.5), lit(1000)).as("a50"),
+        percentile_approx(cents(col("l_extendedprice")), lit(0.9), lit(1000)).as("a90"))
+    val exact = li
+      .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
+      .agg(count(lit(1)).as("freq"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(pc, 0.5, freq)") / 100.0, 4).as("p50"),
+        round(expr("percentile(pc, 0.9, freq)") / 100.0, 4).as("p90"),
+        expr("percentile(pc, array(0.45, 0.55, 0.85, 0.95), freq)").as("bounds"))
+    exact.join(sketch, "l_returnflag")
+      .select(
+        col("l_returnflag"), col("p50"), col("p90"),
+        (col("a50").between(element_at(col("bounds"), 1), element_at(col("bounds"), 2)) &&
+          col("a90").between(element_at(col("bounds"), 3), element_at(col("bounds"), 4)))
+          .as("within_bounds"))
+      .orderBy("l_returnflag")
+  }
 
   /** explicit GROUPING SETS (the general form of rollup/cube). */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
@@ -560,6 +622,17 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, count(*) AS n_rows,
         |       TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(approxDistinct),
+    QueryDef.sql("skew_salted_sum",
+      """SELECT l_returnflag AS k,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin)(skewSaltedSum),
+    QueryDef.sql("approx_quantiles",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |       TRUE AS within_bounds
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(approxQuantiles),
     QueryDef.sql("grouping_sets",
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem

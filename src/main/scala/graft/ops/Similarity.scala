@@ -192,6 +192,9 @@ object Similarity {
         (r.getLong(0), arr)
       }
       .sortBy(_._1)
+    // nearestCentroidIdx returns -1 on an empty matrix, which 1-based
+    // element_at would reject at runtime — fail at plan time instead
+    require(cents.nonEmpty, "annIvf: centroid table is empty")
     val labelsLit = typedLit(cents.map(_._1).toSeq)
     val matrixLit = typedLit(cents.map(_._2.toSeq).toSeq)
     val listed = base.withColumn("ivf_list",

@@ -26,6 +26,40 @@ class DedupSpec extends SparkSpec {
     assert(missing.isEmpty, s"LSH missed ${missing.length} constructed pairs: ${missing.take(5).mkString(",")}")
   }
 
+  test("fixture invariant: qualifying near-dup pairs are exact copies (recall-1 precondition)") {
+    // embeddingNearDup's exact-compare oracle relies on every pair at
+    // rounded cos >= 0.99 being an IDENTICAL vector pair (those collide
+    // in every LSH table → recall exactly 1). A fixture drift that
+    // introduces a near-but-unequal pair (≈0.1% per-pair miss odds with
+    // 6 tables) must fail HERE, loudly, not as a flaky driver gate.
+    // Checked at both the spec SF and the driver's verify SF.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      var i = 0
+      while (i < vecs.length) {
+        var j = i + 1
+        while (j < vecs.length) {
+          val (a, b) = (vecs(i)._2, vecs(j)._2)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+          while (k < a.length) {
+            dot += a(k).toDouble * b(k); na += a(k).toDouble * a(k); nb += b(k).toDouble * b(k)
+            k += 1
+          }
+          val cos = math.rint(dot / math.sqrt(na * nb) * 1e4) / 1e4
+          if (cos >= 0.99) {
+            assert(java.util.Arrays.equals(a, b),
+              s"$dir: non-identical pair (${vecs(i)._1}, ${vecs(j)._1}) at cos=$cos " +
+                "breaks embeddingNearDup's recall-1 assumption")
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+  }
+
   test("embedding near-dup finds every exact copy at cosine 1.0") {
     val found = Dedup.embeddingNearDup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -62,6 +62,17 @@ def to_sortable(df: pd.DataFrame) -> pd.DataFrame:
     only lists→tuples (hashability) — no dtype coercion."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        # canon_type passes timestamp unit/tz at the type gate (reader
+        # metadata, matching the driver's post-read compare); mirror that
+        # here by normalizing both sides to tz-naive us — otherwise a
+        # tz-aware Spark column vs a naive DuckDB one would pass types
+        # then fail values with an opaque "dtype-level difference".
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            s = df[c]
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+            continue
         if df[c].dtype == object:
             if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
                 df[c] = df[c].map(
