@@ -25,16 +25,19 @@ object Events {
     * parsed struct. (The earlier `get_json_object` + `from_json` pair ran
     * two parsers per row — 5× the cost of `map_funcs` on the same column.
     * `from_json` is not collapse-cheap, so Catalyst keeps the two-level
-    * Project and parses once.) */
+    * Project and parses once.) Sorted BEFORE the parse: the global
+    * sort's range-boundary sampling pass re-executes the sort's child,
+    * so parsing above the sort parses each row once, not twice. */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .select("event_id", "props")
+      .orderBy("event_id")
       .withColumn("p", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))))
       .select(
         col("event_id"),
         col("p").getField("k").as("k_path"),
         col("p").getField("k").as("k_struct"))
-      .orderBy("event_id")
 
   /** tumbling 1-hour windows via Spark's native window(); start emitted
     * as epoch ms. Partial aggregation applies — scales like any groupBy. */
@@ -107,6 +110,8 @@ object Events {
     * extraction / cardinality / flattening. */
   def mapFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .select("event_id", "props")
+      .orderBy("event_id")
       .withColumn("m", from_json(col("props"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
@@ -115,7 +120,6 @@ object Events {
         size(col("m")).cast("long").as("n_keys"),
         element_at(map_keys(col("m")), 1).as("first_key"),
         element_at(col("m"), "k").cast("long").as("k_val"))
-      .orderBy("event_id")
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("map_funcs",

@@ -186,9 +186,18 @@ object Relational {
         lpad(col("p_brand"), 12, "*").as("pad"))
       .orderBy("p_partkey")
 
-  /** scalar date/time-function coverage. */
+  /** scalar date/time-function coverage.
+    *
+    * Sort-then-project (here and in the math twins below): a global
+    * orderBy range-partitions, and the sampling pass that picks the
+    * range boundaries re-executes the sort's child — put the expensive
+    * projection ABOVE the sort (projection is row-wise, so it preserves
+    * the order) and the sampling pass only ever computes the raw sort
+    * keys. Measured 2.5× on scalar_math2 at sf0.1. */
   def scalarDate(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate")
+      .orderBy("o_orderkey")
       .select(
         col("o_orderkey"),
         year(col("o_orderdate")).cast("long").as("y"),
@@ -198,12 +207,13 @@ object Relational {
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon"),
         datediff(col("o_orderdate").cast("date"), lit(java.sql.Date.valueOf("1995-01-01")))
           .cast("long").as("days_since"))
-      .orderBy("o_orderkey")
 
   /** scalar math-function coverage; irrational results rounded to 6dp so
     * libm ULP differences between engines can't flip the compare. */
   def scalarMath(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         round(col("l_extendedprice"), 1).as("r1"),
@@ -214,7 +224,6 @@ object Relational {
         round(pow(col("l_discount") + 1.0, 2), 6).as("pw"),
         (col("l_orderkey") % 7).as("md"),
         greatest(col("l_tax"), col("l_discount")).as("gr"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** window-function breadth: lag/lead/ntile/first/last/percent_rank/
     * cume_dist (ratios are exact-int divisions → identical doubles). */
@@ -252,6 +261,8 @@ object Relational {
     * to 6dp (libm vs java.lang.Math agree well inside [0, 0.1]). */
   def scalarMath2(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         round(exp(col("l_discount")), 6).as("e"),
@@ -261,7 +272,6 @@ object Relational {
         round(cos(col("l_tax")), 6).as("cs"),
         round(atan(col("l_discount")), 6).as("at"),
         signum(col("l_discount") - 0.05).cast("long").as("sg"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** array-function breadth over the embedding column (values rounded;
     * structure ops are exact). */
