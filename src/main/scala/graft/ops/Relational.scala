@@ -173,6 +173,8 @@ object Relational {
   /** scalar string-function coverage (all codegen'd Catalyst built-ins). */
   def scalarString(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+      .orderBy("p_partkey") // sort raw, project above (see scalarDate note)
       .select(
         col("p_partkey"),
         upper(col("p_name")).as("up"),
@@ -184,7 +186,6 @@ object Relational {
         instr(col("p_name"), "e").cast("long").as("pos"),
         trim(col("p_name")).as("trm"),
         lpad(col("p_brand"), 12, "*").as("pad"))
-      .orderBy("p_partkey")
 
   /** scalar date/time-function coverage.
     *
@@ -245,6 +246,8 @@ object Relational {
   /** string-function breadth, second batch. */
   def scalarString2(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+      .orderBy("p_partkey")
       .select(
         col("p_partkey"),
         reverse(col("p_name")).as("rev"),
@@ -255,7 +258,6 @@ object Relational {
         translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
         ascii(col("p_name")).cast("long").as("asc"),
         format_string("%s|%s", col("p_brand"), col("p_type")).as("fmt"))
-      .orderBy("p_partkey")
 
   /** math breadth: transcendental functions on small arguments, rounded
     * to 6dp (libm vs java.lang.Math agree well inside [0, 0.1]). */
@@ -277,6 +279,8 @@ object Relational {
     * structure ops are exact). */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .orderBy("vec_id")
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
@@ -286,7 +290,6 @@ object Relational {
         round(element_at(col("embedding"), -1).cast("double"), 6).as("last_el"),
         round(aggregate(col("embedding").cast("array<double>"), lit(0.0), (a, v) => a + v), 6)
           .as("sm"))
-      .orderBy("vec_id")
 
   /** statistical aggregates — corr/covariance/stddev/variance in their
     * population and sample forms (identical definitions across engines;

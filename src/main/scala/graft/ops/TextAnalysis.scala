@@ -28,12 +28,13 @@ object TextAnalysis {
     * letter runs / digit runs / single punctuation). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .orderBy("doc_id") // sort raw, project above: the range-sampling pass must not re-run the regexes
       .select(
         col("doc_id"),
         size(filter(toks(col("text")), t => t =!= "")).cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
           .cast("long").as("re_tokens"))
-      .orderBy("doc_id")
 
   /** length/stopword/char-class quality metrics; ratios are exact-int
     * divisions so both engines produce identical doubles. */
@@ -46,6 +47,8 @@ object TextAnalysis {
     // zero guards: Spark returns NULL on x/0 while DuckDB returns ±Inf —
     // pin empty-doc rows to 0.0 on both sides so the compare can't split
     Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .orderBy("doc_id")
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
@@ -53,7 +56,6 @@ object TextAnalysis {
         when(nTok === 0, 0.0).otherwise(nChars.cast("double") / nTok).as("chars_per_token"),
         when(nChars === 0, 0.0).otherwise(alphaCt.cast("double") / nChars).as("alpha_ratio"),
         when(nTok === 0, 0.0).otherwise(stopCt.cast("double") / nTok).as("stopword_ratio"))
-      .orderBy("doc_id")
   }
 
   /** language ID: count stopword-profile hits per language, argmax with
@@ -73,17 +75,19 @@ object TextAnalysis {
       when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
     }
     Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text")
+      .orderBy("doc_id")
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         best.getField("l").as("predicted_lang"),
         best.getField("s").as("score"))
-      .orderBy("doc_id")
   }
 
   /** rolling polynomial fingerprint (mod 1e9+7) over the raw characters. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .select("doc_id", "text")
       .orderBy("doc_id")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
 
   private val langCaseSql: String = {
     // identical argmax fold in SQL: nested CASE chain, same > comparisons
