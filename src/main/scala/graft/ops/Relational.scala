@@ -327,10 +327,15 @@ object Relational {
       .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
       .agg(count(lit(1)).as("freq"))
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(pc, 0.5, freq)") / 100.0, 4).as("p50"),
-        round(expr("percentile(pc, 0.9, freq)") / 100.0, 4).as("p90"),
-        round(expr("percentile(pc, 0.99, freq)") / 100.0, 4).as("p99"))
+      // ONE percentile aggregate with an array of targets: separate
+      // percentile() calls each keep their own copy of the
+      // (value → freq) buffer — 3× the state and merge cost
+      .agg(expr("percentile(pc, array(0.5, 0.9, 0.99), freq)").as("ps"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("ps"), 1) / 100.0, 4).as("p50"),
+        round(element_at(col("ps"), 2) / 100.0, 4).as("p90"),
+        round(element_at(col("ps"), 3) / 100.0, 4).as("p99"))
       .orderBy("l_returnflag")
 
   /** arg_min/arg_max with a composite deterministic score (price ties
@@ -420,22 +425,22 @@ object Relational {
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val sketch = li.groupBy("l_returnflag")
-      .agg(
-        percentile_approx(cents(col("l_extendedprice")), lit(0.5), lit(1000)).as("a50"),
-        percentile_approx(cents(col("l_extendedprice")), lit(0.9), lit(1000)).as("a90"))
+      // one GK sketch buffer for both targets (array form)
+      .agg(percentile_approx(cents(col("l_extendedprice")), array(lit(0.5), lit(0.9)), lit(1000))
+        .as("a"))
     val exact = li
       .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
       .agg(count(lit(1)).as("freq"))
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(pc, 0.5, freq)") / 100.0, 4).as("p50"),
-        round(expr("percentile(pc, 0.9, freq)") / 100.0, 4).as("p90"),
-        expr("percentile(pc, array(0.45, 0.55, 0.85, 0.95), freq)").as("bounds"))
+      // one shared (value → freq) percentile buffer for all 6 targets
+      .agg(expr("percentile(pc, array(0.5, 0.9, 0.45, 0.55, 0.85, 0.95), freq)").as("ps"))
     exact.join(sketch, "l_returnflag")
       .select(
-        col("l_returnflag"), col("p50"), col("p90"),
-        (col("a50").between(element_at(col("bounds"), 1), element_at(col("bounds"), 2)) &&
-          col("a90").between(element_at(col("bounds"), 3), element_at(col("bounds"), 4)))
+        col("l_returnflag"),
+        round(element_at(col("ps"), 1) / 100.0, 4).as("p50"),
+        round(element_at(col("ps"), 2) / 100.0, 4).as("p90"),
+        (element_at(col("a"), 1).between(element_at(col("ps"), 3), element_at(col("ps"), 4)) &&
+          element_at(col("a"), 2).between(element_at(col("ps"), 5), element_at(col("ps"), 6)))
           .as("within_bounds"))
       .orderBy("l_returnflag")
   }
