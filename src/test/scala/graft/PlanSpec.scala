@@ -70,6 +70,35 @@ class PlanSpec extends SparkSpec {
     assert(codegenStages(df2) > 0, "text expressions fell out of codegen")
   }
 
+  test("expensive projections sit ABOVE global sorts (sampling pass stays cheap)") {
+    // a global orderBy's range-boundary sampling pass re-executes the
+    // sort's child; these plans keep transcendental math / JSON parsing
+    // above the Sort so the sampling pass only computes raw columns
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    for ((q, marker) <- Seq(
+        ("scalar_math2", "SIN"), ("scalar_math", "SQRT"),
+        ("json_funcs", "from_json"), ("map_funcs", "from_json"))) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.optimizedPlan
+      val sorts = plan.collect { case s: Sort => s }
+      assert(sorts.nonEmpty, s"$q: no Sort in plan")
+      sorts.foreach { s =>
+        assert(!s.child.toString.toLowerCase.contains(marker.toLowerCase),
+          s"$q: $marker evaluated BELOW the sort — sampling pass recomputes it")
+      }
+    }
+  }
+
+  test("skew_salted_sum aggregates in two phases over the salted key") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val plan = SparkEntry.queries("skew_salted_sum")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.size == 2, s"expected salted + final Aggregate, got ${aggs.size}")
+    // the inner (first-executed) aggregate groups by (key, salt)
+    assert(aggs.last.groupingExpressions.size == 2, "salt phase lost its salt key")
+    assert(plan.toString.contains("xxhash64"), "deterministic salt hash missing")
+  }
+
   test("LSH bucket code and IVF assignment stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
