@@ -70,6 +70,38 @@ object Parity {
       .toDF("word", "cnt")
   }
 
+  /** Typed cogroup — the two-input generalization of the kernel's
+    * shuffle/Reduce (§1.3): both sides group by the same key and one
+    * callback sees (key, leftValues, rightValues). The reference's
+    * reduce-side-join derivation (SURVEY §2.3 "tag-union groupByKey")
+    * expressed with Spark's first-class
+    * `KeyValueGroupedDataset.cogroup`. Per-customer order stats with
+    * left-join semantics from the customer side (order rows without a
+    * customer are dropped; customers without orders emit zeros).
+    * Shuffles both sides once on the key — the reduce-side-join shape
+    * that holds at any scale; sums are exact cents. */
+  def cogroupKernel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        graft.functions.TextFunctions.cents(col("o_totalprice")).as("cents"))
+      .as[(Long, Long)]
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .as[(Long, String)]
+    cust.groupByKey(_._1)
+      .cogroup(orders.groupByKey(_._1)) { (k, cs, os) =>
+        cs.toSeq.headOption.iterator.map { c =>
+          var n = 0L
+          var sum = 0L
+          os.foreach { o => n += 1; sum += o._2 }
+          (k, c._2, n, sum)
+        }
+      }
+      .toDF("custkey", "name", "n_orders", "sum_cents")
+      .orderBy("custkey")
+  }
+
   /** §1.3 pt 1: group-key coalescing by equivalence = DISTINCT. */
   def distinctKeys(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -111,6 +143,12 @@ object Parity {
     QueryDef.sql("wordcount_kernel",
       "SELECT word, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) WHERE word <> '' GROUP BY word ORDER BY word")(
       wordcountKernel),
+    QueryDef.sql("cogroup_kernel",
+      """SELECT c.c_custkey AS custkey, c.c_name AS name,
+        |       count(o.o_custkey) AS n_orders,
+        |       CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS sum_cents
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY custkey""".stripMargin)(cogroupKernel),
     QueryDef.sql("distinct_keys",
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus")(
       distinctKeys),

@@ -243,6 +243,25 @@ object Relational {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** RANGE-frame window: 30-day trailing spend per customer — the
+    * value-based frame (all rows within 30 day-units of the current
+    * row's order date), vs the ROWS frames in `window_running`. Frame
+    * contents depend only on (custkey, day_num) values, so the output
+    * is deterministic under any tie order; sums are exact cents. */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit(java.sql.Date.valueOf("1990-01-01")))
+          .cast("long").as("day_num"),
+        cents(col("o_totalprice")).as("price_cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, 0)
+    base
+      .withColumn("trail30_cents", sum("price_cents").over(w))
+      .withColumn("n_trail30", count(lit(1)).over(w))
+      .orderBy("o_custkey", "day_num", "o_orderkey")
+  }
+
   /** string-function breadth, second batch. */
   def scalarString2(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
@@ -527,6 +546,17 @@ object Relational {
         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0) AS moving_avg3
         |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders) t
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)(windowRunning),
+    QueryDef.sql("window_range",
+      """SELECT o_custkey, o_orderkey, day_num, price_cents,
+        |       CAST(sum(price_cents) OVER w AS BIGINT) AS trail30_cents,
+        |       count(*) OVER w AS n_trail30
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |      FROM orders) t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day_num, o_orderkey""".stripMargin)(windowRange),
     QueryDef.sql("set_union",
       "SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY nk")(setUnion),
     QueryDef.sql("set_intersect",

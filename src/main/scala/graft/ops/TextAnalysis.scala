@@ -89,6 +89,39 @@ object TextAnalysis {
       .orderBy("doc_id")
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
 
+  /** TF-IDF top-3 terms per document — the classic corpus-statistics op
+    * of a training-data pipeline (keyword extraction, quality features).
+    *
+    * Plan shape at 100 TB: explode → (doc, term) partial-counted hash
+    * agg (tf); term-level df agg over the already-reduced tf table; the
+    * doc count and df join back by term (df is vocabulary-sized — far
+    * smaller than the corpus). Ranking is per-doc top-k via
+    * row_number over a (doc) window — the window partitions by doc_id,
+    * so state is one doc's terms, never the corpus.
+    *
+    * Determinism: tf/df/n are exact ints; score = round(tf·ln(n/df), 6)
+    * (6dp absorbs libm ULP drift); ranking uses the ROUNDED score with
+    * term-asc tiebreak so both engines rank identically. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir).select("doc_id", "text")
+    val terms = docs.select(col("doc_id"),
+      explode(filter(toks(col("text")), t => t =!= "")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n  = docs.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "term", "tf", "score")
+      .orderBy("doc_id", "rn")
+  }
+
   private val langCaseSql: String = {
     // identical argmax fold in SQL: nested CASE chain, same > comparisons
     val scoreSql = Profiles.map { case (lang, words) =>
@@ -128,6 +161,22 @@ object TextAnalysis {
         |            / len(list_filter(string_split(text, ' '), t -> t <> '')) END AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin)(textQuality),
     QueryDef.sql("lang_id", langCaseSql)(langId),
+    QueryDef.sql("tfidf",
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf, score FROM (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |         round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS score,
+        |         row_number() OVER (PARTITION BY t.doc_id
+        |           ORDER BY round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) DESC, t.term) AS rn
+        |  FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+        |) x WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)(tfidf),
     QueryDef.sql("fingerprint",
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
