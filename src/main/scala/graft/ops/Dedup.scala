@@ -61,6 +61,31 @@ object Dedup {
       .orderBy("fp")
   }
 
+  /** Dedup with a quality-based keep rule — the composition a real
+    * pipeline runs: candidate duplicate groups each keep their
+    * highest-QUALITY member, not the arbitrary min-id. Groups form on a
+    * lead-3-tokens prefix key (a truncated copy keeps its original's
+    * head, so original+copy land in one group; unrelated prefix
+    * collisions are deterministic on both sides). Quality = text length
+    * with doc_id as the deterministic tiebreak, packed into one
+    * orderable BIGINT score so `max_by` and the oracle's `arg_max`
+    * compare identically (length dominates; the lower id wins ties via
+    * the negated-id term) — so the full-length original always beats
+    * its truncation. The shuffle carries (key, id, score), never text. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    // ids < 2^21, lengths < 2^20 — the packed score fits comfortably
+    val score = length(col("text")).cast("long") * 10000000L + (lit(10000000L) - col("doc_id"))
+    val prefixKey = concat_ws(" ", slice(split(col("text"), " "), 1, 3))
+    corpus
+      .select(col("doc_id"), prefixKey.as("pk"), score.as("score"))
+      .groupBy("pk")
+      .agg(
+        max_by(col("doc_id"), col("score")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("pk")
+  }
+
   /** documents ∪ 80%-token-truncated copies (deterministic near-dups). */
   def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -307,6 +332,19 @@ object Dedup {
     QueryDef.sql("dedup_exact",
       """SELECT p_name, min(p_partkey) AS keep_key, count(*) AS n_dups
         |FROM part GROUP BY p_name ORDER BY p_name""".stripMargin)(dedupExact),
+    QueryDef.sql("dedup_keep_best",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1,
+        |           greatest(1, CAST(floor(len(string_split(text, ' ')) * 0.8) AS INT))), ' ') AS text
+        |  FROM documents
+        |)
+        |SELECT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS pk,
+        |       arg_max(doc_id, length(text) * 10000000 + (10000000 - doc_id)) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM corpus GROUP BY pk ORDER BY pk""".stripMargin)(dedupKeepBest),
     QueryDef.sql("dedup_exact_docs",
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

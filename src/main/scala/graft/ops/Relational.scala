@@ -464,6 +464,18 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** fixed-width histogram: price distribution per return flag in
+    * $10,000 buckets — integer floor-division binning (exact on both
+    * engines), partial+final count aggregate. The per-bucket count
+    * shape a profiling pass runs before choosing quantile strategies. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        (cents(col("l_extendedprice")).cast("double") / 1000000.0).cast("long").as("bucket"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "bucket")
+
   /** explicit GROUPING SETS (the general form of rollup/cube). */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
@@ -681,6 +693,12 @@ object Relational {
         |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |       TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(approxQuantiles),
+    QueryDef.sql("histogram",
+      """SELECT l_returnflag,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000 AS bucket,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, bucket
+        |ORDER BY l_returnflag, bucket""".stripMargin)(histogram),
     QueryDef.sql("grouping_sets",
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem
