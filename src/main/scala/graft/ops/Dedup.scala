@@ -272,8 +272,14 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
+    // init = identity fused with the first propagation round: rep0 =
+    // min(id, min neighbor). Star components centered on their min id —
+    // the dominant shape of a near-dup pair graph — converge right here,
+    // so the loop's first pass is already the convergence check.
+    var labels = edges
+      .groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("rep"))
+      .select(col("src").as("id"), col("rep"))
       .localCheckpoint()
     val maxIters = 20
     var iter     = 0
