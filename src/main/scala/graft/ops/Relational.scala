@@ -464,6 +464,22 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** NULL semantics / three-valued logic: nullif manufactures NULLs
+    * from the (null-free) fixtures, then coalesce, null-safe equality
+    * (`<=>` ≙ IS NOT DISTINCT FROM), IS NULL, and NULL-propagating
+    * arithmetic demonstrate the exact SQL null rules both engines
+    * share. */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("st_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st_filled"),
+        (nullif(col("o_orderstatus"), lit("O")) <=> lit("F")).as("nse_f"),
+        isnull(nullif(col("o_orderstatus"), lit("O"))).as("is_n"),
+        (nullif(col("o_custkey") % 7, lit(0L)) + lit(1)).cast("long").as("mod_plus"))
+      .orderBy("o_orderkey")
+
   /** fixed-width histogram: price distribution per return flag in
     * $10,000 buckets — integer floor-division binning (exact on both
     * engines), partial+final count aggregate. The per-bucket count
@@ -693,6 +709,14 @@ object Relational {
         |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |       TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(approxQuantiles),
+    QueryDef.sql("null_semantics",
+      """SELECT o_orderkey,
+        |       nullif(o_orderstatus, 'O') AS st_null,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS st_filled,
+        |       nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS nse_f,
+        |       nullif(o_orderstatus, 'O') IS NULL AS is_n,
+        |       CAST(nullif(o_custkey % 7, 0) + 1 AS BIGINT) AS mod_plus
+        |FROM orders ORDER BY o_orderkey""".stripMargin)(nullSemantics),
     QueryDef.sql("histogram",
       """SELECT l_returnflag,
         |       CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000 AS bucket,
