@@ -42,6 +42,34 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.text(s"$tmp/txt").count() == 20)
   }
 
+  test("GraftExtensions injects the graft_* functions into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark // keep the shared session safe
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne old, "expected a fresh session with extensions")
+      val r = s2.sql(
+        "SELECT graft_fingerprint('abc') AS fp, graft_simhash64(array('a','b')) AS sh")
+        .collect().head
+      // same values as the column-API expressions on the shared session
+      import old.implicits._
+      val expected = Seq("x").toDF("x").select(
+        graft.functions.TextFunctions.fingerprint(lit("abc")),
+        graft.functions.TextFunctions.simhash(array(lit("a"), lit("b"))))
+        .collect().head
+      assert(r.getLong(0) == expected.getLong(0))
+      assert(r.getLong(1) == expected.getLong(1))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("custom expressions are callable from spark.sql after registration") {
     graft.functions.GraftFunctions.registerAll(spark)
     spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("docs_v")
