@@ -464,6 +464,25 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Deterministic train/val/test split — the assignment step of every
+    * training-data pipeline. The split key is a pure function of the
+    * row key (modular bucket here; a salted xxhash64 in production —
+    * same shape, the oracle dialect lacks xxhash), so assignment is
+    * reproducible under any partitioning, and re-runs never migrate a
+    * row between splits. Output: per-split, per-flag counts + exact
+    * cents totals (the split-balance audit a pipeline logs). */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_returnflag"),
+        when(col("l_orderkey") % 10 < 8, "train")
+          .when(col("l_orderkey") % 10 === 8, "val")
+          .otherwise("test").as("split"),
+        cents(col("l_extendedprice")).as("pc"))
+      .groupBy("split", "l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("pc").as("sum_cents"))
+      .orderBy("split", "l_returnflag")
+
   /** NULL semantics / three-valued logic: nullif manufactures NULLs
     * from the (null-free) fixtures, then coalesce, null-safe equality
     * (`<=>` ≙ IS NOT DISTINCT FROM), IS NULL, and NULL-propagating
@@ -709,6 +728,14 @@ object Relational {
         |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |       TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(approxQuantiles),
+    QueryDef.sql("sample_split",
+      """SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'train'
+        |            WHEN l_orderkey % 10 = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY split, l_returnflag
+        |ORDER BY split, l_returnflag""".stripMargin)(sampleSplit),
     QueryDef.sql("null_semantics",
       """SELECT o_orderkey,
         |       nullif(o_orderstatus, 'O') AS st_null,
