@@ -464,6 +464,41 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** unpivot/melt: wide per-flag aggregates to long (flag, metric,
+    * value) form — the wide→long reshape (Spark `Dataset.unpivot`,
+    * which plans as Expand). Values are exact cents/counts. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_price_cents"), col("n_rows")),
+        variableColumnName = "metric",
+        valueColumnName = "v")
+      .orderBy("l_returnflag", "metric")
+
+  /** array higher-order functions: zip_with / exists / forall / filter
+    * over the embedding column (elementwise product sum via zip_with +
+    * aggregate — the declarative dot product; predicates exact). */
+  def arrayHof(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .orderBy("vec_id")
+      .select(
+        col("vec_id"),
+        round(aggregate(
+          zip_with(col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 6).as("self_dot"),
+        // compare in double on both engines (float→double widening is exact)
+        exists(col("embedding"), e => e.cast("double") > lit(0.45)).as("has_gt"),
+        forall(col("embedding"), e => e.cast("double") > lit(-0.55)).as("all_gt"),
+        size(filter(col("embedding"), e => e.cast("double") > lit(0.0))).cast("long").as("n_pos"))
+
   /** Deterministic train/val/test split — the assignment step of every
     * training-data pipeline. The split key is a pure function of the
     * row key (modular bucket here; a salted xxhash64 in production —
@@ -728,6 +763,27 @@ object Relational {
         |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |       TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(approxQuantiles),
+    QueryDef.sql("unpivot_metrics",
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |         count(*) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS v FROM wide
+        |UNION ALL SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM wide
+        |UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM wide
+        |ORDER BY l_returnflag, metric""".stripMargin)(unpivotMetrics),
+    QueryDef.sql("array_hof",
+      """SELECT vec_id,
+        |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+        |         (acc, x) -> acc + x), 6) AS self_dot,
+        |       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.45)) > 0 AS has_gt,
+        |       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > -0.55)) = len(embedding) AS all_gt,
+        |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS BIGINT) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin)(arrayHof),
     QueryDef.sql("sample_split",
       """SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'train'
         |            WHEN l_orderkey % 10 = 8 THEN 'val'
