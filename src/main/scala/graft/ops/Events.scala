@@ -140,6 +140,11 @@ object Events {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
         |FROM events ORDER BY event_id""".stripMargin)(jsonFuncs),
+    QueryDef.sql("stream_tumbling",
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
+        |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedTumbling(s, d)),
     QueryDef.sql("event_tumbling",
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
         |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

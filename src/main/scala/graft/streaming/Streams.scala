@@ -39,6 +39,35 @@ object Streams {
       .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
         col("n"), col("sum_value_cents"))
 
+  /** Run `tumblingCounts` through the REAL streaming engine over the
+    * bounded events fixture: `readStream` file source →
+    * `Trigger.AvailableNow` → memory sink, awaited to completion, so
+    * the driver gate can hash-compare a Structured Streaming execution
+    * against the batch SQL oracle. Complete output mode: on a bounded
+    * input, append mode would withhold the trailing windows still ahead
+    * of the final watermark, while complete mode emits every window's
+    * final state — which equals the batch aggregation exactly. The
+    * watermark is kept (it is the unbounded-run configuration; complete
+    * mode just never evicts). */
+  def runBoundedTumbling(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // batch-read schema (ts arrives as nanos long under the conf above)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = "stream_tumbling_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = tumblingCounts(events)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("ws_ms", "event_type")
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * static dimension (broadcast per batch — no stream state). The
     * standard shape for attaching user/session metadata on ingest. */
