@@ -145,6 +145,10 @@ object Events {
         |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin)(
       (s, d) => graft.streaming.Streams.runBoundedTumbling(s, d)),
+    QueryDef.sql("stream_dedup",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedDedup(s, d)),
     QueryDef.sql("event_tumbling",
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
         |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

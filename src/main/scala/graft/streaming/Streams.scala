@@ -68,6 +68,32 @@ object Streams {
     spark.table(name).orderBy("ws_ms", "event_type")
   }
 
+  /** Streaming exact dedup through the real engine, driver-checkable:
+    * `dropDuplicates` keeps the first-SEEN row per key, which depends
+    * on micro-batch task order — so the registered output is the KEY
+    * SET only (deterministic under any processing order; oracle =
+    * SELECT DISTINCT). Append mode emits keys as first seen; bounded
+    * input, so unbounded-state concerns don't apply here (the
+    * watermarked variant for unbounded runs is `dedupStream`). */
+  def runBoundedDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = raw
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * static dimension (broadcast per batch — no stream state). The
     * standard shape for attaching user/session metadata on ingest. */
