@@ -41,7 +41,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    names.foreach(runOnce)
+    // streaming-engine queries are excluded from warmup: their cost is
+    // fixed engine overhead (not codegen/JIT), and each warmup run would
+    // spin up a second streaming query for nothing
+    names.filterNot(_.startsWith("stream_")).foreach(runOnce)
 
     val results = names.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -31,7 +31,8 @@ import org.apache.spark.sql.SparkSession
   *    faithful mode reproduces that bug, see
   *    [[RunLogger.faithfulSummary]].
   */
-final class RunLogger(logPath: String, faithful: Boolean = false, threads: Int = 0)
+final class RunLogger private[kernel] (
+    logPath: String, faithful: Boolean = false, threads: Int = 0)
     extends SparkListener {
 
   private val lines = new ConcurrentLinkedQueue[String]()
@@ -58,8 +59,11 @@ final class RunLogger(logPath: String, faithful: Boolean = false, threads: Int =
   override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
     jobStartNs.put(jobStart.jobId, System.nanoTime())
     if (faithful) {
+      // putIfAbsent: a stage shared by overlapping jobs (common shuffle
+      // dependency) stays owned by its first job — overwriting would let
+      // the second job's cleanup delete it mid-flight
       jobStart.stageInfos.foreach(si =>
-        stageRole.put(si.stageId,
+        stageRole.putIfAbsent(si.stageId,
           (jobStart.jobId, org.apache.spark.graftbridge.SchedulerBridge.shuffleDepId(si).isEmpty)))
       lines.add(s"runMapReduceFramework started with $threads threads")
       lines.add(s"Thread Shuffle created [${refStamp()}]")

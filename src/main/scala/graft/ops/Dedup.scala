@@ -70,8 +70,11 @@ object Dedup {
     * with doc_id as the deterministic tiebreak, packed into one
     * orderable BIGINT score so `max_by` and the oracle's `arg_max`
     * compare identically (length dominates; the lower id wins ties via
-    * the negated-id term) — so the full-length original always beats
-    * its truncation. The shuffle carries (key, id, score), never text. */
+    * the negated-id term) — so the full-length original beats its
+    * truncation whenever they share a group (docs with ≥ 4 tokens;
+    * shorter docs truncate into the prefix itself and group apart —
+    * both engines compute the same formula, so the compare still
+    * holds). The shuffle carries (key, id, score), never text. */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(spark, dir)
     // ids < 2^21, lengths < 2^20 — the packed score fits comfortably
@@ -339,18 +342,11 @@ object Dedup {
       """SELECT p_name, min(p_partkey) AS keep_key, count(*) AS n_dups
         |FROM part GROUP BY p_name ORDER BY p_name""".stripMargin)(dedupExact),
     QueryDef.sql("dedup_keep_best",
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id,
-        |         array_to_string(list_slice(string_split(text, ' '), 1,
-        |           greatest(1, CAST(floor(len(string_split(text, ' ')) * 0.8) AS INT))), ' ') AS text
-        |  FROM documents
-        |)
-        |SELECT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS pk,
-        |       arg_max(doc_id, length(text) * 10000000 + (10000000 - doc_id)) AS keep_id,
-        |       count(*) AS n_copies
-        |FROM corpus GROUP BY pk ORDER BY pk""".stripMargin)(dedupKeepBest),
+      s"""WITH $corpusSql
+         |SELECT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS pk,
+         |       arg_max(doc_id, length(text) * 10000000 + (10000000 - doc_id)) AS keep_id,
+         |       count(*) AS n_copies
+         |FROM corpus GROUP BY pk ORDER BY pk""".stripMargin)(dedupKeepBest),
     QueryDef.sql("dedup_exact_docs",
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -121,6 +121,14 @@ object Events {
         element_at(map_keys(col("m")), 1).as("first_key"),
         element_at(col("m"), "k").cast("long").as("k_val"))
 
+  /** one oracle for both the batch and streaming tumbling queries —
+    * the pair exists to assert they compute the same thing, so the
+    * equality is structural, not copy-paste. */
+  private val tumblingOracleSql =
+    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
+      |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("map_funcs",
       """SELECT event_id,
@@ -140,20 +148,13 @@ object Events {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
         |FROM events ORDER BY event_id""".stripMargin)(jsonFuncs),
-    QueryDef.sql("stream_tumbling",
-      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
-        |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-        |FROM events GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin)(
+    QueryDef.sql("stream_tumbling", tumblingOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedTumbling(s, d)),
     QueryDef.sql("stream_dedup",
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin)(
       (s, d) => graft.streaming.Streams.runBoundedDedup(s, d)),
-    QueryDef.sql("event_tumbling",
-      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
-        |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-        |FROM events GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin)(
-      eventTumbling),
+    QueryDef.sql("event_tumbling", tumblingOracleSql)(eventTumbling),
     QueryDef.sql("event_sliding",
       """SELECT ws_ms, event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

@@ -540,8 +540,8 @@ object Relational {
     * shape a profiling pass runs before choosing quantile strategies. */
   def histogram(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"),
-        (cents(col("l_extendedprice")).cast("double") / 1000000.0).cast("long").as("bucket"))
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
+      .select(col("l_returnflag"), expr("pc div 1000000").as("bucket"))
       .groupBy("l_returnflag", "bucket")
       .agg(count(lit(1)).as("n"))
       .orderBy("l_returnflag", "bucket")

@@ -49,23 +49,29 @@ object Streams {
     * final state — which equals the batch aggregation exactly. The
     * watermark is kept (it is the unbounded-run configuration; complete
     * mode just never evicts). */
-  def runBoundedTumbling(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // batch-read schema (ts arrives as nanos long under the conf above)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val name = "stream_tumbling_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = tumblingCounts(events)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
+  def runBoundedTumbling(spark: SparkSession, dir: String): DataFrame =
+    runBounded(spark, "stream_tumbling",
+      tumblingCounts(graft.tables.Tables.eventsStream(spark, dir)),
+      OutputMode.Complete(), Seq("ws_ms", "event_type"))
+
+  /** start → AvailableNow → await → snapshot the memory sink → drop the
+    * temp view (the sink table would otherwise leak one driver-held
+    * table per run). The snapshot is a localCheckpoint: block-manager
+    * blocks the ContextCleaner reclaims, valid after the view is gone. */
+  private def runBounded(
+      spark: SparkSession, prefix: String, out: DataFrame,
+      mode: OutputMode, sortCols: Seq[String]): DataFrame = {
+    val name = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("ws_ms", "event_type")
+    val result = spark.table(name)
+      .orderBy(sortCols.map(col): _*)
+      .localCheckpoint()
+    spark.catalog.dropTempView(name)
+    result
   }
 
   /** Streaming exact dedup through the real engine, driver-checkable:
@@ -75,24 +81,12 @@ object Streams {
     * SELECT DISTINCT). Append mode emits keys as first seen; bounded
     * input, so unbounded-state concerns don't apply here (the
     * watermarked variant for unbounded runs is `dedupStream`). */
-  def runBoundedDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = raw
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("user_id", "event_type")
-  }
+  def runBoundedDedup(spark: SparkSession, dir: String): DataFrame =
+    runBounded(spark, "stream_dedup",
+      graft.tables.Tables.eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+      OutputMode.Append(), Seq("user_id", "event_type"))
 
   /** Stream-static enrichment join: each micro-batch joins against a
     * static dimension (broadcast per batch — no stream state). The

@@ -49,4 +49,17 @@ object Tables {
     // double-based divide would corrupt timestamps).
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** The streaming twin of [[events]]: same nanos conf, same schema,
+    * same micros conversion — one definition so the bounded-stream
+    * queries can never diverge from the batch oracle's read contract. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path(dir, "events")).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -10,4 +10,10 @@ import org.apache.spark.scheduler.StageInfo
 object SchedulerBridge {
   /** Some(shuffleId) iff the stage writes shuffle output (a map stage). */
   def shuffleDepId(si: StageInfo): Option[Int] = si.shuffleDepId
+
+  /** Block until the listener bus has delivered all queued events —
+    * `listenerBus.waitUntilEmpty` is `private[spark]`; specs need it to
+    * read listener state deterministically instead of sleeping. */
+  def drainListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

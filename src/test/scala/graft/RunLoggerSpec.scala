@@ -12,8 +12,7 @@ class RunLoggerSpec extends SparkSpec {
     val logger = RunLogger.attach(spark, path)
     try {
       spark.createDataset(1 to 100).map(_ * 2).repartition(2).count()
-      // listener bus is async; give it a moment to drain
-      Thread.sleep(1500)
+      org.apache.spark.graftbridge.SchedulerBridge.drainListeners(spark.sparkContext)
       logger.flush()
       val content = Files.readString(Paths.get(path))
       assert(content.contains("runMapReduceFramework started"))
@@ -33,7 +32,7 @@ class RunLoggerSpec extends SparkSpec {
     try {
       // two-stage job: shuffle-map stage (ExecMap) + result stage (ExecReduce)
       spark.createDataset(1 to 100).map(x => (x % 5, x)).groupByKey(_._1).count().collect()
-      Thread.sleep(1500)
+      org.apache.spark.graftbridge.SchedulerBridge.drainListeners(spark.sparkContext)
       logger.flush()
       val lines = Files.readString(Paths.get(path)).linesIterator.toSeq
 

@@ -24,7 +24,7 @@ class ScaleSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(counter)
     try {
       SparkEntry.queries(name)(spark, sfDir).collect()
-      Thread.sleep(1500) // listener bus is async
+      org.apache.spark.graftbridge.SchedulerBridge.drainListeners(spark.sparkContext)
       counter.records.get()
     } finally spark.sparkContext.removeSparkListener(counter)
   }
