@@ -464,6 +464,36 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Bucketed co-located join, driver-checked: both sides are written
+    * bucketed on the join key (8 buckets, sorted), so the SortMergeJoin
+    * reads pre-partitioned files and needs NO shuffle exchange on
+    * either side — the 100 TB answer to repeated fact-fact joins (pay
+    * the partitioning once at write, join shuffle-free forever).
+    * BucketingSpec asserts the exchange-free plan; this query proves
+    * the result equals the plain join. Tables are written under the
+    * session warehouse as managed tables, dropped after the result is
+    * materialized (localCheckpoint) so repeated runs are idempotent. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val oT = s"orders_bkt_$suffix"
+    val cT = s"customer_bkt_$suffix"
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(oT)
+    Tables.customer(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cT)
+    try {
+      spark.table(oT)
+        .join(spark.table(cT), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("sum_cents"))
+        .orderBy("c_mktsegment")
+        .localCheckpoint()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $oT")
+      spark.sql(s"DROP TABLE IF EXISTS $cT")
+    }
+  }
+
   /** unpivot/melt: wide per-flag aggregates to long (flag, metric,
     * value) form — the wide→long reshape (Spark `Dataset.unpivot`,
     * which plans as Expand). Values are exact cents/counts. */
@@ -763,6 +793,11 @@ object Relational {
         |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |       TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(approxQuantiles),
+    QueryDef.sql("bucketed_join",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)(bucketedJoin),
     QueryDef.sql("unpivot_metrics",
       """WITH wide AS (
         |  SELECT l_returnflag,
