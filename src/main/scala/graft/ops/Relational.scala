@@ -464,6 +464,32 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Source/sink round-trip, driver-checked: write a projection to a
+    * REAL secondary format (CSV with header), read it back with an
+    * explicit schema, aggregate — proving the non-parquet source/sink
+    * path end-to-end, not just in specs. Only lossless column types
+    * round-trip (long, string); doubles would pick up formatting drift.
+    * The temp directory is deleted after the result is materialized. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    try {
+      Tables.documents(spark, dir).select("doc_id", "lang")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      spark.read.option("header", "true")
+        .schema("doc_id LONG, lang STRING").csv(tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Bucketed co-located join, driver-checked: both sides are written
     * bucketed on the join key (8 buckets, sorted), so the SortMergeJoin
     * reads pre-partitioned files and needs NO shuffle exchange on
@@ -793,6 +819,9 @@ object Relational {
         |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |       TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(approxQuantiles),
+    QueryDef.sql("csv_roundtrip",
+      """SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(csvRoundtrip),
     QueryDef.sql("bucketed_join",
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
