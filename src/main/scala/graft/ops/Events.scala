@@ -124,6 +124,24 @@ object Events {
   /** one oracle for both the batch and streaming tumbling queries —
     * the pair exists to assert they compute the same thing, so the
     * equality is structural, not copy-paste. */
+  /** shared by the batch and streaming session_window queries. */
+  private val sessionWindowOracleSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS v_cents,
+      |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) + 1800000 AS end_ms,
+      |       count(*) AS n_events, CAST(sum(v_cents) AS BIGINT) AS sum_value_cents
+      |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin
+
   private val tumblingOracleSql =
     """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
       |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
@@ -180,22 +198,8 @@ object Events {
         |       count(*) AS n_events, CAST(sum(v_cents) AS BIGINT) AS sum_value_cents
         |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)(
       sessionize),
-    QueryDef.sql("event_session_window",
-      """WITH flagged AS (
-        |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS v_cents,
-        |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-        |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), sessions AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM flagged
-        |)
-        |SELECT user_id, min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) + 1800000 AS end_ms,
-        |       count(*) AS n_events, CAST(sum(v_cents) AS BIGINT) AS sum_value_cents
-        |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin)(
-      sessionWindow),
+    QueryDef.sql("event_session_window", sessionWindowOracleSql)(sessionWindow),
+    QueryDef.sql("stream_session_window", sessionWindowOracleSql)(
+      (s, d) => graft.streaming.Streams.runBoundedSessionWindow(s, d)),
   )
 }

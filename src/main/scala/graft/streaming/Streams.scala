@@ -54,6 +54,20 @@ object Streams {
       tumblingCounts(graft.tables.Tables.eventsStream(spark, dir)),
       OutputMode.Complete(), Seq("ws_ms", "event_type"))
 
+  /** Streaming session windows through the real engine — the native
+    * `session_window` merge running incrementally in the session-window
+    * state store, complete mode for the bounded-input = batch-equality
+    * argument (same as [[runBoundedTumbling]]). */
+  def runBoundedSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    runBounded(spark, "stream_session_window",
+      graft.tables.Tables.eventsStream(spark, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.functions.TextFunctions.cents(col("value"))).as("sum_value_cents"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"), col("n_events"), col("sum_value_cents")),
+      OutputMode.Complete(), Seq("user_id", "start_ms"))
+
   /** start → AvailableNow → await → snapshot the memory sink → drop the
     * temp view (the sink table would otherwise leak one driver-held
     * table per run). The snapshot is a localCheckpoint: block-manager
