@@ -168,6 +168,11 @@ object Events {
         |FROM events ORDER BY event_id""".stripMargin)(jsonFuncs),
     QueryDef.sql("stream_tumbling", tumblingOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedTumbling(s, d)),
+    QueryDef.sql("stream_enrich",
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedEnrich(s, d)),
     QueryDef.sql("stream_dedup",
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin)(

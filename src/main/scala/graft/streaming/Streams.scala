@@ -68,6 +68,21 @@ object Streams {
           unix_millis(col("w.end")).as("end_ms"), col("n_events"), col("sum_value_cents")),
       OutputMode.Complete(), Seq("user_id", "start_ms"))
 
+  /** Stream-static enrichment through the engine, driver-checked: each
+    * micro-batch of the bounded events stream broadcast-joins the
+    * static customer dimension ([[enrich]]); per-event output rows are
+    * a deterministic set, so append mode + a full sort oracle-compares
+    * against the batch LEFT JOIN. */
+  def runBoundedEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.tables.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    runBounded(spark, "stream_enrich",
+      enrich(graft.tables.Tables.eventsStream(spark, dir)
+        .select("event_id", "user_id"), dim)
+        .select("event_id", "user_id", "segment"),
+      OutputMode.Append(), Seq("event_id"))
+  }
+
   /** start → AvailableNow → await → snapshot the memory sink → drop the
     * temp view (the sink table would otherwise leak one driver-held
     * table per run). The snapshot is a localCheckpoint: block-manager
