@@ -41,7 +41,12 @@ object SearchMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val matches = run(spark, args.head, args.tail.toSeq)
+    // O14: on any failure inside the run, print the reference's
+    // "MapReduceFramework Failure: X failed." stderr line and exit 1
+    // (`MapReduceFramework.cpp:204-216`)
+    val matches = graft.kernel.FailFast.guard("runMapReduceFramework", exitOnFailure = true) {
+      run(spark, args.head, args.tail.toSeq)
+    }
     print(matches.map(_ + " ").mkString) // trailing space, no newline (O16)
     spark.stop()
   }

@@ -37,7 +37,11 @@ object WordCountMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     RunLogger.attach(spark, ".GraftMapReduce.log")
-    run(spark, args.toSeq).foreach { case (w, c) => println(s"$w $c") }
+    // O14 faithful failure line + exit, like SearchMain
+    val counts = graft.kernel.FailFast.guard("runMapReduceFramework", exitOnFailure = true) {
+      run(spark, args.toSeq)
+    }
+    counts.foreach { case (w, c) => println(s"$w $c") }
     spark.stop()
   }
 }
