@@ -85,13 +85,11 @@ object Events {
   }
 
   /** Same sessions through Spark's native session_window (the engine
-    * merges adjacent windows; end = last event + gap). */
+    * merges adjacent windows; end = last event + gap). The aggregation
+    * core is `Streams.sessionWindowAgg` — shared with the streaming
+    * twin so batch and stream provably compute the same thing. */
   def sessionWindow(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_value_cents"))
-      .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
-        unix_millis(col("w.end")).as("end_ms"), col("n_events"), col("sum_value_cents"))
+    graft.streaming.Streams.sessionWindowAgg(Tables.events(spark, dir))
       .orderBy("user_id", "start_ms")
 
   /** pivot: event_type counts as columns per user (relational pivot =
@@ -121,10 +119,9 @@ object Events {
         element_at(map_keys(col("m")), 1).as("first_key"),
         element_at(col("m"), "k").cast("long").as("k_val"))
 
-  /** one oracle for both the batch and streaming tumbling queries —
-    * the pair exists to assert they compute the same thing, so the
-    * equality is structural, not copy-paste. */
-  /** shared by the batch and streaming session_window queries. */
+  /** Oracles shared by each batch/streaming pair below — the pairs
+    * exist to assert batch and stream compute the same thing, so the
+    * oracle equality is structural, not copy-paste. */
   private val sessionWindowOracleSql =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS v_cents,

@@ -484,9 +484,10 @@ object Relational {
         .localCheckpoint()
     } finally {
       import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(tmp)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close() // the stream holds directory fds until closed
     }
   }
 
@@ -503,13 +504,18 @@ object Relational {
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val oT = s"orders_bkt_$suffix"
     val cT = s"customer_bkt_$suffix"
-    Tables.orders(spark, dir).write.mode("overwrite")
-      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(oT)
-    Tables.customer(spark, dir).write.mode("overwrite")
-      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cT)
+    // writes inside the try: a failed second write must still drop the
+    // first table (names are unique, so a stranded table never dies)
     try {
+      Tables.orders(spark, dir).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(oT)
+      Tables.customer(spark, dir).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cT)
       spark.table(oT)
-        .join(spark.table(cT), col("o_custkey") === col("c_custkey"))
+        // MERGE hint: customer is small enough that the planner would
+        // pick a broadcast join and silently skip the bucketed path —
+        // the hint forces the SortMergeJoin the bucket layout feeds
+        .join(spark.table(cT).hint("merge"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("sum_cents"))
         .orderBy("c_mktsegment")

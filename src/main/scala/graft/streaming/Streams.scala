@@ -54,18 +54,25 @@ object Streams {
       tumblingCounts(graft.tables.Tables.eventsStream(spark, dir)),
       OutputMode.Complete(), Seq("ws_ms", "event_type"))
 
+  /** The session-window aggregation core, shared by the batch query
+    * (`Events.sessionWindow`) and the streaming run below — one
+    * definition, so the batch-oracle-validates-streaming argument is
+    * structural, not copy-paste. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.functions.TextFunctions.cents(col("value"))).as("sum_value_cents"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+        unix_millis(col("w.end")).as("end_ms"), col("n_events"), col("sum_value_cents"))
+
   /** Streaming session windows through the real engine — the native
     * `session_window` merge running incrementally in the session-window
     * state store, complete mode for the bounded-input = batch-equality
     * argument (same as [[runBoundedTumbling]]). */
   def runBoundedSessionWindow(spark: SparkSession, dir: String): DataFrame =
     runBounded(spark, "stream_session_window",
-      graft.tables.Tables.eventsStream(spark, dir)
-        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(graft.functions.TextFunctions.cents(col("value"))).as("sum_value_cents"))
-        .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
-          unix_millis(col("w.end")).as("end_ms"), col("n_events"), col("sum_value_cents")),
+      sessionWindowAgg(graft.tables.Tables.eventsStream(spark, dir)),
       OutputMode.Complete(), Seq("user_id", "start_ms"))
 
   /** Stream-static enrichment through the engine, driver-checked: each
@@ -95,12 +102,14 @@ object Streams {
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val result = spark.table(name)
-      .orderBy(sortCols.map(col): _*)
-      .localCheckpoint()
-    spark.catalog.dropTempView(name)
-    result
+    // drop the sink view even when the query or snapshot fails —
+    // otherwise every failed run strands a driver-held table
+    try {
+      q.awaitTermination()
+      spark.table(name)
+        .orderBy(sortCols.map(col): _*)
+        .localCheckpoint()
+    } finally spark.catalog.dropTempView(name)
   }
 
   /** Streaming exact dedup through the real engine, driver-checkable:

@@ -34,4 +34,30 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("merge hint keeps a small bucketed dim on the exchange-free SMJ path") {
+    // the bucketed_join query's shape: customer is small enough that
+    // the planner would broadcast (skipping the bucketed layout); the
+    // MERGE hint must force the shuffle-free bucketed SortMergeJoin
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("orders_bh")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("customer_bh")
+    try {
+      val joined = spark.table("orders_bh")
+        .join(spark.table("customer_bh").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"hint ignored, plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+        !plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed sides still shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bh")
+      spark.sql("DROP TABLE IF EXISTS customer_bh")
+    }
+  }
 }
