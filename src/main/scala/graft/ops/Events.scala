@@ -40,13 +40,10 @@ object Events {
         col("p").getField("k").as("k_struct"))
 
   /** tumbling 1-hour windows via Spark's native window(); start emitted
-    * as epoch ms. Partial aggregation applies — scales like any groupBy. */
+    * as epoch ms. Partial aggregation applies — scales like any groupBy.
+    * Core shared with the streaming twin (`Streams.tumblingAgg`). */
   def eventTumbling(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
-      .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
-        col("n"), col("sum_value_cents"))
+    graft.streaming.Streams.tumblingAgg(Tables.events(spark, dir))
       .orderBy("ws_ms", "event_type")
 
   /** sliding 1-hour windows every 30 minutes (each event lands in two

@@ -28,16 +28,21 @@ object Streams {
 
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)
 
-  /** 1-hour tumbling windows, 10-minute watermark: late events beyond
-    * the watermark are dropped; windows emit once finalized (append). */
-  def tumblingCounts(events: DataFrame): DataFrame =
+  /** The tumbling-window aggregation core, shared by the batch query
+    * (`Events.eventTumbling`) and the watermarked streaming form —
+    * one definition, same rationale as [[sessionWindowAgg]]. */
+  def tumblingAgg(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(graft.functions.TextFunctions.cents(col("value"))).as("sum_value_cents"))
       .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
         col("n"), col("sum_value_cents"))
+
+  /** 1-hour tumbling windows, 10-minute watermark: late events beyond
+    * the watermark are dropped; windows emit once finalized (append). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    tumblingAgg(events.withWatermark("ts", "10 minutes"))
 
   /** Run `tumblingCounts` through the REAL streaming engine over the
     * bounded events fixture: `readStream` file source →
