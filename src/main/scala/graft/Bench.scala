@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   * (exercises the whole plan including sorts — a bare `.count()` lets
   * the optimizer eliminate ordering and prune columns, under-measuring).
   * AQE is on, matching how the engine would run on a real cluster.
+  *
+  * Noise robustness: after the untimed warmup pass (JMH-style — a cold
+  * single shot measures mostly janino codegen + C2 JIT), every query is
+  * measured in N full passes (default 2) and the PER-QUERY MIN is
+  * reported, the steady-state convention: wall-clock noise (host
+  * contention, GC, page cache misses) is strictly additive, so the min
+  * is the noise-robust statistic. A transiently loaded host can
+  * otherwise fake a multi-x regression — the committed round-4 artifact
+  * showed ~127 s for a suite an idle host runs in ~76 s.
+  *
+  * Failures are LOUD: a query that throws is reported by name+message
+  * in the JSON (`failed` count + `failures` map) and excluded from the
+  * total — it can never silently shrink the total into a fake speedup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,33 +37,58 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    def esc(s: String): String = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+
+    def runOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left((e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(300))
+      }
     }
 
     // Warmup pass: run every query once, untimed, before the measured
-    // pass (JMH-style steady-state methodology). A single-shot cold run
-    // measures mostly janino codegen compilation + C2 JIT of the
-    // generated classes — PERF.md: scalar_string is 3.6 s cold and
-    // 0.7 s warm on an identical plan. Same-SF warmup guarantees the
-    // generated-code cache is hot for exactly the plans being measured.
+    // passes. Includes the streaming-engine queries: their first run pays
+    // ~3 s of engine-path JIT on top of the fixed overhead, and the
+    // memory-sink views are dropped per run, so later executions are
+    // leak-free.
     val names = SparkEntry.queries.keys.toSeq.sorted
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // includes the streaming-engine queries: their first run pays ~3 s
-    // of engine-path JIT on top of the fixed overhead (5.7 s cold vs
-    // 2.7 s warm for stream_tumbling), and the memory-sink views are
-    // dropped per run, so the second execution is leak-free
     names.foreach(runOnce)
 
-    val results = names.map(n => n -> runOnce(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val measured: Seq[Map[String, Either[String, Double]]] =
+      (1 to passes).map(_ => names.map(n => n -> runOnce(n)).toMap)
+    // per-query min over the passes a query succeeded in; a query that
+    // failed EVERY pass surfaces its first error
+    val perQuery: Seq[(String, Either[String, Double])] = names.map { n =>
+      val rs = measured.map(_(n))
+      val ok = rs.collect { case Right(t) => t }
+      n -> (if (ok.nonEmpty) Right(ok.min) else rs.head)
+    }
+    val failures = perQuery.collect { case (n, Left(m)) => n -> m }
+    failures.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
+
+    val qs = perQuery.collect { case (n, Right(t)) => "\"" + n + "\":" + t }
+      .mkString("{", ",", "}")
+    val fj = failures.map { case (n, m) => "\"" + esc(n) + "\":\"" + esc(m) + "\"" }
+      .mkString("{", ",", "}")
+    val total = perQuery.collect { case (_, Right(t)) => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":$fj,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -157,6 +157,50 @@ object Streams {
         unix_millis(col("click_ts")).as("click_ms"))
   }
 
+  /** The stream-stream interval join through the real engine,
+    * driver-checked: clicks and purchases are two independent bounded
+    * readStream instances over the same events fixture (a genuine
+    * two-stream join, not a self-join rewrite). Inner interval-join
+    * matches are emitted eagerly as pairs meet (the watermark only
+    * governs state EVICTION, and the interval bound guarantees a click
+    * is never evicted before any purchase that could still match it) —
+    * so on bounded input the append-mode output is the complete,
+    * deterministic match set, oracle = the batch BETWEEN self-join. */
+  def runBoundedIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = graft.tables.Tables.eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+    val purchases = graft.tables.Tables.eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+    runBounded(spark, "stream_interval_join",
+      purchaseAttribution(clicks, purchases),
+      OutputMode.Append(), Seq("purchase_id", "click_id"))
+  }
+
+  /** The custom stateful operator through the real engine,
+    * driver-checked: [[sessionize]] (flatMapGroupsWithState — the
+    * streaming analogue of the kernel's Reduce) over the bounded events
+    * stream. Append mode emits a session when a later event proves the
+    * gap passed, or when the event-time watermark passes its end — so
+    * the deterministic emitted set is exactly the sessions whose end
+    * precedes the FINAL watermark (max event time − the 10-min delay):
+    * earlier sessions of a user are closed by its later events, and the
+    * last session times out iff its end clears that watermark (the
+    * engine's event-time-timeout fires on watermark > timeout, hence
+    * the strict `<`). Both sides filter to that set: the engine output
+    * here, the oracle in its WHERE clause — same contract
+    * (end = last + gap) as the session_window oracle. */
+  def runBoundedSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.tables.Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val res = runBounded(spark, "stream_sessionize", sessionize(spark, ev).toDF(),
+      OutputMode.Append(), Seq("user_id", "start_ms"))
+    val finalWmMs = graft.tables.Tables.events(spark, dir)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0) - 10L * 60 * 1000
+    res.filter(col("end_ms") < finalWmMs)
+  }
+
   /** Streaming exact dedup by event_id with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for ids
     * older than the watermark is evicted (the streaming form of the
