@@ -60,6 +60,14 @@ object Bench {
       }
     }
 
+    // validated BEFORE the warmup: a bad value must fail in the first
+    // second, not after a full untimed pass; non-numeric or <1 falls
+    // back to the default
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .getOrElse(2))
+
     // Warmup pass: run every query once, untimed, before the measured
     // passes. Includes the streaming-engine queries: their first run pays
     // ~3 s of engine-path JIT on top of the fixed overhead, and the
@@ -70,9 +78,16 @@ object Bench {
     catch { case _: Throwable => () }
     names.foreach(runOnce)
 
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // Each measured pass starts cold w.r.t. the shared exact-percentile
+    // table (cleared below): the first percentile query of the pass
+    // re-executes and is charged the table build, the second reuses it —
+    // so the pass total includes the build exactly once, the sharing
+    // design stays visible, and nothing rides for free on the warmup.
     val measured: Seq[Map[String, Either[String, Double]]] =
-      (1 to passes).map(_ => names.map(n => n -> runOnce(n)).toMap)
+      (1 to passes).map { _ =>
+        graft.ops.Relational.clearExactPctCache()
+        names.map(n => n -> runOnce(n)).toMap
+      }
     // per-query min over the passes a query succeeded in; a query that
     // failed EVERY pass surfaces its first error
     val perQuery: Seq[(String, Either[String, Double])] = names.map { n =>
@@ -88,7 +103,9 @@ object Bench {
     val fj = failures.map { case (n, m) => "\"" + esc(n) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = perQuery.collect { case (_, Right(t)) => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":$fj,"passes":$passes,"sf":"$sfDir"}""")
+    // note: records the measurement contract for the artifact's readers —
+    // per-query min over N passes, shared percentile cache evicted per pass
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":$fj,"passes":$passes,"note":"per-query min over passes; exact-percentile cache evicted before each pass","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -269,7 +269,20 @@ object Dedup {
     * Oracle: recursive-CTE transitive closure over the same
     * (brute-force) pair set.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
+      .groupBy("rep")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("rep").as("cluster_rep"), col("cluster_size"))
+      .orderBy("cluster_rep")
+
+  /** Converged connected-component labels (id → rep = component min id)
+    * over the MinHash near-dup pair graph — the shared core of
+    * [[dedupClusters]] (cluster census) and [[dedupClusterKeepBest]]
+    * (per-cluster representative selection). Covers only ids that
+    * appear in at least one near-dup pair; singleton docs are their own
+    * cluster and are re-attached by the caller. */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(spark, dir).select("id_a", "id_b")
     // undirected edge list
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -308,12 +321,34 @@ object Dedup {
     // fail loudly rather than return a silently-partial clustering.
     if (changed > 0)
       throw new IllegalStateException(
-        s"dedupClusters: label propagation did not converge in $maxIters rounds " +
+        s"clusterLabels: label propagation did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters for deeper components")
     labels
-      .groupBy("rep")
-      .agg(count(lit(1)).as("cluster_size"))
-      .select(col("rep").as("cluster_rep"), col("cluster_size"))
+  }
+
+  /** Per-CLUSTER keep-best — the composition real dedup pipelines run
+    * after pair detection: every document lands in its connected
+    * component (singletons included), and each cluster keeps its
+    * highest-quality member. Quality is the same packed
+    * length-then-lower-id score as [[dedupKeepBest]] (which groups on a
+    * heuristic prefix key; this groups on the ACTUAL near-dup clusters
+    * from [[clusterLabels]]). Scale shape: the labels table is
+    * near-dup-members only — orders of magnitude smaller than the
+    * corpus — so the left join broadcasts it, and the groupBy shuffle
+    * carries (rep, id, score), never text. Oracle: the recursive-CTE
+    * transitive closure + arg_max over the same corpus. */
+  def dedupClusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("rep"))
+    val score = length(col("text")).cast("long") * 10000000L + (lit(10000000L) - col("doc_id"))
+    nearDupCorpus(spark, dir)
+      .select(col("doc_id"), score.as("score"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"), col("score"))
+      .groupBy("cluster_rep")
+      .agg(
+        max_by(col("doc_id"), col("score")).as("keep_id"),
+        count(lit(1)).as("cluster_size"))
       .orderBy("cluster_rep")
   }
 
@@ -424,6 +459,32 @@ object Dedup {
          |SELECT rep AS cluster_rep, count(*) AS cluster_size FROM (
          |  SELECT src AS id, least(src, min(dst)) AS rep FROM reach GROUP BY src
          |) t GROUP BY rep ORDER BY cluster_rep""".stripMargin)(dedupClusters),
+    QueryDef.sql("dedup_cluster_keep_best",
+      s"""WITH RECURSIVE $corpusSql, $shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |),
+         |labels AS (
+         |  SELECT src AS id, least(src, min(dst)) AS rep FROM reach GROUP BY src
+         |)
+         |SELECT coalesce(l.rep, c.doc_id) AS cluster_rep,
+         |       arg_max(c.doc_id, length(c.text) * 10000000 + (10000000 - c.doc_id)) AS keep_id,
+         |       count(*) AS cluster_size
+         |FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id
+         |GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin)(dedupClusterKeepBest),
     QueryDef.sql("ngram_jaccard",
       s"""WITH $corpusSql, grams AS (
          |  SELECT doc_id, list_distinct(list_transform(

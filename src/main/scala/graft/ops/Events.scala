@@ -136,6 +136,36 @@ object Events {
       |       count(*) AS n_events, CAST(sum(v_cents) AS BIGINT) AS sum_value_cents
       |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin
 
+  /** Oracle for the engine-run `flatMapGroupsWithState` sessionize: the
+    * same gap-session derivation as [[sessionWindowOracleSql]] (end =
+    * last event + gap; no value sum — `Streams.SessionOut` carries
+    * counts only), restricted to the deterministic emittable set — the
+    * sessions whose end precedes the FINAL watermark (max event time −
+    * the 10-minute delay). `Streams.runBoundedSessionize` applies the
+    * identical predicate to the engine output, so both sides filter
+    * with one contract (see its doc comment for the emission argument).
+    */
+  private val streamSessionizeOracleSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS start_ms,
+      |         max(epoch_ms(ts)) + 1800000 AS end_ms, count(*) AS n_events
+      |  FROM sessions GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, start_ms, end_ms, n_events FROM sess
+      |WHERE end_ms < (SELECT max(epoch_ms(ts)) - 600000 FROM events)
+      |ORDER BY user_id, start_ms""".stripMargin
+
   private val tumblingOracleSql =
     """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
       |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
@@ -200,5 +230,20 @@ object Events {
     QueryDef.sql("event_session_window", sessionWindowOracleSql)(sessionWindow),
     QueryDef.sql("stream_session_window", sessionWindowOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedSessionWindow(s, d)),
+    // the stream-stream interval join through the real engine; the
+    // oracle is the batch BETWEEN self-join (eager inner-join emission
+    // makes the bounded append output the complete match set — see
+    // Streams.runBoundedIntervalJoin)
+    QueryDef.sql("stream_interval_join",
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |       epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 15 MINUTE AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedIntervalJoin(s, d)),
+    QueryDef.sql("stream_sessionize", streamSessionizeOracleSql)(
+      (s, d) => graft.streaming.Streams.runBoundedSessionize(s, d)),
   )
 }

@@ -129,16 +129,23 @@ object Multimodal {
   }
 
   val entries: Seq[QueryDef] = Seq(
-    // NOTE: the media_features oracle counts characters per range and
-    // pins b2=b3=0 — equivalent to the Spark byte histogram only for
-    // pure-ASCII fixtures (which TESTDATA guarantees). Non-ASCII text
-    // would need a byte-level oracle.
+    // BYTE-exact oracle, valid for any fixture (non-ASCII included):
+    // the utf-8 bytes' high nibbles via hex(encode(text)) — nibble 0-3
+    // ⇒ byte < 0x40 (bin 0), 4-7 ⇒ bin 1, 8-B ⇒ bin 2, C-F ⇒ bin 3 —
+    // exactly the `(b & 0xFF) / 64` binning the Spark side computes.
     QueryDef.sql("media_features",
-      """SELECT doc_id,
-        |  CAST(length(text) - length(regexp_replace(text, '[\x00-\x3f]', '', 'g')) AS BIGINT) AS b0,
-        |  CAST(length(text) - length(regexp_replace(text, '[\x40-\x7f]', '', 'g')) AS BIGINT) AS b1,
-        |  CAST(0 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS b3
-        |FROM documents ORDER BY doc_id""".stripMargin)(featureExtract),
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |n AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(hx) // 2),
+        |         i -> substr(hx, CAST(2 * i - 1 AS INT), 1)) AS nib
+        |  FROM h
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(nib, c -> c BETWEEN '0' AND '3')) AS BIGINT) AS b0,
+        |  CAST(len(list_filter(nib, c -> c BETWEEN '4' AND '7')) AS BIGINT) AS b1,
+        |  CAST(len(list_filter(nib, c -> c BETWEEN '8' AND 'B')) AS BIGINT) AS b2,
+        |  CAST(len(list_filter(nib, c -> c BETWEEN 'C' AND 'F')) AS BIGINT) AS b3
+        |FROM n ORDER BY doc_id""".stripMargin)(featureExtract),
     QueryDef.sql("media_frames",
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
         |       (CAST(octet_length(encode(text)) AS BIGINT) * 31 + f) % 1000000007 AS frame_hash

@@ -365,7 +365,19 @@ object Relational {
   private val exactPctCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def exactPricePercentiles(spark: SparkSession, dir: String): DataFrame =
+  /** Drop all memoized percentile tables. The bench calls this before
+    * every measured pass so the table build is re-executed and measured
+    * (within a pass the second of the two percentile queries still
+    * reuses it — that cross-query sharing is the design being
+    * benchmarked); long-lived multi-session servers can call it on
+    * session teardown. */
+  def clearExactPctCache(): Unit = exactPctCache.clear()
+
+  private def exactPricePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    // self-cleaning: entries keyed by a stopped session would otherwise
+    // pin that session (and its checkpoint blocks) for the process
+    // lifetime — drop them whenever any live session comes through.
+    exactPctCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     exactPctCache.getOrElseUpdate((spark, dir),
       Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
@@ -375,6 +387,7 @@ object Relational {
           "percentile(pc, array(0.5, 0.9, 0.99, 0.45, 0.55, 0.85, 0.95), freq)").as("ps"))
         // 3 rows — the checkpoint pins the tiny result, not the scan
         .localCheckpoint())
+  }
 
   /** arg_min/arg_max with a composite deterministic score (price ties
     * broken by key inside the score, so the argmax is unique). */
@@ -496,6 +509,40 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("lang")
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close() // the stream holds directory fds until closed
+    }
+  }
+
+  /** Partitioned-directory round-trip, driver-checked: events written as
+    * a date-partitioned tree (`day=YYYY-MM-DD/…` — the #1 layout
+    * decision at 100 TB: a day's query opens a day's directories, not
+    * the lake), read back through partition discovery, filtered to a
+    * 3-day range so partition PRUNING serves the scan (27 of the 30 day
+    * directories are never opened — PartitionPruningSpec asserts the
+    * pruned file set for this exact read shape), then aggregated.
+    * The read passes the writer's schema explicitly, which keeps the
+    * partition column the STRING the directory names carry (partition
+    * type inference would widen `day` to DATE — a type drift against
+    * the oracle's strftime, and a cast between the filter and the
+    * partition values). The temp tree is deleted after the result is
+    * materialized (localCheckpoint), like the csv round-trip above. */
+  def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    try {
+      val events = Tables.events(spark, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      events.write.mode("overwrite").partitionBy("day").parquet(tmp)
+      spark.read.schema(events.schema).parquet(tmp)
+        .filter(col("day").between("2024-01-02", "2024-01-04"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
+        .orderBy("day", "event_type")
         .localCheckpoint()
     } finally {
       import scala.jdk.CollectionConverters._
@@ -825,6 +872,15 @@ object Relational {
         |       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS min_price_key,
         |       max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(argMinMax),
+    // `TRUE AS within_bounds` is a literal CLAIM, not a computation: the
+    // Spark side really computes |approx − exact| ≤ 5·rsd·exact
+    // (rsd=0.01 ⇒ 5%). The slack is deliberately 5× the 1-sigma rsd —
+    // HLL++'s realized error is data- and cardinality-dependent (sparse
+    // mode is near-exact at small SF; dense mode's error grows toward
+    // ~1·rsd at large cardinalities), so the literal stays TRUE across
+    // every scale factor the driver runs; if a future SF ever violated
+    // it, the mismatch would surface loudly as a hash fail, not
+    // silently pass.
     QueryDef.sql("approx_distinct",
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, count(*) AS n_rows,
         |       TRUE AS within_bounds
@@ -843,6 +899,13 @@ object Relational {
     QueryDef.sql("csv_roundtrip",
       """SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(csvRoundtrip),
+    // fixture-stable date range: events span 2024-01-01..30 at every SF
+    QueryDef.sql("partitioned_roundtrip",
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-02' AND '2024-01-04'
+        |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin)(partitionedRoundtrip),
     QueryDef.sql("bucketed_join",
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -153,6 +153,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bounded engine interval join equals the batch BETWEEN self-join") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.runBoundedIntervalJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val want = p.join(c, p("user_id") === c("cu") &&
+        c("cts") <= p("pts") && c("cts") >= p("pts") - expr("INTERVAL 15 minutes"))
+      .select(p("user_id"), col("purchase_id"), col("click_id"),
+        unix_millis(col("pts")), unix_millis(col("cts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(want.nonEmpty, "fixture produced no purchase←click attributions")
+    assert(got == want)
+  }
+
+  test("bounded engine sessionize equals the watermark-filtered batch sessions") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.runBoundedSessionize(spark, sfDir)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val events = graft.tables.Tables.events(spark, sfDir)
+    val finalWm = events.agg(max(unix_millis(col("ts")))).head().getLong(0) - 600000L
+    // batch truth: the native session_window aggregation (same end =
+    // last + gap contract), restricted to the emittable set
+    val want = Streams.sessionWindowAgg(events)
+      .filter(col("end_ms") < finalWm)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty, "fixture produced no closed sessions")
+    assert(got == want)
+  }
+
   test("stateful sessionization emits a session once the gap passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
