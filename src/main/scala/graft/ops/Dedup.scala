@@ -281,8 +281,28 @@ object Dedup {
     * [[dedupClusters]] (cluster census) and [[dedupClusterKeepBest]]
     * (per-cluster representative selection). Covers only ids that
     * appear in at least one near-dup pair; singleton docs are their own
-    * cluster and are re-attached by the caller. */
+    * cluster and are re-attached by the caller.
+    *
+    * Memoized per (session, dir), exactly like `Relational`'s exact
+    * percentile table: in a real pipeline the labels are a materialized
+    * TABLE that both the cluster census and the representative
+    * selection read — re-running pair detection + label propagation
+    * per consumer would be pure duplicated work. The bench evicts this
+    * cache before every measured pass (so the first cluster query of a
+    * pass is charged the build), and entries for stopped sessions
+    * self-clean on the next access. */
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop the memoized cluster-label tables (see [[clusterLabels]]). */
+  def clearLabelsCache(): Unit = labelsCache.clear()
+
   def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    labelsCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    labelsCache.getOrElseUpdate((spark, dir), computeClusterLabels(spark, dir))
+  }
+
+  private def computeClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(spark, dir).select("id_a", "id_b")
     // undirected edge list
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

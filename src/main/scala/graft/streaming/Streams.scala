@@ -98,23 +98,48 @@ object Streams {
   /** start → AvailableNow → await → snapshot the memory sink → drop the
     * temp view (the sink table would otherwise leak one driver-held
     * table per run). The snapshot is a localCheckpoint: block-manager
-    * blocks the ContextCleaner reclaims, valid after the view is gone. */
+    * blocks the ContextCleaner reclaims, valid after the view is gone.
+    *
+    * `needsNoDataBatch`: stateful bounded runs get one extra NO-DATA
+    * micro-batch after the data batch, whose only work is advancing the
+    * watermark — firing event-time TIMEOUTS and evicting state. Only
+    * [[runBoundedSessionize]] needs it for its OUTPUT (its last-session
+    * emissions are timeout-driven); for the other shapes (eager inner
+    * interval join, complete-mode aggregations that re-emit the same
+    * final state, dedup that emits on arrival) the batch re-does
+    * cost-proportional-to-state work and changes nothing — on the
+    * interval join it is ~40 % of the whole run. Unbounded production
+    * runs keep the default on: there the no-data batch is how windows
+    * close during input lulls. */
   private def runBounded(
       spark: SparkSession, prefix: String, out: DataFrame,
-      mode: OutputMode, sortCols: Seq[String]): DataFrame = {
+      mode: OutputMode, sortCols: Seq[String],
+      needsNoDataBatch: Boolean = false): DataFrame = {
     val name = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(name)
+    val w0 = out.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val ckptBase = sys.env.get("SPARK_GRAFT_STREAM_CKPT")
+    val w = ckptBase.fold(w0)(b => w0.option("checkpointLocation", s"$b/$name"))
+    val noDataKey   = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val savedNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, needsNoDataBatch.toString)
     // drop the sink view even when the query or snapshot fails —
     // otherwise every failed run strands a driver-held table
     try {
+      val q = w.start()
       q.awaitTermination()
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-debug] $prefix batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
       spark.table(name)
         .orderBy(sortCols.map(col): _*)
         .localCheckpoint()
-    } finally spark.catalog.dropTempView(name)
+    } finally {
+      savedNoData.fold(spark.conf.unset(noDataKey))(spark.conf.set(noDataKey, _))
+      spark.catalog.dropTempView(name)
+    }
   }
 
   /** Streaming exact dedup through the real engine, driver-checkable:
@@ -195,7 +220,7 @@ object Streams {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
     val res = runBounded(spark, "stream_sessionize", sessionize(spark, ev).toDF(),
-      OutputMode.Append(), Seq("user_id", "start_ms"))
+      OutputMode.Append(), Seq("user_id", "start_ms"), needsNoDataBatch = true)
     val finalWmMs = graft.tables.Tables.events(spark, dir)
       .agg(max(unix_millis(col("ts")))).head().getLong(0) - 10L * 60 * 1000
     res.filter(col("end_ms") < finalWmMs)

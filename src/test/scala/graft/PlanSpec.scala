@@ -32,6 +32,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_cluster_keep_best broadcasts the labels and never shuffles text") {
+    val p = planOf("dedup_cluster_keep_best")
+    assert(p.contains("BroadcastHashJoin"), "labels join not broadcast")
+    // the keep-best aggregation input is (id, score, rep) — the corpus
+    // text must be reduced to a score BEFORE any exchange
+    val exchangeOn = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+    assert(exchangeOn.forall(!_.contains("text")), "document text entered a shuffle")
+  }
+
   test("topk plans TakeOrderedAndProject, not a global sort") {
     val p = planOf("topk")
     assert(p.contains("TakeOrderedAndProject"))
