@@ -124,6 +124,20 @@ object Streams {
     val noDataKey   = "spark.sql.streaming.noDataMicroBatches.enabled"
     val savedNoData = spark.conf.getOption(noDataKey)
     spark.conf.set(noDataKey, needsNoDataBatch.toString)
+    // State-partition sizing. A streaming query's shuffle-partition
+    // count is fixed at checkpoint creation and sets the number of
+    // state-store instances (a stream-stream join runs FOUR per
+    // partition); each instance pays per-batch fixed costs (provider
+    // init, delta commit, maintenance) regardless of how little state
+    // it holds. Production sizing is state volume / executor count —
+    // for these bounded verification runs state is ≤ ~100k rows, where
+    // 32 partitions × 4 stores is pure fixed-cost overhead: measured at
+    // sf0.1, the interval join's data batch drops ~2× going 32 → 8
+    // partitions with identical output. 8 keeps real parallelism while
+    // right-sizing the store count; override for experiments via env.
+    val partKey   = "spark.sql.shuffle.partitions"
+    val savedPart = spark.conf.getOption(partKey)
+    spark.conf.set(partKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
     // drop the sink view even when the query or snapshot fails —
     // otherwise every failed run strands a driver-held table
     try {
@@ -138,6 +152,7 @@ object Streams {
         .localCheckpoint()
     } finally {
       savedNoData.fold(spark.conf.unset(noDataKey))(spark.conf.set(noDataKey, _))
+      savedPart.fold(spark.conf.unset(partKey))(spark.conf.set(partKey, _))
       spark.catalog.dropTempView(name)
     }
   }
