@@ -537,7 +537,13 @@ object Relational {
     try {
       val events = Tables.events(spark, dir)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      events.write.mode("overwrite").partitionBy("day").parquet(tmp)
+      // repartition on the partition column BEFORE partitionBy: without
+      // it every task writes every day directory — tasks × days small
+      // files, the layout killer at scale (32 tasks × 30 days here;
+      // thousands × thousands on a cluster). With it, each day's rows
+      // land in one task and each directory gets one well-sized file.
+      events.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
       spark.read.schema(events.schema).parquet(tmp)
         .filter(col("day").between("2024-01-02", "2024-01-04"))
         .groupBy("day", "event_type")
