@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time" line off stdout, and give forked runs
+// the real stdout/stderr instead of the "[info] "-prefixing logger: the
+// bench driver captures only the final ~2000 bytes of stdout and
+// JSON-parses the last line, so both the prefix and every byte of
+// trailing log output break or eat the benchmark line's budget.
+showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

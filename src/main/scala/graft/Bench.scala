@@ -100,14 +100,45 @@ object Bench {
     val failures = perQuery.collect { case (n, Left(m)) => n -> m }
     failures.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
 
-    val qs = perQuery.collect { case (n, Right(t)) => "\"" + n + "\":" + t }
-      .mkString("{", ",", "}")
+    val ok = perQuery.collect { case (n, Right(t)) => n -> t }
     val fj = failures.map { case (n, m) => "\"" + esc(n) + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = perQuery.collect { case (_, Right(t)) => t }.sum
-    // note: records the measurement contract for the artifact's readers —
-    // per-query min over N passes, shared percentile cache evicted per pass
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failures.size},"failures":$fj,"passes":$passes,"note":"per-query min over passes; shared materialized tables (exact percentiles, cluster labels) evicted before each pass","sf":"$sfDir"}""")
+
+    // The driver captures only the LAST ~2000 bytes of stdout and JSON-parses
+    // the final line; rounds 1-6 emitted full-precision per-query times on one
+    // ~3.5 KB line, so the artifact's `parsed` field was always null (the line
+    // was truncated mid-object). Emit the contract line COMPACT — fixed-point
+    // per-query seconds, methodology note on stderr — and degrade the map
+    // (fewer decimals, then slowest-subset + "omitted" count) if the query set
+    // ever outgrows the budget. Full precision goes to stderr + bench_detail
+    // .json for humans; the stdout line is the machine-read artifact.
+    def fmt(t: Double, dec: Int): String = s"%.${dec}f".format(t)
+    def line(dec: Int, keep: Int): String = {
+      val kept = if (keep >= ok.size) ok
+                 else ok.sortBy(-_._2).take(keep).sortBy(_._1)
+      val qs = kept.map { case (n, t) => "\"" + n + "\":" + fmt(t, dec) }
+        .mkString("{", ",", "}")
+      val omitted = if (keep >= ok.size) "" else s""","omitted":${ok.size - keep}"""
+      s"""{"metric":"total","queries":$qs,"failed":${failures.size},"failures":$fj,"passes":$passes,"sf":"$sfDir"$omitted,"value":${fmt(total, 3)},"unit":"sec"}"""
+    }
+    val budget = 1900 // driver tail window minus headroom for trailing log lines
+    val out = Seq(line(3, Int.MaxValue), line(2, Int.MaxValue))
+      .find(_.length <= budget)
+      .getOrElse {
+        // keep the slowest queries that fit; binary-search the count
+        val k = (1 to ok.size).takeWhile(k => line(2, k).length <= budget).lastOption.getOrElse(1)
+        line(2, k)
+      }
+    val full = perQuery.collect { case (n, Right(t)) => "\"" + n + "\":" + t }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":${failures.size},"failures":$fj,"passes":$passes,"note":"per-query min over $passes passes; untimed warmup; shared materialized tables (exact percentiles, cluster labels) evicted before each pass","sf":"$sfDir"}"""
+    System.err.println(s"[bench] full-precision: $fullJson")
+    try {
+      val p = java.nio.file.Paths.get("bench_detail.json")
+      java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // detail file is best-effort
+    println(out)
     spark.stop()
   }
 }
