@@ -73,7 +73,13 @@ object Bench {
     // ~3 s of engine-path JIT on top of the fixed overhead, and the
     // memory-sink views are dropped per run, so later executions are
     // leak-free.
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named queries —
+    // the local perf-iteration loop (profile one query without paying
+    // the full suite). Unset = the driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     names.foreach(runOnce)

@@ -71,6 +71,121 @@ object TextMath {
     x ^ (x >>> 31)
   }
 
+  @inline private def foldMin(sig: Array[Long], base: Long): Unit = {
+    val k = sig.length
+    var j = 0
+    while (j < k) {
+      val h = mix64(base + 0x9E3779B97F4A7C15L * (j + 1))
+      if (h < sig(j)) sig(j) = h
+      j += 1
+    }
+  }
+
+  /** Open-addressed set of base hashes: fold each DISTINCT base into the
+    * signature exactly once. The k-mix fold only depends on the base
+    * hash, so dedup-by-base is output-identical to dedup-by-shingle —
+    * and on repetitive text (the common case: natural language repeats
+    * n-grams heavily) it cuts the k×windows mix cost to k×distinct.
+    * Linear probing over a power-of-two table; 0 is the empty marker
+    * (a real 0 base hash would be folded once per occurrence — min is
+    * idempotent, so that stays correct, just unshortcut).
+    */
+  private final class BaseSet(expected: Int) {
+    private var cap  = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+    private var mask = cap - 1
+    private var tab  = new Array[Long](cap)
+    private var n    = 0
+    /** returns true if newly added. */
+    def add(h: Long): Boolean = {
+      if (h == 0L) return true
+      if (n * 4 >= cap * 3) grow()
+      var i = (mix64(h) & mask).toInt
+      while (true) {
+        val v = tab(i)
+        if (v == 0L) { tab(i) = h; n += 1; return true }
+        if (v == h) return false
+        i = (i + 1) & mask
+      }
+      false
+    }
+    private def grow(): Unit = {
+      val old = tab
+      cap <<= 1; mask = cap - 1; tab = new Array[Long](cap); n = 0
+      var i = 0
+      while (i < old.length) { if (old(i) != 0L) add(old(i)); i += 1 }
+    }
+  }
+
+  /** Fused char-n-gram MinHash: the signature of
+    * `minhashSignature(charNGramsDistinct(text, n), k)` computed straight
+    * from the text — min over a multiset equals min over its set, so the
+    * distinct-shingle hash set and the shingle *array* never exist. One
+    * UTF-8 byte walk finds code-point starts; each window is hashed
+    * zero-copy (`fromBytes` aliases the buffer). This keeps the LSH map
+    * side allocation-free per window — the shingle arrays are only ever
+    * built for the (tiny) verified candidate set.
+    */
+  def minhashCharGrams(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val bytes = text.getBytes
+    // code-point start offsets within the UTF-8 buffer
+    val offs = new Array[Int](bytes.length + 1)
+    var cp = 0
+    var i  = 0
+    while (i < bytes.length) {
+      offs(cp) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      cp += 1
+    }
+    offs(cp) = bytes.length
+    val seen = new BaseSet(math.max(0, cp - n + 1))
+    var w = 0
+    while (w <= cp - n) {
+      val start = offs(w)
+      val gram  = UTF8String.fromBytes(bytes, start, offs(w + n) - start)
+      val base  = XxHash64Function.hash(gram, StringType, 42L)
+      if (seen.add(base)) foldMin(sig, base)
+      w += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  /** Fused word-n-gram MinHash: same signature as
+    * `minhashSignature(wordNGramsDistinct(text, n), k)` (single-space
+    * tokenization, grams joined by single spaces) without materializing
+    * the gram set. Each window re-hashes the exact byte span of the
+    * joined gram — for space-separated tokens that span is contiguous in
+    * the original text, so windows are again zero-copy slices.
+    */
+  def minhashWordGrams(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val bytes = text.getBytes
+    // token start offsets (split-on-single-space semantics: empty tokens
+    // between consecutive spaces count, matching String.split(" ", -1))
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) starts.add(i + 1)
+      i += 1
+    }
+    val nt   = starts.size()
+    val seen = new BaseSet(math.max(0, nt - n + 1))
+    var w    = 0
+    while (w <= nt - n) {
+      val start = starts.get(w).intValue()
+      val end =
+        if (w + n < nt) starts.get(w + n).intValue() - 1 else bytes.length
+      val gram = UTF8String.fromBytes(bytes, start, end - start)
+      val base = XxHash64Function.hash(gram, StringType, 42L)
+      if (seen.add(base)) foldMin(sig, base)
+      w += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
   private val threadMd5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
@@ -290,6 +405,28 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHashCharGrams(string, n, k) -> array<long>: fused
+  * shingle-and-minhash (see `TextMath.minhashCharGrams`), codegen'd. */
+case class MinHashCharGrams(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextMath.minhashCharGrams(v.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextMath.minhashCharGrams($c, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHashWordGrams(string, n, k) -> array<long>: fused
+  * shingle-and-minhash (see `TextMath.minhashWordGrams`), codegen'd. */
+case class MinHashWordGrams(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextMath.minhashWordGrams(v.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextMath.minhashWordGrams($c, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHashSig(array<string>, k) -> array<long>, codegen'd via static call. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -334,6 +471,15 @@ object TextFunctions {
 
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+
+  /** fused text→signature forms of `minhashSig(…ShinglesDistinct(text))`
+    * — identical values (min over a multiset = min over its set) with no
+    * per-row shingle-array allocation. */
+  def minhashCharGramsCol(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(MinHashCharGrams(ColumnBridge.expression(text), n, k))
+
+  def minhashWordGramsCol(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(MinHashWordGrams(ColumnBridge.expression(text), n, k))
 
   /** exact Jaccard over the *sets* of two arrays (duplicates ignored). */
   def jaccard(a: Column, b: Column): Column = {

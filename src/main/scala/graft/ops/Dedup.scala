@@ -100,53 +100,71 @@ object Dedup {
     docs.union(truncated)
   }
 
-  private def shingled(corpus: DataFrame): DataFrame =
-    corpus
-      .withColumn("shingles", wordShinglesDistinct(col("text"), 3))
-      .filter(size(col("shingles")) > 0)
-
-  /** set-jaccard from distinct-shingle arrays, via |∩|/(|A|+|B|-|∩|) so
-    * both engines compute the same exact integer ratio; single-pass
-    * codegen'd expression (array_intersect is O(n²) per pair). */
-  private def jaccardOf(a: Column, b: Column): Column =
-    jaccardDistinctCol(a, b)
-
-  /** LSH banding candidate pairs from a (doc_id, shingles) frame:
-    * signature map-side per row, explode only (band, bandHash, id) —
-    * the shingle arrays do NOT travel through the self-join; they're
-    * re-attached to the (much smaller) candidate pair set afterwards.
+  /** LSH banding candidate pairs from a (idCol, text) frame, verified by
+    * exact set-jaccard.
+    *
+    * The signature is computed by the FUSED text→minhash kernels
+    * (`MinHashCharGrams`/`MinHashWordGrams`): min over a multiset equals
+    * min over its set, so the distinct-shingle arrays never exist on the
+    * map side — the banding pass is one allocation-free byte walk per
+    * row, and only (id, band, bandHash) rows enter the self-join
+    * shuffle. The shingle SETS are built only at verification time, on
+    * the (tiny) candidate pair set, where `jaccardDistinctCol` computes
+    * the exact |∩|/(|A|+|B|-|∩|) rational both engines agree on
+    * (array_intersect is O(n²) per pair; the codegen'd kernel is one
+    * hash set).
+    *
+    * Only the band table is materialized (localCheckpoint — the
+    * self-join reads it twice; at cluster scale this is the standard
+    * materialized signature table of an LSH pipeline). The (id, text)
+    * base is NOT: it is a pushed-down column scan both the banding pass
+    * and the candidate re-attach read straight from the source.
     */
   private def lshCandidatesVerified(
-      docs0: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    // materialize: the shingle+signature pipeline feeds both sides of
-    // the band self-join and both verify re-attach joins — without a
-    // materialization Spark recomputes it 4×. localCheckpoint (not
-    // persist) so nothing registers in the CacheManager forever; the
-    // ContextCleaner reclaims the blocks once unreferenced. At cluster
-    // scale this is the materialized signature *table* of a standard
-    // LSH pipeline (a reliable checkpoint / intermediate write).
-    val docs = docs0.localCheckpoint()
-    val sigs = docs
-      .withColumn("sig", minhashSig(col("shingles"), NumHashes))
-    val bands = sigs.select(
-      col(idCol),
-      explode(transform(sequence(lit(0), lit(NumBands - 1)),
-        j => struct(j.as("band"),
-          xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)), j).as("bh"))))
-        .as("b"))
+      docs0: DataFrame, idCol: String,
+      wordGrams: Boolean, n: Int, threshold: Double): DataFrame = {
+    // same row set the shingle-array pipeline kept: at least one window
+    val hasWindow =
+      if (wordGrams) size(split(col("text"), " ", -1)) >= n
+      else length(col("text")) >= n
+    val base = docs0.filter(hasWindow).select(col(idCol), col("text"))
+    val sig =
+      if (wordGrams) minhashWordGramsCol(col("text"), n, NumHashes)
+      else minhashCharGramsCol(col("text"), n, NumHashes)
+    val bands = base
+      .withColumn("sig", sig)
+      .select(
+        col(idCol),
+        explode(transform(sequence(lit(0), lit(NumBands - 1)),
+          j => struct(j.as("band"),
+            xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)), j).as("bh"))))
+          .as("b"))
       .select(col(idCol), col("b.band"), col("b.bh"))
       .localCheckpoint()
+    // AQE would coalesce this small ids-only set to ~1 partition (it
+    // coalesces by BYTES, blind to downstream compute cost) and the
+    // whole verify stage would run single-threaded — the classic
+    // small-bytes/heavy-cpu AQE misfire. Repartitioning on the join key
+    // pins the verify parallelism explicitly.
     val candidates = bands.as("l")
       .join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
-    val sets = docs.select(col(idCol), col("shingles"))
+      .repartition(docs0.sparkSession.sparkContext.defaultParallelism, col("id_a"))
+    def shinglesOf(t: Column): Column =
+      if (wordGrams) wordShinglesDistinct(t, n) else charShinglesDistinct(t, n)
+    // Verify attaches TEXTS to the pair set and rebuilds each side's
+    // shingle set in the verify stage itself. Shipping text costs fewer
+    // shuffle bytes than shipping prebuilt shingle arrays (a char-n-gram
+    // array is ~n× its text), and shuffle volume — not CPU — is the
+    // binding constraint at scale; the per-pair recompute is fully
+    // parallel thanks to the repartition above.
     candidates
-      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sa")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sb")), "id_b")
-      .withColumn("jaccard", jaccardOf(col("sa"), col("sb")))
+      .join(base.select(col(idCol).as("id_a"), col("text").as("ta")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("text").as("tb")), "id_b")
+      .withColumn("jaccard", jaccardDistinctCol(shinglesOf(col("ta")), shinglesOf(col("tb"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -154,7 +172,8 @@ object Dedup {
 
   /** MinHash + LSH banding near-dup pairs, verified by exact jaccard. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    lshCandidatesVerified(shingled(nearDupCorpus(spark, dir)), "doc_id", JaccardThreshold)
+    lshCandidatesVerified(nearDupCorpus(spark, dir), "doc_id",
+      wordGrams = true, n = 3, JaccardThreshold)
 
   /** SimHash near-dup: 64-bit signature per doc (map-side, codegen'd),
     * candidates via 16-bit chunk collision, verified by exact hamming
@@ -203,12 +222,8 @@ object Dedup {
     * ~linear cost. This *is* the 100 TB shape; the oracle proves it
     * exact at oracle scale. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = nearDupCorpus(spark, dir)
-      .filter(col("doc_id") % 5 === 0)
-      .withColumn("shingles", charShinglesDistinct(col("text"), 5))
-      .filter(size(col("shingles")) > 0)
-      .select("doc_id", "shingles")
-    lshCandidatesVerified(corpus, "doc_id", 0.7)
+    val corpus = nearDupCorpus(spark, dir).filter(col("doc_id") % 5 === 0)
+    lshCandidatesVerified(corpus, "doc_id", wordGrams = false, n = 5, 0.7)
   }
 
   /** embedding-cosine near-dup: corpus = embeddings ∪ exact copies

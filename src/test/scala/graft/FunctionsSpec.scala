@@ -78,6 +78,33 @@ class FunctionsSpec extends SparkSpec {
     assert(sigs.values.forall(_.size == 64))
   }
 
+  test("fused minhash kernels equal the shingle-then-sign composition") {
+    // includes multi-byte code points, repeated grams (the multiset=set
+    // property), consecutive/trailing spaces (empty-token split edges),
+    // and below-window-length inputs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaaaaaa"),
+      (3L, "naïve café naïve café déjà vu déjà vu"),
+      (4L, "double  space  and trailing "),
+      (5L, "ab"),
+      (6L, "日本語のテキストです 日本語のテキストです and some ascii")
+    ).toDF("id", "text")
+    val k = 32
+    for (n <- Seq(3, 5)) {
+      val rows = docs.select(
+        TextFunctions.minhashCharGramsCol(col("text"), n, k).as("fused_c"),
+        TextFunctions.minhashSig(TextFunctions.charShinglesDistinct(col("text"), n), k).as("comp_c"),
+        TextFunctions.minhashWordGramsCol(col("text"), n, k).as("fused_w"),
+        TextFunctions.minhashSig(TextFunctions.wordShinglesDistinct(col("text"), n), k).as("comp_w")
+      ).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"char $n-grams diverge")
+        assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"word $n-grams diverge")
+      }
+    }
+  }
+
   test("wordShingles/charShingles handle short inputs") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "text")
     val out = df.select(col("id"),
