@@ -20,6 +20,7 @@ object SparkEntry {
     Centroids.entries,
     TopK.entries,
     Dedup.entries,
+    Lake.entries,
     Similarity.entries,
     TextAnalysis.entries,
     Multimodal.entries,

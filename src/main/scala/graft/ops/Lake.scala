@@ -1,0 +1,217 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-lake layout & maintenance operators — the table-management side
+  * of a 100 TB training-data pipeline: secondary source/sink formats
+  * (JSON lines, ORC), small-file compaction, and incremental aggregate
+  * maintenance (snapshot + delta merge vs full recompute).
+  *
+  * Reference scope note: the reference engine's only sink is an
+  * in-memory list printed to stdout (`Search.cpp:301-303`); everything
+  * here is north-star extension surface, driver-checked like the rest.
+  */
+object Lake {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** run `f` against a fresh temp dir, deleting the tree afterwards. */
+  private def withTempDir[A](prefix: String)(f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try f(tmp)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close() // the stream holds directory fds until closed
+    }
+  }
+
+  /** JSON-lines round-trip, driver-checked: write a projection to JSON,
+    * read it back with an explicit schema, aggregate. Money leaves as
+    * integer cents BEFORE the write — JSON round-trips longs and strings
+    * losslessly, while double formatting would drift. Explicit read
+    * schema: schema inference over JSON is a full extra pass at scale
+    * and can widen types under drift. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-json") { tmp =>
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .write.mode("overwrite").json(tmp)
+      spark.read
+        .schema("o_orderkey LONG, o_orderstatus STRING, price_cents LONG")
+        .json(tmp)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    }
+
+  /** ORC round-trip, driver-checked: the second columnar format next to
+    * parquet — binary-exact for doubles, predicate-pushdown-capable.
+    * Same shape as the parquet path: write a projection, read it back,
+    * aggregate to cents. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-orc") { tmp =>
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").orc(tmp)
+      spark.read.orc(tmp)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+        .orderBy("l_returnflag")
+        .localCheckpoint()
+    }
+
+  /** Target compacted file size. 128 MB locally and at scale — the
+    * standard parquet target; the fixture tables compact to one file. */
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Compact a parquet directory into ceil(bytes/target) files; returns
+    * (filesBefore, filesAfter). Listing goes through the Hadoop
+    * FileSystem API — the same call pattern works on HDFS/object
+    * stores, where the small-files problem actually lives. */
+  def compactTo(spark: SparkSession, srcDir: String, dstDir: String,
+      targetBytes: Long = CompactTargetBytes): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val src = new Path(srcDir)
+    val fs  = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val before = parts(src)
+    val bytes  = before.map(_.getLen).sum
+    val nOut   = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(srcDir).repartition(nOut)
+      .write.mode("overwrite").parquet(dstDir)
+    (before.length, parts(new Path(dstDir)).length)
+  }
+
+  /** Small-file compaction round-trip, driver-checked: events written
+    * deliberately fragmented (64 writer tasks — the shape a streaming
+    * ingest or over-parallel job leaves behind; at 100 TB this is the
+    * lake's #1 maintenance job, since per-file open cost and NameNode/
+    * object-store metadata dominate reads of fragmented tables), then
+    * compacted to ~128 MB files, read back and aggregated — proving the
+    * compaction is content-preserving. CompactionSpec asserts the file
+    * counts (64 → 1 on the fixtures). */
+  def compactionRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-frag") { frag =>
+      withTempDir("graft-compact") { compacted =>
+        Tables.events(spark, dir).repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        compactTo(spark, frag, compacted)
+        spark.read.parquet(compacted)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
+          .orderBy("event_type")
+          .localCheckpoint()
+      }
+    }
+
+  /** Incremental aggregate maintenance, driver-checked: a materialized
+    * aggregate (the pre-1996 "snapshot") merged with a new-data delta
+    * via full-outer join + partial-sum combine — the incremental-view
+    * shape every large pipeline runs instead of recomputing 100 TB per
+    * day. Sums are algebraic (sum/count combine associatively), so
+    * merged partials equal the full recompute — which is exactly what
+    * the oracle (a plain GROUP BY over all rows) verifies. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        cents(col("o_totalprice")).as("price_cents"),
+        col("o_orderdate"))
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy("o_orderstatus", "mon")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+    val snapshot = aggOf(orders.filter(col("o_orderdate") < "1996-01-01"))
+    val delta    = aggOf(orders.filter(col("o_orderdate") >= "1996-01-01"))
+    snapshot.as("s")
+      .join(delta.as("d"), Seq("o_orderstatus", "mon"), "full_outer")
+      .select(col("o_orderstatus"), col("mon"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("s.sum_cents"), lit(0L)) +
+          coalesce(col("d.sum_cents"), lit(0L))).as("sum_cents"))
+      .orderBy("o_orderstatus", "mon")
+  }
+
+  /** Confs that make Spark's runtime bloom-filter injection fire on
+    * fixture-sized tables: the default application-side threshold is
+    * 10 GB (the optimization only pays off when the probe side is big —
+    * exactly the 100 TB case), so local runs lower it to 0; broadcast
+    * is disabled because a broadcast hash join already prunes the probe
+    * side and Spark rightly skips the bloom filter there. Shared with
+    * RuntimeFilterSpec, which asserts the filter is actually injected. */
+  val runtimeFilterConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** run `f` with the given SQL confs set, restoring prior values. */
+  def withConfs[A](spark: SparkSession, confs: Seq[(String, String)])(f: => A): A = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Runtime-filter (bloom) join, driver-checked: a selective dim-side
+    * filter (1-URGENT orders) is turned by Spark into a bloom filter
+    * evaluated INSIDE the fact-side scan, so ~5/6 of lineitem rows die
+    * before the join shuffle — at 100 TB this is the difference between
+    * shuffling the lake and shuffling the answer. The result equals the
+    * plain join (the oracle); RuntimeFilterSpec asserts the
+    * BloomFilterMightContain is really in the optimized plan. The
+    * result is materialized inside the conf window (plans optimize at
+    * execution, not construction). */
+  def runtimeFilterJoin(spark: SparkSession, dir: String): DataFrame =
+    withConfs(spark, runtimeFilterConfs) {
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("sum_cents"))
+        .orderBy("l_returnflag")
+        .localCheckpoint()
+    }
+
+  def entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("runtime_filter_join",
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(runtimeFilterJoin),
+    QueryDef.sql("json_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(jsonRoundtrip),
+    QueryDef.sql("orc_roundtrip",
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(orcRoundtrip),
+    QueryDef.sql("compaction_roundtrip",
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(compactionRoundtrip),
+    QueryDef.sql("incremental_agg",
+      """SELECT o_orderstatus, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus, mon
+        |ORDER BY o_orderstatus, mon""".stripMargin)(incrementalAgg),
+  )
+}

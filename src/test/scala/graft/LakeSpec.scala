@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.Lake
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Lake-maintenance operators: compaction really shrinks the file count
+  * while preserving content, and the incremental merge equals the full
+  * recompute (the algebraic-aggregate law the driver oracle re-checks
+  * at sf0.01).
+  */
+class LakeSpec extends SparkSpec {
+
+  test("compaction collapses a fragmented table and preserves content") {
+    val tmp  = Files.createTempDirectory("graft-compaction").toString
+    val frag = s"$tmp/frag"
+    val out  = s"$tmp/compacted"
+    Tables.events(spark, sfDir).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val (before, after) = Lake.compactTo(spark, frag, out)
+    assert(before == 64, s"expected 64 fragment files, got $before")
+    assert(after == 1, s"fixture bytes fit one 128 MB target file, got $after")
+    val a = spark.read.parquet(frag).orderBy("event_id").collect().toSeq
+    val b = spark.read.parquet(out).orderBy("event_id").collect().toSeq
+    assert(a == b, "compaction must preserve every row")
+  }
+
+  test("runtime bloom filter is injected into the fact-side scan") {
+    Lake.withConfs(spark, Lake.runtimeFilterConfs) {
+      val plan = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"expected an injected bloom runtime filter in:\n$plan")
+    }
+  }
+
+  test("incremental snapshot+delta merge equals the full recompute") {
+    val merged = Lake.incrementalAgg(spark, sfDir)
+    val full = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy("o_orderstatus", "mon")
+    assert(merged.collect().toSeq == full.collect().toSeq)
+    // both eras must actually contribute, or the merge proves nothing
+    val eras = Tables.orders(spark, sfDir)
+      .select((col("o_orderdate") < "1996-01-01").as("pre"))
+      .groupBy("pre").count().collect()
+    assert(eras.length == 2, "fixture must span the 1996 snapshot/delta split")
+  }
+}
