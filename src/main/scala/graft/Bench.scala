@@ -126,9 +126,13 @@ object Bench {
       val qs = kept.map { case (n, t) => "\"" + n + "\":" + fmt(t, dec) }
         .mkString("{", ",", "}")
       val omitted = if (keep >= ok.size) "" else s""","omitted":${ok.size - keep}"""
-      s"""{"metric":"total","queries":$qs,"failed":${failures.size},"failures":$fj,"passes":$passes,"sf":"$sfDir"$omitted,"value":${fmt(total, 3)},"unit":"sec"}"""
+      // the empty failures map is elided and sf carried as its basename:
+      // every byte spent here is a per-query entry the line can't carry
+      val fails = if (failures.isEmpty) "" else s""","failures":$fj"""
+      val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      s"""{"metric":"total","queries":$qs,"failed":${failures.size}$fails,"passes":$passes,"sf":"$sfName"$omitted,"value":${fmt(total, 3)},"unit":"sec"}"""
     }
-    val budget = 1900 // driver tail window minus headroom for trailing log lines
+    val budget = 1980 // driver tail window (2000) minus the trailing newline
     val out = Seq(line(3, Int.MaxValue), line(2, Int.MaxValue))
       .find(_.length <= budget)
       .getOrElse {

@@ -186,7 +186,82 @@ object Lake {
         .localCheckpoint()
     }
 
+  /** Z-order clustering benefit, driver-checked end to end: events
+    * mapped to a 2-D grid (x = day index 0..29, y = value/16 bucket
+    * 0..30 — equal bit widths, so the interleave gives genuine 2-D
+    * locality), laid out two ways into 16 equal-count "files" (ntile
+    * over the layout's sort order — the deterministic local stand-in
+    * for `repartitionByRange(16, sortKey)` + one file per partition),
+    * then probed with a box filter on each dimension using FILE-LEVEL
+    * min/max stats, exactly the pruning parquet footers give a real
+    * scan. Output: files touched per (layout × probe). The linear
+    * (x-then-y) layout prunes only its leading dimension — the y-probe
+    * must open every file — while the Z-order layout bounds BOTH
+    * dimensions per file. That asymmetry is the whole argument for
+    * space-filling-curve clustering at 100 TB, and here it is hash-
+    * checked against the oracle recomputing the identical Morton codes
+    * in SQL (`LayoutFunctions.zorderSql`). */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.events(spark, dir).select(
+      col("event_id"),
+      datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"),
+      least(lit(30L), floor(col("value") / 16).cast("long")).as("y"))
+    val pz = pts.withColumn("z", graft.functions.LayoutFunctions.zorder(col("x"), col("y")))
+    // single-partition windows: fine at verification SF; the cluster
+    // form is repartitionByRange on the same keys (no global window)
+    val zTiles = pz.withColumn("tile",
+      ntile(16).over(Window.orderBy(col("z"), col("event_id"))))
+      .withColumn("layout", lit("zorder"))
+    val linTiles = pz.withColumn("tile",
+      ntile(16).over(Window.orderBy(col("x"), col("y"), col("event_id"))))
+      .withColumn("layout", lit("linear"))
+    zTiles.union(linTiles)
+      .groupBy("layout", "tile")
+      .agg(min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .groupBy("layout")
+      .agg(
+        sum(when(col("min_x") <= 5 && col("max_x") >= 3, 1L).otherwise(0L)).as("x_probe"),
+        sum(when(col("min_y") <= 11 && col("max_y") >= 8, 1L).otherwise(0L)).as("y_probe"))
+      .unpivot(Array(col("layout")), Array(col("x_probe"), col("y_probe")),
+        variableColumnName = "probe", valueColumnName = "files_touched")
+      .withColumn("files_total", lit(16L))
+      .orderBy("layout", "probe")
+  }
+
+  private val zorderOracle: String = {
+    val z = graft.functions.LayoutFunctions.zorderSql("x", "y", 8)
+    s"""WITH pts AS (
+       |  SELECT event_id,
+       |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+       |         least(30, CAST(floor(value / 16) AS BIGINT)) AS y
+       |  FROM events
+       |), pz AS (
+       |  SELECT event_id, x, y, $z AS z FROM pts
+       |), tiled AS (
+       |  SELECT 'zorder' AS layout, ntile(16) OVER (ORDER BY z, event_id) AS tile, x, y FROM pz
+       |  UNION ALL
+       |  SELECT 'linear', ntile(16) OVER (ORDER BY x, y, event_id), x, y FROM pz
+       |), stats AS (
+       |  SELECT layout, tile, min(x) AS min_x, max(x) AS max_x,
+       |         min(y) AS min_y, max(y) AS max_y
+       |  FROM tiled GROUP BY layout, tile
+       |), agg AS (
+       |  SELECT layout,
+       |         CAST(sum(CASE WHEN min_x <= 5 AND max_x >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS x_probe,
+       |         CAST(sum(CASE WHEN min_y <= 11 AND max_y >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS y_probe
+       |  FROM stats GROUP BY layout
+       |)
+       |SELECT layout, 'x_probe' AS probe, x_probe AS files_touched,
+       |       CAST(16 AS BIGINT) AS files_total FROM agg
+       |UNION ALL
+       |SELECT layout, 'y_probe', y_probe, 16 FROM agg
+       |ORDER BY layout, probe""".stripMargin
+  }
+
   def entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("zorder_layout", zorderOracle)(zorderLayout),
     QueryDef.sql("runtime_filter_join",
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -440,6 +440,32 @@ object Relational {
           <= col("n_exact") * lit(0.05)).as("within_bounds"))
       .orderBy("l_returnflag")
 
+  /** KMV (k-minimum-values) distinct sketch — our own
+    * `TypedImperativeAggregate` (SketchFunctions.KMVDistinct) beside the
+    * built-in HLL++ of `approx_distinct`: k smallest value-hashes per
+    * group, merged through Spark's partial-aggregation machinery, O(k)
+    * state. Same two-phase shape and verification contract as
+    * approx_distinct: the estimate is a pure function of the distinct
+    * value set (order/partitioning/merge-shape invariant — SketchSpec
+    * pins this), below k distinct values the sketch is EXACT, and the
+    * driver-checked verdict is the deterministic error bound
+    * |est − exact| ≤ 5·rsd·exact with rsd = 1/√(k−2) ≈ 1.6 % at k=4096
+    * (the fixtures sit in exact mode; the slack covers estimation mode
+    * at any SF). */
+  def kmvDistinctQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_partkey")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("l_returnflag")
+      .agg(
+        graft.functions.SketchFunctions.kmvDistinct(col("l_partkey"), 4096).as("kmv"),
+        count(lit(1)).as("n_exact"),
+        sum("c").as("n_rows"))
+      .select(col("l_returnflag"), col("n_exact"), col("n_rows"),
+        (abs(col("kmv") - col("n_exact")).cast("double")
+          <= col("n_exact") * lit(0.08)).as("within_bounds"))
+      .orderBy("l_returnflag")
+
   /** hot-key aggregation via two-phase salting (`Skew.saltedSumCount`):
     * 3 distinct return flags over the whole of lineitem is the canonical
     * one-hot-group shape — an unsalted groupBy funnels ~1/3 of all rows
@@ -891,6 +917,14 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, count(*) AS n_rows,
         |       TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(approxDistinct),
+    // TRUE literal = the same deterministic-claim contract as
+    // approx_distinct above: the Spark side really computes the 5·rsd
+    // bound, which the fixtures satisfy in exact mode (distinct < k) by
+    // construction.
+    QueryDef.sql("kmv_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, count(*) AS n_rows,
+        |       TRUE AS within_bounds
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(kmvDistinctQuery),
     QueryDef.sql("skew_salted_sum",
       """SELECT l_returnflag AS k,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total,

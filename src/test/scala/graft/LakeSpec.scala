@@ -40,6 +40,23 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout prunes both dimensions; linear only its leading one") {
+    val rows = Lake.zorderLayout(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // ~every linear file overlaps a y-only probe (a tile boundary can
+    // slice inside a single day and carve off one non-overlapping
+    // y-slice, hence >= 14 rather than == 16 at tiny SF)
+    assert(rows(("linear", "y_probe")) >= 14L,
+      "an x-sorted layout cannot meaningfully prune a y-only probe")
+    assert(rows(("zorder", "y_probe")) <= 8L &&
+      rows(("linear", "y_probe")) > 2 * rows(("zorder", "y_probe")),
+      s"z-order should bound y per file, touched ${rows(("zorder", "y_probe"))}")
+    assert(rows(("zorder", "x_probe")) <= 8L,
+      s"z-order should bound x per file, touched ${rows(("zorder", "x_probe"))}")
+    assert(rows(("linear", "x_probe")) <= 4L,
+      "the leading-dimension probe is where linear layout shines")
+  }
+
   test("incremental snapshot+delta merge equals the full recompute") {
     val merged = Lake.incrementalAgg(spark, sfDir)
     val full = Tables.orders(spark, sfDir)
