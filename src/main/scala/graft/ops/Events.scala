@@ -166,6 +166,23 @@ object Events {
       |WHERE end_ms < (SELECT max(epoch_ms(ts)) - 600000 FROM events)
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** Oracle for the checkpoint/restart round-trip: the same tumbling
+    * aggregation, restricted to the windows the FINAL watermark (max
+    * event time − the 10-minute delay) has closed — append mode to a
+    * file sink emits exactly those. `StreamingSpec` pins the engine
+    * emission predicate (`end <= watermark`) and the no-boundary-tie
+    * fixture invariant that keeps <= vs < unobservable here. */
+  private val restartOracleSql =
+    """WITH agg AS (
+      |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
+      |         count(*) AS n,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |  FROM events GROUP BY ws_ms, event_type
+      |)
+      |SELECT ws_ms, event_type, n, sum_value_cents FROM agg
+      |WHERE ws_ms + 3600000 <= (SELECT max(epoch_ms(ts)) - 600000 FROM events)
+      |ORDER BY ws_ms, event_type""".stripMargin
+
   private val tumblingOracleSql =
     """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
       |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
@@ -245,5 +262,7 @@ object Events {
       (s, d) => graft.streaming.Streams.runBoundedIntervalJoin(s, d)),
     QueryDef.sql("stream_sessionize", streamSessionizeOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedSessionize(s, d)),
+    QueryDef.sql("stream_restart", restartOracleSql)(
+      (s, d) => graft.streaming.Streams.runRestartTumbling(s, d)),
   )
 }

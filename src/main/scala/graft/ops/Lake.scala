@@ -144,6 +144,48 @@ object Lake {
       .orderBy("o_orderstatus", "mon")
   }
 
+  /** MERGE/upsert (CDC-apply), driver-checked: apply a keyed delta of
+    * inserts/updates/deletes to a snapshot — the operator every
+    * incremental lake pipeline runs next to `incrementalAgg` when rows
+    * CHANGE rather than merely accrue. The delta here is derived
+    * deterministically from the snapshot itself (deletes: key%13==0;
+    * updates: key%7==0 with a +1.00 price bump; inserts: fresh negative
+    * keys from key%11==0) so the DuckDB oracle can rebuild the exact
+    * same delta and verify the merged table hash-exactly.
+    *
+    * Shape: because a CDC delta carries FULL row images, MERGE reduces
+    * to (snapshot ANTI-JOIN delta-keys) UNION (delta minus deletes) —
+    * two broadcast-able passes when the delta is small relative to the
+    * snapshot (the 100 TB norm: a day's changes vs the lake), instead
+    * of the general full-outer-join form, which forces a sort-merge
+    * shuffle of BOTH sides. The anti join broadcasts only the delta's
+    * keys; the snapshot is never shuffled. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val snapshot = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("price_cents"))
+    val deletes = snapshot.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("long").as("price_cents"))
+    val updates = snapshot
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        (col("price_cents") + 100L).as("price_cents"))
+    // key 0 is excluded: -0 == 0, so its "fresh" key would collide with
+    // the same key's delete (0 is divisible by everything)
+    val inserts = snapshot
+      .filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") =!= 0)
+      .select((-col("o_orderkey")).as("o_orderkey"), lit("I").as("op"),
+        col("o_orderstatus"), col("price_cents"))
+    val delta = deletes.union(updates).union(inserts)
+    val survivors = snapshot.join(
+      broadcast(delta.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+    val upserts = delta.filter(col("op") =!= "D")
+      .select("o_orderkey", "o_orderstatus", "price_cents")
+    survivors.union(upserts).orderBy("o_orderkey")
+  }
+
   /** Confs that make Spark's runtime bloom-filter injection fire on
     * fixture-sized tables: the default application-side threshold is
     * 10 GB (the optimization only pays off when the probe side is big —
@@ -189,9 +231,11 @@ object Lake {
   /** Z-order clustering benefit, driver-checked end to end: events
     * mapped to a 2-D grid (x = day index 0..29, y = value/16 bucket
     * 0..30 — equal bit widths, so the interleave gives genuine 2-D
-    * locality), laid out two ways into 16 equal-count "files" (ntile
-    * over the layout's sort order — the deterministic local stand-in
-    * for `repartitionByRange(16, sortKey)` + one file per partition),
+    * locality), laid out two ways into 16 equal-count "files" (an
+    * ntile-equivalent split computed by distributed rank — range
+    * repartition + per-partition offsets, see `tileByRange` — the
+    * deterministic model of `repartitionByRange(16, sortKey)` + one
+    * file per partition, with no global window anywhere in the plan),
     * then probed with a box filter on each dimension using FILE-LEVEL
     * min/max stats, exactly the pruning parquet footers give a real
     * scan. Output: files touched per (layout × probe). The linear
@@ -201,20 +245,71 @@ object Lake {
     * space-filling-curve clustering at 100 TB, and here it is hash-
     * checked against the oracle recomputing the identical Morton codes
     * in SQL (`LayoutFunctions.zorderSql`). */
+  /** Partition count for the distributed-rank tiling; matches the
+    * session shuffle parallelism locally, and at cluster scale would be
+    * sized like any range-write (target bytes per output partition). */
+  private val RankPartitions = 32
+
+  /** ntile(buckets) computed from a 1-based global rank over n rows —
+    * the SQL-standard split (first n%buckets buckets get one extra
+    * row), so it matches DuckDB's/Spark's ntile exactly without any
+    * window. All inputs stay < 2^53, so the double division is exact. */
+  private def ntileOfRank(rank: org.apache.spark.sql.Column, n: Long,
+      buckets: Int): org.apache.spark.sql.Column = {
+    val q   = n / buckets
+    val rem = n % buckets
+    if (q == 0) rank
+    else {
+      val cut = rem * (q + 1) // rows 1..cut fall in the q+1-sized buckets
+      when(rank <= cut, floor((rank - 1) / lit(q + 1)).cast("long") + 1)
+        .otherwise(lit(rem) + floor((rank - lit(cut) - 1) / lit(q)).cast("long") + 1)
+    }
+  }
+
+  /** Assign each row its ntile(buckets) tile in the total order of
+    * `keys` (which must be unique) WITHOUT a global window: the
+    * distributed-rank shape. Range-repartition on the keys, sort within
+    * partitions, and let `monotonically_increasing_id` hand back
+    * (partitionId << 33 | localIndex) — pid order IS key order under
+    * range partitioning, so global rank = per-partition start offset +
+    * local index. The offsets come from a 1-row-per-partition count
+    * aggregate (the only driver-side data), broadcast back as a map
+    * literal. Two passes over the data, zero single-task stages, and no
+    * shuffle beyond the range exchange itself — which is exactly the
+    * write-side movement a real clustered-layout job performs. The
+    * localCheckpoint pins the id assignment so the count pass and the
+    * tile pass see identical partitions. */
+  private def tileByRange(df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column], buckets: Int): DataFrame = {
+    val parted = df
+      .repartitionByRange(RankPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val withPid = parted
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__local", (col("__mid").bitwiseAND((1L << 33) - 1)) + 1)
+    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      counts.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
+    withPid
+      .withColumn("__rank", element_at(typedLit(offsets), col("__pid")) + col("__local"))
+      .withColumn("tile", ntileOfRank(col("__rank"), total, buckets))
+      .drop("__mid", "__pid", "__local", "__rank")
+  }
+
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pts = Tables.events(spark, dir).select(
       col("event_id"),
       datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"),
       least(lit(30L), floor(col("value") / 16).cast("long")).as("y"))
     val pz = pts.withColumn("z", graft.functions.LayoutFunctions.zorder(col("x"), col("y")))
-    // single-partition windows: fine at verification SF; the cluster
-    // form is repartitionByRange on the same keys (no global window)
-    val zTiles = pz.withColumn("tile",
-      ntile(16).over(Window.orderBy(col("z"), col("event_id"))))
+    val zTiles = tileByRange(pz, Seq(col("z"), col("event_id")), 16)
       .withColumn("layout", lit("zorder"))
-    val linTiles = pz.withColumn("tile",
-      ntile(16).over(Window.orderBy(col("x"), col("y"), col("event_id"))))
+    val linTiles = tileByRange(pz, Seq(col("x"), col("y"), col("event_id")), 16)
       .withColumn("layout", lit("linear"))
     zTiles.union(linTiles)
       .groupBy("layout", "tile")
@@ -262,6 +357,28 @@ object Lake {
 
   def entries: Seq[QueryDef] = Seq(
     QueryDef.sql("zorder_layout", zorderOracle)(zorderLayout),
+    QueryDef.sql("merge_upsert",
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), delta AS (
+        |  SELECT o_orderkey, 'D' AS op, CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |         CAST(NULL AS BIGINT) AS price_cents
+        |  FROM snap WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_orderstatus, price_cents + 100
+        |  FROM snap WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'I', o_orderstatus, price_cents
+        |  FROM snap WHERE o_orderkey % 11 = 0 AND o_orderkey <> 0
+        |)
+        |SELECT o_orderkey, o_orderstatus, price_cents FROM (
+        |  SELECT s.o_orderkey, s.o_orderstatus, s.price_cents
+        |  FROM snap s ANTI JOIN delta d ON s.o_orderkey = d.o_orderkey
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, price_cents FROM delta WHERE op <> 'D'
+        |) ORDER BY o_orderkey""".stripMargin)(mergeUpsert),
     QueryDef.sql("runtime_filter_join",
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents

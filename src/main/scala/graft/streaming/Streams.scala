@@ -241,6 +241,75 @@ object Streams {
     res.filter(col("end_ms") < finalWmMs)
   }
 
+  /** Checkpoint/restart round-trip through the real engine — the
+    * exactly-once resume property a production pipeline leans on, made
+    * driver-checkable. The bounded events fixture is split by TIME at
+    * the midpoint (so the second stage carries no late data): stage 1
+    * streams the early rows into a PARQUET sink under a checkpoint and
+    * terminates; stage 2 drops the late rows into the source directory
+    * and starts a FRESH query on the SAME checkpoint + sink. The
+    * restarted query resumes from the recorded offsets and aggregation
+    * state — batch ids continue, stage-1 files are never re-read, and
+    * previously-committed windows never re-emit (the file sink's
+    * `_spark_metadata` commit log is the exactly-once protocol; the
+    * batch read-back honors it). Append mode + watermark means the
+    * emitted set is exactly the windows the FINAL watermark closed —
+    * the oracle applies that same predicate to the batch aggregation.
+    * Returns (result, stage-1 batch ids, stage-2 batch ids) so the
+    * driver query can return the result and StreamingSpec can assert
+    * the second run really RESUMED (its batch ids continue after
+    * stage 1's) rather than started over. */
+  def restartTumblingDetailed(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[Long], Seq[Long]) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val (srcDir, outDir, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+    val events = graft.tables.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val Array(minMs, maxMs) = events
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val cutoffMs = (minMs + maxMs) / 2
+
+    def runStage(stageFilter: org.apache.spark.sql.Column): Seq[Long] = {
+      events.filter(stageFilter).coalesce(2)
+        .write.mode("append").parquet(srcDir)
+      val src = spark.readStream.schema(events.schema).parquet(srcDir)
+      val q = tumblingCounts(src)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.batchId).toSeq
+    }
+
+    val partKey   = "spark.sql.shuffle.partitions"
+    val savedPart = spark.conf.getOption(partKey)
+    spark.conf.set(partKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    try {
+      val b1 = runStage(unix_millis(col("ts")) < cutoffMs)
+      val b2 = runStage(unix_millis(col("ts")) >= cutoffMs)
+      val res = spark.read.parquet(outDir)
+        .orderBy("ws_ms", "event_type")
+        .localCheckpoint() // pin the 4-column result before the rm below
+      (res, b1, b2)
+    } finally {
+      savedPart.fold(spark.conf.unset(partKey))(spark.conf.set(partKey, _))
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** Driver entry for the restart round-trip: just the merged sink
+    * contents (see [[restartTumblingDetailed]] for the proof shape). */
+  def runRestartTumbling(spark: SparkSession, dir: String): DataFrame =
+    restartTumblingDetailed(spark, dir)._1
+
   /** Streaming exact dedup by event_id with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for ids
     * older than the watermark is evicted (the streaming form of the

@@ -57,6 +57,33 @@ class LakeSpec extends SparkSpec {
       "the leading-dimension probe is where linear layout shines")
   }
 
+  test("merge_upsert applies deletes, updates, and inserts by key") {
+    val merged = Lake.mergeUpsert(spark, sfDir)
+    val byKey = merged.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val snap = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("pc"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val delKeys = snap.keys.filter(_ % 13 == 0)
+    val updKeys = snap.keys.filter(k => k % 7 == 0 && k % 13 != 0)
+    val insKeys = snap.keys.filter(k => k % 11 == 0 && k != 0)
+    assert(delKeys.nonEmpty && updKeys.nonEmpty && insKeys.nonEmpty,
+      "fixture must exercise all three CDC op kinds")
+    delKeys.foreach(k => assert(!byKey.contains(k), s"deleted key $k survived"))
+    updKeys.foreach(k => assert(byKey(k)._2 == snap(k)._2 + 100L,
+      s"update missed key $k"))
+    insKeys.foreach(k => assert(byKey(-k) == snap(k), s"insert missed key -$k"))
+    // untouched keys pass through byte-identical
+    snap.keys.filterNot(k => k % 13 == 0 || k % 7 == 0)
+      .foreach(k => assert(byKey(k) == snap(k), s"untouched key $k changed"))
+    // the delta-keys anti join must broadcast, never shuffle the snapshot
+    val plan = Lake.mergeUpsert(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "MERGE survivors side must be a broadcast anti join")
+  }
+
   test("incremental snapshot+delta merge equals the full recompute") {
     val merged = Lake.incrementalAgg(spark, sfDir)
     val full = Tables.orders(spark, sfDir)

@@ -108,6 +108,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.toString.contains("xxhash64"), "deterministic salt hash missing")
   }
 
+  test("zorder_layout has no global (partitionBy-less) window — the scale-killer shape") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("zorder_layout")(spark, sfDir).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"global window funnels the table through one task: $w")
+    }
+    // the distributed-rank tiling needs no window at all
+    assert(windows.isEmpty, s"expected window-free tiling, found ${windows.size} windows")
+  }
+
   test("LSH bucket code and IVF assignment stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

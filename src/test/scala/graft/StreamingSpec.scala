@@ -192,6 +192,55 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bounded engine sessionize fixture never ends a session behind the watermark") {
+    // The engine clamps a session's timeout to watermark+1; a session
+    // whose end is ALREADY behind the watermark when last updated is
+    // emitted inline instead (Streams.sessionize wm > end branch). The
+    // whole fixture arrives in one batch at watermark 0, so that branch
+    // must stay unreachable — pin the invariant so a fixture regen that
+    // would flip it (an in-batch update to a session already closed by
+    // the advancing watermark) fails loudly HERE, not as a silent
+    // driver-gate drift.
+    import org.apache.spark.sql.functions._
+    val events = graft.tables.Tables.events(spark, sfDir)
+    // watermark during the single data batch is the INITIAL watermark, 0
+    // (it only advances between batches) — so no session update can run
+    // behind it; assert the premise the argument rests on:
+    val minMs = events.agg(min(unix_millis(col("ts")))).head().getLong(0)
+    assert(minMs > 0L, "fixture events must sit above the epoch/initial watermark")
+    // and the emission-set boundary can't tie: no batch session's end
+    // equals the final watermark exactly (keeps < vs <= unobservable)
+    val finalWm = events.agg(max(unix_millis(col("ts")))).head().getLong(0) - 600000L
+    val ties = Streams.sessionWindowAgg(events)
+      .filter(col("end_ms") === finalWm).count()
+    assert(ties == 0L, "fixture session end ties the final watermark")
+  }
+
+  test("checkpoint restart resumes the query instead of reprocessing") {
+    import org.apache.spark.sql.functions._
+    val (res, b1, b2) = Streams.restartTumblingDetailed(spark, sfDir)
+    assert(b1.nonEmpty && b2.nonEmpty, "both stages must run micro-batches")
+    assert(b2.min > b1.max,
+      s"restart must continue the batch sequence, got stage1=$b1 stage2=$b2")
+    val rows = res.select("ws_ms", "event_type", "n", "sum_value_cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // exactly-once: no window/key pair emitted twice across the restart
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length,
+      "a window re-emitted across the restart")
+    // equals the batch aggregation restricted to watermark-closed windows
+    val events = graft.tables.Tables.events(spark, sfDir)
+    val finalWm = events.agg(max(unix_millis(col("ts")))).head().getLong(0) - 600000L
+    val want = Streams.tumblingAgg(events)
+      .filter(col("ws_ms") + 3600000L <= finalWm)
+      .select("ws_ms", "event_type", "n", "sum_value_cents")
+      .orderBy("ws_ms", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(want.nonEmpty, "fixture produced no closed windows")
+    assert(rows.toSeq == want.toSeq)
+    // windows must span the restart cutoff, or the resume proves nothing
+    assert(want.map(_._1).distinct.length > 1, "need multiple windows across stages")
+  }
+
   test("stateful sessionization emits a session once the gap passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
