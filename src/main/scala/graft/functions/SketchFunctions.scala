@@ -113,4 +113,147 @@ object SketchFunctions {
   def kmvDistinct(col: Column, k: Int): Column =
     ColumnBridge.column(
       KMVDistinct(ColumnBridge.expression(col), k).toAggregateExpression())
+
+  /** Misra-Gries heavy-hitters buffer: at most `capacity` (item →
+    * counter) pairs. Update: resident item increments; a new item takes
+    * a free slot, else EVERY counter decrements by one (zeros evicted) —
+    * each miss burns capacity+1 total count, so any counter underestimates
+    * its item's true frequency by at most N/(capacity+1). Merge (the
+    * mergeable-summaries form, Agarwal et al., PODS'12): sum counters
+    * pairwise, then subtract the (capacity+1)-th largest counter from
+    * all and drop the non-positive — the merged bound still holds over
+    * the COMBINED stream, so map-side partials through Spark's shuffle
+    * lose nothing. Consequences used by the query/spec layers: every
+    * item with true frequency > N/(capacity+1) is guaranteed resident,
+    * and when the domain has ≤ capacity distinct items no decrement or
+    * trim ever fires — the sketch is provably EXACT and merge-shape
+    * invariant (the same below-k regime the KMV query leans on). */
+  final class MGBuffer(val capacity: Int) {
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    def insert(v: String): Unit = {
+      val cur = counts.get(v)
+      if (cur != null) { counts.put(v, cur + 1L); () }
+      else if (counts.size() < capacity) { counts.put(v, 1L); () }
+      else {
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    def mergeIn(o: MGBuffer): Unit = {
+      val it = o.counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e   = it.next()
+        val cur = counts.get(e.getKey)
+        counts.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
+      }
+      if (counts.size() > capacity) {
+        // subtract the (capacity+1)-th largest counter from everything
+        val vals = new java.util.ArrayList[java.lang.Long](counts.values())
+        java.util.Collections.sort(vals, java.util.Collections.reverseOrder())
+        val d  = vals.get(capacity).longValue()
+        val it2 = counts.entrySet().iterator()
+        while (it2.hasNext) {
+          val e = it2.next()
+          if (e.getValue <= d) it2.remove() else e.setValue(e.getValue - d)
+        }
+      }
+    }
+  }
+
+  /** `mg_topk(col, capacity)` — Misra-Gries heavy-hitters summary as a
+    * map<string, long> of resident items to their (under-)counts, in
+    * O(capacity) memory per group through Spark's partial-aggregation
+    * machinery. Null inputs are ignored. String-typed input only (the
+    * summary must carry the item values themselves). */
+  case class MGTopK(
+      child: Expression,
+      capacity: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[MGBuffer] {
+
+    require(capacity > 0, "mg_topk capacity must be positive")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+
+    override def createAggregationBuffer(): MGBuffer = new MGBuffer(capacity)
+
+    override def update(buf: MGBuffer, input: InternalRow): MGBuffer = {
+      val v = child.eval(input)
+      if (v != null) buf.insert(v.toString)
+      buf
+    }
+
+    override def merge(buf: MGBuffer, other: MGBuffer): MGBuffer = {
+      buf.mergeIn(other); buf
+    }
+
+    override def eval(buf: MGBuffer): Any = {
+      val n    = buf.counts.size()
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      val it   = buf.counts.entrySet().iterator()
+      var i    = 0
+      while (it.hasNext) {
+        val e = it.next()
+        keys(i) = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
+        vals(i) = e.getValue.longValue()
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
+    }
+
+    override def serialize(buf: MGBuffer): Array[Byte] = {
+      var bytes = 4
+      val it0 = buf.counts.entrySet().iterator()
+      val entries = new java.util.ArrayList[(Array[Byte], Long)](buf.counts.size())
+      while (it0.hasNext) {
+        val e = it0.next()
+        val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        entries.add((b, e.getValue.longValue()))
+        bytes += 4 + b.length + 8
+      }
+      val bb = ByteBuffer.allocate(bytes)
+      bb.putInt(entries.size())
+      var i = 0
+      while (i < entries.size()) {
+        val (b, c) = entries.get(i)
+        bb.putInt(b.length); bb.put(b); bb.putLong(c)
+        i += 1
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): MGBuffer = {
+      val bb  = ByteBuffer.wrap(bytes)
+      val n   = bb.getInt
+      val buf = new MGBuffer(capacity)
+      var i   = 0
+      while (i < n) {
+        val len = bb.getInt
+        val b   = new Array[Byte](len)
+        bb.get(b)
+        buf.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), bb.getLong)
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): MGTopK =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MGTopK =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  }
+
+  /** Column form of the Misra-Gries heavy-hitters aggregate. */
+  def mgTopK(col: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      MGTopK(ColumnBridge.expression(col), capacity).toAggregateExpression())
 }

@@ -122,6 +122,35 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** Heavy-hitters over the token stream via our Misra-Gries
+    * `TypedImperativeAggregate` (SketchFunctions.MGTopK) — frequency
+    * analysis over tokens is a staple LLM-corpus diagnostic, and the
+    * sketch is the O(capacity)-memory way to run it over 100 TB where
+    * an exact token groupBy would shuffle the whole vocabulary.
+    *
+    * Verification contract (same shape as kmv_distinct): the fixture
+    * vocabulary (31 distinct tokens) sits below the sketch capacity
+    * (64), the regime where Misra-Gries provably never decrements or
+    * trims — the summary IS the exact count map, merge-shape invariant,
+    * so the per-token verdict (`sketch_exact`) is deterministically
+    * true and the whole row hash-checks against the exact DuckDB
+    * top-10. The lossy regime (capacity < distinct) and its N/(cap+1)
+    * error bound are pinned under adversarial partitionings in
+    * SketchSpec, where an in-process exact side exists. */
+  def topkFrequent(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+    val sketch = tokens
+      .agg(graft.functions.SketchFunctions.mgTopK(col("token"), 64).as("mg"))
+      .select(explode(col("mg")).as(Seq("token", "n_sketch")))
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("n"))
+    exact.join(broadcast(sketch), Seq("token"), "left")
+      .select(col("token"), col("n"),
+        (coalesce(col("n_sketch"), lit(0L)) === col("n")).as("sketch_exact"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(10)
+  }
+
   private val langCaseSql: String = {
     // identical argmax fold in SQL: nested CASE chain, same > comparisons
     val scoreSql = Profiles.map { case (lang, words) =>
@@ -177,6 +206,15 @@ object TextAnalysis {
         |           ORDER BY round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) DESC, t.term) AS rn
         |  FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
         |) x WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)(tfidf),
+    QueryDef.sql("topk_frequent",
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY token
+        |)
+        |SELECT token, n, TRUE AS sketch_exact FROM c
+        |ORDER BY n DESC, token LIMIT 10""".stripMargin)(topkFrequent),
     QueryDef.sql("fingerprint",
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -73,4 +73,58 @@ class PartitionPruningSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(got.nonEmpty && got == want)
   }
+
+  /** The end-to-end z-order claim on REAL files: write the events grid
+    * twice as 16 range-partitioned, sorted parquet files (one sorted by
+    * the Morton code, one by (x, y)), probe each with a single-dimension
+    * box filter, and read the pruning off the SCAN's own metrics — the
+    * parquet reader drops whole row groups whose footer min/max misses
+    * the pushed predicate, so the scan's numOutputRows IS the row count
+    * of the files actually decoded. `zorder_layout` (the driver query)
+    * stays the hash-checked math oracle over simulated tiles; this spec
+    * is the physical proof the layout pays off at the file level. */
+  test("real z-order file layout prunes scans on BOTH dimensions; linear only leading") {
+    val tmp = Files.createTempDirectory("graft-zorder-files").toString
+    val pts = graft.tables.Tables.events(spark, sfDir).select(
+      col("event_id"),
+      datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"),
+      least(lit(30L), floor(col("value") / 16).cast("long")).as("y"))
+      .withColumn("z", graft.functions.LayoutFunctions.zorder(col("x"), col("y")))
+    pts.repartitionByRange(16, col("z"), col("event_id"))
+      .sortWithinPartitions("z", "event_id")
+      .write.mode("overwrite").parquet(s"$tmp/zorder")
+    pts.repartitionByRange(16, col("x"), col("y"), col("event_id"))
+      .sortWithinPartitions("x", "y", "event_id")
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+    val total = pts.count()
+
+    // rows the parquet reader actually decoded (post row-group pruning)
+    def scannedRows(dir: String, probe: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(dir).filter(probe)
+      val result = df.collect().length.toLong
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("PushedFilters: [IsNotNull"),
+        s"probe not pushed to the scan:\n$plan")
+      val scan = plan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec leaf"))
+      (scan.metrics("numOutputRows").value, result)
+    }
+
+    val yProbe = col("y").between(8L, 11L)
+    val xProbe = col("x").between(3L, 5L)
+    val (zY, zYres)     = scannedRows(s"$tmp/zorder", yProbe)
+    val (linY, linYres) = scannedRows(s"$tmp/linear", yProbe)
+    val (zX, _)         = scannedRows(s"$tmp/zorder", xProbe)
+    val (linX, _)       = scannedRows(s"$tmp/linear", xProbe)
+
+    assert(zYres == linYres, "both layouts must return identical probe results")
+    // the y-only probe: the x-sorted layout decodes ~everything, the
+    // z-order layout bounds y per file and skips most row groups
+    assert(linY > (total * 8) / 10, s"linear y-probe decoded $linY of $total")
+    assert(zY * 2 < linY, s"z-order y-probe decoded $zY vs linear $linY")
+    // the leading-dimension probe: both layouts prune
+    assert(zX * 2 < total, s"z-order x-probe decoded $zX of $total")
+    assert(linX * 2 < total, s"linear x-probe decoded $linX of $total")
+  }
 }

@@ -43,4 +43,64 @@ class SketchSpec extends SparkSpec {
     val got = df.agg(SketchFunctions.kmvDistinct(col("v"), 64)).head().getLong(0)
     assert(got == 2L)
   }
+
+  // ---- Misra-Gries heavy hitters ----
+
+  /** zipf-ish skewed token stream: item i appears 2^(12-i) times for
+    * i in 0..11 plus a uniform tail — heavy head, long tail. */
+  private def skewed: Seq[String] =
+    (0 until 12).flatMap(i => Seq.fill(1 << (12 - i))(s"head_$i")) ++
+      (0 until 2000).map(i => s"tail_$i")
+
+  test("mg is exact and merge-invariant below capacity distinct items") {
+    val df = (1L to 5000L).map(i => s"tok_${i % 40}").toDF("v")
+    def m(parts: Int): Map[String, Long] = df.repartition(parts)
+      .agg(SketchFunctions.mgTopK(col("v"), 64).as("mg"))
+      .head().getMap[String, Long](0).toMap
+    val exact = df.groupBy("v").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m1 = m(1)
+    assert(m1 == exact, "below-capacity MG must be the exact count map")
+    assert(m1 == m(7) && m1 == m(32), "summary must not depend on the plan")
+  }
+
+  test("mg guarantees residency and the N/(cap+1) bound under any partitioning") {
+    val data = skewed
+    val n    = data.length.toLong
+    val cap  = 32
+    val err  = n / (cap + 1).toDouble
+    val exact = data.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val mg = data.toDF("v").repartition(parts)
+        .agg(SketchFunctions.mgTopK(col("v"), cap).as("mg"))
+        .head().getMap[String, Long](0).toMap
+      assert(mg.size <= cap, s"parts=$parts: summary exceeded capacity")
+      // every counter is a lower bound within N/(cap+1) of the truth
+      mg.foreach { case (item, est) =>
+        val ex = exact(item)
+        assert(est <= ex && ex - est <= err,
+          s"parts=$parts item=$item est=$est exact=$ex bound=$err")
+      }
+      // every item heavier than N/(cap+1) must be resident
+      exact.filter(_._2 > err).keys.foreach { item =>
+        assert(mg.contains(item), s"parts=$parts heavy item $item evicted")
+      }
+    }
+  }
+
+  test("mg serialize/deserialize round-trips the buffer") {
+    val agg = SketchFunctions.MGTopK(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    val buf = new SketchFunctions.MGBuffer(8)
+    Seq("a", "a", "b", "c", "c", "c").foreach(buf.insert)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.counts == buf.counts)
+  }
+
+  test("mg ignores nulls") {
+    val df = Seq(Some("a"), None, Some("a"), None, Some("b")).toDF("v")
+    val got = df.agg(SketchFunctions.mgTopK(col("v"), 8))
+      .head().getMap[String, Long](0).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
 }
