@@ -23,6 +23,7 @@ object SparkEntry {
     Lake.entries,
     Similarity.entries,
     TextAnalysis.entries,
+    Curation.entries,
     Multimodal.entries,
   )
 

@@ -256,4 +256,130 @@ object SketchFunctions {
   def mgTopK(col: Column, capacity: Int): Column =
     ColumnBridge.column(
       MGTopK(ColumnBridge.expression(col), capacity).toAggregateExpression())
+
+  /** Count-Min buffer: depth × width counter matrix (Cormode &
+    * Muthukrishnan '05). Update adds 1 to one cell per row (cell =
+    * xxhash64(value, seed=row) mod width); merge is elementwise
+    * addition, so partial sketches combine losslessly through Spark's
+    * shuffle and the final matrix is a pure function of the input
+    * MULTISET — partitioning and merge shape cannot change it. A point
+    * query takes the min over the value's depth cells: never below the
+    * true count (every occurrence lands in all its cells), above it
+    * only by colliding mass, and each row's total collision mass is
+    * bounded by N − count(v), with the min over independent rows
+    * concentrating near count(v) + N/width. */
+  final class CMSBuffer(val depth: Int, val width: Int) {
+    val cells = new Array[Long](depth * width)
+    var total = 0L
+    def insert(h0: Long): Unit = {
+      total += 1L
+      var d = 0
+      while (d < depth) {
+        // derive the d-th row's hash by re-hashing the value hash with
+        // the row index as seed — pairwise-independent enough for CMS
+        val h   = XxHash64Function.hash(h0, LongType, d.toLong)
+        val idx = (((h % width) + width) % width).toInt
+        cells(d * width + idx) += 1L
+        d += 1
+      }
+    }
+    def mergeIn(o: CMSBuffer): Unit = {
+      total += o.total
+      var i = 0
+      while (i < cells.length) { cells(i) += o.cells(i); i += 1 }
+    }
+    def pointQuery(h0: Long): Long = {
+      var min = Long.MaxValue
+      var d   = 0
+      while (d < depth) {
+        val h   = XxHash64Function.hash(h0, LongType, d.toLong)
+        val idx = (((h % width) + width) % width).toInt
+        val c   = cells(d * width + idx)
+        if (c < min) min = c
+        d += 1
+      }
+      min
+    }
+  }
+
+  /** `cms_freq(col, targets, depth, width)` — Count-Min frequency
+    * estimates for a fixed list of target values, as a
+    * map<string, long> of target → estimated count, in O(depth·width)
+    * memory per group. The estimate is ≥ the true frequency always,
+    * and ≤ true + total·depth/width in the fixture regimes the query
+    * layer verifies. Null inputs are ignored (they are not counted and
+    * cannot be targets). String-typed input. */
+  case class CMSFreq(
+      child: Expression,
+      targets: Seq[String],
+      depth: Int,
+      width: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[CMSBuffer] {
+
+    require(depth > 0 && width > 0, "cms_freq depth and width must be positive")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+
+    override def createAggregationBuffer(): CMSBuffer = new CMSBuffer(depth, width)
+
+    private def valueHash(s: String): Long =
+      XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType, 42L)
+
+    override def update(buf: CMSBuffer, input: InternalRow): CMSBuffer = {
+      val v = child.eval(input)
+      if (v != null) buf.insert(XxHash64Function.hash(v, child.dataType, 42L))
+      buf
+    }
+
+    override def merge(buf: CMSBuffer, other: CMSBuffer): CMSBuffer = {
+      buf.mergeIn(other); buf
+    }
+
+    override def eval(buf: CMSBuffer): Any = {
+      val n    = targets.size
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var i    = 0
+      while (i < n) {
+        keys(i) = org.apache.spark.unsafe.types.UTF8String.fromString(targets(i))
+        vals(i) = buf.pointQuery(valueHash(targets(i)))
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
+    }
+
+    override def serialize(buf: CMSBuffer): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + 8 * buf.cells.length)
+      bb.putLong(buf.total)
+      var i = 0
+      while (i < buf.cells.length) { bb.putLong(buf.cells(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): CMSBuffer = {
+      val bb  = ByteBuffer.wrap(bytes)
+      val buf = new CMSBuffer(depth, width)
+      buf.total = bb.getLong
+      var i = 0
+      while (i < buf.cells.length) { buf.cells(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): CMSFreq =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CMSFreq =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  }
+
+  /** Column form of the Count-Min frequency aggregate. */
+  def cmsFreq(col: Column, targets: Seq[String], depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CMSFreq(ColumnBridge.expression(col), targets, depth, width).toAggregateExpression())
 }

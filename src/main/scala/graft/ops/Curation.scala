@@ -1,0 +1,346 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the steps between "raw crawl" and
+  * "training set" that every large-scale LLM data pipeline runs after
+  * the text-analysis / dedup passes: PII redaction, benchmark
+  * decontamination, repetition-based quality filters (Gopher-style),
+  * chunking for training windows, and deterministic weighted /
+  * stratified sampling.
+  *
+  * Scale posture shared by the module: redaction / chunking /
+  * repetition metrics are per-row (or per-row + one partial-agg
+  * shuffle of reduced forms) and stream through 100 TB at scan speed;
+  * decontamination broadcasts the benchmark n-gram set (benchmark
+  * suites are MBs, corpora are TBs) so the corpus is never shuffled;
+  * sampling is a pure function of the row key, so assignment is
+  * reproducible under any partitioning and re-runs never migrate a
+  * row between samples.
+  *
+  * Determinism contract with the DuckDB oracle: integer arithmetic
+  * everywhere except (a) int/int → double divisions (bit-identical
+  * across engines per IEEE-754) and (b) the weighted-sample key, where
+  * the one libm call (ln) is rounded to 9 dp with a doc_id tie-break —
+  * the same ULP-absorption convention as tfidf's score.
+  */
+object Curation {
+
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  // ---------------------------------------------------------------- PII
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+  private val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The fixtures carry no PII (synthetic token text), so the query
+    * first APPENDS a deterministic PII-bearing suffix (email + E.164-ish
+    * phone + IPv4, all pure functions of doc_id) and then redacts it —
+    * the redaction expressions are the operator under test, and they
+    * must fire on every row. Counts are taken pre-redaction; the
+    * redacted text must contain no residual match (asserted in
+    * CurationSpec). Everything is per-row regex work on codegen'd
+    * expressions — scan speed, no shuffle. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val synth = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-415-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
+    Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+      .select(col("doc_id"), synth.as("synth"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("synth"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("synth"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("synth"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("synth"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("redacted"))
+  }
+
+  // ----------------------------------------------------------- chunking
+
+  /** Overlapping fixed-window chunking — the "split documents into
+    * training windows with overlap" step (window 120 chars, stride 90,
+    * so consecutive chunks share 30). Offsets come from `sequence` +
+    * `posexplode`; the chunk is a `substr` — per-row array work, no
+    * shuffle, and the output carries (doc_id, chunk_id, off) so a
+    * downstream pack/shuffle can always reassemble provenance. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), length(col("text")), lit(90))).as(Seq("pos", "off")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("off").cast("long").as("off"),
+        col("text").substr(col("off"), lit(120)).as("chunk"))
+      .withColumn("chunk_chars", length(col("chunk")).cast("long"))
+      .orderBy("doc_id", "chunk_id")
+
+  // ---------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word-5-gram with a "benchmark" set (stand-in: doc_id % 50 == 0 —
+    * in production, the eval suites). The corpus side computes its
+    * distinct 5-grams map-side (one array expression per row); the
+    * benchmark n-gram set is DISTINCT'd and BROADCAST — benchmark
+    * suites are tiny next to the corpus, so the corpus never shuffles:
+    * the semi-join is a map-side hash probe. At 100 TB you'd hash the
+    * n-grams to int64 fingerprints before the join to shrink the
+    * broadcast; here they stay strings so the oracle can mirror them. */
+  def ngramDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val ngrams = when(size(w) >= 5,
+      array_distinct(transform(sequence(lit(1), size(w) - lit(4)),
+        i => array_join(slice(w, i, lit(5)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), ngrams.as("ngs"))
+    val exploded = docs.select(col("doc_id"), explode(col("ngs")).as("ng"))
+    val bench    = exploded.filter(col("doc_id") % 50 === 0).select("ng").distinct()
+    val matched = exploded
+      .join(broadcast(bench), Seq("ng"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+    docs
+      .select(col("doc_id"), size(col("ngs")).cast("long").as("n_ngrams"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_ngrams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (col("doc_id") % 50 === 0).as("is_benchmark"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- repetition quality
+
+  /** Gopher-style repetition metrics: duplicate-token fraction, top
+    * single-token fraction, top-bigram fraction — the "reject
+    * boilerplate / keyboard-mash documents" quality gate. Token and
+    * bigram counts reduce per (doc, term) with map-side partial
+    * aggregation (shuffle rows are (doc_id, term-hashable, count) —
+    * never raw text), then collapse to one row per doc. Fractions are
+    * int/int → double divisions, bit-identical across engines. */
+  def repetitionQuality(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
+    val uni = base
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"), max("c").as("top_token_n"))
+    val bi = base
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    uni.join(bi, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens")).as("dup_token_frac"),
+        (col("top_token_n").cast("double") / col("n_tokens")).as("top_token_frac"),
+        (col("top_bigram_n").cast("double") / (col("n_tokens") - 1)).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  /** Deterministic weighted sampling-without-replacement (Efraimidis–
+    * Spirakis A-Res): key = ln(u)/w with u a pure LCG-style function of
+    * doc_id and w = n_chars; the global top-k by key IS a weighted
+    * sample. Reproducible under any partitioning (the key is row-local)
+    * and the top-k is a partial-agg (per-partition top-k, merge) — no
+    * full sort at scale (Spark's sort+limit pushes the limit into each
+    * partition). In production u = xxhash64(doc_id, seed)/2^64; here an
+    * LCG mod a prime so the oracle dialect can reproduce it exactly.
+    * The one libm call (ln) is rounded to 9 dp, ties broken by doc_id —
+    * the tfidf ULP-absorption convention. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = ((col("doc_id") * 1103515245L + 12345L) % 1000003L + 1L)
+      .cast("double") / lit(1000004.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        round(log(u) / col("n_chars"), 9).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** Deterministic stratified sampling with an audit row per stratum —
+    * rebalance the corpus by language (downsample the dominant `en`,
+    * keep more of the tail languages). Membership is a pure function of
+    * doc_id (Knuth-multiplicative bucket 0–99 vs a per-stratum rate),
+    * so the sample is stable across runs and partitionings; the audit
+    * (total vs sampled counts and chars) is one partial-agg groupBy —
+    * conditional aggregation, single pass, no second scan. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("doc_id") * 2654435761L) % 100L
+    val rate   = when(col("lang") === "en", 10L).otherwise(40L)
+    val keep   = bucket < rate
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        max(rate).as("rate_pct"),
+        count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as("n_sampled"),
+        coalesce(sum(when(keep, col("n_chars"))), lit(0L)).as("chars_sampled"))
+      .orderBy("lang")
+  }
+
+  // ----------------------------------------------------------- CMS query
+
+  /** Count-Min point queries for a fixed watchlist of keys (partkeys
+    * 1–10) over the lineitem stream — the O(depth·width)-memory way to
+    * track known-key frequencies over 100 TB where an exact groupBy
+    * would shuffle the whole key domain. Our own
+    * `TypedImperativeAggregate` (SketchFunctions.CMSFreq): update
+    * map-side, elementwise-add merge through the shuffle, so the sketch
+    * is a pure function of the input multiset (SketchSpec pins
+    * order/partition/merge-shape invariance).
+    *
+    * Verification contract (kmv/approx_percentile convention): the
+    * driver-checked columns are the exact count plus two deterministic
+    * verdicts — `lower_ok` (CMS never undercounts: every occurrence
+    * lands in all its cells) and `upper_ok` (collision excess ≤ 8× the
+    * per-row expectation N/width, and the min over 4 independent rows
+    * sits far inside that; the oracle states both as literal TRUE). */
+  def cmsWatchlist(spark: SparkSession, dir: String): DataFrame = {
+    val targets = (1 to 10).map(_.toString)
+    val li  = Tables.lineitem(spark, dir).select(col("l_partkey").cast("string").as("pk"))
+    val agg = li.agg(
+      graft.functions.SketchFunctions.cmsFreq(col("pk"), targets, 4, 4096).as("cms"),
+      count(lit(1)).as("n_total"))
+    val est = agg.select(explode(col("cms")).as(Seq("pk", "est")), col("n_total"))
+    val exact = li.filter(col("pk").isin(targets: _*))
+      .groupBy("pk").agg(count(lit(1)).as("n_exact"))
+    exact.join(broadcast(est), Seq("pk"))
+      .select(
+        col("pk").cast("long").as("partkey"),
+        col("n_exact"),
+        (col("est") >= col("n_exact")).as("lower_ok"),
+        (col("est") - col("n_exact") <= col("n_total") * lit(8L) / lit(4096L) + lit(16L))
+          .as("upper_ok"))
+      .orderBy("partkey")
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("pii_redact",
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example.com or +1-415-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |         || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(s, '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM synth ORDER BY doc_id""".stripMargin)(piiRedact),
+    QueryDef.sql("doc_chunks",
+      """WITH offs AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1, 90)) AS off
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS BIGINT) AS chunk_id,
+        |  CAST(off AS BIGINT) AS off,
+        |  substr(text, CAST(off AS INT), 120) AS chunk,
+        |  CAST(length(substr(text, CAST(off AS INT), 120)) AS BIGINT) AS chunk_chars
+        |FROM offs ORDER BY doc_id, chunk_id""".stripMargin)(docChunks),
+    QueryDef.sql("ngram_decontaminate",
+      s"""WITH toksed AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents
+         |), ngr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 5
+         |         THEN list_distinct(list_transform(range(1, len(w) - 3),
+         |                i -> array_to_string(w[i:i+4], ' ')))
+         |         ELSE CAST([] AS VARCHAR[]) END AS ngs
+         |  FROM toksed
+         |), ex AS (
+         |  SELECT doc_id, unnest(ngs) AS ng FROM ngr
+         |), m AS (
+         |  SELECT doc_id, count(*) AS n_matched FROM ex
+         |  WHERE ng IN (SELECT DISTINCT ng FROM ex WHERE doc_id % 50 = 0)
+         |  GROUP BY doc_id
+         |)
+         |SELECT n.doc_id, CAST(len(n.ngs) AS BIGINT) AS n_ngrams,
+         |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+         |  (n.doc_id % 50 = 0) AS is_benchmark,
+         |  coalesce(m.n_matched, 0) > 0 AS contaminated
+         |FROM ngr n LEFT JOIN m ON n.doc_id = m.doc_id
+         |ORDER BY n.doc_id""".stripMargin)(ngramDecontaminate),
+    QueryDef.sql("repetition_quality",
+      s"""WITH toksed AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents
+         |), uni AS (
+         |  SELECT doc_id, t, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(w) AS t FROM toksed) GROUP BY doc_id, t
+         |), u AS (
+         |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_token_n
+         |  FROM uni GROUP BY doc_id
+         |), big AS (
+         |  SELECT doc_id, b, count(*) AS c
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+         |        FROM toksed WHERE len(w) >= 2) GROUP BY doc_id, b
+         |), bt AS (
+         |  SELECT doc_id, max(c) AS top_bigram_n FROM big GROUP BY doc_id
+         |)
+         |SELECT u.doc_id, CAST(u.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(u.n_distinct AS BIGINT) AS n_distinct,
+         |  CAST(u.n_tokens - u.n_distinct AS DOUBLE) / u.n_tokens AS dup_token_frac,
+         |  CAST(u.top_token_n AS DOUBLE) / u.n_tokens AS top_token_frac,
+         |  CAST(bt.top_bigram_n AS DOUBLE) / (u.n_tokens - 1) AS top_bigram_frac
+         |FROM u JOIN bt ON u.doc_id = bt.doc_id
+         |ORDER BY u.doc_id""".stripMargin)(repetitionQuality),
+    QueryDef.sql("weighted_sample",
+      """SELECT doc_id, n_chars,
+        |  round(ln(CAST((doc_id * 1103515245 + 12345) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+        |        / n_chars, 9) AS skey
+        |FROM documents
+        |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin)(weightedSample),
+    QueryDef.sql("stratified_sample",
+      """SELECT lang,
+        |  CAST(CASE WHEN lang = 'en' THEN 10 ELSE 40 END AS BIGINT) AS rate_pct,
+        |  count(*) AS n_total,
+        |  CAST(count(CASE WHEN (doc_id * 2654435761) % 100
+        |                       < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+        |             THEN 1 END) AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(sum(CASE WHEN (doc_id * 2654435761) % 100
+        |                              < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+        |                    THEN n_chars END), 0) AS BIGINT) AS chars_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(stratifiedSample),
+    QueryDef.sql("cms_watchlist",
+      """SELECT CAST(l_partkey AS BIGINT) AS partkey, count(*) AS n_exact,
+        |  TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM lineitem WHERE l_partkey BETWEEN 1 AND 10
+        |GROUP BY l_partkey ORDER BY partkey""".stripMargin)(cmsWatchlist),
+  )
+}

@@ -1,0 +1,174 @@
+package graft
+
+import graft.functions.SketchFunctions
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: redaction completeness, chunk coverage,
+  * decontamination self-consistency, repetition-metric ranges, sampling
+  * determinism, and the Count-Min sketch laws the cms_watchlist verdict
+  * leans on.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii_redact fires on every row and leaves no residual match") {
+    val out = Curation.piiRedact(spark, sfDir).cache()
+    try {
+      val n = out.count()
+      assert(n == 500)
+      // every row gained exactly one synthetic email/phone/ip
+      assert(out.filter(col("n_emails") >= 1 && col("n_phones") >= 1 && col("n_ips") >= 1)
+        .count() == n)
+      // the redacted text carries the placeholders and no residual PII
+      val residual = out.filter(
+        col("redacted").rlike("[A-Za-z0-9._%+-]+@") ||
+          col("redacted").rlike("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}") ||
+          col("redacted").rlike("\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"))
+      assert(residual.count() == 0, "redaction must remove every PII match")
+      assert(out.filter(col("redacted").contains("<EMAIL>") &&
+        col("redacted").contains("<PHONE>") && col("redacted").contains("<IP>"))
+        .count() == n)
+    } finally { out.unpersist(); () }
+  }
+
+  test("doc_chunks tile each document: stride 90, full coverage, window <= 120") {
+    val chunks = Curation.docChunks(spark, sfDir).cache()
+    try {
+      // offsets are 1, 91, 181, ... (stride 90) and chunk_id counts them
+      assert(chunks.filter(col("off") =!= col("chunk_id") * 90 + 1).count() == 0)
+      assert(chunks.filter(col("chunk_chars") > 120 || col("chunk_chars") < 1).count() == 0)
+      // coverage: the last chunk of every doc reaches the end of the text
+      val docs = graft.tables.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      val last = chunks.groupBy("doc_id")
+        .agg(max(col("off") + col("chunk_chars") - 1).as("covered"))
+      assert(last.join(docs, "doc_id").filter(col("covered") =!= col("len")).count() == 0,
+        "chunks must cover the full document")
+      // overlap: consecutive chunks share 30 chars (when the next window is full)
+      assert(chunks.filter(col("chunk_id") > 0 && col("off") % 90 =!= 1).count() == 0)
+    } finally { chunks.unpersist(); () }
+  }
+
+  test("ngram_decontaminate: benchmark docs self-flag, matches bounded by totals") {
+    val out = Curation.ngramDecontaminate(spark, sfDir).cache()
+    try {
+      assert(out.count() == 500)
+      val bench = out.filter(col("is_benchmark"))
+      assert(bench.count() == 10)
+      // a benchmark doc shares all its n-grams with the benchmark set
+      assert(bench.filter(!col("contaminated") || col("n_matched") =!= col("n_ngrams"))
+        .count() == 0)
+      assert(out.filter(col("n_matched") > col("n_ngrams")).count() == 0)
+      // decontamination must not flag everything: most non-benchmark docs are clean
+      val nonBench = out.filter(!col("is_benchmark"))
+      val clean    = nonBench.filter(!col("contaminated")).count()
+      assert(clean * 2 > nonBench.count(), s"only $clean clean docs — n too small?")
+    } finally { out.unpersist(); () }
+  }
+
+  test("repetition_quality metrics stay in range and agree with a hand check") {
+    val out = Curation.repetitionQuality(spark, sfDir).cache()
+    try {
+      assert(out.count() == 500)
+      assert(out.filter(col("n_distinct") > col("n_tokens")).count() == 0)
+      Seq("dup_token_frac", "top_token_frac", "top_bigram_frac").foreach { c =>
+        assert(out.filter(col(c) < 0.0 || col(c) > 1.0).count() == 0, c)
+      }
+      // hand check one doc against first principles
+      val docs = graft.tables.Tables.documents(spark, sfDir)
+        .select("doc_id", "text").filter(col("doc_id") === 0).head()
+      val w  = docs.getString(1).split(" ").filter(_.nonEmpty).toSeq
+      val bg = w.sliding(2).map(_.mkString(" ")).toSeq
+      val r  = out.filter(col("doc_id") === 0).head()
+      assert(r.getLong(1) == w.size)
+      assert(r.getLong(2) == w.distinct.size)
+      assert(math.abs(r.getDouble(4) - w.groupBy(identity).values.map(_.size).max.toDouble / w.size) < 1e-12)
+      assert(math.abs(r.getDouble(5) - bg.groupBy(identity).values.map(_.size).max.toDouble / bg.size) < 1e-12)
+    } finally { out.unpersist(); () }
+  }
+
+  test("weighted_sample is deterministic and matches a brute-force rank") {
+    val got = Curation.weightedSample(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 50)
+    // brute-force the same key on the driver and compare the selection
+    val all = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val u  = ((id * 1103515245L + 12345L) % 1000003L + 1L).toDouble / 1000004.0
+        val k  = BigDecimal(math.log(u) / w)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, w, k)
+      }
+    val want = all.sortBy { case (id, _, k) => (-k, id) }.take(50)
+    assert(got.toSeq == want.toSeq)
+    // weighting sanity: sampled docs skew long (weight = n_chars)
+    val meanSampled = got.map(_._2).sum.toDouble / got.length
+    val meanAll     = all.map(_._2).sum.toDouble / all.length
+    assert(meanSampled > meanAll, s"weighted sample should favor long docs ($meanSampled vs $meanAll)")
+  }
+
+  test("stratified_sample audits every stratum with the configured rate") {
+    val rows = Curation.stratifiedSample(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("de", "en", "es", "fr", "zh"))
+    rows.foreach { r =>
+      val (lang, rate, total, sampled) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rate == (if (lang == "en") 10L else 40L))
+      assert(sampled <= total)
+      assert(sampled > 0, s"stratum $lang sampled nothing")
+      // the sample rate should land near rate_pct (multiplicative-hash bucket)
+      assert(math.abs(sampled.toDouble / total - rate / 100.0) < 0.15, s"$lang off-rate")
+    }
+    // the point of stratification: en is downsampled below the tail languages' rate
+    val byLang = rows.map(r => r.getString(0) -> (r.getLong(3).toDouble / r.getLong(2))).toMap
+    assert(byLang("en") < byLang.filterKeys(_ != "en").values.min)
+  }
+
+  // ---- Count-Min sketch laws (cms_watchlist leans on these) ----
+
+  test("cms never undercounts and is invariant to partitioning and merge shape") {
+    val df = (1L to 20000L).map(i => (i * 2654435761L % 400L).toString).toDF("v")
+    val targets = (0L until 400L by 37L).map(_.toString)
+    def run(parts: Int) = df.repartition(parts)
+      .agg(SketchFunctions.cmsFreq(col("v"), targets, 4, 1024).as("cms"))
+      .select(explode(col("cms"))).as[(String, Long)].collect().toMap
+    val e1 = run(1)
+    assert(e1 == run(7) && e1 == run(32), "sketch must not depend on the plan")
+    val exact = df.groupBy("v").count().as[(String, Long)].collect().toMap
+    targets.foreach { t =>
+      assert(e1(t) >= exact.getOrElse(t, 0L), s"CMS undercounted $t")
+    }
+  }
+
+  test("cms is exact when width dwarfs the distinct domain") {
+    val df = (1L to 5000L).map(i => ("k" + (i % 23)).toString).toDF("v")
+    val targets = (0 until 23).map("k" + _)
+    val est = df.agg(SketchFunctions.cmsFreq(col("v"), targets, 4, 4096).as("cms"))
+      .select(explode(col("cms"))).as[(String, Long)].collect().toMap
+    val exact = df.groupBy("v").count().as[(String, Long)].collect().toMap
+    targets.foreach(t => assert(est(t) == exact(t), s"collision on $t"))
+  }
+
+  test("cms excess is bounded by the verdict slack at watchlist scale") {
+    // same shape as cms_watchlist: wide domain, narrow watchlist
+    val df = (1L to 60000L).map(i => (i % 2000L).toString).toDF("v")
+    val targets = (1 to 10).map(_.toString)
+    val n = 60000L
+    val est = df.agg(SketchFunctions.cmsFreq(col("v"), targets, 4, 4096).as("cms"))
+      .select(explode(col("cms"))).as[(String, Long)].collect().toMap
+    val exact = df.groupBy("v").count().as[(String, Long)].collect().toMap
+    targets.foreach { t =>
+      val excess = est(t) - exact(t)
+      assert(excess >= 0 && excess <= n * 8 / 4096 + 16, s"$t excess=$excess")
+    }
+  }
+
+  test("cms ignores nulls") {
+    val df  = Seq(Some("a"), None, Some("a"), None, Some("b")).toDF("v")
+    val est = df.agg(SketchFunctions.cmsFreq(col("v"), Seq("a", "b"), 4, 64).as("cms"))
+      .select(explode(col("cms"))).as[(String, Long)].collect().toMap
+    assert(est("a") == 2L && est("b") == 1L)
+  }
+}
