@@ -24,6 +24,7 @@ object SparkEntry {
     Similarity.entries,
     TextAnalysis.entries,
     Curation.entries,
+    Graph.entries,
     Multimodal.entries,
   )
 

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank: hand-computed reference on a small graph, probability-mass
+  * conservation, and plan-determinism under repartitioning.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** driver-side reference implementation mirroring the operator's
+    * contract (round to 9 dp each iteration, dangling mass dropped). */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val simple = edges.distinct.filter { case (s, d) => s != d }
+    val nodes  = simple.flatMap { case (s, d) => Seq(s, d) }.distinct.sorted
+    val n      = nodes.size
+    val deg    = simple.groupBy(_._1).view.mapValues(_.size).toMap
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = nodes.map(_ -> rnd(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = simple.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(v => v -> rnd(0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  private val toyEdges =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (2L, 2L), (1L, 2L))
+
+  test("pagerank matches a driver-side reference on a toy graph") {
+    val e   = toyEdges.toDF("src", "dst")
+    val got = Graph.pageRankOn(e).collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getDouble(2))).toMap
+    val want = reference(toyEdges, 3)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (node, r) =>
+      assert(math.abs(got(node)._2 - r) < 1e-9, s"node $node: ${got(node)._2} vs $r")
+    }
+    // node 4 has out-edges but no in-edges: rank is the floor 0.15/N
+    assert(got(4L)._2 == BigDecimal(0.15 / 4).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // out-degrees on the simple graph (self-loops and dup edges dropped)
+    assert(got(1L)._1 == 2 && got(2L)._1 == 1 && got(3L)._1 == 1 && got(4L)._1 == 1)
+  }
+
+  test("pagerank mass stays in (0, 1] and every rank is above the teleport floor") {
+    val out   = Graph.pageRank(spark, sfDir).cache()
+    try {
+      val n     = out.count()
+      val total = out.agg(sum("rank")).head().getDouble(0)
+      assert(total > 0.0 && total <= 1.0 + 1e-6,
+        s"dangling-drop pagerank mass must stay <= 1, got $total")
+      assert(out.filter(col("rank") < lit(0.15) / n - lit(1e-9)).count() == 0,
+        "every node keeps at least the teleport mass")
+    } finally { out.unpersist(); () }
+  }
+
+  test("pagerank is invariant to input partitioning") {
+    val e  = toyEdges.toDF("src", "dst")
+    def run(parts: Int) = Graph.pageRankOn(e.repartition(parts)).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2))).toSeq
+    assert(run(1) == run(7))
+  }
+}
