@@ -225,7 +225,11 @@ object Curation {
       graft.functions.SketchFunctions.cmsFreq(col("pk"), targets, 4, 4096).as("cms"),
       count(lit(1)).as("n_total"))
     val est = agg.select(explode(col("cms")).as(Seq("pk", "est")), col("n_total"))
-    val exact = li.filter(col("pk").isin(targets: _*))
+    // filter on the NUMERIC key before the string cast so the predicate
+    // pushes into the parquet scan (a cast-first filter would not)
+    val exact = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey").between(1, 10))
+      .select(col("l_partkey").cast("string").as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n_exact"))
     exact.join(broadcast(est), Seq("pk"))
       .select(

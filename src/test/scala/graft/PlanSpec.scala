@@ -135,4 +135,47 @@ class PlanSpec extends SparkSpec {
     assigned.collect()
     assert(codegenStages(assigned) > 0, "nearestCentroidIdx fell out of codegen")
   }
+
+  // ---- curation / graph operators (round 9) ----
+
+  test("ngram_decontaminate broadcasts the benchmark n-gram set (corpus never shuffled)") {
+    val p = planOf("ngram_decontaminate")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      "benchmark semi-join must be a broadcast hash probe")
+  }
+
+  test("pii_redact and doc_chunks stay map-side: no hash shuffle, regex above the sort") {
+    Seq("pii_redact", "doc_chunks").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("hashpartitioning"),
+        s"$q shuffled — per-row curation must only range-exchange for the final sort")
+    }
+    // the expensive regex/concat projection must sit ABOVE the sort so the
+    // range-sampling pass doesn't evaluate it twice (simple mode: tree order)
+    val plan = SparkEntry.queries("pii_redact")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    val proj = plan.linesIterator.indexWhere(_.contains("regexp_replace"))
+    val sort = plan.linesIterator.indexWhere(_.contains("Sort ["))
+    assert(proj >= 0 && sort >= 0 && proj < sort, "redaction ran below the global sort")
+  }
+
+  test("weighted_sample plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted top-k must push the limit into per-partition top-k")
+  }
+
+  test("cms_watchlist merges sketch partials through the shuffle and pushes the key filter") {
+    val p = planOf("cms_watchlist")
+    assert(p.contains("partial_cmsfreq"),
+      "CMS must run map-side partial aggregation before the exchange")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), GreaterThanOrEqual(l_partkey,1)"),
+      "watchlist filter must reach the parquet scan on the numeric key")
+  }
+
+  test("pagerank never plans a cartesian product and partial-aggregates contributions") {
+    val p = planOf("pagerank")
+    assert(!p.contains("CartesianProduct"), "the 1-row N join must broadcast")
+    assert(p.contains("partial_sum"), "contribution sum lost map-side combine")
+  }
 }
