@@ -321,6 +321,38 @@ object ShingleMath {
     }
     acc
   }
+
+  /** per-position polynomial fingerprints of every `l`-code-point gram of
+    * `text`: element k equals [[rollingHash]] of the substring starting at
+    * code point k (length l) — but the whole array is ONE O(n) sliding-
+    * window pass (drop the outgoing code point's 31^(l-1) term, shift,
+    * add the incoming one) instead of n O(l) re-folds. Empty array when
+    * the text is shorter than l code points. The scan-speed kernel of
+    * exact-substring duplicate detection: 100 TB of text reduces to one
+    * long per span before anything shuffles. */
+  def gramHashes(text: UTF8String, l: Int): ArrayData = {
+    val s  = text.toString
+    val cps = s.codePoints().toArray
+    val n  = cps.length
+    if (n < l) return ArrayData.toArrayData(Array.empty[Long])
+    val P   = 1000000007L
+    var pow = 1L // 31^(l-1) mod P
+    var i   = 0
+    while (i < l - 1) { pow = pow * 31L % P; i += 1 }
+    val out = new Array[Long](n - l + 1)
+    var acc = 0L
+    i = 0
+    while (i < l) { acc = (acc * 31L + cps(i)) % P; i += 1 }
+    out(0) = acc
+    i = 1
+    while (i <= n - l) {
+      acc = (acc - cps(i - 1) * pow % P + P) % P
+      acc = (acc * 31L + cps(i + l - 1)) % P
+      out(i) = acc
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** distinct character n-grams of a string column, codegen'd. */
@@ -381,6 +413,18 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     ShingleMath.rollingHash(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** GramHashes(string, l) -> array<long>: per-position rolling-hash
+  * fingerprints of all l-code-point grams (see ShingleMath.gramHashes),
+  * codegen'd. */
+case class GramHashes(child: Expression, l: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleMath.gramHashes(v.asInstanceOf[UTF8String], l)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.gramHashes($c, $l)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -512,6 +556,11 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(text)))
+
+  /** all l-code-point gram fingerprints of a string, one O(n) pass
+    * (element k = `fingerprint` of the gram starting at code point k). */
+  def gramHashesCol(text: Column, l: Int): Column =
+    ColumnBridge.column(GramHashes(ColumnBridge.expression(text), l))
 
   /** hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

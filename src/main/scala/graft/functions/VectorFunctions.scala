@@ -80,6 +80,22 @@ object VectorMath {
     }
     best
   }
+
+  /** squared L2 distance between a float vector and a double centroid,
+    * accumulated in index order d=0..n — the same order (and hence the
+    * same double, bit-for-bit) as one [[nearestCentroid]] candidate and
+    * as the SQL oracle's left-fold. */
+  def sqDistFD(emb: ArrayData, cent: ArrayData): Double = {
+    val n = math.min(emb.numElements(), cent.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val x = emb.getFloat(i).toDouble - cent.getDouble(i)
+      d += x * x
+      i += 1
+    }
+    d
+  }
 }
 
 /** Plain-array twins of VectorMath for driver/executor Scala loops
@@ -142,6 +158,21 @@ case class NearestCentroidIdx(left: Expression, right: Expression) extends Binar
     copy(left = l, right = r)
 }
 
+/** Codegen'd squared L2 distance: (array<float>, array<double>) -> double
+  * — the per-member inertia term of a k-means assignment (the centroid
+  * side is a foldable literal, so the whole expression stays in
+  * whole-stage codegen).
+  */
+case class SqDistFD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.sqDistFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.sqDistFD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API. `cosineBuiltin` is the pure-`functions._` composition
   * (higher-order functions, interpreted) kept as a cross-check for the
   * codegen'd expression; `cosine` is the fast path.
@@ -153,6 +184,8 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = column(CosineSimilarityF(expression(a), expression(b)))
   def nearestCentroidIdx(emb: Column, cents: Column): Column =
     column(NearestCentroidIdx(expression(emb), expression(cents)))
+  def sqDist(emb: Column, cent: Column): Column =
+    column(SqDistFD(expression(emb), expression(cent)))
 
   /** Same semantics as `cosine`, built only from org.apache.spark.sql.functions. */
   def cosineBuiltin(a: Column, b: Column): Column = {

@@ -55,11 +55,103 @@ object Centroids {
       .orderBy("label", "dim")
   }
 
+  /** k-means over the embedding column — Lloyd's algorithm with
+    * deterministic seeds (the first K vectors by id) and two unrolled
+    * assignment passes (assign → update → assign), the semantic-
+    * clustering step of a corpus-curation pipeline (topic balancing,
+    * data mixing).
+    *
+    * Spark shape (the same one MLlib's KMeans uses): centroids live on
+    * the driver as a k×dim matrix — O(k·dim), independent of corpus
+    * size — and each assignment is a PURE MAP: the matrix is a foldable
+    * literal inside the codegen'd `NearestCentroidIdx`/`SqDistFD`
+    * expressions, so assigning 100 TB of vectors is a scan with zero
+    * shuffle and zero join. The update step is one partial-aggregated
+    * (cluster, dim) avg — shuffle rows = k·dim, not the corpus.
+    *
+    * Determinism: centroids round to 6dp after the update (the
+    * hash-green label_centroids invariant, absorbing float-sum
+    * association); assignment ties break to the lowest cluster id
+    * (strict `<` in nearestCentroid = the oracle's ORDER BY dist,
+    * cluster); per-member inertia terms are identical doubles on both
+    * engines (fixed-order accumulation) converted to exact integer
+    * micros before the order-insensitive long sum.
+    */
+  val KmeansK     = 8
+  private val Dim = 64
+
+  def kmeansEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      val ids = typedLit(cents.map(_._1))
+      val m   = typedLit(cents.map(_._2))
+      val idx = graft.functions.VectorFunctions.nearestCentroidIdx(col("embedding"), m)
+      base
+        .withColumn("cluster", element_at(ids, idx + 1))
+        .withColumn("sqd",
+          graft.functions.VectorFunctions.sqDist(col("embedding"), element_at(m, idx + 1)))
+    }
+
+    // seeds: first K vectors by id, floats widened exactly to double
+    val seeds: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < KmeansK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1).toSeq
+
+    // one Lloyd update: per-(cluster, dim) 6dp-rounded avg, collected
+    // back to the driver (k×dim rows — bounded, like annIvf's quantizer)
+    val updated: Seq[(Long, Seq[Double])] = assign(seeds)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim").agg(round(avg(col("v").cast("double")), 6).as("av"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq)
+      .toSeq.sortBy(_._1)
+
+    assign(updated)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("sqd") * 1e6).cast("long")).as("inertia_micros"))
+      .orderBy("cluster")
+  }
+
+  private val kmeansSql: String = {
+    val sq =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, $Dim), d ->
+         |    (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
+         |  (a, v) -> a + v)""".stripMargin
+    def assign(cents: String): String =
+      s"""SELECT vec_id, embedding, cluster, sqd FROM (
+         |  SELECT e.vec_id, e.embedding, c.cluster, $sq AS sqd,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY $sq ASC, c.cluster ASC) AS rn
+         |  FROM embeddings e CROSS JOIN $cents c) t
+         |WHERE rn = 1""".stripMargin
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM embeddings WHERE vec_id < $KmeansK
+       |), a0 AS (${assign("cents0")}),
+       |cents1 AS (
+       |  SELECT cluster, list(avg_val ORDER BY d) AS c FROM (
+       |    SELECT cluster, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
+       |    FROM a0, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+       |    GROUP BY cluster, d) t
+       |  GROUP BY cluster
+       |), a1 AS (${assign("cents1")})
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(CAST(round(sqd * 1000000) AS BIGINT)) AS BIGINT) AS inertia_micros
+       |FROM a1 GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("label_centroids",
       """SELECT CAST(label AS BIGINT) AS label, CAST(d - 1 AS BIGINT) AS dim,
         |       round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) dims
         |GROUP BY label, d ORDER BY label, dim""".stripMargin)(labelCentroids),
+    QueryDef.sql("kmeans_embed", kmeansSql)(kmeansEmbed),
   )
 }

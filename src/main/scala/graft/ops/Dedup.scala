@@ -407,6 +407,75 @@ object Dedup {
       |  WHERE len(string_split(text, ' ')) >= 3
       |)""".stripMargin
 
+  /** gram length (code points) for exact-substring duplication. */
+  val GramLen = 30
+
+  /** Exact-substring duplication detection — the span-level complement
+    * of the document-level dedups above (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": memorization comes
+    * from repeated SPANS, which whole-document near-dup misses). Every
+    * `GramLen`-code-point span is fingerprinted and spans whose
+    * fingerprint occurs in ≥2 distinct documents are flagged; output is
+    * per-document span/duplicated-span counts and the duplication
+    * ratio.
+    *
+    * Scale shape: gram fingerprinting is ONE codegen'd O(n)
+    * sliding-window pass per row (`GramHashes` — not n O(L) re-folds),
+    * and text never leaves the scan: the explode emits (doc_id, hash)
+    * long pairs, the docs-per-hash count is a two-level aggregation
+    * (distinct, then count — both partial-aggregated), and the per-doc
+    * roll-up joins flags back on the 8-byte hash. 100 TB of text
+    * reduces to ~#positions longs before the first shuffle.
+    *
+    * Fingerprint collisions (two different spans, one 31-base poly hash
+    * mod 1e9+7) are the documented approximation; the oracle computes
+    * the identical hash, so the comparison is still exact. */
+  def substringDup(spark: SparkSession, dir: String): DataFrame =
+    substringDupOn(Tables.documents(spark, dir).select("doc_id", "text"), GramLen)
+
+  /** Span-duplication over an arbitrary (doc_id, text) table — split out
+    * so specs can drive it with hand-planted duplicate spans. */
+  def substringDupOn(docs: DataFrame, l: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"), explode(gramHashesCol(col("text"), l)).as("h"))
+    val nDocs = grams.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+    val perDoc = grams.join(nDocs, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("dup_spans").cast("double") / col("n_grams"), 6)).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val substringDupSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(CAST(i AS INT), CAST(i AS INT) + ${GramLen - 1}),
+       |        j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - ${GramLen - 1})) AS i)
+       |  WHERE length(text) >= $GramLen
+       |), flags AS (
+       |  SELECT h, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY h
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(g.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(g.dup_spans, 0) AS BIGINT) AS dup_spans,
+       |  CASE WHEN coalesce(g.n_grams, 0) = 0 THEN 0.0
+       |       ELSE round(CAST(g.dup_spans AS DOUBLE) / g.n_grams, 6) END AS dup_ratio
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |         sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS dup_spans
+       |  FROM grams gr JOIN flags f ON gr.h = f.h GROUP BY doc_id
+       |) g ON d.doc_id = g.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("dedup_exact",
       """SELECT p_name, min(p_partkey) AS keep_key, count(*) AS n_dups
@@ -547,5 +616,6 @@ object Dedup {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |            CAST(b.embedding AS DOUBLE[])), 4) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin)(embeddingNearDup),
+    QueryDef.sql("substring_dup", substringDupSql)(substringDup),
   )
 }

@@ -109,7 +109,101 @@ object Graph {
        |ORDER BY f.node""".stripMargin
   }
 
+  /** node-space modulus for the triangle graph: larger than PageRank's
+    * so the graph stays sparse (avg degree ~6 at sf0.01) instead of
+    * saturating to a clique. */
+  private val TriMod = 4999
+
+  /** Undirected simple graph for triangle counting: canonical (u<v)
+    * distinct edges over the same orders-derived node space PageRank
+    * uses, just sparser. */
+  private def triEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select((col("o_custkey") % TriMod).as("a"), (col("o_orderkey") % TriMod).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+
+  /** Per-node triangle counts + local clustering coefficient.
+    *
+    * Algorithm: degree-ordered orientation (each edge points from its
+    * lower-(degree, id) endpoint to the higher one), wedges = pairs of
+    * out-neighbors of a common center, closed against the canonical
+    * edge set. Every triangle has exactly one vertex whose two incident
+    * triangle edges both point OUT (its lowest-order vertex), so each
+    * triangle closes exactly once. The orientation is the scale move:
+    * out-degree is O(√m) on any graph (a vertex's out-neighbors all
+    * have ≥ its degree, and there are ≤ 2m degree units), so the wedge
+    * join materializes Σ C(outdeg, 2) = O(m^1.5) rows instead of the
+    * unoriented Σ C(deg, 2), which a single hot vertex (degree h) blows
+    * up to h² — this is the standard MapReduce triangle algorithm
+    * (Suri & Vassilvitskii's "Counting triangles and the curse of the
+    * last reducer"). All joins/aggregates carry only (long, long) pairs.
+    *
+    * Determinism: counts and degrees are exact ints; the coefficient
+    * 2·tri/(deg·(deg−1)) is one double division of exact ints, rounded
+    * to 6dp — bit-identical on both engines.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountOn(triEdges(spark, dir))
+
+  /** Triangle counting over an arbitrary canonical (u<v) edge table —
+    * split out so specs can drive it with a hand-checkable graph. */
+  def triangleCountOn(edgesDf: DataFrame): DataFrame = {
+    val e = edgesDf.cache()
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+    // orient each edge from the lower-(deg, id) endpoint to the higher
+    val ej = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val or = ej.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+
+    // wedges at a common center; a.dst < b.dst by id makes the pair
+    // canonical, so the close probes the u<v edge set directly
+    val wedges = or.as("a").join(or.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("c0"), col("a.dst").as("x"), col("b.dst").as("y"))
+    val tri = wedges.join(e, col("x") === col("u") && col("y") === col("v"))
+      .select(explode(array(col("c0"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) / (col("deg") * (col("deg") - 1)), 6))
+          .as("lcc"))
+      .orderBy("node")
+  }
+
+  private val triangleSql: String =
+    s"""WITH raw AS (
+       |  SELECT (o_custkey % $TriMod) AS a, (o_orderkey % $TriMod) AS b FROM orders
+       |), e AS (
+       |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw WHERE a <> b
+       |), deg AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node
+       |), tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+       |), pn AS (
+       |  SELECT unnest([a, b, c]) AS node FROM tri
+       |), tc AS (
+       |  SELECT node, count(*) AS triangles FROM pn GROUP BY node
+       |)
+       |SELECT d.node, d.deg, CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN d.deg < 2 THEN 0.0
+       |       ELSE round(2.0 * coalesce(t.triangles, 0) / (d.deg * (d.deg - 1)), 6) END AS lcc
+       |FROM deg d LEFT JOIN tc t ON d.node = t.node ORDER BY d.node""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("pagerank", pageRankSql)(pageRank),
+    QueryDef.sql("triangle_count", triangleSql)(triangleCount),
   )
 }

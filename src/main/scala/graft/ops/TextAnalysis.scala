@@ -151,6 +151,81 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** BM25 retrieval parameters. The derived constants are interpolated
+    * into the oracle as exact decimal literals (the planeWeightsF
+    * pattern) so both engines multiply bit-identical operands rather
+    * than re-deriving `k1+1` under their own parser/fold rules. */
+  val Bm25Terms: Seq[String] = Seq("spark", "query", "vector")
+  private val K1        = 1.2
+  private val B         = 0.75
+  private val K1p1      = K1 + 1.0
+  private val OneMinusB = 1.0 - B
+  private val Bm25TopN  = 10
+
+  private def dec(d: Double): String = new java.math.BigDecimal(d).toPlainString
+
+  /** BM25-scored top-k retrieval for a fixed query term set — the
+    * search/decontamination-retrieval staple next to tfidf.
+    *
+    * Scale shape: per-term tf is a codegen'd per-row count (one hash
+    * probe per token — no explode, no (doc, term) shuffle since the
+    * query terms are fixed and few); corpus stats (N, Σdl, per-term df)
+    * are ONE partial-aggregated row, broadcast back; scoring is a pure
+    * map; top-k is TakeOrderedAndProject (per-partition bounded heaps +
+    * driver merge of k·p rows), never a global sort. 100 TB of text →
+    * one aggregate + one scan.
+    *
+    * Determinism: tf/dl/df/N are exact ints, every float expression is
+    * written in the same association order on both engines, and the
+    * score is rounded to 6dp (absorbing libm ln ULP drift) with doc_id
+    * tiebreak before the top-k cut. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val t      = filter(toks(col("text")), x => x =!= "")
+    val tfCols = Bm25Terms.indices.map(i =>
+      TextFunctions.countInSetCol(t, Seq(Bm25Terms(i))).as(s"tf_$i"))
+    val pertf = Tables.documents(spark, dir).select(
+      Seq(col("doc_id"), size(t).cast("long").as("dl")) ++ tfCols: _*)
+    val statsAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
+      Bm25Terms.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = pertf.agg(statsAggs.head, statsAggs.tail: _*)
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val score = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val df = col(s"df_$i")
+      log((col("n").cast("double") - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * lit(K1p1)) / (tf + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    pertf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopN)
+  }
+
+  private val bm25Sql: String = {
+    val tfExprs = Bm25Terms.indices.map(i =>
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t = '${Bm25Terms(i)}')) AS BIGINT) AS tf_$i")
+      .mkString(",\n    ")
+    val dfExprs = Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val scoreTerms = Bm25Terms.indices.map(i =>
+      s"""ln((CAST(s.n AS DOUBLE) - s.df_$i + 0.5) / (s.df_$i + 0.5) + 1.0)
+         |    * (d.tf_$i * ${dec(K1p1)}) / (d.tf_$i + ${dec(K1)} * (${dec(OneMinusB)} + ${dec(B)} * d.dl / s.avgdl))"""
+        .stripMargin).mkString("\n  + ")
+    s"""WITH pertf AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS dl,
+       |    $tfExprs
+       |  FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfExprs
+       |  FROM pertf
+       |)
+       |SELECT d.doc_id, d.dl, round(
+       |  $scoreTerms, 6) AS score
+       |FROM pertf d CROSS JOIN stats s
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopN""".stripMargin
+  }
+
   private val langCaseSql: String = {
     // identical argmax fold in SQL: nested CASE chain, same > comparisons
     val scoreSql = Profiles.map { case (lang, words) =>
@@ -215,6 +290,7 @@ object TextAnalysis {
         |)
         |SELECT token, n, TRUE AS sketch_exact FROM c
         |ORDER BY n DESC, token LIMIT 10""".stripMargin)(topkFrequent),
+    QueryDef.sql("bm25_search", bm25Sql)(bm25Search),
     QueryDef.sql("fingerprint",
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -68,4 +68,23 @@ class DedupSpec extends SparkSpec {
     assert(copyPairs.length == nVecs)
     assert(copyPairs.forall(_._3 == 1.0))
   }
+
+  test("substring duplication flags exactly the planted cross-doc span") {
+    import spark.implicits._
+    val shared = "0123456789" * 3 // one 30-char span shared by docs 1 and 2
+    val docs = Seq(
+      (1L, "a" * 20 + shared),
+      (2L, "b" * 20 + shared),
+      (3L, "c" * 50), // 21 identical grams, but all in ONE doc: not dup
+      (4L, "too short")) // under the gram length: zero grams
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDupOn(docs, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val r21 = BigDecimal(1.0 / 21).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 21L, 1L, r21),
+      (2L, 21L, 1L, r21),
+      (3L, 21L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
 }

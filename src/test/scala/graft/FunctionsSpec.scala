@@ -129,6 +129,38 @@ class FunctionsSpec extends SparkSpec {
     assert(VectorMath.cosineF(z, z) == 0.0)
   }
 
+  test("gramHashes sliding window == per-gram rolling-hash folds (incl. non-BMP)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aßç∂🙂xyz🙂ß∂", // surrogate pairs: grams index CODE POINTS
+      "aaaaaaaaaa", "short", "", "exact")
+    for (s <- samples; l <- Seq(1, 3, 5)) {
+      val cps = s.codePoints().toArray
+      val want =
+        if (cps.length < l) Seq.empty[Long]
+        else (0 to cps.length - l).map { i =>
+          graft.functions.ShingleMath.rollingHash(
+            UTF8String.fromString(new String(cps, i, l)))
+        }
+      // driver (interpreted) path
+      val interp = graft.functions.ShingleMath
+        .gramHashes(UTF8String.fromString(s), l).toLongArray().toSeq
+      assert(interp == want, s"interp mismatch for '$s' l=$l")
+      // codegen path through a real plan
+      val viaDf = Seq(Tuple1(s)).toDF("t")
+        .select(TextFunctions.gramHashesCol(col("t"), l)).head().getSeq[Long](0)
+      assert(viaDf == want, s"codegen mismatch for '$s' l=$l")
+    }
+  }
+
+  test("sqDist expression equals the nearestCentroid candidate term") {
+    val a = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1f, 2f, 3f))
+    val c = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0.5, 2.0, 4.5))
+    val d = VectorMath.sqDistFD(a, c)
+    assert(d == 0.5 * 0.5 + 0.0 + 1.5 * 1.5)
+  }
+
   test("md5Lower64 equals the oracle's md5_number_lower (last 8 md5 bytes, LE)") {
     // md5('hello') = 5d41402abc4b2a76b9719d911017c592; last 8 bytes
     // little-endian = 0x92c51710919d71b9 (verified against DuckDB 1.0)

@@ -63,4 +63,26 @@ class GraphSpec extends SparkSpec {
       .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2))).toSeq
     assert(run(1) == run(7))
   }
+
+  /** K4 on {1,2,3,4} plus pendant 5—1: 4 triangles, each K4 vertex in 3. */
+  private val k4Pendant =
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+
+  test("triangle count matches the hand-counted K4-plus-pendant graph") {
+    val got = Graph.triangleCountOn(k4Pendant.toDF("u", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 3L, 0.5), // 2·3/(4·3)
+      (2L, 3L, 3L, 1.0), // its neighborhood {1,3,4} is complete
+      (3L, 3L, 3L, 1.0),
+      (4L, 3L, 3L, 1.0),
+      (5L, 1L, 0L, 0.0)))
+  }
+
+  test("triangle count is invariant to input partitioning (orientation is data-order-free)") {
+    val e = k4Pendant.toDF("u", "v")
+    def run(parts: Int) = Graph.triangleCountOn(e.repartition(parts)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(run(1) == run(7))
+  }
 }

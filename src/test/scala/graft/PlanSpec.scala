@@ -178,4 +178,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "the 1-row N join must broadcast")
     assert(p.contains("partial_sum"), "contribution sum lost map-side combine")
   }
+
+  test("bm25_search plans TakeOrderedAndProject over a broadcast 1-row stats join") {
+    val p = planOf("bm25_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition heaps, not a global sort")
+    assert(!p.contains("CartesianProduct"), "the 1-row stats join must broadcast")
+  }
+
+  test("kmeans assignment is a pure map: no join anywhere in the final plan") {
+    // centroids ride as foldable literals inside the codegen'd
+    // NearestCentroidIdx/SqDistFD, so assigning the corpus is scan +
+    // project + partial-agg — the only exchange is the k-row final agg
+    val p = planOf("kmeans_embed")
+    assert(!p.contains("Join"), "kmeans assignment must not join the corpus")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      "assignment added exchanges beyond the k-row aggregate + output sort")
+  }
+
+  test("substring_dup shuffles only (hash, id) longs — text never leaves the scan") {
+    val p = planOf("substring_dup")
+    val exchangeOn = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+    assert(exchangeOn.forall(!_.contains("text")), "document text entered a shuffle")
+  }
+
+  test("triangle_count never plans a cartesian product") {
+    val p = planOf("triangle_count")
+    assert(!p.contains("CartesianProduct"),
+      "wedge formation and closing must be key joins")
+  }
 }
