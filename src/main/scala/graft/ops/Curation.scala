@@ -100,13 +100,15 @@ object Curation {
     * n-grams to int64 fingerprints before the join to shrink the
     * broadcast; here they stay strings so the oracle can mirror them. */
   def ngramDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val w = toks(col("text"))
-    val ngrams = when(size(w) >= 5,
-      array_distinct(transform(sequence(lit(1), size(w) - lit(4)),
-        i => array_join(slice(w, i, lit(5)), " "))))
-      .otherwise(array().cast("array<string>"))
+    // distinct 5-gram shingles via the codegen'd WordNGrams kernel — the
+    // interpreted transform(sequence(slice+array_join)) composition it
+    // replaces cost ~µs per gram and dominated this query's runtime
+    // (it was evaluated over the corpus on both join sides). Raw
+    // single-space tokenization (empties kept), mirrored by the oracle;
+    // identical on the space-normalized fixtures.
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), ngrams.as("ngs"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShinglesDistinct(col("text"), 5).as("ngs"))
     val exploded = docs.select(col("doc_id"), explode(col("ngs")).as("ng"))
     val bench    = exploded.filter(col("doc_id") % 50 === 0).select("ng").distinct()
     val matched = exploded
@@ -279,7 +281,7 @@ object Curation {
         |FROM offs ORDER BY doc_id, chunk_id""".stripMargin)(docChunks),
     QueryDef.sql("ngram_decontaminate",
       s"""WITH toksed AS (
-         |  SELECT doc_id, $toksSql AS w FROM documents
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
          |), ngr AS (
          |  SELECT doc_id,
          |    CASE WHEN len(w) >= 5

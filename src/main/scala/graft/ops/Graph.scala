@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   * does.
   *
   * Determinism contract: every rank is rounded to 9 dp after each
-  * iteration, so the one float sum per node (≤ in-degree terms, each
-  * term bit-identical across engines) can never drift past the
-  * rounding unit; all other arithmetic is integer.
+  * iteration, and the per-node contribution sum is carried in EXACT
+  * INTEGER NANOS (each r/deg term is a bit-identical double on both
+  * engines, rounded to a long before the sum) — so the sum is
+  * association-free and the output cannot flip with partition layout.
+  * (A 9dp-rounded DOUBLE sum is not enough: a sum landing exactly on
+  * the 0.5e-9 boundary rounds differently under different partial-sum
+  * orders — observed once under a cache-induced plan change.)
   */
 object Graph {
 
@@ -57,8 +61,11 @@ object Graph {
       .cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .cache()
     val n   = nodes.agg(count(lit(1)).as("n"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    // deg and nodes feed every unrolled iteration plus the output join —
+    // cache the reduced tables once instead of re-shuffling per iteration
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).cache()
 
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), round(lit(1.0) / col("n"), 9).as("r"))
@@ -66,14 +73,16 @@ object Graph {
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
         .join(deg, "src")
-        .select(col("dst").as("node"), (col("r") / col("d")).as("c"))
+        .select(col("dst").as("node"),
+          round((col("r") / col("d")) * 1e9).cast("long").as("cn"))
         .groupBy("node")
-        .agg(sum("c").as("s"))
+        .agg(sum("cn").as("sn"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
-          round(lit(0.15) / col("n") + lit(Damping) * coalesce(col("s"), lit(0.0)), 9).as("r"))
+          round(lit(0.15) / col("n") +
+            lit(Damping) * (coalesce(col("sn"), lit(0L)).cast("double") / lit(1e9)), 9).as("r"))
     }
     ranks
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
@@ -95,9 +104,10 @@ object Graph {
       val prev = s"r${i - 1}"
       s"""r$i AS (
          |  SELECT x.node,
-         |    round(0.15 / nn.n + 0.85 * coalesce(c.s, 0.0), 9) AS r
+         |    round(0.15 / nn.n + 0.85 * (coalesce(c.sn, 0) / 1000000000.0), 9) AS r
          |  FROM nodes x CROSS JOIN nn LEFT JOIN (
-         |    SELECT e.dst AS node, sum(p.r / deg.d) AS s
+         |    SELECT e.dst AS node,
+         |           sum(CAST(round((p.r / deg.d) * 1000000000.0) AS BIGINT)) AS sn
          |    FROM edges e JOIN $prev p ON e.src = p.node
          |    JOIN deg ON e.src = deg.src GROUP BY e.dst
          |  ) c ON x.node = c.node)""".stripMargin
@@ -151,8 +161,14 @@ object Graph {
     * split out so specs can drive it with a hand-checkable graph. */
   def triangleCountOn(edgesDf: DataFrame): DataFrame = {
     val e = edgesDf.cache()
+    // deg and the oriented edge list each feed ≥2 downstream joins
+    // (both wedge sides, the close, the output) — cache the reduced
+    // (long, long) tables once instead of re-running their shuffles
+    // per consumer. MEMORY_AND_DISK, so at cluster scale this is the
+    // standard spill-safe reuse of an O(m) intermediate.
     val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .cache()
 
     // orient each edge from the lower-(deg, id) endpoint to the higher
     val ej = e
@@ -162,6 +178,7 @@ object Graph {
     val or = ej.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+      .cache()
 
     // wedges at a common center; a.dst < b.dst by id makes the pair
     // canonical, so the close probes the u<v edge set directly

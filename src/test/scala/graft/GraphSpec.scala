@@ -10,7 +10,9 @@ class GraphSpec extends SparkSpec {
   import spark.implicits._
 
   /** driver-side reference implementation mirroring the operator's
-    * contract (round to 9 dp each iteration, dangling mass dropped). */
+    * contract (round to 9 dp each iteration, contributions summed in
+    * exact integer nanos so association cannot matter, dangling mass
+    * dropped). */
   private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
     val simple = edges.distinct.filter { case (s, d) => s != d }
     val nodes  = simple.flatMap { case (s, d) => Seq(s, d) }.distinct.sorted
@@ -18,11 +20,14 @@ class GraphSpec extends SparkSpec {
     val deg    = simple.groupBy(_._1).view.mapValues(_.size).toMap
     def rnd(x: Double) =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def nanos(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     var r = nodes.map(_ -> rnd(1.0 / n)).toMap
     for (_ <- 1 to iters) {
       val contrib = simple.groupBy(_._2).view.mapValues(
-        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
-      r = nodes.map(v => v -> rnd(0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+        _.map { case (s, _) => nanos(r(s) / deg(s)) }.sum).toMap
+      r = nodes.map(v =>
+        v -> rnd(0.15 / n + 0.85 * (contrib.getOrElse(v, 0L).toDouble / 1e9))).toMap
     }
     r
   }
