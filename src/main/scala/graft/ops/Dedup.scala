@@ -476,7 +476,52 @@ object Dedup {
        |) g ON d.doc_id = g.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** edit-distance threshold for fuzzy name matching. */
+  val MaxEditDist = 3
+
+  /** Fuzzy entity matching: distinct name pairs within Levenshtein
+    * distance ≤ [[MaxEditDist]] — the classic entity-resolution /
+    * catalog-dedup operator (`part` carries natural near-misses:
+    * "cold anvil" ↔ "old anvil").
+    *
+    * Scale shape: the corpus is first reduced to its DISTINCT name
+    * vocabulary (the 100 TB move — vocabulary ≪ rows), then banded by
+    * length: |len(a)−len(b)| ≤ d is necessary for edit distance ≤ d, so
+    * the right side emits one row per admissible length and the band
+    * becomes an EQUI-join — no cartesian, no theta-join. Each candidate
+    * pair is produced exactly once (key = len(a); b emits len(a) at
+    * most once; the a<b filter kills the mirrored role). The exact
+    * Levenshtein check runs only on banded candidates. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    fuzzyJoinOn(Tables.part(spark, dir).select(col("p_name").as("n")).distinct(),
+      MaxEditDist)
+
+  /** Fuzzy matching over an arbitrary single-column (`n`) name table —
+    * split out so specs can drive it with hand-checkable names. */
+  def fuzzyJoinOn(namesDf: DataFrame, maxDist: Int): DataFrame = {
+    val names = namesDf.withColumn("len", length(col("n")))
+    val left  = names.select(col("n").as("name_a"), col("len").as("key"))
+    val right = names.select(col("n").as("name_b"),
+      explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("key"))
+    left.join(right, "key")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
+  private val fuzzyJoinSql: String =
+    s"""WITH names AS (SELECT DISTINCT p_name AS n FROM part)
+       |SELECT a.n AS name_a, b.n AS name_b,
+       |       CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
+       |FROM names a JOIN names b
+       |  ON a.n < b.n AND abs(length(a.n) - length(b.n)) <= $MaxEditDist
+       |WHERE levenshtein(a.n, b.n) <= $MaxEditDist
+       |ORDER BY name_a, name_b""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("fuzzy_join", fuzzyJoinSql)(fuzzyJoin),
     QueryDef.sql("dedup_exact",
       """SELECT p_name, min(p_partkey) AS keep_key, count(*) AS n_dups
         |FROM part GROUP BY p_name ORDER BY p_name""".stripMargin)(dedupExact),

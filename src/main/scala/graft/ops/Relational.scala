@@ -732,7 +732,80 @@ object Relational {
       .limit(20)
       .withColumn("l_linenumber", col("l_linenumber").cast("long"))
 
+  /** Full-outer join — the one join type the matrix lacked. Orders are
+    * pre-aggregated per customer over a selective price filter, so both
+    * sides contribute unmatched rows (non-BUILDING customers never
+    * appear; BUILDING customers whose orders all fall under the filter
+    * survive with zero orders). Shape at scale: the orders side reduces
+    * BEFORE the join (partial-agg groupBy on the join key — the join
+    * input is customers-sized, not orders-sized), then a key-partitioned
+    * full outer sort-merge. All outputs exact ints/strings. */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 150000.0)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_big_orders"),
+        sum(cents(col("o_totalprice"))).as("big_cents"))
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acct_cents"))
+    cust.join(perCust, Seq("custkey"), "full_outer")
+      .select(col("custkey"), col("c_name"),
+        col("acct_cents"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+        coalesce(col("big_cents"), lit(0L)).as("big_cents"))
+      .orderBy("custkey")
+  }
+
+  /** Profiled numeric columns of lineitem (data-quality audit: null
+    * counts, cardinality, range). One UNION branch per column so the
+    * parquet scan is pruned to exactly that column per branch — at
+    * 100 TB each branch reads one column chunk stream, and every
+    * aggregate is partial+final (no Expand-based multi-distinct blowing
+    * the scan up 8×). min/max are selections (order-free, exact) and
+    * the counts are ints — bit-stable output with no rounding needed. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val colsToProfile = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(spark, dir)
+    colsToProfile.map { c =>
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_val"),
+        max(col(c)).cast("double").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionAll _).orderBy("col_name")
+  }
+
+  private val profileTableSql: String =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("join_outer",
+      """SELECT coalesce(c.c_custkey, o.custkey) AS custkey, c.c_name,
+        |  CAST(round(c.c_acctbal * 100) AS BIGINT) AS acct_cents,
+        |  CAST(coalesce(o.n_big_orders, 0) AS BIGINT) AS n_big_orders,
+        |  CAST(coalesce(o.big_cents, 0) AS BIGINT) AS big_cents
+        |FROM (SELECT c_custkey, c_name, c_acctbal FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey AS custkey, count(*) AS n_big_orders,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS big_cents
+        |  FROM orders WHERE o_totalprice > 150000.0 GROUP BY o_custkey) o
+        |ON c.c_custkey = o.custkey
+        |ORDER BY custkey""".stripMargin)(joinOuter),
+    QueryDef.sql("profile_table", profileTableSql)(profileTable),
     QueryDef.sql("q1_agg",
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,

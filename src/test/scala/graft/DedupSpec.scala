@@ -69,6 +69,26 @@ class DedupSpec extends SparkSpec {
     assert(copyPairs.forall(_._3 == 1.0))
   }
 
+  test("fuzzy join finds exactly the pairs a brute-force edit-distance scan finds") {
+    import spark.implicits._
+    // includes a length-band edge: "abcdef" vs "abc" is dist 3 with len gap 3
+    val names = Seq("abc", "abd", "abcd", "abcdef", "xyz", "qqqqqqqqqq")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= 3
+    } yield (a, b, d.toLong)).sortBy(p => (p._1, p._2))
+    val got = Dedup.fuzzyJoinOn(names.toDF("n"), 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("substring duplication flags exactly the planted cross-doc span") {
     import spark.implicits._
     val shared = "0123456789" * 3 // one 30-char span shared by docs 1 and 2

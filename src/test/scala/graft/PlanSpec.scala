@@ -207,4 +207,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "wedge formation and closing must be key joins")
   }
+
+  test("fuzzy_join bands by length as an equi-join — no cartesian/NLJ pair generation") {
+    val p = planOf("fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "length banding must make candidate generation an equi-join")
+  }
+
+  test("profile_table avoids Expand-based multi-distinct and prunes each branch's scan") {
+    val p = planOf("profile_table")
+    assert(!p.contains("Expand"),
+      "per-column UNION branches must not plan a multi-distinct Expand")
+    // every lineitem scan reads at most one column
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema: struct<")).toSeq
+    assert(schemas.nonEmpty && schemas.forall(!_.contains(",")),
+      s"a profile branch scan read more than one column:\n${schemas.mkString("\n")}")
+  }
+
+  test("join_outer reduces orders per-customer BEFORE the full outer join") {
+    val p = planOf("join_outer")
+    assert(p.contains("FullOuter"), "join type lost")
+    assert(p.contains("HashAggregate"), "orders-side pre-aggregation missing")
+  }
 }
