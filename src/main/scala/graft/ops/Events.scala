@@ -260,6 +260,28 @@ object Events {
         | AND c.ts BETWEEN p.ts - INTERVAL 15 MINUTE AND p.ts
         |ORDER BY purchase_id, click_id""".stripMargin)(
       (s, d) => graft.streaming.Streams.runBoundedIntervalJoin(s, d)),
+    // left-outer stream-stream interval join: matches = the batch inner
+    // set; null-extended rows = unmatched clicks whose match window is
+    // a safety margin behind the final global watermark — the SAME
+    // predicate both engines apply (see Streams.clickConversion)
+    QueryDef.sql("stream_left_join",
+      """WITH wm AS (
+        |  SELECT least(
+        |    max(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END),
+        |    max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+        |  ) - 600000 AS wm_ms FROM events
+        |)
+        |SELECT c.user_id, c.event_id AS click_id, epoch_ms(c.ts) AS click_ms,
+        |       p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ms
+        |FROM events c
+        |LEFT JOIN events p
+        |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        | AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 15 MINUTE
+        |CROSS JOIN wm
+        |WHERE c.event_type = 'click'
+        |  AND (p.event_id IS NOT NULL OR epoch_ms(c.ts) + 900000 < wm.wm_ms - 1000)
+        |ORDER BY click_id, purchase_id""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedLeftJoin(s, d)),
     QueryDef.sql("stream_sessionize", streamSessionizeOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedSessionize(s, d)),
     QueryDef.sql("stream_restart", restartOracleSql)(

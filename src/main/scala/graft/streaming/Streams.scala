@@ -197,6 +197,62 @@ object Streams {
         unix_millis(col("click_ts")).as("click_ms"))
   }
 
+  /** Left-outer stream-stream interval join: every click joined to the
+    * purchases it drove within 15 minutes; unconverted clicks emit a
+    * NULL-extended row once the watermark proves no purchase can still
+    * match. This is the production use of outer stream joins (funnel /
+    * attrition analysis — the nulls ARE the signal) and the semantic
+    * the inner join can't express: state eviction doubling as negative
+    * evidence.
+    *
+    * Determinism contract on bounded input: matches emit eagerly (the
+    * complete batch inner set, as in [[purchaseAttribution]]); the
+    * engine emits a null row when the click's whole match window falls
+    * behind the global watermark (= min of the two streams' watermarks).
+    * The emitted null set is therefore the unmatched clicks with
+    * click_ts + 15 min behind the FINAL watermark — but the exact
+    * boundary millisecond is an engine internal, so BOTH sides
+    * (engine output post-filter and the batch-LEFT-JOIN oracle) apply
+    * the same predicate with a 1 s safety margin inside the boundary:
+    * a fixture row landing within ±1 s of the theoretical boundary can
+    * never split the compare (the stream_sessionize fixture-edge
+    * lesson, designed out rather than asserted around). */
+  def clickConversion(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p,
+      c("user_id") === p("p_user_id") &&
+        p("purchase_ts") >= c("click_ts") &&
+        p("purchase_ts") <= c("click_ts") + expr("INTERVAL 15 minutes"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        col("purchase_id"), unix_millis(col("purchase_ts")).as("purchase_ms"))
+  }
+
+  def runBoundedLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = graft.tables.Tables.eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+    val purchases = graft.tables.Tables.eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val res = runBounded(spark, "stream_left_join",
+      clickConversion(clicks, purchases),
+      OutputMode.Append(), Seq("click_id", "purchase_id"),
+      needsNoDataBatch = true)
+    // global watermark = min over the two streams' (max event time − delay)
+    val ev = graft.tables.Tables.events(spark, dir)
+    val wmMs = ev.agg(
+      least(
+        max(when(col("event_type") === "click", unix_millis(col("ts")))),
+        max(when(col("event_type") === "purchase", unix_millis(col("ts"))))))
+      .head().getLong(0) - 10L * 60 * 1000
+    res.filter(col("purchase_id").isNotNull ||
+      col("click_ms") + lit(15L * 60 * 1000) < lit(wmMs - 1000))
+  }
+
   /** The stream-stream interval join through the real engine,
     * driver-checked: clicks and purchases are two independent bounded
     * readStream instances over the same events fixture (a genuine

@@ -136,6 +136,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer stream join emits matches eagerly and nulls only after the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks    = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = Streams.clickConversion(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("conv_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Event(10, ts(0), 1, "click", 0),  // converts (purchase 5 min later)
+        Event(11, ts(1), 2, "click", 0))  // never converts
+      purchases.addData(Event(20, ts(5), 1, "purchase", 9.99))
+      query.processAllAvailable()
+      val matched = spark.table("conv_out")
+        .collect().map(r => (r.getLong(1), Option(r.get(3)))).toSet
+      // the match emits eagerly; click 11's window is still open → no null row yet
+      assert(matched == Set((10L, Some(20L))))
+      // advance both watermarks far past click 11's window end (1 + 15 min)
+      clicks.addData(Event(12, ts(60), 3, "click", 0))
+      purchases.addData(Event(21, ts(60), 3, "purchase", 0))
+      query.processAllAvailable()
+      val after = spark.table("conv_out")
+        .collect().map(r => (r.getLong(1), Option(r.get(3)))).toSet
+      assert(after.contains((11L, None)), "unconverted click never got its null row")
+      assert(!after.contains((10L, None)), "a matched click must not also emit a null row")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
