@@ -13,21 +13,28 @@ class ScaleSpec extends SparkSpec {
 
   private class ShuffleCounter extends SparkListener {
     val records = new AtomicLong()
+    val bytes   = new AtomicLong()
     override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
       val m = taskEnd.taskMetrics
-      if (m != null) records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      if (m != null) {
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
     }
   }
 
-  private def shuffleRecordsOf(name: String): Long = {
+  private def shuffleMetricsOf(name: String): (Long, Long) = {
     val counter = new ShuffleCounter
     spark.sparkContext.addSparkListener(counter)
     try {
       SparkEntry.queries(name)(spark, sfDir).collect()
       org.apache.spark.graftbridge.SchedulerBridge.drainListeners(spark.sparkContext)
-      counter.records.get()
+      (counter.records.get(), counter.bytes.get())
     } finally spark.sparkContext.removeSparkListener(counter)
   }
+
+  private def shuffleRecordsOf(name: String): Long = shuffleMetricsOf(name)._1
 
   test("dedup_minhash shuffles band rows, not the quadratic pair space") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * 2 // corpus = docs + copies
@@ -46,6 +53,35 @@ class ScaleSpec extends SparkSpec {
     val records = shuffleRecordsOf("embedding_neardup")
     assert(records < nVecs * 100,
       s"embedding_neardup shuffled $records records for $nVecs vectors — not linear")
+  }
+
+  test("substring_dup shuffles compact (hash, id) rows — never document text") {
+    // every shuffle stage carries longs (gram hash, doc id, counts);
+    // serialized rows are fingerprint-sized. A text-carrying row at the
+    // fixtures' ~250-char docs would be an order of magnitude larger.
+    val (records, bytes) = shuffleMetricsOf("substring_dup")
+    assert(records > 0)
+    val perRecord = bytes.toDouble / records
+    assert(perRecord < 64.0,
+      f"substring_dup shuffle rows average $perRecord%.1f bytes — text leaked into a shuffle")
+  }
+
+  test("bm25_search shuffles only the stats partials and the top-k heap rows") {
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val records = shuffleRecordsOf("bm25_search")
+    // one stats row per partition + k rows per partition for the cut —
+    // far below a (doc, term) explode, which would be ~nDocs × terms
+    assert(records < nDocs,
+      s"bm25_search shuffled $records records for $nDocs docs — scoring is not map-side")
+  }
+
+  test("kmeans assignment shuffles only (cluster, dim) partials, never vectors") {
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val records = shuffleRecordsOf("kmeans_embed")
+    // update partials: k×dim per partition; output agg: k per partition.
+    // A corpus-shuffling implementation would write ≥ nVecs rows.
+    assert(records < math.max(nVecs / 2, 4200),
+      s"kmeans_embed shuffled $records records for $nVecs vectors — assignment is not a pure map")
   }
 
   test("q1_agg shuffles only group partials, not input rows") {
