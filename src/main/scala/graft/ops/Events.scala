@@ -188,7 +188,90 @@ object Events {
       |       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM events GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin
 
+  /** Ordered-funnel analysis (view → click within 1 h → purchase within
+    * 1 h): per user, the first view, the first click inside the hour
+    * after that view, and the first purchase inside the hour after that
+    * click — the sequential-pattern staple of product analytics, and a
+    * shape the plain joins/windows above don't cover (each stage's
+    * filter depends on the previous stage's aggregate; the conversion
+    * window makes step attainment data-dependent).
+    *
+    * Scale shape: three chained per-user min-aggregations, each
+    * partial+final on user_id; the stage joins carry one row per user
+    * (users ≪ events), so every join input after the first aggregate is
+    * user-sized. All outputs exact epoch-ms longs — no float anywhere. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val hourMs = 3600L * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ms").as("view_ms"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ms") >= col("view_ms") && col("ms") <= col("view_ms") + hourMs)
+      .groupBy("user_id").agg(min("ms").as("click_ms"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ms") >= col("click_ms") && col("ms") <= col("click_ms") + hourMs)
+      .groupBy("user_id").agg(min("ms").as("purchase_ms"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ms"), col("click_ms"), col("purchase_ms"),
+        (lit(1L) + when(col("click_ms").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_ms").isNotNull, 1L).otherwise(0L)).as("funnel_step"))
+      .orderBy("user_id")
+  }
+
+  /** Daily cohort retention: users grouped by first-activity day,
+    * counted on each subsequent day they PURCHASED — the
+    * engagement-curve aggregation every analytics stack ships (the
+    * purchase restriction and day granularity keep the curve
+    * non-degenerate on fixtures where every user has some event every
+    * week). Day ids are exact integer divisions of epoch ms (Spark
+    * `div` = DuckDB `//`), so every value is an exact long. Shape: one
+    * per-user min, one (user, day) dedup, one counting aggregate — all
+    * partial+final. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 24L * 3600 * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val first = ev.groupBy("user_id").agg(min("ms").as("first_ms"))
+      .select(col("user_id"), expr(s"first_ms div $dayMs").as("cohort_day"))
+    val daily = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ms div $dayMs").as("day")).distinct()
+    daily.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val funnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, min(ms) AS view_ms FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ms) AS click_ms FROM ev e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ms >= v.view_ms
+      |        AND e.ms <= v.view_ms + 3600000 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ms) AS purchase_ms FROM ev e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ms >= c.click_ms
+      |        AND e.ms <= c.click_ms + 3600000 GROUP BY e.user_id)
+      |SELECT v.user_id, v.view_ms, c.click_ms, p.purchase_ms,
+      |       CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |              + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS funnel_step
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  private val cohortSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |first AS (SELECT user_id, min(ms) // 86400000 AS cohort_day FROM ev GROUP BY user_id),
+      |daily AS (SELECT DISTINCT user_id, ms // 86400000 AS day FROM ev
+      |          WHERE event_type = 'purchase')
+      |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset, count(*) AS n_users
+      |FROM daily d JOIN first f ON d.user_id = f.user_id
+      |GROUP BY f.cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("funnel_steps", funnelSql)(funnelSteps),
+    QueryDef.sql("cohort_retention", cohortSql)(cohortRetention),
     QueryDef.sql("map_funcs",
       """SELECT event_id,
         |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
