@@ -434,21 +434,31 @@ object Dedup {
     substringDupOn(Tables.documents(spark, dir).select("doc_id", "text"), GramLen)
 
   /** Span-duplication over an arbitrary (doc_id, text) table — split out
-    * so specs can drive it with hand-planted duplicate spans. */
+    * so specs can drive it with hand-planted duplicate spans.
+    *
+    * Shuffle economics: per-position totals come from a map-side
+    * `size()` (no shuffle at all); the position stream reduces to
+    * (doc, hash, count) in its FIRST exchange (partial-agg dedup);
+    * "shared by ≥2 docs" is min(doc)≠max(doc) over that already-reduced
+    * table — cheaper than a count-distinct, which would need its own
+    * (hash, doc) dedup exchange first — and the flag joins back against
+    * the reduced pairs, not the raw position stream. */
   def substringDupOn(docs: DataFrame, l: Int): DataFrame = {
-    val grams = docs.select(col("doc_id"), explode(gramHashesCol(col("text"), l)).as("h"))
-    val nDocs = grams.select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("n_docs"))
-    val perDoc = grams.join(nDocs, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_spans"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+    val dh = docs.select(col("doc_id"), explode(gramHashesCol(col("text"), l)).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val dupH = dh.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+    val dupPerDoc = dh.join(dupH, "h")
+      .groupBy("doc_id").agg(sum("c").as("dup_spans"))
+    docs.select(col("doc_id"), size(gramHashesCol(col("text"), l)).cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
-        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
-          .otherwise(round(col("dup_spans").cast("double") / col("n_grams"), 6)).as("dup_ratio"))
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_spans"), lit(0L)).cast("double") / col("n_grams"), 6))
+          .as("dup_ratio"))
       .orderBy("doc_id")
   }
 
