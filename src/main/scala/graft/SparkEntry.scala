@@ -15,6 +15,7 @@ object SparkEntry {
   def modules: Seq[Seq[QueryDef]] = Seq(
     Parity.entries,
     Relational.entries,
+    Tpch.entries,
     Events.entries,
     TemporalJoins.entries,
     Centroids.entries,

@@ -353,6 +353,38 @@ object ShingleMath {
     }
     ArrayData.toArrayData(out)
   }
+
+  /** one-pass token-frequency statistics of a document: (n_tokens,
+    * n_distinct, Σ c·(c−1) over distinct-token counts c). The Σ c·(c−1)
+    * term is the exact-integer core of Gini–Simpson diversity — chosen
+    * over Shannon entropy deliberately: entropy needs a per-engine
+    * `log2` whose last-ULP behavior differs between the JVM and C libm
+    * (measured: 33/200k quantization flips at 1e-6), so it cannot be
+    * hash-gated cross-engine, while these three integers are exact in
+    * any engine. Tokenization contract: single-space split, empties
+    * dropped — same as `TextFunctions.tokens`. Per-row map: token
+    * counting happens at scan speed with ZERO shuffle (the explode +
+    * groupBy(doc, token) formulation ships every token through a
+    * shuffle; this ships three longs per document). */
+  def tokenStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks   = text.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    var nTok   = 0L
+    var i      = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        nTok += 1
+        counts.merge(t, 1, (a, b) => a + b)
+      }
+      i += 1
+    }
+    var sumCC = 0L
+    val it    = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().toLong; sumCC += c * (c - 1) }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, counts.size.toLong, sumCC))
+  }
 }
 
 /** distinct character n-grams of a string column, codegen'd. */
@@ -404,6 +436,20 @@ case class ArrayJaccard(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ShingleMath.jaccardDistinct($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** TokenStats(text) -> struct(n_tokens, n_distinct, sum_cc): one-pass
+  * token-frequency stats (see ShingleMath.tokenStats), codegen'd. */
+case class TokenStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("sum_cc", LongType, nullable = false)))
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleMath.tokenStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.tokenStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** rolling-hash fingerprint of a string column, codegen'd. */
@@ -515,6 +561,11 @@ object TextFunctions {
 
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+
+  /** struct(n_tokens, n_distinct, sum_cc) token-frequency stats of a
+    * text column — one codegen'd pass per row, no shuffle. */
+  def tokenStats(text: Column): Column =
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(text)))
 
   /** fused text→signature forms of `minhashSig(…ShinglesDistinct(text))`
     * — identical values (min over a multiset = min over its set) with no

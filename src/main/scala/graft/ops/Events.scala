@@ -243,6 +243,88 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Gaps-and-islands: longest consecutive-day activity streak per user.
+    * The island id is the classic `day_number − row_number()` trick —
+    * constant within a run of consecutive days. All three stages are
+    * per-user (partitioned window, then two partial+final aggregates on
+    * keys that start with user_id), so the plan is one shuffle on
+    * user_id reused end-to-end; nothing global, all values exact longs. */
+  def userStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val runs = days
+      .withColumn("grp",
+        datediff(col("d"), lit(java.sql.Date.valueOf("2024-01-01"))).cast("long")
+          - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy("user_id")
+      .agg(
+        max("run_len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum("run_len").as("n_active_days"))
+      .orderBy("user_id")
+  }
+
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent preceding click by the same user within a 7-day lookback,
+    * then attributed revenue is rolled up by click day. The carry is a
+    * running `last(..., ignoreNulls)` over a per-user window ordered by
+    * (ts, event_id) — a deterministic total order, so ties at the same
+    * timestamp resolve identically in both engines. One shuffle on
+    * user_id for the window, then a partial+final rollup on day; the
+    * as-of-join formulation would shuffle twice. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lookbackMs = 7L * 86400000L
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("last_click_ms",
+        last(when(col("event_type") === "click", unix_millis(col("ts"))), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase" && col("last_click_ms").isNotNull &&
+        unix_millis(col("ts")) - col("last_click_ms") <= lookbackMs)
+      .groupBy(date_format(timestamp_millis(col("last_click_ms")), "yyyy-MM-dd").as("click_day"))
+      .agg(count(lit(1)).as("n_purchases"), sum(cents(col("value"))).as("attributed_cents"))
+      .orderBy("click_day")
+  }
+
+  private val streaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+      |), isl AS (
+      |  SELECT user_id, d,
+      |         datediff('day', DATE '2024-01-01', d)
+      |           - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS BIGINT) AS grp
+      |  FROM days
+      |), runs AS (
+      |  SELECT user_id, grp, count(*) AS run_len FROM isl GROUP BY user_id, grp
+      |)
+      |SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_streak,
+      |       CAST(count(*) AS BIGINT) AS n_streaks,
+      |       CAST(sum(run_len) AS BIGINT) AS n_active_days
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private val attributionSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |         last_value(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ms
+      |  FROM events WHERE event_type IN ('click','purchase')
+      |)
+      |SELECT strftime(date_trunc('day', make_timestamp(last_click_ms * 1000)), '%Y-%m-%d') AS click_day,
+      |       count(*) AS n_purchases,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS attributed_cents
+      |FROM ordered
+      |WHERE event_type = 'purchase' AND last_click_ms IS NOT NULL
+      |  AND epoch_ms(ts) - last_click_ms <= 7 * 86400000
+      |GROUP BY click_day ORDER BY click_day""".stripMargin
+
   private val funnelSql: String =
     """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
       |v AS (SELECT user_id, min(ms) AS view_ms FROM ev
@@ -272,6 +354,8 @@ object Events {
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("funnel_steps", funnelSql)(funnelSteps),
     QueryDef.sql("cohort_retention", cohortSql)(cohortRetention),
+    QueryDef.sql("user_streaks", streaksSql)(userStreaks),
+    QueryDef.sql("attribution", attributionSql)(attribution),
     QueryDef.sql("map_funcs",
       """SELECT event_id,
         |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,

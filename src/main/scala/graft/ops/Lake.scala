@@ -160,6 +160,34 @@ object Lake {
     * of the general full-outer-join form, which forces a sort-merge
     * shuffle of BOTH sides. The anti join broadcasts only the delta's
     * keys; the snapshot is never shuffled. */
+  /** SCD type-2 dimension build: turn a keyed change log (orders as the
+    * per-customer change stream) into versioned rows with
+    * [valid_from, valid_to) intervals and an is_current flag — the
+    * companion to [[mergeUpsert]] that every incremental lake pipeline
+    * runs when history must be kept instead of overwritten (Kimball
+    * SCD2). Pure per-key window functions (row_number + lead over a
+    * custkey partition ordered by the deterministic (date, orderkey)
+    * total order): one shuffle on the key, no global stage, all values
+    * exact longs/epoch-ms. */
+  def scd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"),
+        // o_orderdate is parquet TIMESTAMP_NTZ; session tz is UTC, so the
+        // cast reads the naive value as UTC — exactly DuckDB's epoch_ms.
+        unix_millis(col("o_orderdate").cast("timestamp")).as("valid_from_ms"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(w))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .select("o_custkey", "version", "o_orderstatus", "price_cents",
+        "valid_from_ms", "valid_to_ms", "is_current")
+      .orderBy("o_custkey", "version")
+  }
+
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val snapshot = Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_orderstatus"),
@@ -357,6 +385,15 @@ object Lake {
 
   def entries: Seq[QueryDef] = Seq(
     QueryDef.sql("zorder_layout", zorderOracle)(zorderLayout),
+    QueryDef.sql("scd2_snapshot",
+      """SELECT o_custkey, CAST(row_number() OVER w AS BIGINT) AS version,
+        |       o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       epoch_ms(o_orderdate) AS valid_from_ms,
+        |       lead(epoch_ms(o_orderdate)) OVER w AS valid_to_ms,
+        |       lead(epoch_ms(o_orderdate)) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin)(scd2Snapshot),
     QueryDef.sql("merge_upsert",
       """WITH snap AS (
         |  SELECT o_orderkey, o_orderstatus,

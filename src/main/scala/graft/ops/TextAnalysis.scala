@@ -243,7 +243,57 @@ object TextAnalysis {
     s"SELECT doc_id, lang AS labeled_lang, CAST($accL AS VARCHAR) AS predicted_lang, CAST($accS AS BIGINT) AS score FROM documents ORDER BY doc_id"
   }
 
+  /** Token-diversity metrics per document: token count, vocabulary size,
+    * type-token ratio, and Gini–Simpson diversity. The frequency core
+    * (n_tokens, n_distinct, Σ c·(c−1)) is ONE codegen'd pass per row
+    * (`TokenStats`) — zero shuffle; the explode + groupBy(doc, token)
+    * formulation would ship every token of 100 TB of text through a
+    * shuffle to compute three longs per document. Simpson is the
+    * hash-gateable diversity choice: its core is exact integers and the
+    * two ratios are single divisions of exact longs, where Shannon
+    * entropy's per-engine log2 differs in the last ULP between JVM and
+    * C libm (quantization measured unstable — see ShingleMath). */
+  def tokenDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val n = col("s").getField("n_tokens")
+    val d = col("s").getField("n_distinct")
+    val cc = col("s").getField("sum_cc")
+    Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .orderBy("doc_id") // sort raw; the range-sampling pass must not re-run the kernel
+      .select(col("doc_id"),
+        TextFunctions.tokenStats(coalesce(col("text"), lit(""))).as("s"))
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"), d.as("n_distinct"), cc.as("sum_cc"),
+        when(n > 0L, round(d.cast("double") / n.cast("double"), 6))
+          .otherwise(0.0).as("ttr"),
+        when(n > 1L, round(lit(1.0) - cc.cast("double") / (n * (n - 1L)).cast("double"), 6))
+          .otherwise(0.0).as("simpson"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("token_diversity",
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok FROM documents,
+        |  LATERAL (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok) t
+        |), per AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |         CAST(sum(c * (c - 1)) AS BIGINT) AS sum_cc
+        |  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+        |       coalesce(p.n_distinct, 0) AS n_distinct,
+        |       coalesce(p.sum_cc, 0) AS sum_cc,
+        |       CASE WHEN coalesce(p.n_tokens, 0) > 0
+        |            THEN round(CAST(p.n_distinct AS DOUBLE) / CAST(p.n_tokens AS DOUBLE), 6)
+        |            ELSE 0.0 END AS ttr,
+        |       CASE WHEN coalesce(p.n_tokens, 0) > 1
+        |            THEN round(1.0 - CAST(p.sum_cc AS DOUBLE)
+        |                             / CAST(p.n_tokens * (p.n_tokens - 1) AS DOUBLE), 6)
+        |            ELSE 0.0 END AS simpson
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin)(tokenDiversity),
     QueryDef.sql("token_count",
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,

@@ -1,0 +1,221 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped decision-support queries beyond Q1/Q3/Q5/Q6 (which live
+  * in `Relational`): the remaining canonical plan shapes a warehouse
+  * engine must get right at scale — correlated-EXISTS semi join with an
+  * inequality (Q4), conditional aggregation over a fact join (Q12), a
+  * ratio-of-conditional-sums with a broadcast dim (Q14), HAVING-subquery
+  * join-back (Q18), disjunctive multi-column join predicates (Q19), and
+  * scalar-subquery + anti-join (Q22). Predicates are adapted to the
+  * fixture schema (TESTDATA.md; no commitdate/receiptdate/shipmode
+  * columns), keeping each query's *optimizer shape* intact.
+  *
+  * Scale notes are per query; the shared rules: dims broadcast after
+  * their filters, facts never; all money is exact cents
+  * (order-independent long sums); every date filter reaches the parquet
+  * scan as a pushed predicate.
+  */
+object Tpch {
+
+  private def cents(c: Column) = graft.functions.TextFunctions.cents(c)
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  /** Q4 shape: order-priority census of orders with at least one late
+    * line (EXISTS with an inequality on both tables' columns). The
+    * left-semi join shuffles on orderkey only after the orders scan is
+    * cut to one quarter by a pushed date filter; lineitem ships just
+    * (orderkey, shipdate). No duplicate-elimination pass — semi join
+    * semantics dedup for free. */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-07-01 00:00:00"))
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q12 shape: per-linestatus counts of high/low-priority lines shipped
+    * in 1997 — conditional aggregation (sum-of-CASE) above an
+    * orderkey-equijoin. The shipdate filter prunes lineitem at the scan;
+    * orders ships only (orderkey, priority); partial aggregation
+    * collapses each map task to ≤2 rows before the final shuffle. */
+  def q12Conditional(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_linestatus")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Q14 shape: monthly promo-revenue share — a ratio of two conditional
+    * sums over a broadcast part join. Both sums are exact cents, so the
+    * ratio is ONE double division of two exact longs (order-proof);
+    * `100.0 * promo / total` is kept left-associated to match the oracle
+    * bit-for-bit. part is the dim: filtered to two columns and
+    * broadcast, so the fact never shuffles. */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd").as("ship_month"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0L)).as("promo_cents"),
+        sum(rev).as("total_cents"))
+      .withColumn("promo_pct",
+        round(lit(100.0) * col("promo_cents") / col("total_cents"), 6))
+      .orderBy("ship_month")
+  }
+
+  /** Q18 shape: large-volume orders — HAVING-filtered aggregation joined
+    * back to orders and customer. The quantity rollup is a partial-agg
+    * groupBy on the fact's join key (no pre-shuffle needed beyond the
+    * agg's own); the HAVING filter cuts it to a sliver which is
+    * BROADCAST back to orders, so the big side is traversed exactly
+    * once; the customer join then runs on the already-tiny result. */
+  def q18Large(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty_d"))
+      .filter(col("sum_qty_d") > 250.0)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        cents(col("o_totalprice")).as("price_cents"),
+        col("sum_qty_d").cast("long").as("sum_qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q19 shape: disjunctive (OR-of-ANDs) join predicates across both
+    * tables. The table-local implications are hoisted by hand so they
+    * reach the scans — part is cut to three brands (then broadcast),
+    * lineitem to the union quantity range — and only the residual OR
+    * runs as a post-join filter. Single-row output: full partial-agg
+    * collapse, effectively no shuffle payload. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+      .select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1.0, 21.0)
+    val branch2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 30) && col("l_quantity").between(10.0, 40.0)
+    val branch3 = col("p_brand") === "Brand#34" &&
+      col("p_size").between(1, 50) && col("l_quantity").between(20.0, 50.0)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+  }
+
+  /** Q22 shape: above-average-balance customers with no URGENT order —
+    * scalar aggregate subquery + anti join. The average-balance
+    * comparison is EXACT integer arithmetic (bal_cents · n > Σ cents ⇔
+    * bal > avg), dodging the order-dependent last ULP of a distributed
+    * double `avg`. The 1-row aggregate broadcasts; the anti join
+    * shuffles customer against a custkey-projected slice of orders.
+    * (Literal Q22 anti-joins ALL orders — empty at every fixture SF
+    * since each customer has orders; the URGENT slice keeps the plan
+    * shape with non-trivial output.) */
+  def q22Idle(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val stats = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(cents(col("c_acctbal"))).as("sum_bal_cents"), count(lit(1)).as("n_pos"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    c.join(broadcast(stats))
+      .filter(cents(col("c_acctbal")) * col("n_pos") > col("sum_bal_cents"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("bal_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("q4_priority",
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)(q4Priority),
+    QueryDef.sql("q12_conditional",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)(q12Conditional),
+    QueryDef.sql("q14_promo",
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month,
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) ELSE 0 END)
+        |        / sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)), 6) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin)(q14Promo),
+    QueryDef.sql("q18_large",
+      """SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       CAST(t.sum_qty AS BIGINT) AS sum_qty
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 250) t
+        |  ON o_orderkey = t.l_orderkey
+        |ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin)(q18Large),
+    QueryDef.sql("q19_disjunctive",
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin)(
+      q19Disjunctive),
+    QueryDef.sql("q22_idle",
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+        |        * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        |      > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)(q22Idle),
+  )
+}

@@ -120,6 +120,49 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, s"expected window-free tiling, found ${windows.size} windows")
   }
 
+  test("q4_priority pushes the orders date window to the scan and plans a semi join") {
+    val p = planOf("q4_priority")
+    assert(p.contains("LeftSemi"), "EXISTS did not plan as a semi join")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "orders date filter not pushed to the scan")
+  }
+
+  test("q14/q18/q19 broadcast their small sides — the fact never shuffles for the join") {
+    for (q <- Seq("q14_promo", "q18_large", "q19_disjunctive")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dim/sliver join not broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+    }
+  }
+
+  test("q19_disjunctive reaches the scans with the hoisted table-local predicates") {
+    val p = planOf("q19_disjunctive")
+    assert(p.contains("In(p_brand"), "brand IN-list not pushed to the part scan")
+    assert(p.contains("GreaterThanOrEqual(l_quantity"),
+      "quantity range not pushed to the lineitem scan")
+  }
+
+  test("scd2/streaks/attribution windows are all key-partitioned (no global window)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("scd2_snapshot", "user_streaks", "attribution")) {
+      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+      val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q: expected window functions")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q: global window funnels the table through one task: $w"))
+    }
+  }
+
+  test("token_diversity computes token stats with zero hash shuffle, inside codegen") {
+    val df = SparkEntry.queries("token_diversity")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the one-pass kernel means no groupBy(doc, token): the only exchange
+    // is the output sort's range partitioning
+    assert(!p.contains("hashpartitioning"), "token stats shuffled (explode+groupBy shape?)")
+    assert(codegenStages(df) > 0, "TokenStats fell out of codegen")
+  }
+
   test("LSH bucket code and IVF assignment stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
