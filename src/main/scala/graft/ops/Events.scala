@@ -293,6 +293,36 @@ object Events {
       .orderBy("click_day")
   }
 
+  /** Trailing 7-day distinct active users per day — the rolling-DAU
+    * metric. Sliding distinct-counts can't ride a window frame (distinct
+    * isn't algebraic), so the scalable form is contribute-and-count:
+    * dedup (user, day) once, explode each to the ≤7 target days it
+    * contributes to, count distinct per target day (map-side partial
+    * dedup applies). The shuffle carries (day, user_id) longs — 7× the
+    * deduped activity table, independent of raw event volume. The
+    * BETWEEN-join oracle is the quadratic formulation the explode
+    * avoids. */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .select(col("user_id"), expr("ms div 86400000").as("day"))
+      .distinct()
+    val observed = ud.select("day").distinct()
+    ud.select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(broadcast(observed), "day")
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("n_users_7d"))
+      .orderBy("day")
+  }
+
+  private val rollingDistinctSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+      |), days AS (SELECT DISTINCT day FROM ud)
+      |SELECT d.day, count(DISTINCT u.user_id) AS n_users_7d
+      |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day ORDER BY d.day""".stripMargin
+
   private val streaksSql: String =
     """WITH days AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
@@ -356,6 +386,7 @@ object Events {
     QueryDef.sql("cohort_retention", cohortSql)(cohortRetention),
     QueryDef.sql("user_streaks", streaksSql)(userStreaks),
     QueryDef.sql("attribution", attributionSql)(attribution),
+    QueryDef.sql("rolling_distinct", rollingDistinctSql)(rollingDistinct),
     QueryDef.sql("map_funcs",
       """SELECT event_id,
         |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,

@@ -219,8 +219,68 @@ object Graph {
        |       ELSE round(2.0 * coalesce(t.triangles, 0) / (d.deg * (d.deg - 1)), 6) END AS lcc
        |FROM deg d LEFT JOIN tc t ON d.node = t.node ORDER BY d.node""".stripMargin
 
+  private val BfsIters  = 4
+  private val BfsSource = 0L
+
+  /** Single-source BFS distances (≤ [[BfsIters]] hops) over the
+    * undirected form of the PageRank graph. */
+  def bfsDistances(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir)
+      .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 197).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    bfsDistancesOn(e0, BfsSource, BfsIters)
+  }
+
+  /** Frontier-expansion BFS — the Pregel shape: each round joins ONLY
+    * the newly-discovered frontier against the edge table (shuffle on
+    * the node key, reused every round), then anti-joins the visited set
+    * to keep first discoveries. Joining the full distance table each
+    * round — the naive min-agg formulation — re-traverses every settled
+    * node's edges every round; frontiers touch each edge O(1) times
+    * total. The oracle mirrors the RESULT (min hop count) as chained
+    * min-union CTEs, not the algorithm. Distances are exact longs.
+    * Lineage depth = hop count: beyond ~10 rounds you checkpoint like
+    * `Dedup.clusterLabels`; at 4 it's free. */
+  def bfsDistancesOn(edgesDf: DataFrame, source: Long, iters: Int): DataFrame = {
+    val e = edgesDf.select(col("src"), col("dst"))
+      .union(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache() // feeds every round's frontier join
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    var dist     = Seq((source, 0L)).toDF("node", "dist")
+    var frontier = dist
+    for (t <- 1 to iters) {
+      val expand = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(t.toLong).as("dist"))
+        .distinct()
+      frontier = expand.join(dist, Seq("node"), "left_anti")
+      dist = dist.union(frontier)
+    }
+    dist.orderBy("node")
+  }
+
+  private val bfsSql: String = {
+    val base =
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst FROM orders
+         |  WHERE (o_custkey % 211) <> (o_orderkey % 197)
+         |), e AS (
+         |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+         |), d0 AS (SELECT CAST($BfsSource AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+    val steps = (1 to BfsIters).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM $prev
+         |  UNION ALL SELECT e.dst AS node, $prev.dist + 1 FROM $prev JOIN e ON $prev.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps\nSELECT node, dist FROM d$BfsIters ORDER BY node"
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("pagerank", pageRankSql)(pageRank),
     QueryDef.sql("triangle_count", triangleSql)(triangleCount),
+    QueryDef.sql("bfs_distances", bfsSql)(bfsDistances),
   )
 }

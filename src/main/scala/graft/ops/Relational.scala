@@ -328,6 +328,59 @@ object Relational {
         round(var_samp(col("l_tax")), 6).as("vars_t"))
       .orderBy("l_returnflag")
 
+  /** Pearson chi-square test of independence between two categoricals
+    * (orderstatus × orderpriority) — the association diagnostic every
+    * corpus-balance audit runs. Determinism is engineered, not assumed:
+    * each cell's term (obs·N − rt·ct)²/(N·rt·ct) is built from EXACT
+    * long products (all ≤ N³ < 2⁵³, so the double casts are lossless),
+    * making the per-cell double bit-identical on both engines; terms
+    * are quantized to integer micros BEFORE the sum so the total is
+    * association-free. Scale shape: one partial+final count per cell,
+    * then everything is cell-cardinality-sized (≤ |s|·|p| rows) with
+    * broadcast margins — the fact table is scanned exactly once. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("s"), col("o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("obs"))
+      .cache() // feeds margins, N, dof, and the terms — 5 consumers
+    val rt = cells.groupBy("s").agg(sum("obs").as("rt"))
+    val ct = cells.groupBy("p").agg(sum("obs").as("ct"))
+    val n  = cells.agg(sum("obs").as("n"))
+    val diff = col("obs") * col("n") - col("rt") * col("ct")
+    val terms = cells
+      .join(broadcast(rt), "s")
+      .join(broadcast(ct), "p")
+      .crossJoin(broadcast(n))
+      .select(round(diff.cast("double") * diff.cast("double")
+        / (col("n") * col("rt") * col("ct")).cast("double") * 1e6)
+        .cast("long").as("term_micros"))
+    val shape = cells.agg(
+      count(lit(1)).as("n_cells"),
+      ((countDistinct("s") - 1) * (countDistinct("p") - 1)).cast("long").as("dof"))
+    terms.agg(sum("term_micros").as("chi2_micros"))
+      .crossJoin(broadcast(shape))
+      .select("n_cells", "dof", "chi2_micros")
+  }
+
+  private val chiSquareSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS obs
+      |  FROM orders GROUP BY s, p
+      |), rt AS (SELECT s, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY s),
+      |ct AS (SELECT p, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY p),
+      |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+      |terms AS (
+      |  SELECT CAST(round(
+      |      CAST(cells.obs * n.n - rt.rt * ct.ct AS DOUBLE)
+      |    * CAST(cells.obs * n.n - rt.rt * ct.ct AS DOUBLE)
+      |    / CAST(n.n * rt.rt * ct.ct AS DOUBLE) * 1e6) AS BIGINT) AS term_micros
+      |  FROM cells JOIN rt ON rt.s = cells.s JOIN ct ON ct.p = cells.p CROSS JOIN n
+      |)
+      |SELECT (SELECT count(*) FROM cells) AS n_cells,
+      |       (SELECT CAST((count(DISTINCT s) - 1) * (count(DISTINCT p) - 1) AS BIGINT) FROM cells) AS dof,
+      |       CAST(sum(term_micros) AS BIGINT) AS chi2_micros
+      |FROM terms""".stripMargin
+
   /** exact interpolated percentiles (both engines use the standard
     * (n-1)*p linear interpolation; rounded 4dp to absorb ULP drift).
     * Two-phase: pre-aggregate to (value, frequency) so the percentile
@@ -955,6 +1008,7 @@ object Relational {
         |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |             list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, v) -> a + v), 6) AS sm
         |FROM embeddings ORDER BY vec_id""".stripMargin)(arrayFuncs),
+    QueryDef.sql("chi_square", chiSquareSql)(chiSquare),
     QueryDef.sql("stats_agg",
       """SELECT l_returnflag,
         |       round(corr(l_quantity, l_discount), 6) AS corr_qd,

@@ -90,4 +90,22 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(run(1) == run(7))
   }
+
+  test("bfs levels match the hand-traced lollipop graph, edges traversed undirected") {
+    // triangle 1-2-3 with a tail 3→4→5→6; edges given in ONE direction
+    // only — symmetrization is the operator's job. From source 1:
+    // dist(1)=0, dist(2)=dist(3)=1, dist(4)=2, dist(5)=3, dist(6)=4.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.bfsDistancesOn(e, 1L, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 4L))
+    // hop bound honored: with 2 rounds, node 5 and 6 are undiscovered
+    val bounded = Graph.bfsDistancesOn(e, 1L, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // unreachable component never appears
+    val twoComp = (Seq((1L, 2L), (8L, 9L))).toDF("src", "dst")
+    val reach = Graph.bfsDistancesOn(twoComp, 1L, 4).collect().map(_.getLong(0)).toSet
+    assert(reach == Set(1L, 2L))
+  }
 }
