@@ -315,6 +315,41 @@ object Events {
       .orderBy("day")
   }
 
+  /** Event-type transition matrix (first-order Markov): consecutive
+    * event pairs per user (ordered by the deterministic (ts, event_id)
+    * total order), counted globally, with per-source transition
+    * probabilities. One per-user window shuffle, then a partial+final
+    * count on the ≤|types|² pairs; the probability is one division of
+    * exact longs. The behavioral-model staple for session analysis. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cnt = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("from_type").agg(sum("n").as("tot"))
+    cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val transitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), cnt AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM seq
+      |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+      |), tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY from_type)
+      |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+      |       round(CAST(c.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS p
+      |FROM cnt c JOIN tot ON c.from_type = tot.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
   private val rollingDistinctSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
@@ -387,6 +422,7 @@ object Events {
     QueryDef.sql("user_streaks", streaksSql)(userStreaks),
     QueryDef.sql("attribution", attributionSql)(attribution),
     QueryDef.sql("rolling_distinct", rollingDistinctSql)(rollingDistinct),
+    QueryDef.sql("event_transitions", transitionsSql)(eventTransitions),
     QueryDef.sql("map_funcs",
       """SELECT event_id,
         |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,

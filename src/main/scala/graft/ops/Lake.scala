@@ -188,6 +188,43 @@ object Lake {
       .orderBy("o_custkey", "version")
   }
 
+  /** Snapshot diff — the inverse of [[mergeUpsert]]: given two versions
+    * of a keyed table, emit the delta that transforms one into the
+    * other (I/U/D rows; unchanged rows excluded). The "new" version is
+    * derived from the same deterministic modular rules mergeUpsert
+    * uses, so the two operators are each other's round-trip. A version
+    * diff must compare every key, so the full-outer join's shuffle of
+    * both sides is inherent — at cluster scale both snapshots live
+    * bucketed on the key and the join is exchange-free (the
+    * `bucketed_join` pattern); rows carry only (key, status, cents). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("price_cents"))
+    val updated = snap
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("price_cents") + 100L).as("price_cents"))
+    val carried = snap
+      .filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 7 =!= 0)
+    val inserted = snap
+      .filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") =!= 0)
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_orderstatus"), col("price_cents"))
+    val newv = updated.union(carried).union(inserted)
+    val s = snap.select(col("o_orderkey").as("sk"), col("o_orderstatus").as("ss"),
+      col("price_cents").as("sp"))
+    val n = newv.select(col("o_orderkey").as("nk"), col("o_orderstatus").as("ns"),
+      col("price_cents").as("np"))
+    s.join(n, col("sk") === col("nk"), "full_outer")
+      .filter(col("sk").isNull || col("nk").isNull ||
+        col("sp") =!= col("np") || col("ss") =!= col("ns"))
+      .select(
+        coalesce(col("sk"), col("nk")).as("o_orderkey"),
+        when(col("sk").isNull, "I").when(col("nk").isNull, "D").otherwise("U").as("change"),
+        col("sp").as("old_price_cents"), col("np").as("new_price_cents"))
+      .orderBy("o_orderkey")
+  }
+
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val snapshot = Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_orderstatus"),
@@ -394,6 +431,29 @@ object Lake {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, version""".stripMargin)(scd2Snapshot),
+    QueryDef.sql("snapshot_diff",
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), newv AS (
+        |  SELECT o_orderkey, o_orderstatus, price_cents + 100 AS price_cents
+        |  FROM snap WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, price_cents
+        |  FROM snap WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_orderstatus, price_cents
+        |  FROM snap WHERE o_orderkey % 11 = 0 AND o_orderkey <> 0
+        |)
+        |SELECT coalesce(s.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NULL THEN 'I'
+        |            WHEN n.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS change,
+        |       s.price_cents AS old_price_cents, n.price_cents AS new_price_cents
+        |FROM snap s FULL OUTER JOIN newv n ON s.o_orderkey = n.o_orderkey
+        |WHERE s.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR s.price_cents <> n.price_cents OR s.o_orderstatus <> n.o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin)(snapshotDiff),
     QueryDef.sql("merge_upsert",
       """WITH snap AS (
         |  SELECT o_orderkey, o_orderstatus,

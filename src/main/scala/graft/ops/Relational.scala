@@ -381,6 +381,55 @@ object Relational {
       |       CAST(sum(term_micros) AS BIGINT) AS chi2_micros
       |FROM terms""".stripMargin
 
+  /** Equi-depth (quantile-boundary) histogram of order prices: quartile
+    * boundaries from ONE weighted exact-percentile aggregate over the
+    * (cents, freq) pre-aggregation — per-distinct-value state, not
+    * per-row — then every row bucket-assigns against the broadcast
+    * 1-row boundary table. No global sort, no window: the same
+    * boundary-table pattern that de-scale-killed `zorder_layout`.
+    *
+    * Boundary determinism is exact, not approximate: quartile fracs are
+    * exactly {0, ¼, ½, ¾} (frac = ((n−1)·p) mod 1 with integer n−1),
+    * values are integer cents, and v_lo + frac·(v_hi − v_lo) on those
+    * inputs is EXACT in binary doubles (frac is a dyadic rational) — so
+    * both engines compute bit-identical boundaries and `<=` bucket
+    * assignment cannot flip. */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val priced = Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("pc"))
+    val bounds = priced
+      .groupBy("pc").agg(count(lit(1)).as("freq"))
+      .agg(expr("percentile(pc, array(0.25, 0.5, 0.75), freq)").as("bs"))
+      .select(
+        element_at(col("bs"), 1).as("b1"),
+        element_at(col("bs"), 2).as("b2"),
+        element_at(col("bs"), 3).as("b3"))
+    priced.crossJoin(broadcast(bounds))
+      .select(
+        when(col("pc") <= col("b1"), 0L)
+          .when(col("pc") <= col("b2"), 1L)
+          .when(col("pc") <= col("b3"), 2L)
+          .otherwise(3L).as("bucket"),
+        col("pc"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("pc").as("lo_cents"), max("pc").as("hi_cents"))
+      .orderBy("bucket")
+  }
+
+  private val equidepthSql: String =
+    """WITH priced AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders
+      |), b AS (
+      |  SELECT quantile_cont(pc, 0.25) AS b1, quantile_cont(pc, 0.5) AS b2,
+      |         quantile_cont(pc, 0.75) AS b3
+      |  FROM priced
+      |)
+      |SELECT CAST(CASE WHEN pc <= b1 THEN 0 WHEN pc <= b2 THEN 1
+      |            WHEN pc <= b3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+      |       count(*) AS n, min(pc) AS lo_cents, max(pc) AS hi_cents
+      |FROM priced CROSS JOIN b
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** exact interpolated percentiles (both engines use the standard
     * (n-1)*p linear interpolation; rounded 4dp to absorb ULP drift).
     * Two-phase: pre-aggregate to (value, frequency) so the percentile
@@ -1009,6 +1058,7 @@ object Relational {
         |             list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, v) -> a + v), 6) AS sm
         |FROM embeddings ORDER BY vec_id""".stripMargin)(arrayFuncs),
     QueryDef.sql("chi_square", chiSquareSql)(chiSquare),
+    QueryDef.sql("equidepth_histogram", equidepthSql)(equidepthHistogram),
     QueryDef.sql("stats_agg",
       """SELECT l_returnflag,
         |       round(corr(l_quantity, l_discount), 6) AS corr_qd,
