@@ -247,7 +247,69 @@ object Curation {
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** End-to-end curation pipeline composition: quality gates (token
+    * count, character density) feeding exact-fingerprint dedup, each
+    * document labeled with its first failing stage — the keep/reject
+    * audit a production corpus build ships beside the filtered output.
+    * Stage order matters and is part of the contract: dedup runs on
+    * QUALITY-PASSING docs only (a rejected doc never claims a
+    * fingerprint group), mirroring real pipelines where cheap per-row
+    * gates run before anything that shuffles.
+    *
+    * Scale shape: stats + fingerprint are one codegen'd map pass
+    * (`TokenStats`, `RollingHash`); the only shuffle carries (fp,
+    * doc_id) longs for the min-id group + the label join-back. The
+    * corpus is the shifted self-union `dedup_exact_docs` uses, so dup
+    * verdicts exist at every SF. Thresholds are integer-exact
+    * cross-engine (n_chars·100 > n_tokens·572 — no division). */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.union(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val t = corpus
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.TextFunctions
+          .tokenStats(coalesce(col("text"), lit(""))).getField("n_tokens").as("n_tokens"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val flagged = t.withColumn("qfail",
+      when(col("n_tokens") < 30L, "too_short")
+        .when(col("n_chars") * 100L > col("n_tokens") * 572L, "low_density"))
+    val firstIds = flagged.filter(col("qfail").isNull)
+      .groupBy("fp").agg(min("doc_id").as("keep_id"))
+    flagged.join(firstIds, Seq("fp"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("qfail"),
+          when(col("doc_id") =!= col("keep_id"), "dup").otherwise("kept")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  private val pipelineSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |), t AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(text)),
+      |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |  FROM corpus
+      |), flagged AS (
+      |  SELECT *, CASE WHEN n_tokens < 30 THEN 'too_short'
+      |                 WHEN n_chars * 100 > n_tokens * 572 THEN 'low_density' END AS qfail
+      |  FROM t
+      |), firstids AS (
+      |  SELECT fp, min(doc_id) AS keep_id FROM flagged WHERE qfail IS NULL GROUP BY fp
+      |)
+      |SELECT f.doc_id, f.n_tokens,
+      |       coalesce(f.qfail, CASE WHEN f.doc_id <> i.keep_id THEN 'dup' ELSE 'kept' END) AS verdict
+      |FROM flagged f LEFT JOIN firstids i ON f.fp = i.fp
+      |ORDER BY f.doc_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("curation_pipeline", pipelineSql)(curationPipeline),
     QueryDef.sql("pii_redact",
       """WITH synth AS (
         |  SELECT doc_id,
