@@ -128,7 +128,36 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Binary-asset dedup by content hash — the first pass of every
+    * image/audio ingest (byte-identical re-uploads are the dominant
+    * duplicate class before any perceptual hashing). Groups on
+    * md5(payload): the shuffle carries (hash, id, length), never the
+    * media bytes; the corpus is the shifted self-union so duplicate
+    * groups exist at every SF. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val corpus = docs.union(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("payload")))
+    corpus
+      .groupBy(md5(col("payload")).as("content_hash"))
+      .agg(
+        min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        min(length(col("payload")).cast("long")).as("n_bytes"))
+      .orderBy("content_hash")
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("media_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies,
+        |       CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+        |FROM corpus GROUP BY content_hash ORDER BY content_hash""".stripMargin)(mediaDedup),
     // BYTE-exact oracle, valid for any fixture (non-ASCII included):
     // the utf-8 bytes' high nibbles via hex(encode(text)) — nibble 0-3
     // ⇒ byte < 0x40 (bin 0), 4-7 ⇒ bin 1, 8-B ⇒ bin 2, C-F ⇒ bin 3 —

@@ -138,6 +138,29 @@ object Tpch {
         sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
   }
 
+  /** Q21 shape: double correlation on the same key — orders with a
+    * late-shipped line (EXISTS) and no quick-shipped line (NOT EXISTS).
+    * Plans as a semi join THEN an anti join, both on orderkey: Catalyst
+    * reuses the exchange, so lineitem's shuffle is paid once and each
+    * correlation is a streaming probe. The adapted predicates (shipdate
+    * vs orderdate+60d / +7d) keep TPC-H Q21's plan shape on the fixture
+    * schema, which carries no commitdate/receiptdate. */
+  def q21LateOnly(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAYS"),
+        "left_anti")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Q22 shape: above-average-balance customers with no URGENT order —
     * scalar aggregate subquery + anti join. The average-balance
     * comparison is EXACT integer arithmetic (bal_cents · n > Σ cents ⇔
@@ -207,6 +230,14 @@ object Tpch {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin)(
       q19Disjunctive),
+    QueryDef.sql("q21_late_only",
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |                  AND l_shipdate < o_orderdate + INTERVAL 7 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)(q21LateOnly),
     QueryDef.sql("q22_idle",
       """SELECT c_nationkey, count(*) AS n_cust,
         |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
