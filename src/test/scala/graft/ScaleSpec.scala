@@ -92,4 +92,20 @@ class ScaleSpec extends SparkSpec {
     assert(records < nRows / 10,
       s"q1_agg shuffled $records of $nRows rows — map-side combine lost")
   }
+
+  test("curation_pipeline and media_dedup shuffle hash-sized rows, never text/media bytes") {
+    val textBytes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text"))))
+      .head().getLong(0) * 2 // corpus = docs + shifted copies
+    for (q <- Seq("curation_pipeline", "media_dedup")) {
+      val (records, bytes) = shuffleMetricsOf(q)
+      // rows are (fp/hash, id, small ints): if document text or payload
+      // bytes entered any exchange, shuffle bytes would be ≥ the corpus
+      // text volume; hash-sized rows stay far below half of it
+      assert(bytes < textBytes / 2,
+        s"$q shuffled $bytes bytes vs $textBytes corpus text bytes — payload entered a shuffle")
+      assert(records > 0, s"$q: expected at least the dedup group exchange")
+    }
+  }
 }
