@@ -254,7 +254,11 @@ object Graph {
       val expand = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), lit(t.toLong).as("dist"))
         .distinct()
-      frontier = expand.join(dist, Seq("node"), "left_anti")
+      // each frontier is consumed twice (next round's expand + the dist
+      // union) and dist's union tree re-reads every earlier frontier —
+      // uncached, round k's lineage re-evaluates round 1 O(2^k) times.
+      // Caching each (tiny) frontier makes the whole walk O(rounds).
+      frontier = expand.join(dist, Seq("node"), "left_anti").cache()
       dist = dist.union(frontier)
     }
     dist.orderBy("node")
