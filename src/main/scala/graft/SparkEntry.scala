@@ -24,6 +24,7 @@ object SparkEntry {
     Lake.entries,
     Similarity.entries,
     TextAnalysis.entries,
+    Stats.entries,
     Curation.entries,
     Graph.entries,
     Multimodal.entries,

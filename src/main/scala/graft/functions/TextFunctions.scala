@@ -274,6 +274,23 @@ object ShingleMath {
     ArrayData.toArrayData(seen.iterator.map(UTF8String.fromString).toArray)
   }
 
+  /** adjacent word bigrams WITH multiplicity over the empty-filtered
+    * tokens (corpus-level collocation counting needs occurrence counts,
+    * so no dedup — unlike [[wordNGramsDistinct]], and empties are
+    * dropped BEFORE pairing so "a  b" yields ("a b"), matching the
+    * oracle's list_filter(string_split(...)) tokenization). */
+  def wordBigramsAll(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1).filter(_.nonEmpty)
+    if (toks.length < 2) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[UTF8String](toks.length - 1)
+    var i   = 0
+    while (i < toks.length - 1) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** set-jaccard of two distinct-element string arrays via one hash set:
     * |∩| / (|a| + |b| - |∩|) — same exact rational as the
     * size(array_intersect)/size-arithmetic composition, minus its O(n²)
@@ -404,6 +421,17 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
     ShingleMath.wordNGramsDistinct(v.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.wordNGramsDistinct($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** adjacent word bigrams with multiplicity (empty tokens dropped before
+  * pairing), codegen'd — the map-side kernel of collocation counting. */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleMath.wordBigramsAll(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.wordBigramsAll($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -599,6 +627,11 @@ object TextFunctions {
 
   def charShinglesDistinct(text: Column, n: Int): Column =
     ColumnBridge.column(CharNGrams(ColumnBridge.expression(text), n))
+
+  /** adjacent word bigrams with multiplicity (single pass, empties
+    * dropped pre-pairing) — collocation counting's map-side kernel. */
+  def wordBigramsCol(text: Column): Column =
+    ColumnBridge.column(WordBigrams(ColumnBridge.expression(text)))
 
   /** polynomial rolling hash over the characters of a string:
     * fold(acc*31 + ascii(char)) mod 1e9+7 — deterministic document

@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics for corpus/pipeline diagnostics, all emitted
+  * in exact integer arithmetic so the DuckDB hash gate cannot flip on
+  * float rounding (PERF.md lesson: order-dependent double sums and
+  * cross-engine log quantization are not hash-gateable; integer order
+  * statistics and exact integral division are):
+  *
+  *   - `ks_test`        two-sample Kolmogorov–Smirnov D as an exact
+  *                      integer max over a distributed prefix-sum scan
+  *   - `robust_outliers` per-group median/MAD outlier counts on doubled
+  *                      integer cents (no interpolation ambiguity)
+  *   - `key_skew_profile` power-of-two histogram of group sizes — the
+  *                      skew diagnostic run before choosing a salting or
+  *                      AQE strategy on a new key
+  *
+  * Scale posture: everything aggregates to reduced forms before any
+  * shuffle — (value, count) cells for KS and the medians, (key, count)
+  * sizes for the skew profile. No global-order window is ever applied
+  * to raw rows: the KS prefix sum runs per-range-partition with
+  * driver-broadcast partition offsets (the `tileByRange` pattern that
+  * de-scale-killed `zorder_layout`), so the widest sequential state is
+  * one partition of *distinct* values, never the event table.
+  */
+object Stats {
+
+  private def cents(c: Column): Column = graft.functions.TextFunctions.cents(c)
+
+  /** partitions for the KS range-partitioned prefix scan (32 matches
+    * the session shuffle parallelism; correctness is offset-exact for
+    * any value). */
+  private val ScanPartitions = 32
+
+  /** Two-sample KS over `value` (integer cents) between the `click` and
+    * `purchase` event streams. Reduced to (v, n_click, n_purchase)
+    * cells first — per-DISTINCT-value state — then the two ECDFs are
+    * cumulated with per-partition window sums plus driver-computed
+    * partition offsets (RangePartitioner assigns ascending key ranges
+    * to ascending partition ids, so the offset of a partition is the
+    * sum of earlier partitions' totals). D is reported as the exact
+    * integer numerator max|ca·m − cb·n| over denominator n·m, plus its
+    * integral-micros form — both bit-stable across engines. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(cents(col("value")).as("v"), (col("event_type") === "click").as("isa"))
+    val cells = ev.groupBy("v").agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"))
+    val parted = cells
+      .repartitionByRange(ScanPartitions, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids before they are used twice
+    val ptots = parted.groupBy("pid")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val n = ptots.map(_._2).sum // total click rows
+    val m = ptots.map(_._3).sum // total purchase rows
+    var (accA, accB) = (0L, 0L)
+    val offA = ptots.map { case (p, a, _) => val o = p -> accA; accA += a; o }.toMap
+    val offB = ptots.map { case (p, _, b) => val o = p -> accB; accB += b; o }.toMap
+    val w = Window.partitionBy("pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("ca", element_at(typedLit(offA), col("pid")) + sum("na").over(w))
+      .withColumn("cb", element_at(typedLit(offB), col("pid")) + sum("nb").over(w))
+      .agg(max(abs(col("ca") * m - col("cb") * n)).as("d_num"))
+      .select(
+        lit(n).as("n_a"), lit(m).as("n_b"), col("d_num"),
+        // decimal-exact integral division: immune to long overflow at scale
+        expr(s"CAST((CAST(d_num AS DECIMAL(38,0)) * 1000000) div (CAST($n AS DECIMAL(38,0)) * $m) AS BIGINT)")
+          .as("d_micros"))
+  }
+
+  private val ksTestSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |         event_type = 'click' AS isa
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), cells AS (
+      |  SELECT v, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+      |            sum(CASE WHEN isa THEN 0 ELSE 1 END) AS nb
+      |  FROM ev GROUP BY v
+      |), cum AS (
+      |  SELECT sum(na) OVER (ORDER BY v) AS ca,
+      |         sum(nb) OVER (ORDER BY v) AS cb
+      |  FROM cells
+      |), tot AS (
+      |  SELECT sum(na) AS n, sum(nb) AS m FROM cells
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+      |       CAST(max(abs(ca * m - cb * n)) AS BIGINT) AS d_num,
+      |       CAST((CAST(max(abs(ca * m - cb * n)) AS HUGEINT) * 1000000)
+      |            // (CAST(n AS HUGEINT) * m) AS BIGINT) AS d_micros
+      |FROM cum CROSS JOIN tot GROUP BY n, m""".stripMargin
+
+  /** Per-event-type robust (median/MAD) outlier counts. All order
+    * statistics are carried DOUBLED (med2 = lo+hi, mad4 = 2·median of
+    * |2v − med2|) so the n-even interpolation midpoint is an exact
+    * integer on both engines, and the outlier test |v − med| > 3·MAD
+    * becomes the pure-integer 2·d2 > 3·mad4. Medians are computed from
+    * (type, v, freq) cells via weighted exact percentile — per-distinct-
+    * value aggregation state (the `equidepth_histogram` shape), not a
+    * per-row sort. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type").as("t"), cents(col("value")).as("v"))
+      .groupBy("t", "v").agg(count(lit(1)).as("f"))
+      .cache() // feeds the median pass and the deviation pass
+    val med = cells.groupBy("t")
+      .agg((expr("percentile(v, 0.5D, f)") * 2).cast("long").as("med2"))
+    val dev = cells.join(broadcast(med), "t")
+      .withColumn("d2", abs(lit(2L) * col("v") - col("med2")))
+      .cache() // feeds the MAD pass and the outlier count
+    val mad = dev.groupBy("t")
+      .agg((expr("percentile(d2, 0.5D, f)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "t")
+      .groupBy(col("t").as("event_type"), col("med2"), col("mad4"))
+      .agg(
+        sum("f").as("n"),
+        sum(when(lit(2L) * col("d2") > lit(3L) * col("mad4"), col("f")).otherwise(0L))
+          .as("n_outliers"))
+      .select("event_type", "n", "med2", "mad4", "n_outliers")
+      .orderBy("event_type")
+  }
+
+  private val robustOutliersSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v FROM events
+      |), med AS (
+      |  SELECT t, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS med2 FROM ev GROUP BY t
+      |), dev AS (
+      |  SELECT ev.t, med.med2, abs(2 * v - med2) AS d2 FROM ev JOIN med ON ev.t = med.t
+      |), mad AS (
+      |  SELECT t, CAST(quantile_cont(d2, 0.5) * 2 AS BIGINT) AS mad4 FROM dev GROUP BY t
+      |)
+      |SELECT dev.t AS event_type, CAST(count(*) AS BIGINT) AS n, dev.med2, mad.mad4,
+      |       CAST(sum(CASE WHEN 2 * d2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad ON dev.t = mad.t
+      |GROUP BY dev.t, dev.med2, mad.mad4
+      |ORDER BY event_type""".stripMargin
+
+  /** Power-of-two histogram of per-key group sizes (events by user_id):
+    * bucket = floor(log2(size)) computed EXACTLY as the bit length of
+    * the count (`length(bin(n)) − 1` — both engines print the same
+    * minimal binary string; float log2 lands on x.999… at power-of-two
+    * boundaries and is not hash-safe). Two aggregations, both on
+    * reduced forms; the histogram is at most 64 rows however large the
+    * table — the cheap first look at whether a key needs salting. */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .groupBy((length(bin(col("n"))) - 1).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("n").as("n_rows"),
+        min("n").as("min_size"),
+        max("n").as("max_size"))
+      .orderBy("bucket")
+
+  private val keySkewProfileSql: String =
+    """WITH sizes AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+      |)
+      |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(sum(n) AS BIGINT) AS n_rows,
+      |       CAST(min(n) AS BIGINT) AS min_size,
+      |       CAST(max(n) AS BIGINT) AS max_size
+      |FROM sizes GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("ks_test", ksTestSql)(ksTest),
+    QueryDef.sql("robust_outliers", robustOutliersSql)(robustOutliers),
+    QueryDef.sql("key_skew_profile", keySkewProfileSql)(keySkewProfile),
+  )
+}

@@ -271,7 +271,71 @@ object TextAnalysis {
           .otherwise(0.0).as("simpson"))
   }
 
+  /** Corpus-level bigram collocation lift: how much more often two
+    * words co-occur adjacently than their unigram frequencies predict —
+    * lift = P(w1w2) / (P(w1)·P(w2)) — the collocation/multi-word-
+    * expression staple of corpus diagnostics. Emitted as EXACT integral
+    * micros via decimal(38) integral division (PMI's log form measured
+    * cross-engine quantization flips; the rational core is hash-safe).
+    *
+    * Scale: bigrams come from the codegen'd [[graft.functions.TextFunctions.wordBigramsCol]]
+    * kernel (one pass per row, empties dropped pre-pairing, no
+    * interpreted lambdas), and everything after the map side is
+    * (gram, count) cells — vocabulary-sized, not corpus-sized. The
+    * unigram side joins by plain equi-join (vocabulary is unbounded at
+    * 100 TB, so no forced broadcast; AQE picks one when it fits). */
+  def bigramLift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("text")
+    val uni = docs
+      .select(explode(filter(toks(col("text")), t => t =!= "")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .cache() // vocabulary-sized; feeds the total + both join sides
+    val big = docs
+      .select(explode(TextFunctions.wordBigramsCol(col("text"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cb"))
+      .cache() // distinct-bigram-sized; feeds the total + the lift rows
+    val nuT = uni.agg(sum("c").as("nu"))
+    val nbT = big.agg(sum("cb").as("nb")) // total BEFORE the support filter
+    big.filter(col("cb") >= 5)
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nuT)).crossJoin(broadcast(nbT))
+      .select(
+        col("b").as("bigram"), col("cb").as("n_pair"),
+        col("c1").as("n_w1"), col("c2").as("n_w2"),
+        expr("""CAST((CAST(cb AS DECIMAL(38,0)) * nu * nu * 1000000)
+               |     div (CAST(nb AS DECIMAL(38,0)) * c1 * c2) AS BIGINT)""".stripMargin)
+          .as("lift_micros"))
+      .orderBy(desc("lift_micros"), col("bigram"))
+      .limit(100)
+  }
+
+  private val bigramLiftSql: String =
+    """WITH toksed AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
+      |), uni AS (
+      |  SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM toksed) GROUP BY t
+      |), big AS (
+      |  SELECT b, count(*) AS cb FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+      |    FROM toksed WHERE len(w) >= 2) GROUP BY b
+      |), tot AS (
+      |  SELECT (SELECT sum(c) FROM uni) AS nu, (SELECT sum(cb) FROM big) AS nb
+      |)
+      |SELECT b AS bigram, CAST(cb AS BIGINT) AS n_pair,
+      |       CAST(u1.c AS BIGINT) AS n_w1, CAST(u2.c AS BIGINT) AS n_w2,
+      |       CAST((CAST(cb AS HUGEINT) * nu * nu * 1000000)
+      |            // (CAST(nb AS HUGEINT) * u1.c * u2.c) AS BIGINT) AS lift_micros
+      |FROM big CROSS JOIN tot
+      |JOIN uni u1 ON u1.t = string_split(b, ' ')[1]
+      |JOIN uni u2 ON u2.t = string_split(b, ' ')[2]
+      |WHERE cb >= 5
+      |ORDER BY lift_micros DESC, bigram LIMIT 100""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("bigram_lift", bigramLiftSql)(bigramLift),
     QueryDef.sql("token_diversity",
       """WITH toks AS (
         |  SELECT doc_id, t.tok FROM documents,

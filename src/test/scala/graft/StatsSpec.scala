@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.Stats
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the distribution-statistics operators: the
+  * distributed formulations must equal their driver-side brute-force
+  * definitions at sf0.001, and the KS prefix scan must not contain the
+  * global-window scale-killer shape. */
+class StatsSpec extends SparkSpec {
+
+  private def centsOf(v: Double): Long = math.round(v * 100)
+
+  /** interpolated median, doubled (lo+hi for even n, 2·mid for odd). */
+  private def median2(xs: Seq[Long]): Long = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+  }
+
+  test("ks_test matches the driver-side exact two-sample D at sf0.001") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), centsOf(r.getDouble(1))))
+    val a = rows.collect { case ("click", v) => v }.sorted
+    val b = rows.collect { case ("purchase", v) => v }.sorted
+    val (n, m) = (a.length.toLong, b.length.toLong)
+    val pooled = (a ++ b).distinct.sorted
+    val dNum = pooled.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      math.abs(ca * m - cb * n)
+    }.max
+
+    val got = Stats.ksTest(spark, sfDir).collect().head
+    assert(got.getAs[Long]("n_a") == n && got.getAs[Long]("n_b") == m)
+    assert(got.getAs[Long]("d_num") == dNum,
+      s"distributed prefix-sum D ${got.getAs[Long]("d_num")} != exact $dNum")
+    assert(got.getAs[Long]("d_micros") == dNum * 1000000L / (n * m))
+  }
+
+  test("ks_test plans no global (partitionBy-less) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = Stats.ksTest(spark, sfDir).queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the per-partition cumulative windows")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window funnels the ECDF scan through one task: $w"))
+  }
+
+  test("robust_outliers matches the driver-side median/MAD definition at sf0.001") {
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), centsOf(r.getDouble(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+    val got = Stats.robustOutliers(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("med2"), r.getAs[Long]("mad4"),
+          r.getAs[Long]("n_outliers")))).toMap
+    assert(got.keySet == byType.keySet)
+
+    for ((t, vs) <- byType) {
+      val med2 = median2(vs)
+      val d2s  = vs.map(v => math.abs(2 * v - med2))
+      val mad4 = median2(d2s)
+      val out  = d2s.count(d2 => 2 * d2 > 3 * mad4).toLong
+      assert(got(t) == ((vs.size.toLong, med2, mad4, out)),
+        s"$t: got ${got(t)}, expected (${vs.size}, $med2, $mad4, $out)")
+    }
+  }
+
+  test("key_skew_profile buckets are exact powers of two and partition all rows") {
+    val total = Tables.events(spark, sfDir).count()
+    val rows  = Stats.keySkewProfile(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach { r =>
+      val (bucket, lo, hi) =
+        (r.getAs[Long]("bucket"), r.getAs[Long]("min_size"), r.getAs[Long]("max_size"))
+      assert(lo >= (1L << bucket) && hi < (1L << (bucket + 1)),
+        s"bucket $bucket sizes [$lo,$hi] escape [2^$bucket, 2^${bucket + 1})")
+      assert(lo <= hi && r.getAs[Long]("n_keys") > 0)
+    }
+  }
+
+  test("wordBigramsAll keeps multiplicity and drops empty tokens before pairing") {
+    import spark.implicits._
+    val got = Seq("a  b a b", "x", "", "a a a")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.wordBigramsCol(col("text")).as("bs"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("a b", "b a", "a b"), // double space collapses: pairs over filtered tokens
+      Nil, Nil,
+      List("a a", "a a"))) // multiplicity preserved (unlike the distinct n-gram kernel)
+  }
+}
