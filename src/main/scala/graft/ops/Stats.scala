@@ -36,16 +36,15 @@ object Stats {
     * any value). */
   private val ScanPartitions = 32
 
-  /** Two-sample KS over `value` (integer cents) between the `click` and
-    * `purchase` event streams. Reduced to (v, n_click, n_purchase)
-    * cells first — per-DISTINCT-value state — then the two ECDFs are
-    * cumulated with per-partition window sums plus driver-computed
-    * partition offsets (RangePartitioner assigns ascending key ranges
-    * to ascending partition ids, so the offset of a partition is the
-    * sum of earlier partitions' totals). D is reported as the exact
-    * integer numerator max|ca·m − cb·n| over denominator n·m, plus its
-    * integral-micros form — both bit-stable across engines. */
-  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+  /** Pooled two-sample ECDF scan shared by `ks_test` and
+    * `mann_whitney`: click/purchase values reduced to (v, na, nb)
+    * cells — per-DISTINCT-value state — then cumulated with
+    * per-range-partition window sums plus driver-computed partition
+    * offsets (RangePartitioner assigns ascending key ranges to
+    * ascending partition ids, so a partition's offset is the sum of
+    * earlier partitions' totals). Returns the cells with inclusive
+    * cumulative counts `ca`/`cb` and the two sample sizes. */
+  private def pooledCum(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(cents(col("value")).as("v"), (col("event_type") === "click").as("isa"))
@@ -67,9 +66,20 @@ object Stats {
     val offB = ptots.map { case (p, _, b) => val o = p -> accB; accB += b; o }.toMap
     val w = Window.partitionBy("pid").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
+    val cum = parted
       .withColumn("ca", element_at(typedLit(offA), col("pid")) + sum("na").over(w))
       .withColumn("cb", element_at(typedLit(offB), col("pid")) + sum("nb").over(w))
+    (cum, n, m)
+  }
+
+  /** Two-sample KS over `value` (integer cents) between the `click` and
+    * `purchase` event streams, on the [[pooledCum]] scan. D is reported
+    * as the exact integer numerator max|ca·m − cb·n| over denominator
+    * n·m, plus its integral-micros form — both bit-stable across
+    * engines. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val (cum, n, m) = pooledCum(spark, dir)
+    cum
       .agg(max(abs(col("ca") * m - col("cb") * n)).as("d_num"))
       .select(
         lit(n).as("n_a"), lit(m).as("n_b"), col("d_num"),
@@ -98,6 +108,47 @@ object Stats {
       |       CAST(max(abs(ca * m - cb * n)) AS BIGINT) AS d_num,
       |       CAST((CAST(max(abs(ca * m - cb * n)) AS HUGEINT) * 1000000)
       |            // (CAST(n AS HUGEINT) * m) AS BIGINT) AS d_micros
+      |FROM cum CROSS JOIN tot GROUP BY n, m""".stripMargin
+
+  /** Mann–Whitney U rank-sum test on the same click-vs-purchase pooled
+    * scan — the standard nonparametric significance test on non-normal
+    * metric distributions. U statistics are carried DOUBLED so the
+    * half-credit for ties stays integral: per value cell,
+    * 2·U_a += na·(2·cb_below + nb) = na·(2·cb − nb) with `cb` the
+    * inclusive purchase cumulation — no float ever enters. The
+    * common-language effect size U_a/(n·m) is emitted in decimal-exact
+    * integral micros; the identity U_a + U_b = n·m is pinned in
+    * `StatsSpec`. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val (cum, n, m) = pooledCum(spark, dir)
+    cum
+      .agg(sum(col("na") * (lit(2L) * col("cb") - col("nb"))).as("u2_a"))
+      .select(
+        lit(n).as("n_a"), lit(m).as("n_b"), col("u2_a"),
+        (lit(2L * n * m) - col("u2_a")).as("u2_b"),
+        expr(s"CAST((CAST(u2_a AS DECIMAL(38,0)) * 1000000) div (CAST(${2L * n} AS DECIMAL(38,0)) * $m) AS BIGINT)")
+          .as("cles_micros"))
+  }
+
+  private val mannWhitneySql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |         event_type = 'click' AS isa
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), cells AS (
+      |  SELECT v, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+      |            sum(CASE WHEN isa THEN 0 ELSE 1 END) AS nb
+      |  FROM ev GROUP BY v
+      |), cum AS (
+      |  SELECT na, nb, sum(nb) OVER (ORDER BY v) AS cb FROM cells
+      |), tot AS (
+      |  SELECT sum(na) AS n, sum(nb) AS m FROM cells
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+      |       CAST(sum(na * (2 * cb - nb)) AS BIGINT) AS u2_a,
+      |       CAST(2 * n * m - sum(na * (2 * cb - nb)) AS BIGINT) AS u2_b,
+      |       CAST((CAST(sum(na * (2 * cb - nb)) AS HUGEINT) * 1000000)
+      |            // (CAST(2 * n AS HUGEINT) * m) AS BIGINT) AS cles_micros
       |FROM cum CROSS JOIN tot GROUP BY n, m""".stripMargin
 
   /** Per-event-type robust (median/MAD) outlier counts. All order
@@ -177,6 +228,7 @@ object Stats {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("ks_test", ksTestSql)(ksTest),
+    QueryDef.sql("mann_whitney", mannWhitneySql)(mannWhitney),
     QueryDef.sql("robust_outliers", robustOutliersSql)(robustOutliers),
     QueryDef.sql("key_skew_profile", keySkewProfileSql)(keySkewProfile),
   )

@@ -42,6 +42,26 @@ class StatsSpec extends SparkSpec {
     assert(got.getAs[Long]("d_micros") == dNum * 1000000L / (n * m))
   }
 
+  test("mann_whitney matches the driver-side pairwise U and U_a + U_b = n*m at sf0.001") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), centsOf(r.getDouble(1))))
+    val a = rows.collect { case ("click", v) => v }
+    val b = rows.collect { case ("purchase", v) => v }
+    // brute force: doubled U_a = sum over pairs of (2 if a>b, 1 if tie)
+    val u2 = (for (x <- a; y <- b) yield if (x > y) 2L else if (x == y) 1L else 0L).sum
+
+    val got = Stats.mannWhitney(spark, sfDir).collect().head
+    val (n, m) = (got.getAs[Long]("n_a"), got.getAs[Long]("n_b"))
+    assert((n, m) == ((a.length.toLong, b.length.toLong)))
+    assert(got.getAs[Long]("u2_a") == u2,
+      s"distributed rank-sum ${got.getAs[Long]("u2_a")} != pairwise $u2")
+    assert(got.getAs[Long]("u2_a") + got.getAs[Long]("u2_b") == 2L * n * m)
+    assert(got.getAs[Long]("cles_micros") == u2 * 1000000L / (2L * n * m))
+  }
+
   test("ks_test plans no global (partitionBy-less) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val windows = Stats.ksTest(spark, sfDir).queryExecution.optimizedPlan
