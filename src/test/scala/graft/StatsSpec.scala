@@ -107,6 +107,15 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("bigram_lift prunes the documents scan to the text column") {
+    val p = graft.ops.TextAnalysis.bigramLift(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val schemas = "ReadSchema: \\S+".r.findAllIn(p).toList
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(s.contains("struct<text:string>"),
+      s"documents scan reads more than text: $s"))
+  }
+
   test("wordBigramsAll keeps multiplicity and drops empty tokens before pairing") {
     import spark.implicits._
     val got = Seq("a  b a b", "x", "", "a a a")
