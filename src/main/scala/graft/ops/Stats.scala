@@ -197,6 +197,51 @@ object Stats {
       |GROUP BY dev.t, dev.med2, mad.mad4
       |ORDER BY event_type""".stripMargin
 
+  /** Per-group discrete quantiles (documents' n_chars by source):
+    * p_k = the value at rank ⌈k·n/100⌉ — a type-1 order statistic, so
+    * the answer is always an actual data value and both engines agree
+    * bit-for-bit (interpolated quantiles at non-dyadic fractions like
+    * 0.99 are last-ULP unstable cross-engine; ranks are integers).
+    * Selection runs on (source, value, freq) cells — per-DISTINCT-value
+    * state — with a GROUP-partitioned cumulative window (parallel
+    * across groups, never a global sort): the quantile is the smallest
+    * value whose cumulative count reaches the target rank, one
+    * conditional-min aggregate per percentile. */
+  def groupQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("c", sum("f").over(w))
+    val n = cells.groupBy("source").agg(sum("f").as("n"))
+    def at(k: Int) = // ceil(k·n/100) as exact integer arithmetic
+      min(when(col("c") >= expr(s"($k * n + 99) div 100"), col("v")))
+    cum.join(broadcast(n), "source")
+      .groupBy(col("source"), col("n").as("n_docs"))
+      .agg(
+        at(50).as("p50"), at(90).as("p90"), at(99).as("p99"),
+        max("v").as("max_chars"))
+      .select("source", "n_docs", "p50", "p90", "p99", "max_chars")
+      .orderBy("source")
+  }
+
+  private val groupQuantilesSql: String =
+    """WITH cells AS (
+      |  SELECT source, n_chars AS v, count(*) AS f FROM documents GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT source, v, f, sum(f) OVER (PARTITION BY source ORDER BY v) AS c FROM cells
+      |), n AS (
+      |  SELECT source, sum(f) AS n FROM cells GROUP BY source
+      |)
+      |SELECT cum.source, CAST(n.n AS BIGINT) AS n_docs,
+      |       CAST(min(CASE WHEN c >= (50 * n.n + 99) // 100 THEN v END) AS BIGINT) AS p50,
+      |       CAST(min(CASE WHEN c >= (90 * n.n + 99) // 100 THEN v END) AS BIGINT) AS p90,
+      |       CAST(min(CASE WHEN c >= (99 * n.n + 99) // 100 THEN v END) AS BIGINT) AS p99,
+      |       CAST(max(v) AS BIGINT) AS max_chars
+      |FROM cum JOIN n ON cum.source = n.source
+      |GROUP BY cum.source, n.n ORDER BY cum.source""".stripMargin
+
   /** Power-of-two histogram of per-key group sizes (events by user_id):
     * bucket = floor(log2(size)) computed EXACTLY as the bit length of
     * the count (`length(bin(n)) − 1` — both engines print the same
@@ -231,5 +276,6 @@ object Stats {
     QueryDef.sql("mann_whitney", mannWhitneySql)(mannWhitney),
     QueryDef.sql("robust_outliers", robustOutliersSql)(robustOutliers),
     QueryDef.sql("key_skew_profile", keySkewProfileSql)(keySkewProfile),
+    QueryDef.sql("group_quantiles", groupQuantilesSql)(groupQuantiles),
   )
 }

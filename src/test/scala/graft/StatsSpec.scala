@@ -94,6 +94,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("group_quantiles matches driver-side type-1 order statistics at sf0.001") {
+    val bySource = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+
+    val got = Stats.groupQuantiles(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+          r.getAs[Long]("p99"), r.getAs[Long]("max_chars")))).toMap
+    assert(got.keySet == bySource.keySet)
+
+    for ((s, vs) <- bySource) {
+      def at(k: Int): Long = vs(((k * vs.size + 99) / 100) - 1) // rank ceil(k·n/100), 1-based
+      assert(got(s) == ((vs.size.toLong, at(50), at(90), at(99), vs.last)),
+        s"$s: got ${got(s)}, expected (${vs.size}, ${at(50)}, ${at(90)}, ${at(99)}, ${vs.last})")
+    }
+  }
+
+  test("group_quantiles windows are group-partitioned (no global sort)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = Stats.groupQuantiles(spark, sfDir).queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window funnels the quantile scan through one task: $w"))
+  }
+
   test("key_skew_profile buckets are exact powers of two and partition all rows") {
     val total = Tables.events(spark, sfDir).count()
     val rows  = Stats.keySkewProfile(spark, sfDir).collect()
