@@ -263,14 +263,19 @@ object Curation {
     * verdicts exist at every SF. Thresholds are integer-exact
     * cross-engine (n_chars·100 > n_tokens·572 — no division). */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // NULL text is normalized to '' ONCE at the source, mirrored by the
+    // oracle's coalesce in its corpus CTE — so a NULL document flows
+    // through stats → quality gate → fingerprint identically on both
+    // engines (it gets n_tokens=0 → 'too_short', never a NULL-keyed
+    // fingerprint group)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
     val corpus = docs.union(
       docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     val t = corpus
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        graft.functions.TextFunctions
-          .tokenStats(coalesce(col("text"), lit(""))).getField("n_tokens").as("n_tokens"),
+        graft.functions.TextFunctions.tokenStats(col("text")).getField("n_tokens").as("n_tokens"),
         graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
     val flagged = t.withColumn("qfail",
       when(col("n_tokens") < 30L, "too_short")
@@ -290,8 +295,8 @@ object Curation {
 
   private val pipelineSql: String =
     """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, coalesce(text, '') FROM documents
       |), t AS (
       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,

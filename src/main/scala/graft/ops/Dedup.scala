@@ -495,31 +495,101 @@ object Dedup {
     * "cold anvil" ↔ "old anvil").
     *
     * Scale shape: the corpus is first reduced to its DISTINCT name
-    * vocabulary (the 100 TB move — vocabulary ≪ rows), then banded by
-    * length: |len(a)−len(b)| ≤ d is necessary for edit distance ≤ d, so
-    * the right side emits one row per admissible length and the band
-    * becomes an EQUI-join — no cartesian, no theta-join. Each candidate
-    * pair is produced exactly once (key = len(a); b emits len(a) at
-    * most once; the a<b filter kills the mirrored role). The exact
-    * Levenshtein check runs only on banded candidates. */
+    * vocabulary (the 100 TB move — vocabulary ≪ rows), then banded by a
+    * COMPOSITE (length, segment-index, segment-content) key — the
+    * PassJoin partition scheme (Li et al., VLDB 2012). A length-only
+    * band is a necessary condition too, but name-length distributions
+    * concentrate: at a 100 M-name vocabulary most mass sits in ~10
+    * length buckets and each bucket is an un-splittable all-pairs hot
+    * key. The composite key adds segment CONTENT, so bucket population
+    * is driven by actual string agreement — the quadratic hot key is
+    * gone while candidates remain a provable superset (pigeonhole: d
+    * edits cannot touch all d+1 disjoint segments, and the untouched
+    * segment's position shifts by at most d). The exact Levenshtein
+    * check runs only on banded candidates. */
   def fuzzyJoin(spark: SparkSession, dir: String): DataFrame =
     fuzzyJoinOn(Tables.part(spark, dir).select(col("p_name").as("n")).distinct(),
       MaxEditDist)
 
+  /** Candidate pairs (name_a < name_b, distinct) from the composite
+    * band — a superset of all pairs within edit distance ≤ maxDist.
+    *
+    * Partition rule (shared by both sides): a string of length L is cut
+    * into k = maxDist+1 contiguous segments, the first k−(L mod k) of
+    * length ⌊L/k⌋ and the rest one longer. If ed(a,b) ≤ maxDist, at
+    * least one segment of `a` is untouched by any edit, so it occurs in
+    * `b` verbatim, starting within ±maxDist of its position in `a`.
+    * The left side emits a's own k segments keyed (len(a), i, seg); the
+    * right side emits, for every admissible partner length la and every
+    * segment slot i, each of b's substrings in that slot's shift window
+    * — so candidate generation stays an EQUI-join (no cartesian, no
+    * theta-join) with shuffle rows of (short key, name). Strings of
+    * length ≤ maxDist can't host maxDist+1 non-empty segments and fall
+    * back to the length-only band (slot −1) — a vanishing fraction of
+    * any real vocabulary. Both orientations of every qualifying pair
+    * band successfully (the pigeonhole argument applies to either
+    * side's partition), so the a<b filter alone cannot lose a pair;
+    * `distinct` collapses multi-segment matches. */
+  def fuzzyCandidates(namesDf: DataFrame, maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    val segType = "array<struct<la:int,seg:int,s:string>>"
+
+    // segment geometry for partner length `la` and literal slot i
+    def segLen(la: Column, i: Int): Column =
+      floor(la / k).cast("int") + when(lit(i) >= lit(k) - pmod(la, lit(k)), 1).otherwise(0)
+    def segStart(la: Column, i: Int): Column =
+      lit(i) * floor(la / k).cast("int") +
+        greatest(lit(0), lit(i) - (lit(k) - pmod(la, lit(k))))
+
+    val names = namesDf.withColumn("len", length(col("n")))
+
+    // left: a's own segments (or the slot −1 fallback when too short)
+    val leftKeys = when(col("len") <= maxDist,
+      array(struct(col("len").as("la"), lit(-1).as("seg"), lit("").as("s"))))
+      .otherwise(array((0 until k).map { i =>
+        struct(col("len").as("la"), lit(i).as("seg"),
+          col("n").substr(segStart(col("len"), i) + 1, segLen(col("len"), i)).as("s"))
+      }: _*))
+    val left = names
+      .select(col("n").as("name_a"), explode(leftKeys).as("key"))
+      .select(col("name_a"), col("key.la"), col("key.seg"), col("key.s"))
+
+    // right: for each admissible partner length, each slot's substrings
+    // within the ±maxDist shift window (clipped to b's bounds)
+    val rightKeys = flatten(transform(
+      sequence(greatest(col("len") - maxDist, lit(0)), col("len") + maxDist),
+      la => {
+        val perSlot: Seq[Column] = (0 until k).map { i =>
+          val sl  = segLen(la, i)
+          val pLo = greatest(segStart(la, i) - maxDist, lit(0))
+          val pHi = least(col("len") - sl, segStart(la, i) + maxDist)
+          when(pHi >= pLo,
+            transform(sequence(pLo, pHi), p =>
+              struct(la.as("la"), lit(i).as("seg"), col("n").substr(p + 1, sl).as("s"))))
+            .otherwise(array().cast(segType))
+        }
+        when(la <= maxDist,
+          array(struct(la.as("la"), lit(-1).as("seg"), lit("").as("s"))))
+          .otherwise(flatten(array(perSlot: _*)))
+      }))
+    val right = names
+      .select(col("n").as("name_b"), explode(array_distinct(rightKeys)).as("key"))
+      .select(col("name_b"), col("key.la"), col("key.seg"), col("key.s"))
+
+    left.join(right, Seq("la", "seg", "s"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b")
+      .distinct()
+  }
+
   /** Fuzzy matching over an arbitrary single-column (`n`) name table —
     * split out so specs can drive it with hand-checkable names. */
-  def fuzzyJoinOn(namesDf: DataFrame, maxDist: Int): DataFrame = {
-    val names = namesDf.withColumn("len", length(col("n")))
-    val left  = names.select(col("n").as("name_a"), col("len").as("key"))
-    val right = names.select(col("n").as("name_b"),
-      explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("key"))
-    left.join(right, "key")
-      .filter(col("name_a") < col("name_b"))
+  def fuzzyJoinOn(namesDf: DataFrame, maxDist: Int): DataFrame =
+    fuzzyCandidates(namesDf, maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select("name_a", "name_b", "dist")
       .orderBy("name_a", "name_b")
-  }
 
   private val fuzzyJoinSql: String =
     s"""WITH names AS (SELECT DISTINCT p_name AS n FROM part)

@@ -332,8 +332,9 @@ object Relational {
     * (orderstatus × orderpriority) — the association diagnostic every
     * corpus-balance audit runs. Determinism is engineered, not assumed:
     * each cell's term (obs·N − rt·ct)²/(N·rt·ct) is built from EXACT
-    * long products (all ≤ N³ < 2⁵³, so the double casts are lossless),
-    * making the per-cell double bit-identical on both engines; terms
+    * long products, so the double casts round identical longs under the
+    * same IEEE rule on both engines — bit-identical cross-engine at any
+    * N (truly lossless only while N³ < 2⁵³, i.e. N < ~208k rows); terms
     * are quantized to integer micros BEFORE the sum so the total is
     * association-free. Scale shape: one partial+final count per cell,
     * then everything is cell-cardinality-sized (≤ |s|·|p| rows) with

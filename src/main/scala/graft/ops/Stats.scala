@@ -79,12 +79,19 @@ object Stats {
     * engines. */
   def ksTest(spark: SparkSession, dir: String): DataFrame = {
     val (cum, n, m) = pooledCum(spark, dir)
+    // the cumulation products ca·m / cb·n run in DECIMAL(38,0) (2^63² ≈
+    // 8.5e37 < 1e38, so two full-long factors still fit) — no Long wrap at
+    // any n·m. The d_num OUTPUT column stays BIGINT, which bounds the
+    // reportable numerator at n·m < 2^63 (~3e9 rows/sample): an output-
+    // width bound, not an arithmetic one (d_micros is always < 1e6).
     cum
-      .agg(max(abs(col("ca") * m - col("cb") * n)).as("d_num"))
+      .agg(max(abs(col("ca").cast("decimal(38,0)") * m -
+        col("cb").cast("decimal(38,0)") * n)).as("d_num_dec"))
       .select(
-        lit(n).as("n_a"), lit(m).as("n_b"), col("d_num"),
+        lit(n).as("n_a"), lit(m).as("n_b"),
+        col("d_num_dec").cast("long").as("d_num"),
         // decimal-exact integral division: immune to long overflow at scale
-        expr(s"CAST((CAST(d_num AS DECIMAL(38,0)) * 1000000) div (CAST($n AS DECIMAL(38,0)) * $m) AS BIGINT)")
+        expr(s"CAST((d_num_dec * 1000000) div (CAST($n AS DECIMAL(38,0)) * $m) AS BIGINT)")
           .as("d_micros"))
   }
 
@@ -121,12 +128,20 @@ object Stats {
     * `StatsSpec`. */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val (cum, n, m) = pooledCum(spark, dir)
+    // per-cell products and the global sum run in DECIMAL(38,0) so 2·U
+    // never wraps a Long at scale (same posture as ksTest); 2·n·m is built
+    // as BigDecimal on the driver for the same reason. The u2_* OUTPUT
+    // columns stay BIGINT — an output-width bound (n·m < 2^63), not an
+    // arithmetic one (cles_micros is always ≤ 1e6).
+    val nm2 = BigDecimal(n) * BigDecimal(m) * 2
     cum
-      .agg(sum(col("na") * (lit(2L) * col("cb") - col("nb"))).as("u2_a"))
+      .agg(sum(col("na").cast("decimal(38,0)") *
+        (lit(2L) * col("cb").cast("decimal(38,0)") - col("nb"))).as("u2_a_dec"))
       .select(
-        lit(n).as("n_a"), lit(m).as("n_b"), col("u2_a"),
-        (lit(2L * n * m) - col("u2_a")).as("u2_b"),
-        expr(s"CAST((CAST(u2_a AS DECIMAL(38,0)) * 1000000) div (CAST(${2L * n} AS DECIMAL(38,0)) * $m) AS BIGINT)")
+        lit(n).as("n_a"), lit(m).as("n_b"),
+        col("u2_a_dec").cast("long").as("u2_a"),
+        (lit(nm2) - col("u2_a_dec")).cast("long").as("u2_b"),
+        expr(s"CAST((u2_a_dec * 1000000) div (CAST($n AS DECIMAL(38,0)) * 2 * $m) AS BIGINT)")
           .as("cles_micros"))
   }
 

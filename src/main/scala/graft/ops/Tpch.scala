@@ -185,7 +185,133 @@ object Tpch {
       .orderBy("c_nationkey")
   }
 
+  /** Q13 shape: customer order-count distribution — a LEFT OUTER join
+    * whose unmatched side must survive as count 0, then a histogram of
+    * the counts. The fixture schema has no o_comment, so the exclusion
+    * predicate is o_orderstatus <> 'F' (same shape: a filter on the
+    * OUTER side that must not drop customers). Scale shape: orders is
+    * pre-aggregated to (custkey, count) BEFORE the outer join — the
+    * join carries one row per customer with orders, not one per order —
+    * and the histogram is a second partial-agg collapse to ≤ |distinct
+    * counts| rows. The classic nested outer-join-then-count plan ships
+    * whole order rows through the join; this one never does. */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") =!= "F")
+      .groupBy("o_custkey").agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q17 shape: small-quantity-order revenue — the classic correlated
+    * scalar AVG (`l_quantity < 0.2 * avg(l_quantity) per part`),
+    * DECORRELATED by hand: the per-part average is one partial-agg
+    * groupBy over the fact joined back by partkey, so the fact is
+    * scanned twice and shuffled on l_partkey once per side — never a
+    * per-row subquery. The brand/size filters cut part to a sliver
+    * that broadcasts; the avg comparison runs in EXACT integers
+    * (q·5·cnt < Σq in cents ⇔ q < 0.2·avg), so no distributed-double
+    * average can flip a row across engines. avg_yearly is the integral
+    * cents div 7 of an exact long sum. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val qc = cents(col("l_quantity"))
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(qc).as("sum_qc"), count(lit(1)).as("cnt"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23" && col("p_size") <= 25)
+      .select("p_partkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), qc.as("qc"), cents(col("l_extendedprice")).as("price_c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(perPart, "l_partkey")
+      .filter(col("qc") * 5L * col("cnt") < col("sum_qc"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(col("price_c")), lit(0L)).as("revenue_cents"))
+      .select(col("n_lines"), col("revenue_cents"),
+        expr("revenue_cents div 7").as("avg_yearly_cents"))
+  }
+
+  /** Q20 shape: two-level nested semi join with a correlated aggregate —
+    * suppliers who provided >20% of a 'bolt' part's 1997 volume (the
+    * fixture schema has no partsupp/availqty; lineitem's (suppkey,
+    * partkey) volumes stand in, keeping the plan shape: inner semi on a
+    * filtered part set, correlated per-part total decorrelated to a
+    * pre-aggregation join-back, outer semi into supplier). The p_name
+    * filter prunes part to a broadcast sliver; the shipdate window is a
+    * pushed parquet predicate; quantities compare in exact integer
+    * cents. Supplier is only ever semi-joined (never widened), then the
+    * nation dim broadcasts for the name filter. */
+  def q20Potential(spark: SparkSession, dir: String): DataFrame = {
+    val bolts = Tables.part(spark, dir)
+      .filter(col("p_name").endsWith("bolt"))
+      .select("p_partkey")
+    val l97 = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select(col("l_partkey"), col("l_suppkey"), cents(col("l_quantity")).as("qc"))
+      .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+    val pairQty = l97.groupBy("l_partkey", "l_suppkey").agg(sum("qc").as("pair_qc"))
+    val partQty = pairQty.groupBy("l_partkey").agg(sum("pair_qc").as("part_qc"))
+    val bigShare = pairQty.join(partQty, "l_partkey")
+      .filter(col("pair_qc") * 5L > col("part_qc"))
+      .select("l_suppkey")
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name").startsWith("NATION_1"))
+      .select("n_nationkey", "n_name")
+    Tables.supplier(spark, dir)
+      .join(bigShare, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("q13_custdist",
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS c_count FROM orders
+        |  WHERE o_orderstatus <> 'F' GROUP BY o_custkey
+        |)
+        |SELECT coalesce(p.c_count, 0) AS c_count, count(*) AS custdist
+        |FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)(q13Custdist),
+    QueryDef.sql("q17_small_qty",
+      """WITH per_part AS (
+        |  SELECT l_partkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qc,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT count(*) AS n_lines,
+        |       CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+        |       CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM lineitem l
+        |JOIN part ON p_partkey = l.l_partkey
+        |JOIN per_part pp ON pp.l_partkey = l.l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_size <= 25
+        |  AND CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * pp.cnt < pp.sum_qc""".stripMargin)(
+      q17SmallQty),
+    QueryDef.sql("q20_potential",
+      """WITH pair AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS pair_qc
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt')
+        |  GROUP BY l_partkey, l_suppkey
+        |), tot AS (
+        |  SELECT l_partkey, sum(pair_qc) AS part_qc FROM pair GROUP BY l_partkey
+        |)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name LIKE 'NATION_1%'
+        |  AND s_suppkey IN (
+        |    SELECT p.l_suppkey FROM pair p JOIN tot t ON p.l_partkey = t.l_partkey
+        |    WHERE p.pair_qc * 5 > t.part_qc)
+        |ORDER BY s_suppkey""".stripMargin)(q20Potential),
     QueryDef.sql("q4_priority",
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

@@ -89,6 +89,54 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("fuzzy join stays exact on a skewed same-length fixture and random mutations") {
+    import spark.implicits._
+    // every name the same length — the worst case for a length-only band —
+    // including deterministic 1–3-char mutations that must all be found
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 120).map(i => f"entity-record-$i%04d-${rnd.alphanumeric.take(8).mkString}")
+    val mutated = base.zipWithIndex.collect { case (s, i) if i % 4 == 0 =>
+      val arr = s.toCharArray
+      (0 to i % 3).foreach(j => arr((i + 5 * j) % arr.length) = ('a' + (i + j) % 26).toChar)
+      new String(arr)
+    }
+    val names = (base ++ mutated).distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= 3
+    } yield (a, b, d.toLong)).sortBy(p => (p._1, p._2))
+    assert(want.nonEmpty, "fixture must contain qualifying pairs")
+    val got = Dedup.fuzzyJoinOn(names.toDF("n"), 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("composite band collapses the skewed length bucket's candidate set") {
+    import spark.implicits._
+    // 200 same-length names: the length-only band's single bucket is
+    // all-pairs (200·199/2 = 19900 candidates); the composite
+    // (length, slot, segment-content) band must keep only pairs that
+    // actually agree on a segment — orders of magnitude fewer. Content
+    // is random (the skew under test is LENGTH concentration; shared
+    // prefixes are a separate, content-level hot key any content band
+    // inherits by construction)
+    val rnd   = new scala.util.Random(7)
+    val names = (0 until 200).map(_ => rnd.alphanumeric.take(14).mkString).distinct
+    val df    = names.toDF("n")
+    val lengthOnlyCandidates = names.size.toLong * (names.size - 1) / 2
+    val composite = Dedup.fuzzyCandidates(df, 3).count()
+    assert(composite * 10 < lengthOnlyCandidates,
+      s"composite band produced $composite candidates vs " +
+        s"$lengthOnlyCandidates for length-only — expected ≥10× shrink")
+  }
+
   test("substring duplication flags exactly the planted cross-doc span") {
     import spark.implicits._
     val shared = "0123456789" * 3 // one 30-char span shared by docs 1 and 2

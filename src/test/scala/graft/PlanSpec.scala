@@ -251,10 +251,10 @@ class PlanSpec extends SparkSpec {
       "wedge formation and closing must be key joins")
   }
 
-  test("fuzzy_join bands by length as an equi-join — no cartesian/NLJ pair generation") {
+  test("fuzzy_join bands by (length, slot, segment) as an equi-join — no cartesian/NLJ pair generation") {
     val p = planOf("fuzzy_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "length banding must make candidate generation an equi-join")
+      "composite PassJoin banding must keep candidate generation an equi-join")
   }
 
   test("profile_table avoids Expand-based multi-distinct and prunes each branch's scan") {
