@@ -70,13 +70,12 @@ object Curation {
 
   // ----------------------------------------------------------- chunking
 
-  /** Overlapping fixed-window chunking — the "split documents into
-    * training windows with overlap" step (window 120 chars, stride 90,
-    * so consecutive chunks share 30). Offsets come from `sequence` +
-    * `posexplode`; the chunk is a `substr` — per-row array work, no
-    * shuffle, and the output carries (doc_id, chunk_id, off) so a
-    * downstream pack/shuffle can always reassemble provenance. */
-  def docChunks(spark: SparkSession, dir: String): DataFrame =
+  /** Shared chunk generation (window 120 chars, stride 90) — per-row
+    * array work, no shuffle. Split out so `docChunks` (which adds a
+    * presentation sort) and `sequencePack` (which repartitions — a sort
+    * here would be dead work the moment the exchange destroys it) build
+    * on the same chunks. */
+  private def chunkBase(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(1), length(col("text")), lit(90))).as(Seq("pos", "off")))
@@ -85,8 +84,108 @@ object Curation {
         col("pos").cast("long").as("chunk_id"),
         col("off").cast("long").as("off"),
         col("text").substr(col("off"), lit(120)).as("chunk"))
+
+  /** Overlapping fixed-window chunking — the "split documents into
+    * training windows with overlap" step (window 120 chars, stride 90,
+    * so consecutive chunks share 30). Offsets come from `sequence` +
+    * `posexplode`; the chunk is a `substr` — per-row array work, no
+    * shuffle, and the output carries (doc_id, chunk_id, off) so a
+    * downstream pack/shuffle can always reassemble provenance. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkBase(spark, dir)
       .withColumn("chunk_chars", length(col("chunk")).cast("long"))
       .orderBy("doc_id", "chunk_id")
+
+  // ----------------------------------------------------------- packing
+
+  /** Token budget per packed training sequence and the bucket fan-out.
+    * Budget 48 ≥ the 27-token ceiling a 120-char chunk can reach, so
+    * greedy never meets an unplaceable chunk and the ≤-budget invariant
+    * is strict; 32 buckets = one per local core (at cluster scale:
+    * a multiple of executor parallelism). */
+  private val PackBudget  = 48L
+  private val PackBuckets = 32
+
+  /** Sequence packing — the last stage of the chunk → pack training-data
+    * chain: fill fixed-token-budget training sequences with chunks,
+    * greedily, never splitting a chunk, emitting full provenance
+    * (bucket, seq, pos → doc_id, chunk_id) so the downstream writer can
+    * join text back by key and a sample in any sequence traces to its
+    * source span.
+    *
+    * Packing rule (the determinism contract, mirrored exactly by the
+    * oracle's recursive CTE): chunks are hash-bucketed by doc_id
+    * (pure-function bucket — reproducible under any partitioning),
+    * ordered (doc_id, chunk_id) within bucket, and folded left to
+    * right: a chunk joins the open sequence unless its tokens would
+    * push the fill past the budget, in which case it opens the next
+    * sequence. Greedy-FIRST-fit-on-a-fixed-order, not best-fit: best
+    * fit needs the whole bucket resident; this rule needs three longs.
+    *
+    * Scale shape: the only shuffle carries (bucket, doc_id, chunk_id,
+    * n_tokens) — four longs per chunk, never chunk text; the fold is a
+    * streaming O(1)-state `mapPartitions` pass over each bucket's
+    * sorted run (state: open-seq fill + counters, reset on bucket
+    * change), which is the genuine per-partition-imperative case the
+    * RDD escape hatch exists for — no window function, no global sort,
+    * no collect. Sequence ids are (bucket, seq-within-bucket), a pure
+    * function of the data, so re-runs and re-partitionings reproduce
+    * the identical packing at any scale. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunkTok = chunkBase(spark, dir)
+      .select(
+        pmod(col("doc_id"), lit(PackBuckets)).cast("int").as("bucket"),
+        col("doc_id"), col("chunk_id"),
+        size(toks(col("chunk"))).cast("long").as("n_tokens"))
+    chunkTok
+      .repartition(PackBuckets, col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id", "chunk_id")
+      .as[(Int, Long, Long, Long)]
+      .mapPartitions { it =>
+        // a partition holds one or more whole buckets (hash co-location),
+        // each a contiguous sorted run; all state resets on bucket change
+        var bucket = Int.MinValue
+        var seq, pos, fill = 0L
+        it.map { case (b, docId, chunkId, nTok) =>
+          if (b != bucket) { bucket = b; seq = 0L; pos = 0L; fill = nTok }
+          else if (fill + nTok > PackBudget) { seq += 1L; pos = 0L; fill = nTok }
+          else { pos += 1L; fill += nTok }
+          (b.toLong, seq, pos, docId, chunkId, nTok)
+        }
+      }
+      .toDF("bucket", "seq", "pos", "doc_id", "chunk_id", "n_tokens")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val sequencePackSql: String =
+    s"""WITH RECURSIVE offs AS (
+       |  SELECT doc_id, text, unnest(range(1, length(text) + 1, 90)) AS off
+       |  FROM documents
+       |), ch AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS BIGINT) AS chunk_id,
+       |    substr(text, CAST(off AS INT), 120) AS chunk
+       |  FROM offs
+       |), tok AS (
+       |  SELECT doc_id % $PackBuckets AS bucket, doc_id, chunk_id,
+       |    CAST(len(list_filter(string_split(chunk, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    row_number() OVER (PARTITION BY doc_id % $PackBuckets
+       |                       ORDER BY doc_id, chunk_id) AS rn
+       |  FROM ch
+       |), packed AS (
+       |  SELECT bucket, rn, doc_id, chunk_id, n_tokens,
+       |         CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS pos, n_tokens AS fill
+       |  FROM tok WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.bucket, t.rn, t.doc_id, t.chunk_id, t.n_tokens,
+       |         CASE WHEN p.fill + t.n_tokens > $PackBudget THEN p.seq + 1 ELSE p.seq END,
+       |         CASE WHEN p.fill + t.n_tokens > $PackBudget THEN CAST(0 AS BIGINT) ELSE p.pos + 1 END,
+       |         CASE WHEN p.fill + t.n_tokens > $PackBudget THEN t.n_tokens ELSE p.fill + t.n_tokens END
+       |  FROM tok t JOIN packed p ON t.bucket = p.bucket AND t.rn = p.rn + 1
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, seq, pos, doc_id, chunk_id, n_tokens
+       |FROM packed ORDER BY doc_id, chunk_id""".stripMargin
 
   // ---------------------------------------------------- decontamination
 
@@ -350,6 +449,7 @@ object Curation {
         |  substr(text, CAST(off AS INT), 120) AS chunk,
         |  CAST(length(substr(text, CAST(off AS INT), 120)) AS BIGINT) AS chunk_chars
         |FROM offs ORDER BY doc_id, chunk_id""".stripMargin)(docChunks),
+    QueryDef.sql("sequence_pack", sequencePackSql)(sequencePack),
     QueryDef.sql("ngram_decontaminate",
       s"""WITH toksed AS (
          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -50,6 +50,32 @@ class CurationSpec extends SparkSpec {
     } finally { chunks.unpersist(); () }
   }
 
+  test("sequence_pack: budget respected, every chunk placed once, packing maximally greedy") {
+    val packed = Curation.sequencePack(spark, sfDir).cache()
+    try {
+      // every chunk appears exactly once (same universe as doc_chunks)
+      val nChunks = Curation.docChunks(spark, sfDir).count()
+      assert(packed.count() == nChunks)
+      assert(packed.select("doc_id", "chunk_id").distinct().count() == nChunks)
+      // no sequence exceeds the 48-token budget
+      val seqs = packed.groupBy("bucket", "seq")
+        .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"), max("pos").as("max_pos"))
+        .cache()
+      assert(seqs.filter(col("fill") > 48).count() == 0, "a sequence exceeds the token budget")
+      // pos is dense 0..n-1 within each sequence
+      assert(seqs.filter(col("max_pos") =!= col("n") - 1).count() == 0)
+      // greedy tightness: sequence s+1 exists only because its first chunk
+      // would have overflowed sequence s — no lazy early break
+      val firstNext = packed.filter(col("pos") === 0 && col("seq") > 0)
+        .select(col("bucket"), (col("seq") - 1).as("seq"), col("n_tokens").as("next_t"))
+      val lazyBreaks = seqs.join(firstNext, Seq("bucket", "seq"))
+        .filter(col("fill") + col("next_t") <= 48)
+      assert(lazyBreaks.count() == 0, "greedy must fill before breaking")
+      assert(seqs.count() > nChunks / 4, "packing should form many multi-chunk sequences")
+      seqs.unpersist()
+    } finally { packed.unpersist(); () }
+  }
+
   test("ngram_decontaminate: benchmark docs self-flag, matches bounded by totals") {
     val out = Curation.ngramDecontaminate(spark, sfDir).cache()
     try {
