@@ -81,6 +81,36 @@ object VectorMath {
     best
   }
 
+  /** 0-based indices of the `p` nearest centroids by squared L2
+    * distance, ordered (dist asc, index asc) — the multi-probe
+    * generalization of [[nearestCentroid]] (whose result is always
+    * element 0 of this list). Same strict-less-than/index-order
+    * accumulation contract, so the SQL oracle's
+    * `row_number() OVER (ORDER BY dist, label) <= p` reproduces the
+    * probe set bit-for-bit. k is the coarse-quantizer arity (tiny);
+    * selection is one insertion pass over a p-length array. */
+  def topCentroids(emb: ArrayData, cents: ArrayData, p: Int): ArrayData = {
+    val k    = cents.numElements()
+    val take = math.min(p, k)
+    val idx  = new Array[Int](take)
+    val dst  = new Array[Double](take)
+    var m    = 0 // filled slots
+    var c    = 0
+    while (c < k) {
+      val d = sqDistFD(emb, cents.getArray(c))
+      // insertion position: after all strictly-better (dist, idx) pairs —
+      // ties keep the lower index, which arrived first
+      if (m < take || d < dst(m - 1)) {
+        var i = if (m < take) m else m - 1
+        while (i > 0 && dst(i - 1) > d) { dst(i) = dst(i - 1); idx(i) = idx(i - 1); i -= 1 }
+        dst(i) = d; idx(i) = c
+        if (m < take) m += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+  }
+
   /** squared L2 distance between a float vector and a double centroid,
     * accumulated in index order d=0..n — the same order (and hence the
     * same double, bit-for-bit) as one [[nearestCentroid]] candidate and
@@ -158,6 +188,22 @@ case class NearestCentroidIdx(left: Expression, right: Expression) extends Binar
     copy(left = l, right = r)
 }
 
+/** Codegen'd top-p nearest-centroid indices: (array<float>,
+  * array<array<double>>) -> array<int>, ordered (dist asc, index asc) —
+  * the IVF multi-probe assignment. `p` is a plan-time constant baked
+  * into the generated call, not a child expression.
+  */
+case class TopCentroidIdxs(left: Expression, right: Expression, p: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.topCentroids(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.topCentroids($a, $b, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Codegen'd squared L2 distance: (array<float>, array<double>) -> double
   * — the per-member inertia term of a k-means assignment (the centroid
   * side is a foldable literal, so the whole expression stays in
@@ -186,6 +232,8 @@ object VectorFunctions {
     column(NearestCentroidIdx(expression(emb), expression(cents)))
   def sqDist(emb: Column, cent: Column): Column =
     column(SqDistFD(expression(emb), expression(cent)))
+  def topCentroidIdxs(emb: Column, cents: Column, p: Int): Column =
+    column(TopCentroidIdxs(expression(emb), expression(cents), p))
 
   /** Same semantics as `cosine`, built only from org.apache.spark.sql.functions. */
   def cosineBuiltin(a: Column, b: Column): Column = {

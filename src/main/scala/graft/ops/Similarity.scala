@@ -172,14 +172,26 @@ object Similarity {
     rankedTopK(spark, pairs)
   }
 
+  /** lists each query probes — ≥2 so boundary vectors (nearest centroid
+    * ≠ their neighbor's centroid) stay reachable; nprobe=1 has a recall
+    * cliff exactly there. */
+  val NProbe = 2
+
   /** IVF-style ANN: a coarse quantizer (here: per-label centroids — the
     * k-means step a real IVF would run; same Aggregator machinery) maps
-    * every vector to its nearest centroid's inverted list; queries probe
-    * only their own list (nprobe=1). The corpus shuffles once on the
+    * every CORPUS vector to its single nearest centroid's inverted
+    * list; each QUERY probes its `nprobe` nearest lists (multi-probe —
+    * the codegen'd `TopCentroidIdxs` ranks centroids by (dist, label),
+    * so the probe set is oracle-recomputable). A corpus vector lives in
+    * exactly one list and a query's probed lists are distinct, so no
+    * candidate pair is generated twice. The corpus shuffles once on the
     * list id; at scale each list is a partition and a query touches
-    * 1/k of the data.
+    * nprobe/k of the data.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfProbe(spark, dir, NProbe)
+
+  def annIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // coarse centroids (k = 10 label groups), collected: k×dim doubles,
     // 6dp-rounded (= labelCentroids' oracle-stable output), sorted by
@@ -199,8 +211,14 @@ object Similarity {
     val matrixLit = typedLit(cents.map(_._2.toSeq).toSeq)
     val listed = base.withColumn("ivf_list",
       element_at(labelsLit, VectorFunctions.nearestCentroidIdx(col("embedding"), matrixLit) + 1))
-    val queries = listed.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("ivf_list"))
+    // query side: explode to the nprobe nearest lists (the transform
+    // lambda is interpreted but runs only on the NumQueries query rows;
+    // the corpus-side assignment above stays fully codegen'd)
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(transform(
+          VectorFunctions.topCentroidIdxs(col("embedding"), matrixLit, nprobe),
+          i => element_at(labelsLit, i + 1))).as("ivf_list"))
     val pairs = listed.join(broadcast(queries), Seq("ivf_list"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -234,20 +252,22 @@ object Similarity {
          |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
          |    GROUP BY label, d) t
          |  GROUP BY label
+         |), ranked_assign AS (
+         |  SELECT e.vec_id, e.embedding, c.label AS ivf_list,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(generate_series(1, $Dim), d ->
+         |               (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
+         |             (a, v) -> a + v) ASC, c.label ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c
          |), assigned AS (
-         |  SELECT vec_id, embedding, ivf_list FROM (
-         |    SELECT e.vec_id, e.embedding, c.label AS ivf_list,
-         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |               list_transform(generate_series(1, $Dim), d ->
-         |                 (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
-         |               (a, v) -> a + v) ASC, c.label ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents c) t
-         |  WHERE rn = 1
+         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign
+         |  WHERE rn <= $NProbe AND vec_id < $NumQueries
          |), pairs AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
-         |  FROM assigned q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
-         |  WHERE q.vec_id < $NumQueries
+         |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
          |), ${rankSql("pairs")}""".stripMargin)(annIvf),
   )
 }
