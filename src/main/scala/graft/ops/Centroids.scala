@@ -80,9 +80,12 @@ object Centroids {
   val KmeansK     = 8
   private val Dim = 64
 
-  def kmeansEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-
+  /** The seeds → assign → update → assign core of [[kmeansEmbed]],
+    * factored over an arbitrary (vec_id, embedding) corpus so the
+    * semantic-dedup composition (`Dedup.semanticDedup`) can cluster its
+    * own corpus with the identical algorithm and determinism contract.
+    * Returns (vec_id, embedding, cluster, sqd). */
+  private[ops] def kmeansAssign(base: DataFrame): DataFrame = {
     def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
       val ids = typedLit(cents.map(_._1))
       val m   = typedLit(cents.map(_._2))
@@ -111,13 +114,20 @@ object Centroids {
       .toSeq.sortBy(_._1)
 
     assign(updated)
+  }
+
+  def kmeansEmbed(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
         sum(round(col("sqd") * 1e6).cast("long")).as("inertia_micros"))
       .orderBy("cluster")
-  }
 
-  private val kmeansSql: String = {
+  /** The kmeans seed/assign/update/assign pipeline as SQL CTEs over
+    * source relation `src` (no leading WITH) — a1 is the final
+    * (vec_id, embedding, cluster, sqd) assignment. Shared with the
+    * semantic-dedup oracle, which clusters its own corpus CTE. */
+  private[ops] def kmeansCtes(src: String): String = {
     val sq =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(generate_series(1, $Dim), d ->
@@ -128,11 +138,11 @@ object Centroids {
          |  SELECT e.vec_id, e.embedding, c.cluster, $sq AS sqd,
          |         row_number() OVER (PARTITION BY e.vec_id
          |           ORDER BY $sq ASC, c.cluster ASC) AS rn
-         |  FROM embeddings e CROSS JOIN $cents c) t
+         |  FROM $src e CROSS JOIN $cents c) t
          |WHERE rn = 1""".stripMargin
-    s"""WITH cents0 AS (
+    s"""cents0 AS (
        |  SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-       |  FROM embeddings WHERE vec_id < $KmeansK
+       |  FROM $src WHERE vec_id < $KmeansK
        |), a0 AS (${assign("cents0")}),
        |cents1 AS (
        |  SELECT cluster, list(avg_val ORDER BY d) AS c FROM (
@@ -140,11 +150,14 @@ object Centroids {
        |    FROM a0, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
        |    GROUP BY cluster, d) t
        |  GROUP BY cluster
-       |), a1 AS (${assign("cents1")})
+       |), a1 AS (${assign("cents1")})""".stripMargin
+  }
+
+  private val kmeansSql: String =
+    s"""WITH ${kmeansCtes("embeddings")}
        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
        |       CAST(sum(CAST(round(sqd * 1000000) AS BIGINT)) AS BIGINT) AS inertia_micros
        |FROM a1 GROUP BY cluster ORDER BY cluster""".stripMargin
-  }
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("label_centroids",

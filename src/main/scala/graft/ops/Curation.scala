@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators — the steps between "raw crawl" and
@@ -29,6 +30,11 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  /** partitions for the mixture-sample range-partitioned rank scan
+    * (the Stats.pooledCum convention: matches session parallelism;
+    * correctness is offset-exact for any value). */
+  private val ScanPartitions = 32
 
   // ---------------------------------------------------------------- PII
 
@@ -302,6 +308,116 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Target mixture over `documents.lang` and the sample fraction —
+    * the "rebalance the corpus to a target domain mix" knob of a
+    * training-data build. Weights sum to 1 and cover every fixture
+    * lang; feasibility (quota ≤ available) is checked loudly. */
+  private val MixtureWeights: Seq[(String, Double)] =
+    Seq("de" -> 0.20, "en" -> 0.35, "es" -> 0.17, "fr" -> 0.15, "zh" -> 0.13)
+  private val MixturePct = 45L
+
+  /** Hamilton/largest-remainder apportionment of `total` seats over
+    * `weights`: floor every ideal share, hand the remaining seats to
+    * the largest fractional parts (ties → lang asc). Pure double/long
+    * arithmetic mirrored op-for-op by the oracle's SQL, so both
+    * engines produce the identical quota vector. */
+  private[graft] def largestRemainder(total: Long, weights: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val ideal  = weights.map { case (l, w) => (l, total * w) }
+    val floors = ideal.map { case (l, q) => (l, math.floor(q).toLong) }
+    val rest   = (total - floors.map(_._2).sum).toInt
+    val bump = ideal.zip(floors)
+      .map { case ((l, q), (_, f)) => (l, q - math.floor(q), f) }
+      .sortBy { case (l, frac, _) => (-frac, l) }
+      .take(rest).map(_._1).toSet
+    floors.map { case (l, f) => (l, if (bump(l)) f + 1 else f) }
+  }
+
+  /** Domain-mixture sampling: draw an exact-proportion sample — quota_l
+    * docs of each lang, quotas the largest-remainder apportionment of
+    * S = 45% of the corpus over [[MixtureWeights]] — so the output mix
+    * hits the target EXACTLY (stratified_sample's per-row coin flips
+    * only hit it in expectation). Membership is the quota_l smallest
+    * rows per lang by the deterministic key (h, doc_id) with
+    * h = (doc_id·2654435761) mod 1000003 — a pure row function, so the
+    * sample is reproducible under any partitioning.
+    *
+    * Scale shape: counts/quotas are k-row driver work. Per-lang ranks
+    * come from the range-partitioned prefix-scan idiom (Stats.pooledCum):
+    * repartitionByRange on (lang, h, doc_id) balances rows across
+    * partitions REGARDLESS of lang skew — a lang-partitioned global
+    * window would funnel the dominant domain (en here, ~40%; real
+    * corpora are worse) through one task. Windows run per (pid, lang)
+    * within a partition; cross-partition offsets are a collected
+    * (pid, lang) count table — parts×k rows — broadcast back. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id") * 2654435761L, lit(1000003L)).as("h"))
+
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val total  = counts.values.sum
+    val s      = total * MixturePct / 100L
+    val quotas = largestRemainder(s, MixtureWeights)
+    quotas.foreach { case (l, q) =>
+      require(q <= counts.getOrElse(l, 0L),
+        s"mixture_sample: quota $q for lang $l exceeds available ${counts.getOrElse(l, 0L)}")
+    }
+
+    val parted = docs
+      .repartitionByRange(ScanPartitions, col("lang"), col("h"), col("doc_id"))
+      .sortWithinPartitions("lang", "h", "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids before they are used twice
+    val offs = parted.groupBy("pid", "lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, n) => val o = (pid, lang, acc); acc += n; o }
+      }
+    val offDf = spark.createDataFrame(offs).toDF("pid", "lang", "off")
+    val w = Window.partitionBy("pid", "lang").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("rk_local", count(lit(1)).over(w))
+      .join(broadcast(offDf), Seq("pid", "lang"))
+      .withColumn("rank", col("off") + col("rk_local"))
+      .filter(col("rank") <= element_at(typedLit(quotas.toMap), col("lang")))
+      .select(col("doc_id"), col("lang"), col("rank"))
+      .orderBy("lang", "rank")
+  }
+
+  private val mixtureSampleSql: String = {
+    val weightCase = MixtureWeights
+      .map { case (l, w) => s"WHEN '$l' THEN CAST($w AS DOUBLE)" }
+      .mkString("CASE lang ", " ", " ELSE CAST(0 AS DOUBLE) END")
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, (doc_id * 2654435761) % 1000003 AS h FROM documents
+       |), cnt AS (
+       |  SELECT lang, count(*) AS n FROM docs GROUP BY lang
+       |), tot AS (
+       |  SELECT CAST((sum(n) * $MixturePct) // 100 AS BIGINT) AS s FROM cnt
+       |), ideal AS (
+       |  SELECT lang, (SELECT s FROM tot) * ($weightCase) AS q FROM cnt
+       |), fl AS (
+       |  SELECT lang, CAST(floor(q) AS BIGINT) AS f, q - floor(q) AS frac FROM ideal
+       |), bump AS (
+       |  SELECT lang, f, row_number() OVER (ORDER BY frac DESC, lang) AS rr FROM fl
+       |), quota AS (
+       |  SELECT lang, f + CASE WHEN rr <= (SELECT s FROM tot) - (SELECT sum(f) FROM fl)
+       |                        THEN 1 ELSE 0 END AS quota
+       |  FROM bump
+       |), ranked AS (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+       |  FROM docs
+       |)
+       |SELECT r.doc_id, r.lang, CAST(r.rank AS BIGINT) AS rank
+       |FROM ranked r JOIN quota q ON r.lang = q.lang
+       |WHERE r.rank <= q.quota
+       |ORDER BY r.lang, r.rank""".stripMargin
+  }
+
   // ----------------------------------------------------------- CMS query
 
   /** Count-Min point queries for a fixed watchlist of keys (partkeys
@@ -514,6 +630,7 @@ object Curation {
         |                              < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
         |                    THEN n_chars END), 0) AS BIGINT) AS chars_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(stratifiedSample),
+    QueryDef.sql("mixture_sample", mixtureSampleSql)(mixtureSample),
     QueryDef.sql("cms_watchlist",
       """SELECT CAST(l_partkey AS BIGINT) AS partkey, count(*) AS n_exact,
         |  TRUE AS lower_ok, TRUE AS upper_ok

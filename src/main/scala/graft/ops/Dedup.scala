@@ -600,8 +600,87 @@ object Dedup {
        |WHERE levenshtein(a.n, b.n) <= $MaxEditDist
        |ORDER BY name_a, name_b""".stripMargin
 
+  // ------------------------------------------------------ semantic dedup
+
+  /** Cosine threshold for the in-cluster prune: perturbed copies land at
+    * ≈0.9998 while the fixtures' random in-cluster pairs top out ≈0.51 —
+    * both engines compare the same 6dp-rounded double, so the boundary
+    * is exact. */
+  private val SemanticCos = 0.99
+
+  /** SemDeDup-shape semantic dedup (Abbas et al. 2023): k-means the
+    * corpus (`Centroids.kmeansAssign` — the identical seeds → assign →
+    * update → assign pipeline `kmeans_embed` verifies), then prune, per
+    * cluster, every vector that has a LOWER-id in-cluster neighbor with
+    * cosine ≥ threshold (greedy keep-first — deterministic and
+    * SQL-expressible, where the paper's variant picks a representative
+    * per ε-ball).
+    *
+    * The fixtures have no natural semantic near-dups, so the corpus is
+    * each vector plus a deterministically perturbed copy (id + 1,000,000;
+    * dimension d scaled by 1 + ((d % 5) − 2)/100 — float-rounded
+    * identically on both engines), giving near-but-UNEQUAL pairs at
+    * cos ≈ 0.9998 that exact/LSH-exact dedup would miss. One copy lands
+    * across a cluster boundary and survives — the documented
+    * cluster-local recall limit of the SemDeDup design, pinned in
+    * DedupSpec.
+    *
+    * Scale shape: clustering is the zero-shuffle literal-centroid
+    * assignment (`PlanSpec` pins it for kmeans_embed); the pair join is
+    * an equi-join on cluster id — each cluster is one task's bucket,
+    * never an all-pairs corpus join (the paper runs the same O(c²)
+    * within-cluster pass on GPU shards); the prune set shuffles only
+    * distinct vec_ids. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val perturbed = base.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") *
+          (lit(1.0) + ((i % 5) - 2).cast("double") / lit(100.0))).cast("float"))
+        .as("embedding"))
+    val assigned = Centroids.kmeansAssign(base.union(perturbed))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      // feeds both sides of the pair join plus the final verdict join —
+      // and kmeansAssign's two driver-side passes already scanned it
+      .localCheckpoint()
+    val dupIds = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
+      .filter(round(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
+        >= SemanticCos)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dupIds.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("hit"), lit(false)).as("pruned"))
+      .orderBy("vec_id")
+  }
+
+  private val semanticDedupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(generate_series(1, 64), d ->
+       |      CAST(CAST(embedding[d] AS DOUBLE) *
+       |        (CAST(1 AS DOUBLE) + CAST((d - 1) % 5 - 2 AS DOUBLE) / CAST(100 AS DOUBLE))
+       |        AS FLOAT))
+       |  FROM embeddings
+       |), ${Centroids.kmeansCtes("corpus")},
+       |dups AS (
+       |  SELECT DISTINCT a.vec_id FROM a1 a JOIN a1 b
+       |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |          CAST(b.embedding AS DOUBLE[])), 6) >= $SemanticCos
+       |)
+       |SELECT a.vec_id, a.cluster, (d.vec_id IS NOT NULL) AS pruned
+       |FROM a1 a LEFT JOIN dups d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("fuzzy_join", fuzzyJoinSql)(fuzzyJoin),
+    QueryDef.sql("semantic_dedup", semanticDedupSql)(semanticDedup),
     QueryDef.sql("dedup_exact",
       """SELECT p_name, min(p_partkey) AS keep_key, count(*) AS n_dups
         |FROM part GROUP BY p_name ORDER BY p_name""".stripMargin)(dedupExact),

@@ -197,4 +197,41 @@ class CurationSpec extends SparkSpec {
       .select(explode(col("cms"))).as[(String, Long)].collect().toMap
     assert(est("a") == 2L && est("b") == 1L)
   }
+
+  test("mixture_sample hits the largest-remainder quotas exactly") {
+    val rows = Curation.mixtureSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perLang = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // S = 45% of 500 = 225 over weights (de .20, en .35, es .17, fr .15,
+    // zh .13): floors 45/78/38/33/29 leave 2 seats; largest fractional
+    // parts (en .75, fr .75) take them
+    assert(perLang == Map("de" -> 45L, "en" -> 79L, "es" -> 38L, "fr" -> 34L, "zh" -> 29L))
+    assert(rows.length == 225)
+    // ranks are dense 1..quota within each lang
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("mixture_sample membership is a pure row function (rerun-stable)") {
+    val a = Curation.mixtureSample(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val b = Curation.mixtureSample(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("largestRemainder apportions the full total within floor/floor+1 of ideal") {
+    val cases = Seq(
+      (225L, Seq("de" -> 0.20, "en" -> 0.35, "es" -> 0.17, "fr" -> 0.15, "zh" -> 0.13)),
+      (7L,   Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)),
+      (100L, Seq("x" -> 1.0 / 3, "y" -> 1.0 / 3, "z" -> 1.0 / 3)),
+      (1L,   Seq("a" -> 0.4, "b" -> 0.6)))
+    cases.foreach { case (total, ws) =>
+      val q = Curation.largestRemainder(total, ws).toMap
+      assert(q.values.sum == total, s"total=$total ws=$ws -> $q")
+      ws.foreach { case (l, w) =>
+        val f = math.floor(total * w).toLong
+        assert(q(l) == f || q(l) == f + 1, s"$l: ${q(l)} not in [$f, ${f + 1}]")
+      }
+    }
+  }
 }

@@ -155,4 +155,20 @@ class DedupSpec extends SparkSpec {
       (3L, 21L, 0L, 0.0),
       (4L, 0L, 0L, 0.0)))
   }
+
+  test("semantic_dedup prunes exactly the co-clustered perturbed copies") {
+    val rows = Dedup.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val pruned  = rows.filter(_._3).map(_._1)
+    // originals always survive (greedy keep-first keeps the lower id)
+    assert(pruned.forall(_ >= 1000000L))
+    // a pruned copy was caught because it co-clusters with its source
+    pruned.foreach(id => assert(cluster(id) == cluster(id - 1000000L)))
+    // the only surviving copies crossed a cluster boundary — the
+    // documented cluster-local recall limit of the SemDeDup shape
+    val survivors = rows.filter(r => r._1 >= 1000000L && !r._3).map(_._1)
+    assert(survivors.nonEmpty && pruned.length + survivors.length == 500)
+    survivors.foreach(id => assert(cluster(id) != cluster(id - 1000000L)))
+  }
 }
