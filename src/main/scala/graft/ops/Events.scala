@@ -483,6 +483,11 @@ object Events {
     QueryDef.sql("event_session_window", sessionWindowOracleSql)(sessionWindow),
     QueryDef.sql("stream_session_window", sessionWindowOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedSessionWindow(s, d)),
+    // identical aggregation + oracle under the RocksDB state store —
+    // the provider a large-state production run uses (see
+    // Streams.runBoundedSessionWindowRocks)
+    QueryDef.sql("stream_session_rocksdb", sessionWindowOracleSql)(
+      (s, d) => graft.streaming.Streams.runBoundedSessionWindowRocks(s, d)),
     // the stream-stream interval join through the real engine; the
     // oracle is the batch BETWEEN self-join (eager inner-join emission
     // makes the bounded append output the complete match set — see

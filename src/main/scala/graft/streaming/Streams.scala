@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -80,6 +82,35 @@ object Streams {
       sessionWindowAgg(graft.tables.Tables.eventsStream(spark, dir)),
       OutputMode.Complete(), Seq("user_id", "start_ms"))
 
+  /** The 100 TB-state posture: the same session-window aggregation under
+    * the RocksDB state store provider. The default (HDFS-backed
+    * in-memory) provider holds every partition's state on the executor
+    * heap — fine for bounded fixtures, a hard wall once streaming state
+    * (sessions over billions of users) outgrows memory. RocksDB keeps
+    * the working set on local SSD with block-cache reads, changelog/
+    * snapshot uploads to the checkpoint store, and memory bounded by
+    * write-buffer + cache sizing — the provider production Spark runs
+    * large stateful pipelines on. Output is provider-independent (same
+    * oracle as `stream_session_window`); [[lastStateCustomMetrics]]
+    * records the run's state-store custom metrics so StreamingSpec can
+    * assert RocksDB was genuinely active, not silently fallen back. */
+  def runBoundedSessionWindowRocks(spark: SparkSession, dir: String): DataFrame = {
+    val key   = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runBounded(spark, "stream_session_rocksdb",
+      sessionWindowAgg(graft.tables.Tables.eventsStream(spark, dir)),
+      OutputMode.Complete(), Seq("user_id", "start_ms"))
+    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** State-operator custom-metric keys of the most recent [[runBounded]]
+    * execution — RocksDB runs surface `rocksdb*` metrics here, the
+    * default provider surfaces `loadedMapCache*` ones; specs use this to
+    * prove which provider actually served the query. */
+  @volatile private[graft] var lastStateCustomMetrics: Set[String] = Set.empty
+
   /** Stream-static enrichment through the engine, driver-checked: each
     * micro-batch of the bounded events stream broadcast-joins the
     * static customer dimension ([[enrich]]); per-event output rows are
@@ -143,6 +174,9 @@ object Streams {
     try {
       val q = w.start()
       q.awaitTermination()
+      lastStateCustomMetrics = q.recentProgress.toSet
+        .flatMap((p: org.apache.spark.sql.streaming.StreamingQueryProgress) =>
+          p.stateOperators.flatMap(_.customMetrics.keySet.asScala).toSet)
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
         q.recentProgress.foreach(p => System.err.println(
           s"[stream-debug] $prefix batch=${p.batchId} rows=${p.numInputRows} " +

@@ -291,4 +291,16 @@ class StreamingSpec extends SparkSpec {
       assert(s.n_events == 2L)
     } finally query.stop()
   }
+
+  test("rocksdb state store serves the session-window query and matches the default provider") {
+    val rocks = Streams.runBoundedSessionWindowRocks(spark, sfDir).collect().toSeq
+    val rocksMetrics = Streams.lastStateCustomMetrics
+    assert(rocksMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"expected rocksdb state-store metrics, got: $rocksMetrics")
+    // provider conf restored: the default-path run must NOT touch rocksdb
+    val default = Streams.runBoundedSessionWindow(spark, sfDir).collect().toSeq
+    assert(!Streams.lastStateCustomMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      "provider conf leaked into the default-path run")
+    assert(rocks == default, "state store provider changed the query output")
+  }
 }
