@@ -270,7 +270,361 @@ object Tpch {
       .orderBy("s_suppkey")
   }
 
+  /** Q10 shape: returned-item revenue — top 20 customers by revenue of
+    * 'R'-flagged lines in one quarter. Revenue is pre-aggregated per
+    * custkey BEFORE customer attaches (the q13 convention: the wide dim
+    * joins an already-customer-sized input, never the fact); nation
+    * broadcasts; top-20 is TakeOrdered, never a global sort. */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-04-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val perCust = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("rev_c").as("revenue_cents"))
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_cents"), col("n_name"), col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q15 shape: top supplier by quarterly revenue — the revenue "view"
+    * is one partial-agg groupBy; the correlated `= (SELECT max(...))`
+    * decorrelates to a 1-row broadcast max crossed back (the q22
+    * convention). Winners (ties included) broadcast into supplier, so
+    * the supplier table is probed, never shuffled. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-04-01 00:00:00"))
+      .groupBy("l_suppkey")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("total_revenue_cents"))
+    val mx = rev.agg(max("total_revenue_cents").as("mx"))
+    val winners = rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue_cents") === col("mx"))
+      .select("l_suppkey", "total_revenue_cents")
+    Tables.supplier(spark, dir)
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue_cents")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q7 shape: cross-nation shipping volume between a nation pair, per
+    * direction per year. Both nation-filtered dim slivers broadcast;
+    * revenue partial-reduces to (supp_nation, custkey, year) BEFORE the
+    * customer side attaches — the fact crosses the wire once, already
+    * reduced to at most |customers|·|pair|·|years| rows. */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    l.join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("supp_nation"), col("o_custkey"), col("l_year"))
+      .agg(sum("rev_c").as("rev_c"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("rev_c").as("revenue_cents"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8 shape: national market share inside a region — one nation's
+    * fraction of regional revenue per order-year. Share is reported as
+    * exact numerator/denominator cents plus their integral-micros
+    * ratio (never a distributed double division); region-restricted
+    * customers probe as a broadcast semi join. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaN = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cAsia = Tables.customer(spark, dir)
+      .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cAsia), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", col("rev_c")).otherwise(0L))
+          .as("nation_rev_cents"),
+        sum("rev_c").as("total_rev_cents"))
+      .select(col("o_year"), col("nation_rev_cents"), col("total_rev_cents"),
+        expr("(nation_rev_cents * 1000000) div total_rev_cents").as("share_micros"))
+      .orderBy("o_year")
+  }
+
+  /** Q9 shape: product-line profit per supplier nation per year. The
+    * fixture has no ps_supplycost, so unit cost stands in as 60% of
+    * p_retailprice (documented adaptation; the plan shape — part-name
+    * filter, two broadcast dims, fact joined to orders for the year —
+    * is Q9's). Profit is computed entirely in scaled integers:
+    * rev_c·1000 − 6·retail_c·qty_c, both terms dollars×10⁵, so no
+    * division and no doubles anywhere. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_c"))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"),
+        cents(col("l_quantity")).as("qty_c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("supp_nation", "o_year")
+      .agg(sum(col("rev_c") * 1000L - col("retail_c") * col("qty_c") * 6L)
+        .as("profit_scaled"))
+      .orderBy(col("supp_nation"), col("o_year").desc)
+  }
+
+  /** Q2 shape: minimum-cost supplier per part in a region. partsupp's
+    * supply cost stands in as min(cents(l_extendedprice)) per
+    * (part, supplier) pair (documented adaptation — same derived-supply
+    * convention as Q20). The correlated `= (SELECT min(ps_supplycost)
+    * ...)` decorrelates to a per-part min joined back on
+    * (partkey, cost) — never a per-row subquery; the region-filtered
+    * supplier sliver and the size-filtered part sliver broadcast. */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val eu = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sEu = Tables.supplier(spark, dir)
+      .join(broadcast(eu), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        cents(col("s_acctbal")).as("acctbal_cents"), col("n_name"))
+    val supplyEu = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(cents(col("l_extendedprice"))).as("cost_c"))
+      .join(broadcast(sEu), col("l_suppkey") === col("s_suppkey"))
+    val minC = supplyEu.groupBy("l_partkey").agg(min("cost_c").as("min_c"))
+      .withColumnRenamed("l_partkey", "mp")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size") <= 10).select("p_partkey", "p_name")
+    supplyEu
+      .join(minC, col("l_partkey") === col("mp") && col("cost_c") === col("min_c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost_c"))
+      .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11 shape: parts whose stocked value (for one nation's suppliers)
+    * exceeds a fraction of the national total — HAVING against a global
+    * scalar. Value stands in as summed cents(l_extendedprice) of the
+    * nation's lines (no ps_availqty). The scalar total is a 1-row
+    * broadcast crossed back; the fraction test is exact integer
+    * cross-multiplication. TPC-H scales its cutoff by 1/SF because
+    * per-part shares shrink as the part domain grows; the same intent
+    * without a hand constant: keep parts worth more than 2× the mean
+    * part value (value·n_parts > 2·total). */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val n3supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val vals = Tables.lineitem(spark, dir)
+      .join(broadcast(n3supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+    val tot = vals.agg(sum("value_cents").as("total_c"), count(lit(1)).as("n_parts"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("n_parts") > col("total_c") * 2L)
+      .select(col("l_partkey").as("partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("partkey"))
+  }
+
+  /** Q16 shape: supplier diversity per part attribute group, with the
+    * NOT-IN complaint exclusion as a broadcast anti join (complaint
+    * suppliers stand in as suppkey ≡ 0 mod 3 — no comment column).
+    * The (part, supplier) relation derives from lineitem DISTINCT
+    * pairs — reduced before any join; the part sliver broadcasts. */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#13" && !col("p_type").startsWith("PROMO"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") % 3 === 0).select("s_suppkey")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val revC = "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("q10_returned",
+      s"""WITH rc AS (
+         |  SELECT o_custkey, CAST(sum($revC) AS BIGINT) AS revenue_cents
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY o_custkey)
+         |SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         |       n_name, revenue_cents
+         |FROM rc JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)(q10Returned),
+    QueryDef.sql("q15_top_supplier",
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(sum($revC) AS BIGINT) AS total_revenue_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue_cents
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin)(q15TopSupplier),
+    QueryDef.sql("q7_volume",
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |       CAST(sum($revC) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND sn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND sn.n_name <> cn.n_name
+         |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)(q7Volume),
+    QueryDef.sql("q8_market_share",
+      s"""WITH base AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, sn.n_name AS supp_nation,
+         |         $revC AS rev_c
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region ON cn.n_regionkey = r_regionkey
+         |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+         |SELECT o_year,
+         |  CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_c ELSE 0 END) AS BIGINT) AS nation_rev_cents,
+         |  CAST(sum(rev_c) AS BIGINT) AS total_rev_cents,
+         |  CAST((sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_c ELSE 0 END) * 1000000)
+         |       // sum(rev_c) AS BIGINT) AS share_micros
+         |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin)(q8MarketShare),
+    QueryDef.sql("q9_profit",
+      s"""SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum($revC * 1000
+         |           - CAST(round(p_retailprice * 100) AS BIGINT)
+         |             * CAST(round(l_quantity * 100) AS BIGINT) * 6) AS BIGINT) AS profit_scaled
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY n_name, year(o_orderdate)
+         |ORDER BY supp_nation, o_year DESC""".stripMargin)(q9Profit),
+    QueryDef.sql("q2_min_cost",
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |), supply_eu AS (
+        |  SELECT l_partkey, cost_c, s_name,
+        |         CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name
+        |  FROM supply
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), minc AS (
+        |  SELECT l_partkey AS mp, min(cost_c) AS min_c FROM supply_eu GROUP BY l_partkey
+        |)
+        |SELECT acctbal_cents, s_name, n_name, p_partkey, p_name, cost_c
+        |FROM supply_eu
+        |JOIN minc ON l_partkey = mp AND cost_c = min_c
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10
+        |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)(
+      q2MinCost),
+    QueryDef.sql("q11_important_stock",
+      """WITH vals AS (
+        |  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_3')
+        |  GROUP BY l_partkey
+        |)
+        |SELECT l_partkey AS partkey, value_cents FROM vals
+        |WHERE value_cents * (SELECT count(*) FROM vals)
+        |      > (SELECT sum(value_cents) FROM vals) * 2
+        |ORDER BY value_cents DESC, partkey""".stripMargin)(q11ImportantStock),
+    QueryDef.sql("q16_supplier_cnt",
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0)
+        |)
+        |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)(q16SupplierCnt),
     QueryDef.sql("q13_custdist",
       """WITH per_cust AS (
         |  SELECT o_custkey, count(*) AS c_count FROM orders

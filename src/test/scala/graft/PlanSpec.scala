@@ -135,6 +135,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q2/q7/q8/q9/q10/q15/q16 broadcast dim slivers, no cartesian, top-k never global-sorts") {
+    for (q <- Seq("q2_min_cost", "q7_volume", "q8_market_share", "q9_profit",
+        "q10_returned", "q15_top_supplier", "q16_supplier_cnt")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dim/sliver join not broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+    }
+    assert(planOf("q10_returned").contains("TakeOrderedAndProject"),
+      "q10 top-20 planned as a global sort")
+    assert(planOf("q2_min_cost").contains("TakeOrderedAndProject"),
+      "q2 top-100 planned as a global sort")
+  }
+
+  test("q16 anti-joins the complaint suppliers and q8/q11 semi-join their filters") {
+    assert(planOf("q16_supplier_cnt").contains("LeftAnti"),
+      "NOT IN did not plan as an anti join")
+    assert(planOf("q8_market_share").contains("LeftSemi"),
+      "region customer filter did not plan as a semi join")
+    assert(planOf("q11_important_stock").contains("LeftSemi"),
+      "nation supplier filter did not plan as a semi join")
+  }
+
   test("q19_disjunctive reaches the scans with the hoisted table-local predicates") {
     val p = planOf("q19_disjunctive")
     assert(p.contains("In(p_brand"), "brand IN-list not pushed to the part scan")
