@@ -325,7 +325,7 @@ object Tpch {
     * reduced to at most |customers|·|pair|·|years| rows. */
   def q7Volume(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(spark, dir)
-      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
     val sn = Tables.supplier(spark, dir)
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
@@ -539,8 +539,8 @@ object Tpch {
          |JOIN nation cn ON c_nationkey = cn.n_nationkey
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-         |  AND sn.n_name IN ('NATION_1', 'NATION_2')
-         |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND sn.n_name IN ('NATION_3', 'NATION_8')
+         |  AND cn.n_name IN ('NATION_3', 'NATION_8')
          |  AND sn.n_name <> cn.n_name
          |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)(q7Volume),
