@@ -84,8 +84,14 @@ object Centroids {
     * factored over an arbitrary (vec_id, embedding) corpus so the
     * semantic-dedup composition (`Dedup.semanticDedup`) can cluster its
     * own corpus with the identical algorithm and determinism contract.
-    * Returns (vec_id, embedding, cluster, sqd). */
-  private[ops] def kmeansAssign(base: DataFrame): DataFrame = {
+    * `k` defaults to the fixed [[KmeansK]] of `kmeans_embed`; callers
+    * that must stay sub-quadratic at any corpus size (semantic dedup)
+    * pass a size-derived k instead. Centroids stay a driver-side k×dim
+    * literal; past codegen-literal comfort (k·dim ≳ 10⁶) the same
+    * matrix would ship as a broadcast join — the assignment stays a
+    * shuffle-free map either way. Returns
+    * (vec_id, embedding, cluster, sqd). */
+  private[ops] def kmeansAssign(base: DataFrame, k: Int = KmeansK): DataFrame = {
     def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
       val ids = typedLit(cents.map(_._1))
       val m   = typedLit(cents.map(_._2))
@@ -96,8 +102,8 @@ object Centroids {
           graft.functions.VectorFunctions.sqDist(col("embedding"), element_at(m, idx + 1)))
     }
 
-    // seeds: first K vectors by id, floats widened exactly to double
-    val seeds: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < KmeansK)
+    // seeds: first k vectors by id, floats widened exactly to double
+    val seeds: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1).toSeq
@@ -126,8 +132,10 @@ object Centroids {
   /** The kmeans seed/assign/update/assign pipeline as SQL CTEs over
     * source relation `src` (no leading WITH) — a1 is the final
     * (vec_id, embedding, cluster, sqd) assignment. Shared with the
-    * semantic-dedup oracle, which clusters its own corpus CTE. */
-  private[ops] def kmeansCtes(src: String): String = {
+    * semantic-dedup oracle, which clusters its own corpus CTE and
+    * passes a size-derived seed-count expression as `kExpr` (any SQL
+    * scalar; defaults to the fixed [[KmeansK]]). */
+  private[ops] def kmeansCtes(src: String, kExpr: String = KmeansK.toString): String = {
     val sq =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(generate_series(1, $Dim), d ->
@@ -142,7 +150,7 @@ object Centroids {
          |WHERE rn = 1""".stripMargin
     s"""cents0 AS (
        |  SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-       |  FROM $src WHERE vec_id < $KmeansK
+       |  FROM $src WHERE vec_id < ($kExpr)
        |), a0 AS (${assign("cents0")}),
        |cents1 AS (
        |  SELECT cluster, list(avg_val ORDER BY d) AS c FROM (

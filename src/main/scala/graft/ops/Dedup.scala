@@ -608,13 +608,27 @@ object Dedup {
     * is exact. */
   private val SemanticCos = 0.99
 
+  /** Target in-cluster population for semantic dedup: the cluster count
+    * is k = ⌈n/B⌉ (the SemDeDup k∝n posture — tens of thousands of
+    * clusters at web scale), so per-cluster pair work is O(B²)
+    * regardless of corpus size, never O((n/k)²) with a fixed k. B=125
+    * keeps k=8 on the 1000-vector verify corpus (bit-identical to the
+    * fixed-k history) and already scales to k=32 at bench SF. */
+  private[graft] val SemanticClusterB = 125L
+
+  /** Size-derived cluster count for a semantic-dedup corpus of n rows. */
+  private[graft] def semanticK(n: Long): Int =
+    math.max(1L, (n + SemanticClusterB - 1) / SemanticClusterB).toInt
+
   /** SemDeDup-shape semantic dedup (Abbas et al. 2023): k-means the
     * corpus (`Centroids.kmeansAssign` — the identical seeds → assign →
-    * update → assign pipeline `kmeans_embed` verifies), then prune, per
-    * cluster, every vector that has a LOWER-id in-cluster neighbor with
-    * cosine ≥ threshold (greedy keep-first — deterministic and
-    * SQL-expressible, where the paper's variant picks a representative
-    * per ε-ball).
+    * update → assign pipeline `kmeans_embed` verifies, with a
+    * size-derived k = ⌈n/B⌉), then prune, per cluster, every vector
+    * that has ANY lower-id in-cluster neighbor at cosine ≥ threshold —
+    * including neighbors that are themselves pruned, so chains prune
+    * deeper than true greedy keep-first / the paper's one-representative-
+    * per-ε-ball rule. The rule is deterministic and SQL-expressible;
+    * both engines implement it identically.
     *
     * The fixtures have no natural semantic near-dups, so the corpus is
     * each vector plus a deterministically perturbed copy (id + 1,000,000;
@@ -627,10 +641,12 @@ object Dedup {
     *
     * Scale shape: clustering is the zero-shuffle literal-centroid
     * assignment (`PlanSpec` pins it for kmeans_embed); the pair join is
-    * an equi-join on cluster id — each cluster is one task's bucket,
-    * never an all-pairs corpus join (the paper runs the same O(c²)
-    * within-cluster pass on GPU shards); the prune set shuffles only
-    * distinct vec_ids. */
+    * an equi-join on cluster id, and because k scales with n the
+    * expected bucket is B rows — bounded per-cluster work at any corpus
+    * size (DedupSpec pins the fixture's max cluster population). The
+    * corpus count that sizes k is one bounded driver-side action, like
+    * the centroid collect itself; the prune set shuffles only distinct
+    * vec_ids. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val perturbed = base.select(
@@ -639,7 +655,10 @@ object Dedup {
         (x.cast("double") *
           (lit(1.0) + ((i % 5) - 2).cast("double") / lit(100.0))).cast("float"))
         .as("embedding"))
-    val assigned = Centroids.kmeansAssign(base.union(perturbed))
+    val corpus = base.union(perturbed)
+      // feeds the sizing count and the two kmeansAssign passes
+      .localCheckpoint()
+    val assigned = Centroids.kmeansAssign(corpus, semanticK(corpus.count()))
       .select(col("vec_id"), col("embedding"), col("cluster"))
       // feeds both sides of the pair join plus the final verdict join —
       // and kmeansAssign's two driver-side passes already scanned it
@@ -667,7 +686,8 @@ object Dedup {
        |        (CAST(1 AS DOUBLE) + CAST((d - 1) % 5 - 2 AS DOUBLE) / CAST(100 AS DOUBLE))
        |        AS FLOAT))
        |  FROM embeddings
-       |), ${Centroids.kmeansCtes("corpus")},
+       |), ${Centroids.kmeansCtes("corpus",
+            s"SELECT CAST(ceil(count(*) / $SemanticClusterB.0) AS BIGINT) FROM corpus")},
        |dups AS (
        |  SELECT DISTINCT a.vec_id FROM a1 a JOIN a1 b
        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id

@@ -171,4 +171,21 @@ class DedupSpec extends SparkSpec {
     assert(survivors.nonEmpty && pruned.length + survivors.length == 500)
     survivors.foreach(id => assert(cluster(id) != cluster(id - 1000000L)))
   }
+
+  test("semantic_dedup cluster count scales with corpus size (k = ceil(n/B))") {
+    // the SemDeDup k∝n posture: per-cluster population targets B rows at
+    // ANY corpus size, so the in-cluster pair join never goes quadratic
+    assert(Dedup.semanticK(1000L) == 8)
+    assert(Dedup.semanticK(4000L) == 32)
+    assert(Dedup.semanticK(100L) == 1) // tiny fixture: floor of one cluster
+    assert(Dedup.semanticK(1000000000L) == 8000000) // web scale: k in the millions
+    // and on the fixture itself the realized populations stay near B:
+    // k-means does not hard-cap bucket sizes, but with size-derived k the
+    // expected population is B — pin a 4x slack so a regression back to
+    // fixed-k (population n/10 and growing) fails loudly
+    val rows = Dedup.semanticDedup(spark, sfDir).collect().map(_.getLong(1))
+    val maxPop = rows.groupBy(identity).map(_._2.length).max
+    assert(maxPop <= 4 * Dedup.SemanticClusterB,
+      s"max in-cluster population $maxPop exceeds 4xB")
+  }
 }
