@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Perceptual-hash kernels for binary media columns.
+  *
+  * Real perceptual image hashing (aHash/dHash/pHash) downsamples decoded
+  * pixels to a tiny grid and emits one bit per cell vs a reference level;
+  * the container has no codecs, so [[MediaMath.aHash64]] runs the exact
+  * same construction over the raw payload BYTES (64 equal regions ≙ the
+  * 8×8 grid, region mean vs global mean ≙ aHash's cell-vs-mean bit) — a
+  * deterministic stand-in with the property that matters: small local
+  * byte perturbations (a re-encode stub) flip few bits, so variants sit
+  * at small Hamming distance. Swapping in a real decoder changes only
+  * the byte source, not the banded-join machinery downstream.
+  */
+object MediaMath {
+
+  /** 64-bit aHash over payload bytes: bit r is set iff the mean of byte
+    * region r (the r-th of 64 equal position slices) exceeds the global
+    * byte mean — compared exactly via integer cross-multiplication
+    * (regionSum·n > totalSum·regionLen), so any engine reproduces the
+    * bit pattern bit-for-bit. `perturbStride > 0` emulates a re-encoded
+    * variant of the SAME asset: every stride-th byte reads as 'X' (88) —
+    * the deterministic stand-in for decode-then-re-encode noise.
+    * Empty payloads hash to 0. One O(n) pass, no allocation beyond the
+    * 64-slot accumulators. */
+  def aHash64(payload: Array[Byte], perturbStride: Int): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val regSum = new Array[Long](64)
+    val regLen = new Array[Long](64)
+    var total  = 0L
+    var i      = 0
+    while (i < n) {
+      val b =
+        if (perturbStride > 0 && i % perturbStride == 0) 88L
+        else (payload(i) & 0xFF).toLong
+      val r = (i.toLong * 64L / n).toInt
+      regSum(r) += b
+      regLen(r) += 1L
+      total += b
+      i += 1
+    }
+    var sig = 0L
+    var r   = 0
+    while (r < 64) {
+      if (regSum(r) * n > total * regLen(r)) sig |= 1L << r
+      r += 1
+    }
+    sig
+  }
+}
+
+/** MediaAHash64(binary, perturbStride) -> long, codegen'd via static call. */
+case class MediaAHash64(child: Expression, perturbStride: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    MediaMath.aHash64(v.asInstanceOf[Array[Byte]], perturbStride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaMath.aHash64($c, $perturbStride)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MediaFunctions {
+
+  /** perceptual-hash column over a binary payload; `perturbStride > 0`
+    * hashes the deterministic re-encoded variant instead (see
+    * [[MediaMath.aHash64]]). */
+  def mediaAHash(payload: Column, perturbStride: Int = 0): Column =
+    ColumnBridge.column(MediaAHash64(ColumnBridge.expression(payload), perturbStride))
+}

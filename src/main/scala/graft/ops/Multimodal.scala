@@ -148,7 +148,102 @@ object Multimodal {
       .orderBy("content_hash")
   }
 
+  /** Hamming budget for perceptual near-duplicates; with 4 16-bit chunk
+    * bands, pigeonhole guarantees any pair within this budget shares at
+    * least one intact chunk (3 < 4), so banding recall is exactly 1 —
+    * the same exactness argument as `dedup_simhash`. */
+  val MediaMaxHamming = 3
+  private val MediaChunks = 4
+
+  /** byte stride of the deterministic "re-encode" variant (every
+    * stride-th byte reads as 'X' in the perceptual hash) — a handful of
+    * perturbed bytes per asset, the perceptual analogue of
+    * re-encoding/resizing noise. */
+  private val ReencodeStride = 97
+
+  /** Perceptual (near-dup) media dedup — the multimodal analogue of
+    * MinHash-LSH for text: byte-identical hashing (`media_dedup`)
+    * misses re-encoded/resized variants, the dominant duplicate class
+    * in crawled media. Each asset gets a 64-bit aHash-style signature
+    * (`MediaMath.aHash64`, codegen'd one-pass map); the corpus is each
+    * asset plus its deterministically re-encoded variant (id+1,000,000,
+    * NOT byte-identical), and candidate pairs come from a Hamming-banded
+    * self-join on 16-bit signature chunks — identical machinery to
+    * `dedup_simhash`, so only (sig, id) longs ever shuffle and no
+    * all-pairs join exists at any scale. Emitted pairs are verified at
+    * Hamming ≤ [[MediaMaxHamming]]; banding recall is structurally 1 by
+    * pigeonhole. Variants whose perceptual drift exceeds the budget are
+    * correctly absent — both engines apply the same threshold. */
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val sigs = docs
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.mediaAHash(col("payload")).as("sig"))
+      .union(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        graft.functions.MediaFunctions.mediaAHash(col("payload"), ReencodeStride).as("sig")))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until MediaChunks).map(c =>
+        shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ck")))
+    chunks.as("l")
+      .join(chunks.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        col("l.sig").as("ha"), col("r.sig").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        graft.functions.TextFunctions.hamming64(col("ha"), col("hb")).cast("long"))
+      .filter(col("hamming") <= MediaMaxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  // media_neardup oracle: recompute the aHash bit-exactly from the
+  // utf-8 payload's hex dump (nibble pairs → byte values, the
+  // media_features technique), then brute-force all-pairs Hamming —
+  // valid for any fixture; the banded join must equal it exactly
+  // (pigeonhole recall 1 at MediaMaxHamming=3 < 4 chunks).
+  private val mediaNearDupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, 0 AS stride FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, hex(encode(text)), $ReencodeStride FROM documents
+       |),
+       |pos AS (
+       |  SELECT doc_id, len(hx) // 2 AS n, i,
+       |    CASE WHEN stride > 0 AND (i - 1) % stride = 0 THEN 88
+       |         ELSE (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+       |            + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1)
+       |    END AS b,
+       |    ((i - 1) * 64) // (len(hx) // 2) AS r
+       |  FROM corpus,
+       |       (SELECT unnest(generate_series(1,
+       |          (SELECT max(len(hx)) // 2 FROM corpus))) AS i) p
+       |  WHERE i <= len(hx) // 2
+       |),
+       |reg AS (SELECT doc_id, r, sum(b) AS rs, count(*) AS rl FROM pos GROUP BY doc_id, r),
+       |tot AS (SELECT doc_id, sum(b) AS ts, count(*) AS n FROM pos GROUP BY doc_id),
+       |sig AS (
+       |  SELECT reg.doc_id,
+       |    CAST(sum(CASE WHEN r // 16 = 0 AND rs * n > ts * rl THEN 1 << (r % 16) ELSE 0 END) AS BIGINT) AS c0,
+       |    CAST(sum(CASE WHEN r // 16 = 1 AND rs * n > ts * rl THEN 1 << (r % 16) ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN r // 16 = 2 AND rs * n > ts * rl THEN 1 << (r % 16) ELSE 0 END) AS BIGINT) AS c2,
+       |    CAST(sum(CASE WHEN r // 16 = 3 AND rs * n > ts * rl THEN 1 << (r % 16) ELSE 0 END) AS BIGINT) AS c3
+       |  FROM reg JOIN tot ON reg.doc_id = tot.doc_id
+       |  GROUP BY reg.doc_id
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+       |          + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+       |    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= $MediaMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("media_neardup", mediaNearDupSql)(mediaNearDup),
     QueryDef.sql("media_dedup",
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
