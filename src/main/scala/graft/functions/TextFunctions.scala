@@ -291,6 +291,38 @@ object ShingleMath {
     ArrayData.toArrayData(out)
   }
 
+  /** adjacent symbol pairs (WITH multiplicity) of a bracket-wrapped BPE
+    * symbol string: "<h><e><ll><o>" yields ("h e", "e ll", "ll o") — the
+    * map-side kernel of BPE pair counting. The wrapped form is what the
+    * merge step rewrites with a plain literal replace("<x><y>"→"<xy>"),
+    * which is boundary-safe (a pair pattern can never match across or
+    * inside other symbols because every symbol carries its own brackets)
+    * and greedy-left-to-right over consecutive occurrences — the
+    * canonical BPE merge. Oracle parity: identical to DuckDB's
+    * regexp_extract_all(s, '<([a-z]+)>', 1) + adjacent list_transform
+    * pairing, since symbols are always [a-z]+ by construction. */
+  def symbolPairs(sym: UTF8String): ArrayData = {
+    val s    = sym.toString
+    val syms = new java.util.ArrayList[String]()
+    var i    = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<') {
+        val j = s.indexOf('>', i + 1)
+        if (j < 0) i = s.length
+        else { syms.add(s.substring(i + 1, j)); i = j + 1 }
+      } else i += 1
+    }
+    val m = syms.size()
+    if (m < 2) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[UTF8String](m - 1)
+    var k   = 0
+    while (k < m - 1) {
+      out(k) = UTF8String.fromString(syms.get(k) + " " + syms.get(k + 1))
+      k += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** set-jaccard of two distinct-element string arrays via one hash set:
     * |∩| / (|a| + |b| - |∩|) — same exact rational as the
     * size(array_intersect)/size-arithmetic composition, minus its O(n²)
@@ -432,6 +464,17 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
     ShingleMath.wordBigramsAll(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.wordBigramsAll($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** adjacent symbol pairs of a bracket-wrapped BPE symbol string (see
+  * ShingleMath.symbolPairs), codegen'd — BPE pair counting's map side. */
+case class SymbolPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleMath.symbolPairs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.symbolPairs($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -632,6 +675,11 @@ object TextFunctions {
     * dropped pre-pairing) — collocation counting's map-side kernel. */
   def wordBigramsCol(text: Column): Column =
     ColumnBridge.column(WordBigrams(ColumnBridge.expression(text)))
+
+  /** adjacent symbol pairs of a bracket-wrapped BPE symbol string —
+    * single codegen'd pass, BPE pair counting's map-side kernel. */
+  def symbolPairsCol(sym: Column): Column =
+    ColumnBridge.column(SymbolPairs(ColumnBridge.expression(sym)))
 
   /** polynomial rolling hash over the characters of a string:
     * fold(acc*31 + ascii(char)) mod 1e9+7 — deterministic document

@@ -334,7 +334,101 @@ object TextAnalysis {
       |WHERE cb >= 5
       |ORDER BY lift_micros DESC, bigram LIMIT 100""".stripMargin
 
+  /** BPE tokenizer-training primitive: corpus-wide adjacent-symbol-pair
+    * frequencies plus three unrolled merge rounds (the Sennrich
+    * byte-pair-encoding training loop; same unrolled-iteration
+    * convention as `kmeans_embed`/`pagerank`). Output: the top-10 pairs
+    * of each round (rank 1 = the merge that round applies).
+    *
+    * Words are lowercase `[a-z]+` runs; each word is represented as a
+    * bracket-wrapped symbol string ("hello" → "<h><e><l><l><o>") so a
+    * merge is a plain literal replace("<x><y>" → "<xy>") — boundary-safe
+    * (a pair can never match inside or across other symbols) and
+    * greedy-left-to-right over consecutive occurrences, i.e. canonical
+    * BPE merge semantics, identical in Spark and DuckDB.
+    *
+    * Scale: the ONLY corpus-sized pass is word extraction + counting
+    * (codegen'd regexp + map-side partial agg). Everything after runs on
+    * the vocabulary-sized (word, freq) table: pair counts come from the
+    * codegen'd [[graft.functions.TextFunctions.symbolPairsCol]] kernel
+    * weighted by word frequency (exactly the corpus-wide counts), and
+    * each merge is a broadcast of a single 1-row top pair. At 100 TB the
+    * vocabulary is bounded (≪ corpus), so merge rounds cost nothing
+    * extra; more rounds = more chained vocabulary-local stages, never
+    * another corpus scan. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val sym0 = words
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("f"))
+      .cache() // vocabulary-sized; root of the merge chain
+
+    def pairCounts(sym: DataFrame): DataFrame =
+      sym.select(explode(TextFunctions.symbolPairsCol(col("s"))).as("pair"), col("f"))
+        .groupBy("pair").agg(sum("f").as("n"))
+        .cache() // distinct-pair-sized; feeds both the top-10 and the merge
+
+    def applyMerge(sym: DataFrame, pc: DataFrame): DataFrame = {
+      val top = pc.orderBy(desc("n"), col("pair")).limit(1).select(
+        concat(lit("<"), replace(col("pair"), lit(" "), lit("><")), lit(">")).as("pat"),
+        concat(lit("<"), replace(col("pair"), lit(" "), lit("")), lit(">")).as("rep"))
+      sym.crossJoin(broadcast(top))
+        .select(replace(col("s"), col("pat"), col("rep")).as("s"), col("f"))
+    }
+
+    val p0   = pairCounts(sym0)
+    val sym1 = applyMerge(sym0, p0)
+    val p1   = pairCounts(sym1)
+    val sym2 = applyMerge(sym1, p1)
+    val p2   = pairCounts(sym2)
+
+    def top10(pc: DataFrame, round: Int): DataFrame =
+      pc.orderBy(desc("n"), col("pair")).limit(10)
+        .select(lit(round).as("round"), col("pair"), col("n").as("n_pair"))
+
+    top10(p0, 0).unionAll(top10(p1, 1)).unionAll(top10(p2, 2))
+      .orderBy(col("round"), desc("n_pair"), col("pair"))
+  }
+
+  private val bpePairsSql: String = {
+    // one merge round over CTE sym<i>: pair counts, top-1 merge, rewrite
+    def pairsCte(i: Int): String =
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(a)), k -> a[k] || ' ' || a[k+1])) AS pair, f
+         |    FROM (SELECT regexp_extract_all(s, '<([a-z]+)>', 1) AS a, f FROM sym$i))
+         |  GROUP BY pair
+         |)""".stripMargin
+    def mergeCte(i: Int): String =
+      s"""m${i + 1} AS (SELECT pair FROM p$i ORDER BY n DESC, pair LIMIT 1),
+         |sym${i + 1} AS (
+         |  SELECT replace(s, '<' || replace(m${i + 1}.pair, ' ', '><') || '>',
+         |                    '<' || replace(m${i + 1}.pair, ' ', '') || '>') AS s, f
+         |  FROM sym$i CROSS JOIN m${i + 1}
+         |)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY w
+       |), sym0 AS (
+       |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, f FROM words
+       |), ${pairsCte(0)},
+       |${mergeCte(0)},
+       |${pairsCte(1)},
+       |${mergeCte(1)},
+       |${pairsCte(2)}
+       |SELECT * FROM (
+       |  (SELECT 0 AS round, pair, n AS n_pair FROM p0 ORDER BY n DESC, pair LIMIT 10)
+       |  UNION ALL
+       |  (SELECT 1 AS round, pair, n AS n_pair FROM p1 ORDER BY n DESC, pair LIMIT 10)
+       |  UNION ALL
+       |  (SELECT 2 AS round, pair, n AS n_pair FROM p2 ORDER BY n DESC, pair LIMIT 10)
+       |) ORDER BY round, n_pair DESC, pair""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("bpe_pairs", bpePairsSql)(bpePairs),
     QueryDef.sql("bigram_lift", bigramLiftSql)(bigramLift),
     QueryDef.sql("token_diversity",
       """WITH toks AS (

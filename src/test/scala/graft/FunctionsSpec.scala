@@ -225,4 +225,31 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(agged == windowed)
   }
+
+  test("symbolPairs parses wrapped BPE symbol strings into adjacent pairs") {
+    val rows = Seq("<h><e><l><l><o>", "<ab><c>", "<x>", "")
+      .toDF("s")
+      .select(TextFunctions.symbolPairsCol(col("s")).as("p"))
+      .collect()
+      .map(_.getSeq[String](0))
+    assert(rows(0) == Seq("h e", "e l", "l l", "l o"))
+    assert(rows(1) == Seq("ab c"))
+    assert(rows(2) == Seq.empty)
+    assert(rows(3) == Seq.empty)
+  }
+
+  test("BPE merge via wrapped replace is boundary-safe and greedy left-to-right") {
+    // consecutive non-overlapping occurrences all merge (canonical BPE),
+    // and a pair never matches inside or across multi-char symbols
+    val df = Seq(
+      ("<a><b><a><b>", "<a><b>", "<ab>"),   // consecutive pairs
+      ("<l><l><l>", "<l><l>", "<ll>"),      // overlap: greedy left-to-right
+      ("<a><bc><d>", "<a><b>", "<ab>"))     // no match inside symbol "bc"
+      .toDF("s", "pat", "rep")
+      .select(replace(col("s"), col("pat"), col("rep")).as("m"))
+      .collect().map(_.getString(0))
+    assert(df(0) == "<ab><ab>")
+    assert(df(1) == "<ll><l>")
+    assert(df(2) == "<a><bc><d>")
+  }
 }

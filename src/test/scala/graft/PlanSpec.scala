@@ -294,4 +294,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), "join type lost")
     assert(p.contains("HashAggregate"), "orders-side pre-aggregation missing")
   }
+
+  test("bpe_pairs: corpus map side is one codegen'd pass; merges broadcast") {
+    // the only corpus-sized work is word extraction + partial count —
+    // everything downstream is vocabulary-sized. Pin (a) the SymbolPairs
+    // kernel stays inside whole-stage codegen, (b) each merge's 1-row
+    // top pair reaches the vocabulary via broadcast, not a shuffle or
+    // cartesian product.
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("bpe_pairs")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "merge join planned cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "1-row merge pair not broadcast")
+    val kernel = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.symbolPairsCol(
+        regexp_replace(lower(col("text")), "(.)", "<$1>"))).as("pair"))
+      .groupBy("pair").count()
+    kernel.collect()
+    val kp = kernel.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findAllIn(kp).size > 0, "SymbolPairs fell out of codegen")
+  }
 }
