@@ -111,6 +111,36 @@ object VectorMath {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
   }
 
+  /** squared L2 distance between two DOUBLE vectors, index-order
+    * accumulation — the centroid→super-centroid leg of the two-level
+    * quantizer; same fold order (hence same double) as the SQL oracle. */
+  def sqDistDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i) - b.getDouble(i)
+      d += x * x
+      i += 1
+    }
+    d
+  }
+
+  /** [[nearestCentroid]] for a DOUBLE query vector (strict less-than,
+    * lowest index on exact ties, index-order accumulation — the same
+    * contract, so the oracle's `ORDER BY dist, label` reproduces it). */
+  def nearestCentroidD(emb: ArrayData, cents: ArrayData): Int = {
+    var best  = -1
+    var bestD = Double.PositiveInfinity
+    var c     = 0
+    while (c < cents.numElements()) {
+      val d = sqDistDD(emb, cents.getArray(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** squared L2 distance between a float vector and a double centroid,
     * accumulated in index order d=0..n — the same order (and hence the
     * same double, bit-for-bit) as one [[nearestCentroid]] candidate and
@@ -188,6 +218,20 @@ case class NearestCentroidIdx(left: Expression, right: Expression) extends Binar
     copy(left = l, right = r)
 }
 
+/** Codegen'd nearest-centroid index for a DOUBLE query vector:
+  * (array<double>, array<array<double>>) -> int — the centroid→super
+  * assignment of the two-level (IVF-coarse) quantizer.
+  */
+case class NearestCentroidIdxD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.nearestCentroidD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.nearestCentroidD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Codegen'd top-p nearest-centroid indices: (array<float>,
   * array<array<double>>) -> array<int>, ordered (dist asc, index asc) —
   * the IVF multi-probe assignment. `p` is a plan-time constant baked
@@ -230,6 +274,8 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = column(CosineSimilarityF(expression(a), expression(b)))
   def nearestCentroidIdx(emb: Column, cents: Column): Column =
     column(NearestCentroidIdx(expression(emb), expression(cents)))
+  def nearestCentroidIdxD(emb: Column, cents: Column): Column =
+    column(NearestCentroidIdxD(expression(emb), expression(cents)))
   def sqDist(emb: Column, cent: Column): Column =
     column(SqDistFD(expression(emb), expression(cent)))
   def topCentroidIdxs(emb: Column, cents: Column, p: Int): Column =

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,146 @@ object Centroids {
       .toSeq.sortBy(_._1)
 
     assign(updated)
+  }
+
+  /** Two-level (IVF-coarse) variant of [[kmeansAssign]] for callers whose
+    * k scales with the corpus (semantic dedup's k = ⌈n/B⌉): the ONLY
+    * driver-side literal is the s = ⌈√k⌉ super-centroid matrix
+    * (O(√k·dim), e.g. ~2.8k×64 doubles at k = 8M), never the k×dim
+    * centroids, and per-row assignment work is O(√k·dim) — two nearest-
+    * centroid scans of √k candidates each — instead of the flat
+    * O(k·dim).
+    *
+    * Shape: super-centroids are the first s vectors by id (fixed across
+    * both Lloyd rounds — the IVF coarse-quantizer convention). The k
+    * seed/updated centroids stay a DISTRIBUTED (cluster, c, super)
+    * table; each corpus row maps zero-shuffle to its nearest super
+    * (codegen'd literal scan, lowest super id on ties) and equi-joins
+    * the ~√k centroids of that super — broadcast at small k, shuffle
+    * hash join on `super` past broadcast size — then keeps the
+    * lexicographic min (sqd, cluster) candidate. Rows only probe supers
+    * that own ≥1 centroid (the bounded `present` set), so the inner
+    * join can never drop a row. The Lloyd update is the same
+    * per-(cluster, dim) 6dp-rounded avg as the flat path but never
+    * leaves the cluster-key shuffle — centroids are re-assembled with
+    * sort_array(collect_list), not collected.
+    *
+    * Determinism contract (same as flat): strict-< / lowest-id ties on
+    * both levels, index-order double accumulation, 6dp-rounded update —
+    * every piece the SQL oracle ([[kmeansIvfCtes]]) reproduces
+    * bit-for-bit. NOTE: this is a coarse-quantized assignment — a row
+    * whose true nearest centroid lives in another super keeps the best
+    * centroid of its own super (the documented IVF recall trade); the
+    * oracle implements the identical rule. Returns
+    * (vec_id, embedding, cluster, sqd). */
+  private[graft] def kmeansAssignTwoLevel(base: DataFrame, k: Long): DataFrame = {
+    val s = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
+
+    // the one collected literal: s×dim super-centroids, O(√k·dim)
+    val superSeeds: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < s)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1).toSeq
+
+    def superOfFloat(emb: Column, among: Seq[(Long, Seq[Double])]): Column =
+      element_at(typedLit(among.map(_._1)),
+        graft.functions.VectorFunctions.nearestCentroidIdx(emb, typedLit(among.map(_._2))) + 1)
+    def superOfDouble(c: Column): Column =
+      element_at(typedLit(superSeeds.map(_._1)),
+        graft.functions.VectorFunctions.nearestCentroidIdxD(c, typedLit(superSeeds.map(_._2))) + 1)
+
+    def assign(cents: DataFrame): DataFrame = {
+      // bounded (≤ s ids) — restricts row probes to non-empty supers
+      val present = cents.select("super").distinct().collect().map(_.getLong(0)).toSet
+      val among   = superSeeds.filter(p => present.contains(p._1))
+      base
+        .withColumn("super", superOfFloat(col("embedding"), among))
+        .join(cents, "super")
+        .select(col("vec_id"), col("embedding"),
+          struct(
+            graft.functions.VectorFunctions.sqDist(col("embedding"), col("c")).as("sqd"),
+            col("cluster")).as("cand"))
+        .groupBy("vec_id")
+        .agg(min(col("cand")).as("m"), first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          col("m.cluster").as("cluster"), col("m.sqd").as("sqd"))
+    }
+
+    val cents0 = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"),
+        transform(col("embedding"), x => x.cast("double")).as("c"))
+      .withColumn("super", superOfDouble(col("c")))
+      .localCheckpoint() // k rows; feeds present-supers probe + the join
+    val a0 = assign(cents0)
+    val cents1 = a0
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim").agg(round(avg(col("v").cast("double")), 6).as("av"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("av")))),
+        e => e.getField("av")).as("c"))
+      .withColumn("super", superOfDouble(col("c")))
+      .localCheckpoint() // k rows
+    assign(cents1)
+  }
+
+  /** SQL CTEs of the [[kmeansAssignTwoLevel]] pipeline over source
+    * relation `src` (no leading WITH) — a1 is the final
+    * (vec_id, embedding, cluster, sqd) assignment. `kExpr` is any SQL
+    * scalar; s = ⌈√k⌉ is derived inside. */
+  private[ops] def kmeansIvfCtes(src: String, kExpr: String): String = {
+    // float-row → double-centroid distance (same fold as kmeansCtes)
+    def sqFD(e: String, c: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, $Dim), d ->
+         |    (CAST($e.embedding[d] AS DOUBLE) - $c[d]) * (CAST($e.embedding[d] AS DOUBLE) - $c[d]))),
+         |  (a, v) -> a + v)""".stripMargin
+    // double-centroid → double-super distance
+    def sqDD(c: String, u: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, $Dim), d ->
+         |    ($c[d] - $u[d]) * ($c[d] - $u[d]))),
+         |  (a, v) -> a + v)""".stripMargin
+    def superOfCents(inner: String): String =
+      s"""SELECT cluster, c, super FROM (
+         |  SELECT t.cluster, t.c, u.super,
+         |         row_number() OVER (PARTITION BY t.cluster
+         |           ORDER BY ${sqDD("t.c", "u.sc")} ASC, u.super ASC) AS rn
+         |  FROM ($inner) t CROSS JOIN sup u) x WHERE rn = 1""".stripMargin
+    def assign(cents: String): String =
+      s"""SELECT vec_id, embedding, cluster, sqd FROM (
+         |  SELECT r.vec_id, r.embedding, c.cluster, ${sqFD("r", "c.c")} AS sqd,
+         |         row_number() OVER (PARTITION BY r.vec_id
+         |           ORDER BY ${sqFD("r", "c.c")} ASC, c.cluster ASC) AS rn
+         |  FROM (
+         |    SELECT vec_id, embedding, super FROM (
+         |      SELECT e.vec_id, e.embedding, u.super,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY ${sqFD("e", "u.sc")} ASC, u.super ASC) AS rn2
+         |      FROM $src e CROSS JOIN (
+         |        SELECT super, sc FROM sup
+         |        WHERE super IN (SELECT DISTINCT super FROM $cents)) u) y
+         |    WHERE rn2 = 1) r
+         |  JOIN $cents c ON r.super = c.super) z
+         |WHERE rn = 1""".stripMargin
+    s"""kk AS (SELECT CAST(($kExpr) AS BIGINT) AS k),
+       |sup AS (
+       |  SELECT vec_id AS super, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sc
+       |  FROM $src, kk
+       |  WHERE vec_id < greatest(CAST(1 AS BIGINT), CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT))
+       |),
+       |cents0 AS (
+       |  ${superOfCents(s"""SELECT vec_id AS cluster,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+           FROM $src, kk WHERE vec_id < k""")}
+       |),
+       |a0 AS (${assign("cents0")}),
+       |cents1 AS (
+       |  ${superOfCents(s"""SELECT cluster, list(avg_val ORDER BY d) AS c FROM (
+           SELECT cluster, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
+           FROM a0, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+           GROUP BY cluster, d) q GROUP BY cluster""")}
+       |),
+       |a1 AS (${assign("cents1")})""".stripMargin
   }
 
   def kmeansEmbed(spark: SparkSession, dir: String): DataFrame =

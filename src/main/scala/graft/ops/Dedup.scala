@@ -616,9 +616,12 @@ object Dedup {
     * fixed-k history) and already scales to k=32 at bench SF. */
   private[graft] val SemanticClusterB = 125L
 
-  /** Size-derived cluster count for a semantic-dedup corpus of n rows. */
-  private[graft] def semanticK(n: Long): Int =
-    math.max(1L, (n + SemanticClusterB - 1) / SemanticClusterB).toInt
+  /** Size-derived cluster count for a semantic-dedup corpus of n rows.
+    * Long (not Int): k = ⌈n/B⌉ passes 2³¹ around n ≈ 2.7e11 rows, well
+    * inside the advertised corpus range — an Int here would wrap
+    * silently. */
+  private[graft] def semanticK(n: Long): Long =
+    math.max(1L, (n + SemanticClusterB - 1) / SemanticClusterB)
 
   /** SemDeDup-shape semantic dedup (Abbas et al. 2023): k-means the
     * corpus (`Centroids.kmeansAssign` — the identical seeds → assign →
@@ -639,13 +642,16 @@ object Dedup {
     * cluster-local recall limit of the SemDeDup design, pinned in
     * DedupSpec.
     *
-    * Scale shape: clustering is the zero-shuffle literal-centroid
-    * assignment (`PlanSpec` pins it for kmeans_embed); the pair join is
-    * an equi-join on cluster id, and because k scales with n the
-    * expected bucket is B rows — bounded per-cluster work at any corpus
-    * size (DedupSpec pins the fixture's max cluster population). The
-    * corpus count that sizes k is one bounded driver-side action, like
-    * the centroid collect itself; the prune set shuffles only distinct
+    * Scale shape: clustering is the two-level coarse-quantized
+    * assignment (`Centroids.kmeansAssignTwoLevel`) — the only plan
+    * literal is the ⌈√k⌉×dim super-centroid matrix and per-row work is
+    * O(√k·dim), so with k ∝ n the assignment compute is O(n·√n), not
+    * the flat literal path's O(n·k·dim) = O(n²) (`DedupSpec` pins the
+    * literal bound). The pair join is an equi-join on cluster id, and
+    * because k scales with n the expected bucket is B rows — bounded
+    * per-cluster work at any corpus size (DedupSpec pins the fixture's
+    * max cluster population). The corpus count that sizes k is one
+    * bounded driver-side action; the prune set shuffles only distinct
     * vec_ids. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -658,7 +664,7 @@ object Dedup {
     val corpus = base.union(perturbed)
       // feeds the sizing count and the two kmeansAssign passes
       .localCheckpoint()
-    val assigned = Centroids.kmeansAssign(corpus, semanticK(corpus.count()))
+    val assigned = Centroids.kmeansAssignTwoLevel(corpus, semanticK(corpus.count()))
       .select(col("vec_id"), col("embedding"), col("cluster"))
       // feeds both sides of the pair join plus the final verdict join —
       // and kmeansAssign's two driver-side passes already scanned it
@@ -686,7 +692,7 @@ object Dedup {
        |        (CAST(1 AS DOUBLE) + CAST((d - 1) % 5 - 2 AS DOUBLE) / CAST(100 AS DOUBLE))
        |        AS FLOAT))
        |  FROM embeddings
-       |), ${Centroids.kmeansCtes("corpus",
+       |), ${Centroids.kmeansIvfCtes("corpus",
             s"SELECT CAST(ceil(count(*) / $SemanticClusterB.0) AS BIGINT) FROM corpus")},
        |dups AS (
        |  SELECT DISTINCT a.vec_id FROM a1 a JOIN a1 b

@@ -188,4 +188,34 @@ class DedupSpec extends SparkSpec {
     assert(maxPop <= 4 * Dedup.SemanticClusterB,
       s"max in-cluster population $maxPop exceeds 4xB")
   }
+
+  test("semantic_dedup k does not wrap Int at web-scale corpus sizes") {
+    // ⌈n/B⌉ exceeds 2³¹ near n = 2.7e11 — semanticK must stay Long
+    assert(Dedup.semanticK(400_000_000_000L) == 3_200_000_000L)
+  }
+
+  test("two-level assignment: no plan literal grows past ceil(sqrt(k)) rows") {
+    // the scale contract of kmeansAssignTwoLevel — the flat path embeds
+    // the full k×dim centroid matrix in the plan (O(n·k·dim) compute at
+    // k ∝ n); the two-level path's only matrix literal is the √k×dim
+    // super-centroid table. Walk every expression of the final plan and
+    // bound the largest array<array<double>> literal.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val k    = 16L
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val assigned = graft.ops.Centroids.kmeansAssignTwoLevel(base, k)
+    val maxLit = assigned.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) => v.numElements()
+      })
+    }.flatten
+    val s = math.ceil(math.sqrt(k.toDouble)).toInt
+    assert(maxLit.nonEmpty, "expected a super-centroid literal in the plan")
+    assert(maxLit.max <= s,
+      s"centroid literal of ${maxLit.max} rows exceeds sqrt-k bound $s — flat assignment leaked back in")
+  }
 }
