@@ -50,4 +50,38 @@ class SimilaritySpec extends SparkSpec {
     assert(q1.keySet == q2.keySet)
     assert(q2.values.forall(_ == Similarity.K))
   }
+
+  test("ann_lsh recall envelope: near-dup pairs collide; OR-amplification amplifies") {
+    // sign-LSH recall is CONDITIONAL on similarity: a pair at cosine c
+    // agrees with one hyperplane with p = 1 − arccos(c)/π, so an 8-bit
+    // bucket catches cos ≥ 0.99 near-dups with p ≈ 0.994⁸ ≈ 0.95 while
+    // random-corpus "top-5 neighbors" (cos ≈ 0.5, p ≈ 0.67⁸ ≈ 4%) are
+    // structurally invisible — the fixtures plant no near neighbors, so
+    // ann_lsh's recall-vs-bruteforce is ~0 BY DESIGN and the designed
+    // regime must be pinned on planted pairs instead.
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // the semantic_dedup perturbation: cos(orig, copy) ≈ 0.9998
+    val copies = base.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(100.0)))
+          .cast("float")).as("embedding"))
+    val Tables = 6
+    def codes(df: org.apache.spark.sql.DataFrame, prefix: String) =
+      df.select(col("vec_id") +: (0 until Tables).map(t =>
+        Similarity.bucketCode(col("embedding"), t * Similarity.NumPlanes)
+          .as(s"$prefix$t")): _*)
+    val joined = codes(base, "o").join(codes(copies, "c"), "vec_id")
+      .select((0 until Tables).map(t => (col(s"o$t") === col(s"c$t")).as(s"hit$t")): _*)
+      .collect()
+    val n       = joined.length
+    val single  = joined.count(_.getBoolean(0)).toDouble / n
+    val anyOf6  = joined.count(r => (0 until Tables).exists(r.getBoolean)).toDouble / n
+    info(s"planted-pair collision: single-table $single, 6-table OR $anyOf6 (n=$n)")
+    assert(single >= 0.85,
+      s"single 8-bit table catches $single of cos≥0.99 pairs — below the designed envelope")
+    assert(anyOf6 > single && anyOf6 >= 0.99,
+      s"6-table OR-amplification recall $anyOf6 must approach 1 (single $single)")
+  }
 }
