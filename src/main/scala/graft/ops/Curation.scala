@@ -277,9 +277,26 @@ object Curation {
     * LCG mod a prime so the oracle dialect can reproduce it exactly.
     * The one libm call (ln) is rounded to 9 dp, ties broken by doc_id —
     * the tfidf ULP-absorption convention. */
+  /** Overflow-safe deterministic sampling hashes: doc_id is reduced mod
+    * [[HashReduceMod]] BEFORE the Knuth/LCG multiply, bounding the
+    * product at ~2.7e15 ≪ 2⁶³. Without the reduction, Spark wraps the
+    * Long silently past doc_id ≈ 3.5e9 while DuckDB raises BIGINT
+    * overflow — a cross-engine divergence at exactly the advertised
+    * corpus scale. The oracle SQL applies the identical reduction. */
+  private[graft] val HashReduceMod = 1000003L
+
+  /** (doc_id mod R)·2654435761 mod `mod` — the stratified/mixture
+    * membership hash. */
+  private[graft] def knuthBucket(doc: Column, mod: Long): Column =
+    ((doc % HashReduceMod) * 2654435761L) % mod
+
+  /** (doc_id mod R)·1103515245 + 12345 mod R, shifted to 1..R — the
+    * weighted-sample uniform key. */
+  private[graft] def lcgKey(doc: Column): Column =
+    ((doc % HashReduceMod) * 1103515245L + 12345L) % HashReduceMod + 1L
+
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
-    val u = ((col("doc_id") * 1103515245L + 12345L) % 1000003L + 1L)
-      .cast("double") / lit(1000004.0)
+    val u = lcgKey(col("doc_id")).cast("double") / lit(1000004.0)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         round(log(u) / col("n_chars"), 9).as("skey"))
@@ -295,7 +312,7 @@ object Curation {
     * (total vs sampled counts and chars) is one partial-agg groupBy —
     * conditional aggregation, single pass, no second scan. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (col("doc_id") * 2654435761L) % 100L
+    val bucket = knuthBucket(col("doc_id"), 100L)
     val rate   = when(col("lang") === "en", 10L).otherwise(40L)
     val keep   = bucket < rate
     Tables.documents(spark, dir)
@@ -338,8 +355,9 @@ object Curation {
     * hits the target EXACTLY (stratified_sample's per-row coin flips
     * only hit it in expectation). Membership is the quota_l smallest
     * rows per lang by the deterministic key (h, doc_id) with
-    * h = (doc_id·2654435761) mod 1000003 — a pure row function, so the
-    * sample is reproducible under any partitioning.
+    * h = ((doc_id mod 1000003)·2654435761) mod 1000003 — a pure,
+    * overflow-safe row function ([[knuthBucket]]), so the sample is
+    * reproducible under any partitioning at any doc_id range.
     *
     * Scale shape: counts/quotas are k-row driver work. Per-lang ranks
     * come from the range-partitioned prefix-scan idiom (Stats.pooledCum):
@@ -352,7 +370,7 @@ object Curation {
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        pmod(col("doc_id") * 2654435761L, lit(1000003L)).as("h"))
+        knuthBucket(col("doc_id"), 1000003L).as("h"))
 
     val counts = docs.groupBy("lang").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
@@ -392,7 +410,7 @@ object Curation {
       .map { case (l, w) => s"WHEN '$l' THEN CAST($w AS DOUBLE)" }
       .mkString("CASE lang ", " ", " ELSE CAST(0 AS DOUBLE) END")
     s"""WITH docs AS (
-       |  SELECT doc_id, lang, (doc_id * 2654435761) % 1000003 AS h FROM documents
+       |  SELECT doc_id, lang, ((doc_id % 1000003) * 2654435761) % 1000003 AS h FROM documents
        |), cnt AS (
        |  SELECT lang, count(*) AS n FROM docs GROUP BY lang
        |), tot AS (
@@ -615,18 +633,18 @@ object Curation {
          |ORDER BY u.doc_id""".stripMargin)(repetitionQuality),
     QueryDef.sql("weighted_sample",
       """SELECT doc_id, n_chars,
-        |  round(ln(CAST((doc_id * 1103515245 + 12345) % 1000003 + 1 AS DOUBLE) / 1000004.0)
-        |        / n_chars, 9) AS skey
+        |  round(ln(CAST(((doc_id % 1000003) * 1103515245 + 12345) % 1000003 + 1 AS DOUBLE)
+        |           / 1000004.0) / n_chars, 9) AS skey
         |FROM documents
         |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin)(weightedSample),
     QueryDef.sql("stratified_sample",
       """SELECT lang,
         |  CAST(CASE WHEN lang = 'en' THEN 10 ELSE 40 END AS BIGINT) AS rate_pct,
         |  count(*) AS n_total,
-        |  CAST(count(CASE WHEN (doc_id * 2654435761) % 100
+        |  CAST(count(CASE WHEN ((doc_id % 1000003) * 2654435761) % 100
         |                       < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
         |             THEN 1 END) AS BIGINT) AS n_sampled,
-        |  CAST(coalesce(sum(CASE WHEN (doc_id * 2654435761) % 100
+        |  CAST(coalesce(sum(CASE WHEN ((doc_id % 1000003) * 2654435761) % 100
         |                              < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
         |                    THEN n_chars END), 0) AS BIGINT) AS chars_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(stratifiedSample),

@@ -234,4 +234,26 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("sampling hashes are overflow-safe past doc_id = 2^32 (no Long wrap)") {
+    // the unreduced form doc_id·2654435761 wraps Long in Spark (silent)
+    // and raises BIGINT overflow in DuckDB past doc_id ≈ 3.5e9 — the
+    // reduced hash must equal the exact BigInt arithmetic at any id
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = Seq(5_000_000_000L, (1L << 33) + 7L, Long.MaxValue / 2, 42L)
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        ops.Curation.knuthBucket(col("doc_id"), 100L).as("b100"),
+        ops.Curation.knuthBucket(col("doc_id"), 1000003L).as("h"),
+        ops.Curation.lcgKey(col("doc_id")).as("u"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ids.foreach { id =>
+      val r = BigInt(id) % 1000003
+      val (b100, h, u) = got(id)
+      assert(b100 == (r * BigInt(2654435761L) % 100).toLong, s"b100 diverged at $id")
+      assert(h == (r * BigInt(2654435761L) % 1000003).toLong, s"h diverged at $id")
+      assert(u == ((r * BigInt(1103515245L) + 12345) % 1000003 + 1).toLong, s"u diverged at $id")
+    }
+  }
 }
