@@ -72,6 +72,17 @@ object Stats {
     (cum, n, m)
   }
 
+  /** Loud BIGINT-width guard for a DECIMAL(38,0) statistic: in non-ANSI
+    * mode a plain `.cast("long")` past Long range returns NULL silently
+    * — while the DuckDB oracle's CAST(HUGEINT AS BIGINT) raises. Raise
+    * on both engines instead: the n·m < 2⁶³ output-width bound of
+    * ks_test/mann_whitney is a documented contract, and breaching it
+    * must fail the job, not null the statistic. */
+  private[graft] def toLongChecked(c: Column, what: String): Column =
+    when(abs(c) > lit(Long.MaxValue).cast("decimal(38,0)"),
+      raise_error(concat(lit(s"$what exceeds BIGINT output width: "), c.cast("string"))))
+      .otherwise(c).cast("long")
+
   /** Two-sample KS over `value` (integer cents) between the `click` and
     * `purchase` event streams, on the [[pooledCum]] scan. D is reported
     * as the exact integer numerator max|ca·m − cb·n| over denominator
@@ -89,7 +100,9 @@ object Stats {
         col("cb").cast("decimal(38,0)") * n)).as("d_num_dec"))
       .select(
         lit(n).as("n_a"), lit(m).as("n_b"),
-        col("d_num_dec").cast("long").as("d_num"),
+        // output-width bound n·m < 2^63 enforced loudly (oracle's
+        // HUGEINT→BIGINT cast raises too — same failure mode)
+        toLongChecked(col("d_num_dec"), "ks_test d_num").as("d_num"),
         // decimal-exact integral division: immune to long overflow at scale
         expr(s"CAST((d_num_dec * 1000000) div (CAST($n AS DECIMAL(38,0)) * $m) AS BIGINT)")
           .as("d_micros"))
@@ -132,15 +145,16 @@ object Stats {
     // never wraps a Long at scale (same posture as ksTest); 2·n·m is built
     // as BigDecimal on the driver for the same reason. The u2_* OUTPUT
     // columns stay BIGINT — an output-width bound (n·m < 2^63), not an
-    // arithmetic one (cles_micros is always ≤ 1e6).
+    // arithmetic one (cles_micros is always ≤ 1e6) — enforced loudly by
+    // toLongChecked, matching the oracle's raising HUGEINT→BIGINT cast.
     val nm2 = BigDecimal(n) * BigDecimal(m) * 2
     cum
       .agg(sum(col("na").cast("decimal(38,0)") *
         (lit(2L) * col("cb").cast("decimal(38,0)") - col("nb"))).as("u2_a_dec"))
       .select(
         lit(n).as("n_a"), lit(m).as("n_b"),
-        col("u2_a_dec").cast("long").as("u2_a"),
-        (lit(nm2) - col("u2_a_dec")).cast("long").as("u2_b"),
+        toLongChecked(col("u2_a_dec"), "mann_whitney u2_a").as("u2_a"),
+        toLongChecked(lit(nm2) - col("u2_a_dec"), "mann_whitney u2_b").as("u2_b"),
         expr(s"CAST((u2_a_dec * 1000000) div (CAST($n AS DECIMAL(38,0)) * 2 * $m) AS BIGINT)")
           .as("cles_micros"))
   }

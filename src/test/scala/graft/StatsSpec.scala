@@ -156,4 +156,23 @@ class StatsSpec extends SparkSpec {
       Nil, Nil,
       List("a a", "a a"))) // multiplicity preserved (unlike the distinct n-gram kernel)
   }
+
+  test("ks/mann-whitney BIGINT output guard raises loudly past Long range") {
+    // non-ANSI Spark nulls a DECIMAL(38)→BIGINT cast silently on
+    // overflow while the DuckDB oracle raises — toLongChecked must turn
+    // the silent NULL into the oracle's failure mode
+    import spark.implicits._
+    val inRange = Seq(1).toDF("x")
+      .select(Stats.toLongChecked(
+        lit(Long.MaxValue).cast("decimal(38,0)"), "stat").as("v"))
+      .collect().head.getLong(0)
+    assert(inRange == Long.MaxValue)
+    val over = Seq(1).toDF("x").select(Stats.toLongChecked(
+      lit(Long.MaxValue).cast("decimal(38,0)") * 2, "stat").as("v"))
+    val e = intercept[Exception](over.collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds BIGINT output width")),
+      s"guard did not fire loudly: ${messages(e).mkString(" | ")}")
+  }
 }
