@@ -648,6 +648,40 @@ object Relational {
     }
   }
 
+  /** zstd-compressed ORC round-trip, driver-checked: a REAL second
+    * columnar format through the source/sink path (Spark 4's text
+    * sources cap out at gzip/lz4/snappy and the Avro data-source module
+    * is external, but ORC + zstd ship in-box). ORC stripes are
+    * block-splittable, so one 100 TB dataset scans at full parallelism
+    * regardless of file count — unlike stream-compressed JSONL, whose
+    * parallelism is capped by the shard layout. Read back with an
+    * explicit schema (inference costs a footer pass and can widen
+    * types); only lossless column types round-trip (long, string). The
+    * temp directory is deleted after the result is materialized, like
+    * the csv round-trip above. */
+  def orcZstdRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    try {
+      Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").option("compression", "zstd").orc(tmp)
+      val files = new java.io.File(tmp).listFiles()
+      require(files.exists(_.getName.endsWith(".zstd.orc")),
+        s"orc_zstd_roundtrip: no zstd ORC shards written in $tmp")
+      spark.read.schema("doc_id LONG, lang STRING, n_chars LONG").orc(tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close() // the stream holds directory fds until closed
+    }
+  }
+
   /** Partitioned-directory round-trip, driver-checked: events written as
     * a date-partitioned tree (`day=YYYY-MM-DD/…` — the #1 layout
     * decision at 100 TB: a day's query opens a day's directories, not
@@ -1117,6 +1151,10 @@ object Relational {
     QueryDef.sql("csv_roundtrip",
       """SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(csvRoundtrip),
+    QueryDef.sql("orc_zstd_roundtrip",
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(orcZstdRoundtrip),
     // fixture-stable date range: events span 2024-01-01..30 at every SF
     QueryDef.sql("partitioned_roundtrip",
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
