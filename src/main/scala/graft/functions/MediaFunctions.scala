@@ -22,13 +22,18 @@ object MediaMath {
 
   /** 64-bit aHash over payload bytes: bit r is set iff the mean of byte
     * region r (the r-th of 64 equal position slices) exceeds the global
-    * byte mean — compared exactly via integer cross-multiplication
-    * (regionSum·n > totalSum·regionLen), so any engine reproduces the
-    * bit pattern bit-for-bit. `perturbStride > 0` emulates a re-encoded
-    * variant of the SAME asset: every stride-th byte reads as 'X' (88) —
-    * the deterministic stand-in for decode-then-re-encode noise.
-    * Empty payloads hash to 0. One O(n) pass, no allocation beyond the
-    * 64-slot accumulators. */
+    * byte mean — compared exactly via 128-bit integer cross-
+    * multiplication (regionSum·n vs totalSum·regionLen), so any engine
+    * reproduces the bit pattern bit-for-bit at ANY payload size: the
+    * DuckDB oracle cross-multiplies in HUGEINT, and a 64-bit product
+    * would wrap near n ≈ 1.5e9 high-valued bytes (255·n²/64 > 2⁶³) —
+    * inside the JVM's 2 GiB array ceiling, so the wide compare is load-
+    * bearing, not defensive. `perturbStride > 0` emulates a re-encoded
+    * variant of the SAME asset: every stride-th byte reads as 'X' (88)
+    * — the deterministic stand-in for decode-then-re-encode noise.
+    * Empty payloads hash to 0 (callers filter them out BEFORE pairing —
+    * see `Multimodal.mediaNearDup`). One O(n) pass, no allocation
+    * beyond the 64-slot accumulators. */
   def aHash64(payload: Array[Byte], perturbStride: Int): Long = {
     val n = payload.length
     if (n == 0) return 0L
@@ -49,10 +54,19 @@ object MediaMath {
     var sig = 0L
     var r   = 0
     while (r < 64) {
-      if (regSum(r) * n > total * regLen(r)) sig |= 1L << r
+      if (cmpProducts(regSum(r), n.toLong, total, regLen(r)) > 0) sig |= 1L << r
       r += 1
     }
     sig
+  }
+
+  /** compare a1·b1 vs a2·b2 exactly in 128 bits (all operands are
+    * non-negative byte sums/counts — unsigned low-word compare). */
+  private def cmpProducts(a1: Long, b1: Long, a2: Long, b2: Long): Int = {
+    val h1 = Math.multiplyHigh(a1, b1)
+    val h2 = Math.multiplyHigh(a2, b2)
+    if (h1 != h2) java.lang.Long.compare(h1, h2)
+    else java.lang.Long.compareUnsigned(a1 * b1, a2 * b2)
   }
 }
 

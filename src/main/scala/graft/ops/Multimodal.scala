@@ -175,8 +175,15 @@ object Multimodal {
     * pigeonhole. Variants whose perceptual drift exceeds the budget are
     * correctly absent — both engines apply the same threshold. */
   def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // zero-length payloads are dropped BEFORE hashing: aHash64 maps
+    // every empty payload to sig 0, so an empty asset and its re-encode
+    // would emit a spurious hamming-0 pair — while the oracle's hex-dump
+    // unnest yields no rows for them (they never reach its sig CTE).
+    // Filtering on both sides makes the two engines agree for any
+    // fixture, including empty-text documents.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .filter(length(col("payload")) > 0)
     val sigs = docs
       .select(col("doc_id"),
         graft.functions.MediaFunctions.mediaAHash(col("payload")).as("sig"))
