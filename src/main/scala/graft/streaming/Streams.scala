@@ -78,7 +78,12 @@ object Streams {
     * state store, complete mode for the bounded-input = batch-equality
     * argument (same as [[runBoundedTumbling]]). */
   def runBoundedSessionWindow(spark: SparkSession, dir: String): DataFrame =
-    runBounded(spark, "stream_session_window",
+    sessionWindowRun(spark, dir).result
+
+  /** [[runBoundedSessionWindow]] with the run's state-store metrics —
+    * specs assert the default provider (not RocksDB) served it. */
+  private[graft] def sessionWindowRun(spark: SparkSession, dir: String): BoundedRun =
+    runBoundedRun(spark, "stream_session_window",
       sessionWindowAgg(graft.tables.Tables.eventsStream(spark, dir)),
       OutputMode.Complete(), Seq("user_id", "start_ms"))
 
@@ -91,25 +96,36 @@ object Streams {
     * snapshot uploads to the checkpoint store, and memory bounded by
     * write-buffer + cache sizing — the provider production Spark runs
     * large stateful pipelines on. Output is provider-independent (same
-    * oracle as `stream_session_window`); [[lastStateCustomMetrics]]
-    * records the run's state-store custom metrics so StreamingSpec can
-    * assert RocksDB was genuinely active, not silently fallen back. */
-  def runBoundedSessionWindowRocks(spark: SparkSession, dir: String): DataFrame = {
+    * oracle as `stream_session_window`); [[BoundedRun.stateCustomMetrics]]
+    * carries the run's state-store custom metrics so StreamingSpec can
+    * assert RocksDB was genuinely active, not silently fallen back.
+    *
+    * The provider conf is set on the shared session and restored after
+    * the run — like `runBounded`'s own conf toggles, this assumes the
+    * harness's sequential execution (one bounded run at a time per
+    * session); concurrent callers would need per-run cloned sessions. */
+  def runBoundedSessionWindowRocks(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowRocksRun(spark, dir).result
+
+  private[graft] def sessionWindowRocksRun(spark: SparkSession, dir: String): BoundedRun = {
     val key   = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runBounded(spark, "stream_session_rocksdb",
+    try runBoundedRun(spark, "stream_session_rocksdb",
       sessionWindowAgg(graft.tables.Tables.eventsStream(spark, dir)),
       OutputMode.Complete(), Seq("user_id", "start_ms"))
     finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
-  /** State-operator custom-metric keys of the most recent [[runBounded]]
-    * execution — RocksDB runs surface `rocksdb*` metrics here, the
-    * default provider surfaces `loadedMapCache*` ones; specs use this to
-    * prove which provider actually served the query. */
-  @volatile private[graft] var lastStateCustomMetrics: Set[String] = Set.empty
+  /** A bounded streaming run's result plus the state-operator
+    * custom-metric keys its execution surfaced — RocksDB runs show
+    * `rocksdb*` keys, the default provider `loadedMapCache*` ones;
+    * specs use the metrics to prove which provider actually served the
+    * query. Returned per run (no process-global state, so concurrent
+    * runs in separate sessions cannot clobber each other's metrics). */
+  private[graft] final case class BoundedRun(
+      result: DataFrame, stateCustomMetrics: Set[String])
 
   /** Stream-static enrichment through the engine, driver-checked: each
     * micro-batch of the bounded events stream broadcast-joins the
@@ -145,7 +161,13 @@ object Streams {
   private def runBounded(
       spark: SparkSession, prefix: String, out: DataFrame,
       mode: OutputMode, sortCols: Seq[String],
-      needsNoDataBatch: Boolean = false): DataFrame = {
+      needsNoDataBatch: Boolean = false): DataFrame =
+    runBoundedRun(spark, prefix, out, mode, sortCols, needsNoDataBatch).result
+
+  private def runBoundedRun(
+      spark: SparkSession, prefix: String, out: DataFrame,
+      mode: OutputMode, sortCols: Seq[String],
+      needsNoDataBatch: Boolean = false): BoundedRun = {
     val name = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val w0 = out.writeStream.format("memory").queryName(name)
       .outputMode(mode)
@@ -174,16 +196,18 @@ object Streams {
     try {
       val q = w.start()
       q.awaitTermination()
-      lastStateCustomMetrics = q.recentProgress.toSet
+      val metrics = q.recentProgress.toSet
         .flatMap((p: org.apache.spark.sql.streaming.StreamingQueryProgress) =>
           p.stateOperators.flatMap(_.customMetrics.keySet.asScala).toSet)
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
         q.recentProgress.foreach(p => System.err.println(
           s"[stream-debug] $prefix batch=${p.batchId} rows=${p.numInputRows} " +
             s"durationMs=${p.durationMs}"))
-      spark.table(name)
-        .orderBy(sortCols.map(col): _*)
-        .localCheckpoint()
+      BoundedRun(
+        spark.table(name)
+          .orderBy(sortCols.map(col): _*)
+          .localCheckpoint(),
+        metrics)
     } finally {
       savedNoData.fold(spark.conf.unset(noDataKey))(spark.conf.set(noDataKey, _))
       savedPart.fold(spark.conf.unset(partKey))(spark.conf.set(partKey, _))

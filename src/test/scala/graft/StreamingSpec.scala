@@ -293,13 +293,14 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("rocksdb state store serves the session-window query and matches the default provider") {
-    val rocks = Streams.runBoundedSessionWindowRocks(spark, sfDir).collect().toSeq
-    val rocksMetrics = Streams.lastStateCustomMetrics
-    assert(rocksMetrics.exists(_.toLowerCase.contains("rocksdb")),
-      s"expected rocksdb state-store metrics, got: $rocksMetrics")
+    val rocksRun = Streams.sessionWindowRocksRun(spark, sfDir)
+    val rocks    = rocksRun.result.collect().toSeq
+    assert(rocksRun.stateCustomMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"expected rocksdb state-store metrics, got: ${rocksRun.stateCustomMetrics}")
     // provider conf restored: the default-path run must NOT touch rocksdb
-    val default = Streams.runBoundedSessionWindow(spark, sfDir).collect().toSeq
-    assert(!Streams.lastStateCustomMetrics.exists(_.toLowerCase.contains("rocksdb")),
+    val defaultRun = Streams.sessionWindowRun(spark, sfDir)
+    val default    = defaultRun.result.collect().toSeq
+    assert(!defaultRun.stateCustomMetrics.exists(_.toLowerCase.contains("rocksdb")),
       "provider conf leaked into the default-path run")
     assert(rocks == default, "state store provider changed the query output")
   }
