@@ -80,9 +80,18 @@ object Relational {
       .orderBy("p_partkey")
 
   /** Left-anti join: customers with no orders (NOT EXISTS). */
+  /** customers with no jumbo (>300k) order. The original "no order at
+    * all" predicate selects ZERO rows at sf0.001 (every customer
+    * orders) — the q7_volume class of fixture hazard: an empty result
+    * passes the oracle compare with no discriminating power. The price
+    * threshold keeps the anti set populated at every fixture scale
+    * (3/30/308 rows at sf0.001/0.01/0.1) while remaining a genuine
+    * anti-join (strict subset of customers); the filter is pushed below
+    * the anti-join so the right side shrinks before the shuffle. */
   def joinAnti(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 300000.0).select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -975,7 +984,8 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin)(joinSemi),
     QueryDef.sql("join_anti",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin)(joinAnti),
     QueryDef.sql("window_rank",
       """SELECT c_nationkey, c_custkey, c_acctbal, rnk, drnk, rn FROM (
