@@ -4,8 +4,9 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -382,4 +383,133 @@ object SketchFunctions {
   def cmsFreq(col: Column, targets: Seq[String], depth: Int, width: Int): Column =
     ColumnBridge.column(
       CMSFreq(ColumnBridge.expression(col), targets, depth, width).toAggregateExpression())
+
+  /** Bloom-filter buffer: an mBits-bit bitmap; insert sets kHashes bit
+    * positions derived from the value hash (position i = xxhash64 of the
+    * value hash reseeded with i, mod mBits — the CMS row-derivation
+    * scheme); merge is bitwise OR, so partial filters combine losslessly
+    * through Spark's shuffle and the final bitmap is a pure function of
+    * the input value SET. Membership: all k bits set. A value that was
+    * inserted can NEVER probe negative (its bits are set and OR never
+    * clears); an absent value probes positive only when all k of its
+    * positions collide — probability ≈ (1 − e^(−k·n/m))^k. */
+  final class BloomBuffer(val mBits: Int, val kHashes: Int) {
+    val bits = new Array[Byte](mBits >> 3)
+    def insert(h0: Long): Unit = {
+      var i = 0
+      while (i < kHashes) {
+        val p = BloomMath.bitPos(h0, i, mBits)
+        bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+        i += 1
+      }
+    }
+    def mergeIn(o: BloomBuffer): Unit = {
+      var i = 0
+      while (i < bits.length) { bits(i) = (bits(i) | o.bits(i)).toByte; i += 1 }
+    }
+  }
+
+  /** `bloom_agg(col, mBits, kHashes)` — Bloom-filter membership sketch
+    * as a BINARY bitmap, in O(mBits/8) memory per group through Spark's
+    * partial-aggregation machinery (update map-side, OR-merge through
+    * the shuffle). Null inputs are ignored. Probe the result with
+    * [[BloomContains]] over `xxhash64(value)` (the same seed-42 hash
+    * family `update` uses). */
+  case class BloomAgg(
+      child: Expression,
+      mBits: Int,
+      kHashes: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[BloomBuffer] {
+
+    require(mBits > 0 && (mBits & 63) == 0, "bloom mBits must be a positive multiple of 64")
+    require(kHashes > 0, "bloom kHashes must be positive")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def createAggregationBuffer(): BloomBuffer = new BloomBuffer(mBits, kHashes)
+
+    override def update(buf: BloomBuffer, input: InternalRow): BloomBuffer = {
+      val v = child.eval(input)
+      if (v != null) buf.insert(XxHash64Function.hash(v, child.dataType, 42L))
+      buf
+    }
+
+    override def merge(buf: BloomBuffer, other: BloomBuffer): BloomBuffer = {
+      buf.mergeIn(other); buf
+    }
+
+    override def eval(buf: BloomBuffer): Any = buf.bits.clone()
+
+    override def serialize(buf: BloomBuffer): Array[Byte] = buf.bits
+
+    override def deserialize(bytes: Array[Byte]): BloomBuffer = {
+      val buf = new BloomBuffer(mBits, kHashes)
+      System.arraycopy(bytes, 0, buf.bits, 0, bytes.length)
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BloomAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  }
+
+  /** Column form of the Bloom-filter aggregate. */
+  def bloomAgg(col: Column, mBits: Int, kHashes: Int): Column =
+    ColumnBridge.column(
+      BloomAgg(ColumnBridge.expression(col), mBits, kHashes).toAggregateExpression())
+
+  /** Column form of the Bloom membership probe: `bloom` is the BINARY
+    * bitmap from [[bloomAgg]], `hash` is `xxhash64(value)` of the probed
+    * value (same column type as the aggregated one, so the hash families
+    * line up). */
+  def bloomContains(bloom: Column, hash: Column, kHashes: Int): Column =
+    ColumnBridge.column(
+      BloomContains(ColumnBridge.expression(bloom), ColumnBridge.expression(hash), kHashes))
+}
+
+/** Codegen'd Bloom membership probe: (binary bitmap, xxhash64 value hash)
+  * -> boolean. `kHashes` is a plan-time constant baked into the generated
+  * call (the TopCentroidIdxs convention). The bitmap side is typically a
+  * broadcast 1-row aggregate, so the probe runs map-side in whole-stage
+  * codegen over the (arbitrarily large) probe table. */
+case class BloomContains(left: Expression, right: Expression, kHashes: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(bloom: Any, hash: Any): Any =
+    BloomMath.contains(bloom.asInstanceOf[Array[Byte]], hash.asInstanceOf[Long], kHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BloomMath.contains($a, $b, $kHashes)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Static Bloom kernels — public static methods so whole-stage-codegen'd
+  * Java calls them directly (the VectorMath convention). */
+object BloomMath {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  /** bit position i of value-hash h0 in an mBits-bit filter. */
+  def bitPos(h0: Long, i: Int, mBits: Int): Int = {
+    val h = XxHash64Function.hash(h0, LongType, i.toLong)
+    (((h % mBits) + mBits) % mBits).toInt
+  }
+
+  /** all k positions of h0 set? */
+  def contains(bits: Array[Byte], h0: Long, kHashes: Int): Boolean = {
+    val mBits = bits.length << 3
+    var i = 0
+    while (i < kHashes) {
+      val p = bitPos(h0, i, mBits)
+      if ((bits(p >> 3) & (1 << (p & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
 }

@@ -141,6 +141,45 @@ object VectorMath {
     best
   }
 
+  /** 8-bit scalar quantization of a float vector against per-dimension
+    * [lo, hi] bounds: code_d = clamp(floor((x_d − lo_d)·255/(hi_d −
+    * lo_d)), 0, 255), 0 where hi_d = lo_d. Every step is a correctly-
+    * rounded IEEE double op in a fixed order, so any engine evaluating
+    * the same formula (the SQL oracle does) produces bit-identical
+    * codes. */
+  def quantize8(emb: ArrayData, lo: ArrayData, hi: ArrayData): ArrayData = {
+    val n   = emb.numElements()
+    val out = new Array[Int](n)
+    var i   = 0
+    while (i < n) {
+      val l = lo.getDouble(i)
+      val h = hi.getDouble(i)
+      val c =
+        if (h == l) 0
+        else {
+          val q = math.floor((emb.getFloat(i).toDouble - l) * 255.0 / (h - l)).toInt
+          if (q < 0) 0 else if (q > 255) 255 else q
+        }
+      out(i) = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** squared L2 distance between two int code vectors — EXACT integer
+    * arithmetic, no rounding contract needed. */
+  def sqDistI(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      val x = (a.getInt(i) - b.getInt(i)).toLong
+      d += x * x
+      i += 1
+    }
+    d
+  }
+
   /** squared L2 distance between a float vector and a double centroid,
     * accumulated in index order d=0..n — the same order (and hence the
     * same double, bit-for-bit) as one [[nearestCentroid]] candidate and
@@ -263,6 +302,39 @@ case class SqDistFD(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** Codegen'd 8-bit scalar quantization: (array<float>, array<double> lo,
+  * array<double> hi) -> array<int> codes. The bounds are (foldable)
+  * literals from a 64-row corpus aggregate, so quantization is a pure
+  * map inside whole-stage codegen — the compression step of an SQ8
+  * vector index.
+  */
+case class Quantize8(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(emb: Any, lo: Any, hi: Any): Any =
+    VectorMath.quantize8(emb.asInstanceOf[ArrayData], lo.asInstanceOf[ArrayData],
+      hi.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.VectorMath.quantize8($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Codegen'd exact integer squared L2 over int code vectors — the SQ8
+  * asymmetric-scan distance (both sides quantized, so the comparison is
+  * pure integer arithmetic and cross-engine exact by construction).
+  */
+case class SqDistInt(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.sqDistI(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.sqDistI($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API. `cosineBuiltin` is the pure-`functions._` composition
   * (higher-order functions, interpreted) kept as a cross-check for the
   * codegen'd expression; `cosine` is the fast path.
@@ -280,6 +352,10 @@ object VectorFunctions {
     column(SqDistFD(expression(emb), expression(cent)))
   def topCentroidIdxs(emb: Column, cents: Column, p: Int): Column =
     column(TopCentroidIdxs(expression(emb), expression(cents), p))
+  def quantize8(emb: Column, lo: Column, hi: Column): Column =
+    column(Quantize8(expression(emb), expression(lo), expression(hi)))
+  def sqDistInt(a: Column, b: Column): Column =
+    column(SqDistInt(expression(a), expression(b)))
 
   /** Same semantics as `cosine`, built only from org.apache.spark.sql.functions. */
   def cosineBuiltin(a: Column, b: Column): Column = {

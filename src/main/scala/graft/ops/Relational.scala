@@ -578,6 +578,59 @@ object Relational {
           <= col("n_exact") * lit(0.08)).as("within_bounds"))
       .orderBy("l_returnflag")
 
+  /** Bloom-filter bits/hashes for `bloom_membership`: 128 Kbit (16 KB)
+    * is sized for the sf0.1 key cardinality (~14.5k distinct custkeys →
+    * k·n/m ≈ 0.44, false-positive rate ≈ 2%); the verdict bound below
+    * leaves ~5× headroom over that. */
+  private val BloomBits   = 1 << 17
+  private val BloomHashes = 4
+
+  /** Bloom-filter membership sketch — the O(m)-memory way to pre-filter
+    * a probe table against a key set at 100 TB without shuffling either
+    * side: build the bitmap with one partial-aggregated pass over the
+    * keys (per-partition bitmaps OR-merge through the shuffle — our own
+    * `TypedImperativeAggregate`, SketchFunctions.BloomAgg), broadcast
+    * the single 16 KB row, and probe map-side in whole-stage codegen
+    * (`BloomContains` over `xxhash64(probe)`). This is the hand-rolled
+    * form of what Spark's runtime-filter injection does internally
+    * (`runtime_filter_join`) — exposed as an operator so a pipeline can
+    * build the filter ONCE and reuse it across many probe passes.
+    *
+    * Verification contract (cms_watchlist convention): the
+    * driver-checked columns are the exact probe/member counts plus two
+    * deterministic verdicts — `no_false_negative` (an inserted key's
+    * bits are set and OR-merge never clears them, so a member can never
+    * probe negative) and `fp_ok` (false positives among non-members stay
+    * under max(16, n_nonmember/5), ~5× the sizing's expected rate); the
+    * oracle recomputes the exact counts and states both verdicts as
+    * literal TRUE. */
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    val bf = keys.agg(
+      graft.functions.SketchFunctions.bloomAgg(col("k"), BloomBits, BloomHashes).as("bf"))
+    // exact membership (verification side only — the operator itself is
+    // the bloom build + probe above/below)
+    val members = keys.distinct()
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(members, col("c_custkey") === col("k"), "left")
+      .select(col("c_custkey"), col("k").isNotNull.as("member"))
+      .crossJoin(broadcast(bf))
+      .select(col("member"),
+        graft.functions.SketchFunctions
+          .bloomContains(col("bf"), xxhash64(col("c_custkey")), BloomHashes).as("hit"))
+      .agg(
+        count(lit(1)).as("n_probe"),
+        sum(when(col("member"), 1L).otherwise(0L)).as("n_member"),
+        (sum(when(col("member") && !col("hit"), 1L).otherwise(0L)) === 0L)
+          .as("no_false_negative"),
+        (sum(when(!col("member") && col("hit"), 1L).otherwise(0L)) <=
+          greatest(lit(16L),
+            (count(lit(1)) - sum(when(col("member"), 1L).otherwise(0L))) / 5L))
+          .as("fp_ok"))
+  }
+
   /** hot-key aggregation via two-phase salting (`Skew.saltedSumCount`):
     * 3 distinct return flags over the whole of lineitem is the canonical
     * one-hot-group shape — an unsalted groupBy funnels ~1/3 of all rows
@@ -1147,6 +1200,13 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, count(*) AS n_rows,
         |       TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(kmvDistinctQuery),
+    // TRUE literals = the cms_watchlist deterministic-verdict contract:
+    // the Spark side really evaluates both predicates over the sketch.
+    QueryDef.sql("bloom_membership",
+      """WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |SELECT (SELECT count(*) FROM customer) AS n_probe,
+        |       (SELECT count(*) FROM customer c JOIN keys ON c.c_custkey = keys.k) AS n_member,
+        |       TRUE AS no_false_negative, TRUE AS fp_ok""".stripMargin)(bloomMembership),
     QueryDef.sql("skew_salted_sum",
       """SELECT l_returnflag AS k,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total,

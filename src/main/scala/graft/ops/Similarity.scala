@@ -226,6 +226,45 @@ object Similarity {
     rankedTopK(spark, pairs)
   }
 
+  /** SQ8 scalar-quantized ANN — the vector-COMPRESSION scale path (the
+    * banding/bucketing paths cut candidates; this cuts bytes): per-
+    * dimension [lo, hi] corpus bounds (a 64-row aggregate with map-side
+    * combine, collected as bounded metadata exactly like the IVF
+    * centroids) quantize every float to an 8-bit code — 4× smaller than
+    * float32, 8× smaller than the double form, so a 100 TB embedding
+    * corpus scans/caches/shuffles at quarter cost. Both sides quantized
+    * (symmetric scan), so the candidate distance is EXACT INTEGER
+    * squared-L2 in code space — no rounding contract needed anywhere,
+    * and the top-k is cross-engine stable by construction (ties broken
+    * by neighbor_id). The quantization itself is fixed-order IEEE
+    * double arithmetic (`VectorMath.quantize8`), bit-reproduced by the
+    * oracle's identical formula. Ranking reuses the bounded-heap
+    * Aggregator (≤K rows per query per partition reach the shuffle). */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val bounds = base
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min(col("x")).cast("double").as("lo"), max(col("x")).cast("double").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(bounds.length == Dim, s"annSq8: expected $Dim dims, got ${bounds.length}")
+    val loLit = typedLit(bounds.map(_._2).toSeq)
+    val hiLit = typedLit(bounds.map(_._3).toSeq)
+    val coded = base.withColumn("code",
+      VectorFunctions.quantize8(col("embedding"), loLit, hiLit))
+    val queries = coded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    // sim = −qdist: exact in double (qdist ≤ 64·255² ≪ 2^53), so the
+    // shared (sim desc, id asc) heap ranks by (qdist asc, id asc)
+    val pairs = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-VectorFunctions.sqDistInt(col("qcode"), col("code"))).cast("double").as("sim"))
+    rankedTopK(spark, pairs)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("sim")).cast("long").as("qdist"))
+  }
+
   private val cosineSql =
     """round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |             CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
@@ -245,6 +284,31 @@ object Similarity {
          |  FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
          |  WHERE q.vec_id < $NumQueries
          |), ${rankSql("pairs")}""".stripMargin)(annLsh),
+    QueryDef.sql("ann_sq8",
+      s"""WITH bounds AS (
+         |  SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS lo, max(CAST(embedding[d] AS DOUBLE)) AS hi
+         |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+         |  GROUP BY d
+         |), b AS (
+         |  SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM bounds
+         |), codes AS (
+         |  SELECT vec_id, list_transform(generate_series(1, $Dim), d ->
+         |    CASE WHEN b.hi[d] = b.lo[d] THEN 0
+         |         ELSE LEAST(255, GREATEST(0, CAST(floor(
+         |           (CAST(embedding[d] AS DOUBLE) - b.lo[d]) * 255.0 / (b.hi[d] - b.lo[d])) AS BIGINT))) END) AS code
+         |  FROM embeddings CROSS JOIN b
+         |), pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, $Dim), d ->
+         |      (q.code[d] - c.code[d]) * (q.code[d] - c.code[d]))), (a, v) -> a + v) AS qdist
+         |  FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS rank
+         |  FROM pairs
+         |)
+         |SELECT query_id, neighbor_id, rank, qdist FROM ranked
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)(annSq8),
     QueryDef.sql("ann_ivf",
       s"""WITH cents AS (
          |  SELECT label, list(avg_val ORDER BY d) AS c FROM (

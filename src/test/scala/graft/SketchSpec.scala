@@ -103,4 +103,55 @@ class SketchSpec extends SparkSpec {
       .head().getMap[String, Long](0).toMap
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
+
+  // ---- Bloom filter ----
+
+  private val BloomM = 1 << 14
+  private val BloomK = 4
+
+  test("bloom bitmap is partition/merge-shape invariant and never false-negative") {
+    val keys = (1L to 5000L).map(i => i * 40503L % 100003L)
+    val df   = keys.toDF("v")
+    def bitmap(parts: Int): Array[Byte] = df.repartition(parts)
+      .agg(SketchFunctions.bloomAgg(col("v"), BloomM, BloomK).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val b1 = bitmap(1)
+    assert(java.util.Arrays.equals(b1, bitmap(7)) && java.util.Arrays.equals(b1, bitmap(32)),
+      "bitmap must not depend on the plan")
+    // probe every inserted key through the DataFrame path (BloomContains
+    // over xxhash64 — the same hash family update used)
+    val misses = df
+      .crossJoin(broadcast(df.agg(SketchFunctions.bloomAgg(col("v"), BloomM, BloomK).as("bf"))))
+      .select(SketchFunctions.bloomContains(col("bf"), xxhash64(col("v")), BloomK).as("hit"))
+      .filter(!col("hit")).count()
+    assert(misses == 0L, "a member can never probe negative")
+  }
+
+  test("bloom false-positive rate on disjoint probes stays near the sizing formula") {
+    val keys   = (1L to 5000L).toDF("v")
+    val probes = (1000001L to 1010000L).toDF("v")
+    val bf     = keys.agg(SketchFunctions.bloomAgg(col("v"), BloomM, BloomK).as("bf"))
+    val fp = probes.crossJoin(broadcast(bf))
+      .select(SketchFunctions.bloomContains(col("bf"), xxhash64(col("v")), BloomK).as("hit"))
+      .filter(col("hit")).count()
+    // expected rate (1 - e^(-k n / m))^k ≈ 11.5% at n=5000, m=16384, k=4;
+    // allow 2x headroom — the check is "the sketch filters", not a tight CI
+    val expected = math.pow(1 - math.exp(-BloomK * 5000.0 / BloomM), BloomK)
+    assert(fp <= 2 * expected * 10000, s"fp=$fp expected≈${expected * 10000}")
+    assert(fp < 10000, "a useless all-positive filter")
+  }
+
+  test("bloom serialize/deserialize round-trips and merge is OR") {
+    val agg = SketchFunctions.BloomAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), BloomM, BloomK)
+    val a = new SketchFunctions.BloomBuffer(BloomM, BloomK)
+    val b = new SketchFunctions.BloomBuffer(BloomM, BloomK)
+    a.insert(12345L); b.insert(67890L)
+    val back = agg.deserialize(agg.serialize(a))
+    assert(java.util.Arrays.equals(back.bits, a.bits))
+    val merged = agg.deserialize(agg.serialize(a))
+    merged.mergeIn(b)
+    assert(graft.functions.BloomMath.contains(merged.bits, 12345L, BloomK) &&
+      graft.functions.BloomMath.contains(merged.bits, 67890L, BloomK))
+  }
 }
