@@ -550,7 +550,43 @@ object Curation {
       |FROM flagged f LEFT JOIN firstids i ON f.fp = i.fp
       |ORDER BY f.doc_id""".stripMargin
 
+  /** Linear quality-classifier scoring — the fastText-style "trained
+    * filter" shape of a corpus pipeline: a per-document integer feature
+    * vector (alpha chars, non-alpha chars, stopword hits, token count)
+    * dotted with LITERAL integer weights plus a bias, sign → keep/drop.
+    * The weights stand in for an offline-trained model's (swapping in
+    * real ones changes only the literals); what the operator pins down
+    * is the SERVING shape: one codegen'd map pass over the corpus, zero
+    * shuffle, exact-integer margins so the decision boundary cannot
+    * drift cross-engine. Splits the fixtures ~72/28 keep/drop at every
+    * SF. Complements `curation_pipeline`'s hand-written threshold gates
+    * (rules) with the learned-score form (model). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val t  = split(col("text"), " ")
+    val nt = size(filter(t, x => x =!= "")).cast("long")
+    val nc = length(col("text")).cast("long")
+    val na = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+    val ns = graft.functions.TextFunctions.countInSetCol(t, Seq("the", "a", "of", "and"))
+    val margin = lit(8L) * na - lit(6L) * (nc - na) + lit(40L) * ns + lit(2L) * nt - lit(1200L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), margin.as("margin"), (margin > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("quality_classifier",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS na,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS ns
+        |  FROM documents
+        |)
+        |SELECT doc_id, 8 * na - 6 * (nc - na) + 40 * ns + 2 * nt - 1200 AS margin,
+        |       (8 * na - 6 * (nc - na) + 40 * ns + 2 * nt - 1200) > 0 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin)(qualityClassifier),
     QueryDef.sql("curation_pipeline", pipelineSql)(curationPipeline),
     QueryDef.sql("pii_redact",
       """WITH synth AS (

@@ -316,4 +316,36 @@ class PlanSpec extends SparkSpec {
     val kp = kernel.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\)".r.findAllIn(kp).size > 0, "SymbolPairs fell out of codegen")
   }
+
+  test("quality_classifier scores map-side: no hash shuffle, margin inside codegen") {
+    val df = SparkEntry.queries("quality_classifier")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      "classifier scoring shuffled — a linear model over per-row features is a pure map")
+    assert(codegenStages(df) > 0, "margin expression fell out of codegen")
+  }
+
+  test("bloom_membership builds the bitmap with partial aggregation and broadcasts it") {
+    val p = planOf("bloom_membership")
+    assert(p.contains("partial_bloomagg"),
+      "bloom bitmap must partial-aggregate map-side before the exchange")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row bitmap must reach the probe side via broadcast")
+  }
+
+  test("ann_sq8 quantizes and scores inside codegen; queries reach the corpus via broadcast") {
+    val p = planOf("ann_sq8")
+    assert(!p.contains("CartesianProduct"), "pair generation planned cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the query-code side must broadcast against the corpus scan")
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val lo = typedLit(Seq.fill(64)(0.0))
+    val hi = typedLit(Seq.fill(64)(1.0))
+    val coded = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(VectorFunctions.quantize8(col("embedding"), lo, hi).as("code"))
+    coded.collect()
+    assert(codegenStages(coded) > 0, "Quantize8 fell out of codegen")
+  }
 }
