@@ -282,9 +282,88 @@ object Graph {
     s"$base,\n$steps\nSELECT node, dist FROM d$BfsIters ORDER BY node"
   }
 
+  /** Weighted single-source shortest paths (Bellman-Ford, ≤ [[BfsIters]]
+    * relaxation rounds) over the undirected BFS graph with deterministic
+    * integer edge weights 1..9 (a symmetric function of the endpoints,
+    * so both directions of an undirected edge agree). Semantics: minimum
+    * path cost over paths of at most `iters` EDGES — the hop-bounded
+    * Bellman-Ford invariant, which is exactly what t chained relaxation
+    * CTEs compute, so the oracle mirrors the result definition rather
+    * than the algorithm. */
+  def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir)
+      .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 197).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val eu = e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val e = eu.select(col("src"), col("dst"),
+      (lit(1L) + (least(col("src"), col("dst")) * 31L + greatest(col("src"), col("dst"))) % 9L)
+        .as("w"))
+    ssspOn(e, BfsSource, BfsIters)
+  }
+
+  /** Delta-relaxation Bellman-Ford — the Pregel shape (the weighted
+    * generalization of [[bfsDistancesOn]]): each round relaxes ONLY the
+    * edges of nodes whose distance improved last round, which is
+    * result-equivalent to the synchronous full relaxation (an unimproved
+    * node re-offers exactly the offers already applied) but touches each
+    * edge once per improvement instead of once per round. Edges shuffle
+    * on src every round with an unchanged key, so at cluster scale the
+    * hash partitioning is reused; frontiers are cached per round like
+    * BFS (round k's lineage otherwise re-evaluates round 1 O(2^k)
+    * times). Expects an e(src, dst, w) table with BOTH directions of
+    * each undirected edge present. */
+  def ssspOn(edgesDf: DataFrame, source: Long, iters: Int): DataFrame = {
+    val e = edgesDf.select(col("src"), col("dst"), col("w")).cache()
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    var dist     = Seq((source, 0L)).toDF("node", "dist")
+    var frontier = dist
+    for (_ <- 1 to iters) {
+      // best offer per neighbor from the improved set (partial-aggregated
+      // min, so ≤1 row per (partition, node) reaches the shuffle)
+      val offers = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
+        .groupBy("node").agg(min(col("d")).as("d"))
+      val improved = offers.join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left")
+        .filter(col("old").isNull || col("d") < col("old"))
+        .select(col("node"), col("d"))
+        .cache()
+      val updated = dist.join(improved.withColumnRenamed("d", "nd"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("nd"), col("dist")).as("dist"))
+      val added = improved.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), col("d").as("dist"))
+      dist = updated.union(added).cache()
+      frontier = improved.withColumnRenamed("d", "dist")
+    }
+    dist.orderBy("node")
+  }
+
+  private val ssspSql: String = {
+    val base =
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst FROM orders
+         |  WHERE (o_custkey % 211) <> (o_orderkey % 197)
+         |), eu AS (
+         |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+         |), e AS (
+         |  SELECT src, dst, 1 + (LEAST(src, dst) * 31 + GREATEST(src, dst)) % 9 AS w FROM eu
+         |), d0 AS (SELECT CAST($BfsSource AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+    val steps = (1 to BfsIters).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM $prev
+         |  UNION ALL SELECT e.dst AS node, $prev.dist + e.w FROM $prev JOIN e ON $prev.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps\nSELECT node, dist FROM d$BfsIters ORDER BY node"
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("pagerank", pageRankSql)(pageRank),
     QueryDef.sql("triangle_count", triangleSql)(triangleCount),
     QueryDef.sql("bfs_distances", bfsSql)(bfsDistances),
+    QueryDef.sql("sssp_weighted", ssspSql)(ssspWeighted),
   )
 }

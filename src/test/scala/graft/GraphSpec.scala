@@ -108,4 +108,34 @@ class GraphSpec extends SparkSpec {
     val reach = Graph.bfsDistancesOn(twoComp, 1L, 4).collect().map(_.getLong(0)).toSet
     assert(reach == Set(1L, 2L))
   }
+
+  /** both directions of each undirected edge, as ssspOn expects. */
+  private def undirected(edges: Seq[(Long, Long, Long)]) =
+    (edges ++ edges.map { case (a, b, w) => (b, a, w) }).toDF("src", "dst", "w")
+
+  test("weighted sssp takes the cheap multi-hop path over the expensive direct edge") {
+    // 1→2 (w1), 2→3 (w1), 1→3 (w5): the two-hop path costs 2 < 5.
+    // 3→4 (w2) extends it: dist(4) = 4 via 1-2-3-4.
+    val e = undirected(Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 2L)))
+    val got = Graph.ssspOn(e, 1L, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L))
+  }
+
+  test("weighted sssp honors the hop bound and later rounds repair greedy early offers") {
+    // 1→5 direct (w10) vs the 3-hop chain 1-2-3-5 (w1 each = 3): with
+    // 1 round only the direct edge and first hop exist; with 3 rounds
+    // the chain undercuts the direct edge — a pure BFS (hop-count) walk
+    // would have kept the 1-hop distance.
+    val e = undirected(Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 5L, 1L), (1L, 5L, 10L)))
+    val r1 = Graph.ssspOn(e, 1L, 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 5L -> 10L))
+    val r3 = Graph.ssspOn(e, 1L, 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 3L))
+    // unreachable component never appears
+    val twoComp = undirected(Seq((1L, 2L, 1L), (8L, 9L, 1L)))
+    val reach = Graph.ssspOn(twoComp, 1L, 4).collect().map(_.getLong(0)).toSet
+    assert(reach == Set(1L, 2L))
+  }
 }
