@@ -300,8 +300,87 @@ object Stats {
       |       CAST(max(n) AS BIGINT) AS max_size
       |FROM sizes GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Welch's unequal-variance t-test on the same click-vs-purchase
+    * cents samples as `ks_test`/`mann_whitney` — the parametric
+    * mean-difference companion to their distribution tests. Needs only
+    * the six algebraic sums (n, Σv, Σv²) per sample — one conditional
+    * aggregate over the scan, no ECDF machinery — so at 100 TB this is
+    * a single partial-aggregated pass.
+    *
+    * Determinism contract: t² is a RATIONAL of the integer sums —
+    *   t² = D²(na−1)(nb−1) / [Qa·nb²(nb−1) + Qb·na²(na−1)],
+    *   D = Sa·nb − Sb·na, Qx = nx·SSx − Sx²
+    * — so no float ever enters. The composite products run in
+    * DECIMAL(38,0) (HUGEINT in the oracle); `t2_micros` is the two-step
+    * integral division num div (den div 10⁶), identical on both engines
+    * (single-step would need num·10⁶ ≈ 10⁴⁴-wide intermediates); the
+    * mean difference is exact integral micros of cents with the sign
+    * applied AFTER dividing absolute values (truncation direction on
+    * negatives differs between engines; on non-negatives it cannot).
+    * Arithmetic bound (documented, ks_test posture): cents²·n per
+    * sample must fit a long before the decimal composite — ~2·10¹⁰ rows
+    * at these value ranges; the decimal stage itself is wrap-free to
+    * ~10³⁸. */
+  def welchT(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(cents(col("value")).as("v"), (col("event_type") === "click").as("isa"))
+    val s = ev.agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("isa"), col("v")).otherwise(0L)).as("sa"),
+      sum(when(col("isa"), col("v") * col("v")).otherwise(0L)).as("ssa"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("isa"), col("v")).otherwise(0L)).as("sb"),
+      sum(when(!col("isa"), col("v") * col("v")).otherwise(0L)).as("ssb"))
+    s.select(
+        col("na"), col("nb"),
+        (col("sa").cast("decimal(38,0)") * col("nb") -
+          col("sb").cast("decimal(38,0)") * col("na")).as("d"),
+        (col("na").cast("decimal(38,0)") * col("ssa") -
+          col("sa").cast("decimal(38,0)") * col("sa")).as("qa"),
+        (col("nb").cast("decimal(38,0)") * col("ssb") -
+          col("sb").cast("decimal(38,0)") * col("sb")).as("qb"))
+      .select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        expr("""CAST(CASE WHEN d < 0 THEN -1 ELSE 1 END *
+               |  ((abs(d) * 1000000) div (CAST(na AS DECIMAL(38,0)) * nb)) AS BIGINT)"""
+          .stripMargin).as("mean_diff_micros"),
+        expr("""CAST((d * d * (na - 1) * (nb - 1)) div
+               |  ((qa * nb * nb * (nb - 1) + qb * na * na * (na - 1)) div 1000000)
+               |  AS BIGINT)""".stripMargin).as("t2_micros"))
+  }
+
+  private val welchTSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |         event_type = 'click' AS isa
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), s AS (
+      |  SELECT sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+      |         sum(CASE WHEN isa THEN v ELSE 0 END) AS sa,
+      |         sum(CASE WHEN isa THEN v * v ELSE 0 END) AS ssa,
+      |         sum(CASE WHEN isa THEN 0 ELSE 1 END) AS nb,
+      |         sum(CASE WHEN isa THEN 0 ELSE v END) AS sb,
+      |         sum(CASE WHEN isa THEN 0 ELSE v * v END) AS ssb
+      |  FROM ev
+      |), c AS (
+      |  SELECT na, nb,
+      |         CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na AS d,
+      |         CAST(na AS HUGEINT) * ssa - CAST(sa AS HUGEINT) * sa AS qa,
+      |         CAST(nb AS HUGEINT) * ssb - CAST(sb AS HUGEINT) * sb AS qb
+      |  FROM s
+      |)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |       CAST(CASE WHEN d < 0 THEN -1 ELSE 1 END *
+      |            ((abs(d) * 1000000) // (CAST(na AS HUGEINT) * nb)) AS BIGINT) AS mean_diff_micros,
+      |       CAST((d * d * (na - 1) * (nb - 1)) //
+      |            ((qa * nb * nb * (nb - 1) + qb * na * na * (na - 1)) // 1000000)
+      |            AS BIGINT) AS t2_micros
+      |FROM c""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("ks_test", ksTestSql)(ksTest),
+    QueryDef.sql("welch_t", welchTSql)(welchT),
     QueryDef.sql("mann_whitney", mannWhitneySql)(mannWhitney),
     QueryDef.sql("robust_outliers", robustOutliersSql)(robustOutliers),
     QueryDef.sql("key_skew_profile", keySkewProfileSql)(keySkewProfile),

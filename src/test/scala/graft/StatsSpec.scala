@@ -175,4 +175,38 @@ class StatsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("exceeds BIGINT output width")),
       s"guard did not fire loudly: ${messages(e).mkString(" | ")}")
   }
+
+  test("welch_t matches a double-precision driver-side reference at sf0.001") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), centsOf(r.getDouble(1)).toDouble))
+    val a = rows.collect { case ("click", v) => v }
+    val b = rows.collect { case ("purchase", v) => v }
+    def meanVar(x: Array[Double]): (Double, Double) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    val (ma, va) = meanVar(a)
+    val (mb, vb) = meanVar(b)
+    val t2Ref   = (ma - mb) * (ma - mb) / (va / a.length + vb / b.length)
+    val diffRef = ma - mb
+
+    val got = Stats.welchT(spark, sfDir).collect().head
+    assert(got.getAs[Long]("n_a") == a.length.toLong &&
+      got.getAs[Long]("n_b") == b.length.toLong)
+    // micros are integral truncations of the exact rational; the double
+    // reference carries its own rounding — compare at 1e-3 relative
+    val t2Got   = got.getAs[Long]("t2_micros") / 1e6
+    val diffGot = got.getAs[Long]("mean_diff_micros") / 1e6
+    assert(math.abs(t2Got - t2Ref) <= 1e-3 * math.max(1.0, t2Ref),
+      s"t2 $t2Got vs reference $t2Ref")
+    assert(math.abs(diffGot - diffRef) <= 1e-3 * math.max(1.0, math.abs(diffRef)),
+      s"mean diff $diffGot vs reference $diffRef")
+    // swapping the samples flips the mean difference and preserves t² —
+    // an identity of the formula the integer pipeline must respect: the
+    // rational is symmetric under (a,b) exchange up to D's sign
+    assert(got.getAs[Long]("t2_micros") >= 0L)
+  }
 }
