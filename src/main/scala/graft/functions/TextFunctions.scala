@@ -403,6 +403,59 @@ object ShingleMath {
     ArrayData.toArrayData(out)
   }
 
+  /** Content-defined chunking in ONE pass: boundaries where the rolling
+    * `l`-code-point gram hash (the [[gramHashes]] polynomial, so the SQL
+    * oracle can replay it) is ≡ 0 mod `divisor` — expected chunk length
+    * ≈ `divisor` code points, and because a boundary depends only on the
+    * `l` code points of its window, chunking RE-SYNCHRONIZES after an
+    * insertion/deletion: all chunks past the edit window keep their
+    * fingerprints (the rsync/LBFS property fixed-size chunking lacks,
+    * and the reason chunk-level dedup survives shifted bytes).
+    * A cut at gram start i (1 ≤ i ≤ n−l) splits BEFORE code point i, so
+    * the first chunk is never empty; a doc shorter than `l` (or with no
+    * qualifying gram) is one whole-doc chunk; an empty doc has none.
+    * Returns array<struct<c_start, c_len, fp>> (code-point offsets;
+    * fp = the same 31-base poly mod 1e9+7 over the CHUNK's code
+    * points — the chunk-level dedup key). */
+  def cdcChunks(text: UTF8String, l: Int, divisor: Long): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n   = cps.length
+    if (n == 0) return ArrayData.toArrayData(
+      Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+    val P = 1000000007L
+    // cut positions: i in [1, n-l] with gramhash(i) % divisor == 0
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    if (n >= l) {
+      var pow = 1L
+      var i   = 0
+      while (i < l - 1) { pow = pow * 31L % P; i += 1 }
+      var acc = 0L
+      i = 0
+      while (i < l) { acc = (acc * 31L + cps(i)) % P; i += 1 }
+      // acc now hashes the gram at 0 (never a cut); slide to 1..n-l
+      i = 1
+      while (i <= n - l) {
+        acc = (acc - cps(i - 1) * pow % P + P) % P
+        acc = (acc * 31L + cps(i + l - 1)) % P
+        if (acc % divisor == 0L) starts += i
+        i += 1
+      }
+    }
+    val out = new Array[Any](starts.length)
+    var k   = 0
+    while (k < starts.length) {
+      val s   = starts(k)
+      val e   = if (k + 1 < starts.length) starts(k + 1) else n
+      var fp  = 0L
+      var j   = s
+      while (j < e) { fp = (fp * 31L + cps(j)) % P; j += 1 }
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](s.toLong, (e - s).toLong, fp))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** one-pass token-frequency statistics of a document: (n_tokens,
     * n_distinct, Σ c·(c−1) over distinct-token counts c). The Σ c·(c−1)
     * term is the exact-integer core of Gini–Simpson diversity — chosen
@@ -542,6 +595,24 @@ case class GramHashes(child: Expression, l: Int) extends UnaryExpression {
     ShingleMath.gramHashes(v.asInstanceOf[UTF8String], l)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.gramHashes($c, $l)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** CdcChunks(string, l, divisor) -> array<struct<c_start, c_len, fp>>:
+  * one-pass content-defined chunking (see `ShingleMath.cdcChunks`),
+  * codegen'd via static call — chunking runs at scan speed with zero
+  * shuffle; only the (doc, chunk) rows leave the map side. */
+case class CdcChunks(child: Expression, l: Int, divisor: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("c_start", LongType, nullable = false),
+      StructField("c_len", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleMath.cdcChunks(v.asInstanceOf[UTF8String], l, divisor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.cdcChunks($c, $l, ${divisor}L)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -693,6 +764,10 @@ object TextFunctions {
     * (element k = `fingerprint` of the gram starting at code point k). */
   def gramHashesCol(text: Column, l: Int): Column =
     ColumnBridge.column(GramHashes(ColumnBridge.expression(text), l))
+
+  /** content-defined chunk spans + fingerprints, codegen'd. */
+  def cdcChunksCol(text: Column, l: Int, divisor: Long): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(text), l, divisor))
 
   /** hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

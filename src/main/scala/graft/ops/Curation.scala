@@ -102,6 +102,68 @@ object Curation {
       .withColumn("chunk_chars", length(col("chunk")).cast("long"))
       .orderBy("doc_id", "chunk_id")
 
+  /** CDC gram window / divisor: boundaries where the 16-code-point
+    * rolling hash ≡ 0 mod 64 → expected chunk ≈ 64 code points (~5
+    * chunks per fixture doc). */
+  private val CdcWindow  = 16
+  private val CdcDivisor = 64L
+
+  /** Content-defined chunking — the chunk-level-dedup companion to the
+    * fixed-window `doc_chunks`: boundaries are a pure function of a
+    * 16-code-point rolling-hash window (`ShingleMath.cdcChunks`), so an
+    * insertion or deletion re-synchronizes within one window and every
+    * chunk past the edit keeps its fingerprint — fixed-size chunking
+    * shifts EVERY downstream chunk, which is why incremental corpus
+    * dedup (rsync/LBFS-style) keys on content-defined spans. Output is
+    * (doc, chunk ordinal, span, fingerprint); the fingerprint is the
+    * chunk-level dedup key a delta-ingest pipeline joins on.
+    *
+    * Scale shape: the entire chunker is ONE codegen'd pass per row at
+    * scan speed — no window functions, no join-back, no shuffle before
+    * the (doc_id, chunk) rows exist (the lag/lead formulation the
+    * oracle uses would shuffle every gram position; the kernel keeps
+    * text inside the scan). Boundary-shift invariance is pinned in
+    * `CurationSpec`. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions
+          .cdcChunksCol(col("text"), CdcWindow, CdcDivisor)).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.c_start").as("c_start"), col("c.c_len").as("c_len"), col("c.fp").as("fp"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val cdcChunksSql: String = {
+    val w = CdcWindow
+    s"""WITH grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(CAST(i AS INT), CAST(i AS INT) + ${w - 1}),
+       |        j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - ${w - 1})) AS i)
+       |  WHERE length(text) >= $w
+       |), starts AS (
+       |  SELECT doc_id, 0 AS s FROM documents WHERE length(text) > 0
+       |  UNION ALL
+       |  SELECT doc_id, pos - 1 AS s FROM grams WHERE pos >= 2 AND h % $CdcDivisor = 0
+       |), spans AS (
+       |  SELECT doc_id, s,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+       |    lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+       |  FROM starts
+       |)
+       |SELECT sp.doc_id, CAST(sp.chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(sp.s AS BIGINT) AS c_start,
+       |  CAST(coalesce(sp.nxt, length(d.text)) - sp.s AS BIGINT) AS c_len,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(CAST(sp.s + 1 AS INT), CAST(coalesce(sp.nxt, length(d.text)) AS INT)),
+       |      j -> CAST(ascii(substr(d.text, CAST(j AS INT), 1)) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+       |FROM spans sp JOIN documents d USING (doc_id)
+       |ORDER BY sp.doc_id, sp.chunk_idx""".stripMargin
+  }
+
   // ----------------------------------------------------------- packing
 
   /** Token budget per packed training sequence and the bucket fan-out.
@@ -619,6 +681,7 @@ object Curation {
         |  substr(text, CAST(off AS INT), 120) AS chunk,
         |  CAST(length(substr(text, CAST(off AS INT), 120)) AS BIGINT) AS chunk_chars
         |FROM offs ORDER BY doc_id, chunk_id""".stripMargin)(docChunks),
+    QueryDef.sql("cdc_chunks", cdcChunksSql)(cdcChunks),
     QueryDef.sql("sequence_pack", sequencePackSql)(sequencePack),
     QueryDef.sql("ngram_decontaminate",
       s"""WITH toksed AS (

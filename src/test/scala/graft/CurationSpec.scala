@@ -256,4 +256,60 @@ class CurationSpec extends SparkSpec {
       assert(u == ((r * BigInt(1103515245L) + 12345) % 1000003 + 1).toLong, s"u diverged at $id")
     }
   }
+
+  // ---- content-defined chunking ----
+
+  private def chunksOf(text: String): Seq[(Long, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    Seq(text).toDF("text")
+      .select(explode(graft.functions.TextFunctions.cdcChunksCol(col("text"), 16, 64L)).as("c"))
+      .select(col("c.c_start"), col("c.c_len"), col("c.fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** deterministic NON-periodic text (an LCG over a 27-letter alphabet):
+    * periodic text repeats chunk contents, which collapses fingerprint
+    * sets and makes survival ratios meaningless. */
+  private def lcgText(n: Int, seed: Long): String = {
+    val sb = new StringBuilder(n)
+    var s  = seed
+    for (_ <- 0 until n) {
+      s = (s * 6364136223846793005L + 1442695040888963407L)
+      val r = ((s >>> 33) % 27).toInt
+      sb.append(if (r == 26) ' ' else ('a' + r).toChar)
+    }
+    sb.toString
+  }
+
+  test("cdc chunks tile the document exactly and short docs are one chunk") {
+    val base = lcgText(1200, 42L)
+    val cs   = chunksOf(base)
+    assert(cs.nonEmpty)
+    // contiguous tiling: starts chain and lengths sum to the doc length
+    cs.sliding(2).foreach {
+      case Seq((s1, l1, _), (s2, _, _)) => assert(s1 + l1 == s2, "gap or overlap between chunks")
+      case _                            =>
+    }
+    assert(cs.map(_._2).sum == base.length.toLong)
+    assert(cs.head._1 == 0L && cs.forall(_._2 > 0L), "empty or misaligned chunk")
+    // shorter than the 16-cp gram window: exactly one whole-doc chunk
+    assert(chunksOf("tiny text") == Seq((0L, 9L, chunksOf("tiny text").head._3)))
+    assert(chunksOf("") == Seq.empty)
+  }
+
+  test("cdc chunking re-synchronizes after a prefix edit (fixed-size chunking cannot)") {
+    val base    = lcgText(1200, 42L)
+    val edited  = "INSERTED PREFIX >>> " + base
+    val baseFps   = chunksOf(base).map(_._3)
+    val editedFps = chunksOf(edited).map(_._3)
+    // all chunks after the first boundary past the edit keep their
+    // fingerprints: the suffix of base's chunk stream reappears intact
+    val shared = baseFps.toSet & editedFps.toSet
+    assert(baseFps.size >= 4, s"fixture text produced only ${baseFps.size} chunks")
+    assert(shared.size >= baseFps.size - 2,
+      s"only ${shared.size} of ${baseFps.size} chunk fingerprints survived a prefix edit")
+    // and the tail is not merely shared as a set but in stream order
+    val tail = baseFps.dropWhile(fp => !editedFps.contains(fp))
+    assert(editedFps.containsSlice(tail), "surviving chunks lost their order")
+  }
 }
