@@ -635,6 +635,62 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Number of shards for [[shardAssign]] — small so the per-row
+    * argmax stays a handful of codegen'd integer ops. */
+  private[graft] val NumShards = 8
+
+  /** Rendezvous (highest-random-weight) hash of one (doc, shard)
+    * candidate pair — the [[knuthBucket]] family with the shard id
+    * mixed in before the Knuth multiply. Products are bounded at
+    * ~8.2e16 ≪ 2⁶³, so both engines stay in exact Long/BIGINT range
+    * (the e1c8c28 overflow-safety convention). */
+  private[graft] def hrwHash(doc: Column, s: Int): Column =
+    (((doc % HashReduceMod) * 31L + (s + 1).toLong) * 2654435761L) % 999983L
+
+  /** Deterministic rendezvous winner among `shards`: the candidate with
+    * the highest [[hrwHash]], first (= smallest, when the list is
+    * ascending) shard on ties. Linear-size expression: one greatest()
+    * over the candidate hashes, then a first-match CASE chain. */
+  private[graft] def hrwShard(doc: Column, shards: Seq[Int]): Column = {
+    val hs = shards.map(s => hrwHash(doc, s))
+    val g  = if (hs.size == 1) hs.head else greatest(hs: _*)
+    // first-match CASE chain: earlier (smaller) shards win ties
+    shards.zip(hs).init.foldRight(lit(shards.last.toLong)) {
+      case ((s, h), acc) => when(h === g, lit(s.toLong)).otherwise(acc)
+    }
+  }
+
+  /** Consistent shard assignment via rendezvous hashing — the routing
+    * step that makes a 100 TB corpus re-shardable: each doc goes to the
+    * shard maximizing a (doc, shard) hash, so REMOVING a shard moves
+    * only that shard's docs (every survivor's per-shard hashes are
+    * unchanged, so its argmax can only change if the removed shard held
+    * it) — unlike `doc_id % n`, which reshuffles almost everything.
+    * The minimal-disruption property is pinned in `CurationSpec`; the
+    * oracle gates the assignment itself. Pure per-row integer
+    * arithmetic → zero shuffle before the 8-group summary. */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hrwShard(col("doc_id"), 0 until NumShards).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  private val shardAssignSql: String = {
+    def h(s: Int) =
+      s"(((doc_id % $HashReduceMod) * 31 + ${s + 1}) * 2654435761) % 999983"
+    val hs = (0 until NumShards).map(h)
+    val g  = s"greatest(${hs.mkString(", ")})"
+    val shard = (0 until NumShards).init
+      .map(s => s"WHEN ${hs(s)} = g THEN CAST($s AS BIGINT)")
+      .mkString("CASE ", " ", s" ELSE CAST(${NumShards - 1} AS BIGINT) END")
+    s"""WITH hx AS (SELECT doc_id, $g AS g FROM documents),
+       |a AS (SELECT doc_id, $shard AS shard FROM hx)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("quality_classifier",
       """WITH f AS (

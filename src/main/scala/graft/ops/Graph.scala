@@ -360,10 +360,97 @@ object Graph {
     s"$base,\n$steps\nSELECT node, dist FROM d$BfsIters ORDER BY node"
   }
 
+  private val LpaIters = 3
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), [[LpaIters]] rounds over the sparse triangle graph —
+    * the standard cheap community pass (e.g. grouping near-duplicate
+    * clusters or link-farm detection in a crawl). Deterministic variant:
+    * every node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by SMALLEST label — asynchronous/randomized
+    * LPA is irreproducible by construction, so the oracle could never
+    * gate it. Labels start as node ids.
+    *
+    * Output: node, final community label, and that community's size. */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir)
+      .select((col("o_custkey") % TriMod).as("src"), (col("o_orderkey") % TriMod).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    lpaCommunitiesOn(e0, LpaIters)
+  }
+
+  /** LPA over an arbitrary directed edge list (symmetrized and
+    * de-duplicated here) — split out so specs can drive it with a
+    * hand-checkable graph.
+    *
+    * Scale shape per round: labels ⋈ edges on the node key (the SAME
+    * key every round, so at cluster scale the hash partitioning is
+    * reused), then a two-level aggregate — count per (node, label) with
+    * map-side partial agg, then one lexicographic max(struct(count,
+    * −label)) per node, which IS the deterministic argmax (highest
+    * count, then lowest label) in a single shuffle with partial
+    * aggregation. Only (long, long[, long]) tuples ever ship. Labels
+    * are cached per round: the unrolled join tree otherwise re-evaluates
+    * round 1's shuffle O(2^rounds) times, and beyond ~10 rounds you
+    * checkpoint exactly like `Dedup.clusterLabels`. */
+  def lpaCommunitiesOn(edgesDf: DataFrame, iters: Int): DataFrame = {
+    val e = edgesDf.select(col("src"), col("dst"))
+      .union(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache() // feeds every round's propagation join
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val cnt = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = cnt
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m").getField("nl")).as("label"))
+        .cache()
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select(col("node"), col("label").as("community"), col("community_size"))
+      .orderBy("node")
+  }
+
+  /** Oracle mirrors the argmax RESULT, not the struct-max mechanism:
+    * per round, keep the labels attaining the per-node max count, then
+    * take the smallest — provably the same label the lexicographic
+    * struct max selects. */
+  private val lpaSql: String = {
+    val base =
+      s"""WITH raw AS (
+         |  SELECT (o_custkey % $TriMod) AS src, (o_orderkey % $TriMod) AS dst FROM orders
+         |  WHERE (o_custkey % $TriMod) <> (o_orderkey % $TriMod)
+         |), e AS (
+         |  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+         |), l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)""".stripMargin
+    val steps = (1 to LpaIters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS node, p.label, count(*) AS cnt
+         |  FROM e JOIN $prev p ON e.src = p.node GROUP BY e.dst, p.label
+         |), l$i AS (
+         |  SELECT c.node, min(c.label) AS label
+         |  FROM c$i c JOIN (SELECT node, max(cnt) AS mc FROM c$i GROUP BY node) m
+         |    ON c.node = m.node AND c.cnt = m.mc
+         |  GROUP BY c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT l.node, l.label AS community, CAST(s.sz AS BIGINT) AS community_size
+       |FROM l$LpaIters l JOIN (SELECT label, count(*) AS sz FROM l$LpaIters GROUP BY label) s
+       |  USING (label)
+       |ORDER BY l.node""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("pagerank", pageRankSql)(pageRank),
     QueryDef.sql("triangle_count", triangleSql)(triangleCount),
     QueryDef.sql("bfs_distances", bfsSql)(bfsDistances),
     QueryDef.sql("sssp_weighted", ssspSql)(ssspWeighted),
+    QueryDef.sql("lpa_communities", lpaSql)(lpaCommunities),
   )
 }

@@ -334,6 +334,92 @@ object TextAnalysis {
       |WHERE cb >= 5
       |ORDER BY lift_micros DESC, bigram LIMIT 100""".stripMargin
 
+  /** Bigram language-model predictability score per document — the
+    * CCNet-style "train a cheap LM on the corpus, keep the predictable
+    * documents" quality filter. For every adjacent token pair the model
+    * probability is add-one-smoothed P(w2|w1) = (c(w1w2)+1)/(c(w1)+V);
+    * a document's score is the mean of those probabilities (low mean ≈
+    * high perplexity ≈ gibberish/boilerplate candidates for dropping).
+    *
+    * Determinism: the classic −Σlog₂P form is NOT hash-gateable (JVM vs
+    * C libm log₂ differs in the last ULP; measured unstable — see
+    * `tokenDiversity`/`bigramLift` notes), so each probability is
+    * emitted as EXACT integral micros via decimal(38) integral division
+    * and the document aggregate stays in exact longs end to end — the
+    * same rational-core convention as `bigram_lift`.
+    *
+    * Scale shape: unigram/bigram model tables are vocabulary-sized
+    * (map-side partial agg off the codegen'd one-pass
+    * [[graft.functions.TextFunctions.wordBigramsCol]] kernel); per-doc
+    * occurrences collapse to (doc, bigram, k) BEFORE the model joins,
+    * so the enrichment shuffles carry distinct-per-doc grams, not every
+    * token of 100 TB; V rides along as a broadcast 1-row aggregate. The
+    * final per-doc aggregate is a plain partial-agg sum of longs. */
+  def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val uni = docs
+      .select(explode(filter(toks(col("text")), t => t =!= "")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .cache() // vocabulary-sized; feeds V and the w1 join
+    val vT = uni.agg(count(lit(1)).as("v"))
+    val big = docs
+      .select(explode(TextFunctions.wordBigramsCol(col("text"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cb"))
+    val docb = docs
+      .select(col("doc_id"), explode(TextFunctions.wordBigramsCol(col("text"))).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+    val scored = docb
+      .join(big, "b")
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .crossJoin(broadcast(vT))
+      .select(col("doc_id"), col("k"),
+        expr("""CAST((CAST(cb AS DECIMAL(38,0)) + 1) * 1000000
+               |     div (CAST(c1 AS DECIMAL(38,0)) + v) AS BIGINT)""".stripMargin)
+          .as("tm"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * col("tm")).as("sum_micros"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_micros"), lit(0L)).as("sum_micros"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0L,
+          expr("sum_micros div n_bigrams")).otherwise(lit(0L)).as("avg_micros"))
+      .orderBy("doc_id")
+  }
+
+  private val lmBigramSql: String =
+    """WITH toksed AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
+      |), uni AS (
+      |  SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM toksed) GROUP BY t
+      |), vt AS (SELECT count(*) AS v FROM uni
+      |), big AS (
+      |  SELECT b, count(*) AS cb FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+      |    FROM toksed WHERE len(w) >= 2) GROUP BY b
+      |), docb AS (
+      |  SELECT doc_id, b, count(*) AS k FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+      |    FROM toksed WHERE len(w) >= 2) GROUP BY doc_id, b
+      |), terms AS (
+      |  SELECT d.doc_id, d.k,
+      |         CAST(((CAST(big.cb AS HUGEINT) + 1) * 1000000)
+      |              // (CAST(u.c AS HUGEINT) + vt.v) AS BIGINT) AS tm
+      |  FROM docb d JOIN big USING (b)
+      |  JOIN uni u ON u.t = string_split(d.b, ' ')[1]
+      |  CROSS JOIN vt
+      |), agg AS (
+      |  SELECT doc_id, sum(k) AS n_bigrams, sum(k * tm) AS sum_micros FROM terms GROUP BY doc_id
+      |)
+      |SELECT doc.doc_id,
+      |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(coalesce(a.sum_micros, 0) AS BIGINT) AS sum_micros,
+      |       CAST(CASE WHEN coalesce(a.n_bigrams, 0) > 0
+      |                 THEN a.sum_micros // a.n_bigrams ELSE 0 END AS BIGINT) AS avg_micros
+      |FROM documents doc LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc.doc_id""".stripMargin
+
   /** BPE tokenizer-training primitive: corpus-wide adjacent-symbol-pair
     * frequencies plus three unrolled merge rounds (the Sennrich
     * byte-pair-encoding training loop; same unrolled-iteration
@@ -430,6 +516,7 @@ object TextAnalysis {
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("bpe_pairs", bpePairsSql)(bpePairs),
     QueryDef.sql("bigram_lift", bigramLiftSql)(bigramLift),
+    QueryDef.sql("lm_bigram_score", lmBigramSql)(lmBigramScore),
     QueryDef.sql("token_diversity",
       """WITH toks AS (
         |  SELECT doc_id, t.tok FROM documents,
