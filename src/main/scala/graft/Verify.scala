@@ -1,9 +1,61 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failures are LOUD (round-12 lesson: 31 erred queries were silently
+  * *absent* from the correctness artifact, and absence reads as green at
+  * a glance): every query that throws gets a row in `outDir/errors.json`
+  * with `err` set, plus a stderr line, so a red family can never hide
+  * behind an artifact that simply has fewer rows.
+  */
 object Verify {
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private[graft] def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Writes each query's result to `outDir/<name>` parquet; returns the
+    * name→error map for the ones that threw (empty = all green). */
+  private[graft] def dumpQueries(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)]): Map[String, String] =
+    queries.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch {
+        case e: Throwable =>
+          val msg = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(500)
+          System.err.println(s"[verify] $name failed: $msg")
+          Some(name -> msg)
+      }
+    }.toMap
+
+  /** `{"<name>": {"err": "<msg>"}, ...}` — one row per failed query, the
+    * shape the round artifacts expect (`err != null` marks a failure). */
+  private[graft] def writeErrors(outDir: String, errs: Map[String, String]): Unit = {
+    val json = errs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: {${q("err")}: ${q(v)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), json)
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query subset (local iteration)
@@ -18,27 +70,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => subset.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val errs = dumpQueries(spark, sfDir, outDir, selected)
+    writeErrors(outDir, errs)
+    if (errs.nonEmpty)
+      System.err.println(s"[verify] ${errs.size} queries FAILED: " +
+        errs.keys.toSeq.sorted.mkString(", "))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -692,6 +692,7 @@ object Curation {
   }
 
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("shard_assign", shardAssignSql)(shardAssign),
     QueryDef.sql("quality_classifier",
       """WITH f AS (
         |  SELECT doc_id,

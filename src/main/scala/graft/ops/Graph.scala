@@ -239,8 +239,11 @@ object Graph {
     * node's edges every round; frontiers touch each edge O(1) times
     * total. The oracle mirrors the RESULT (min hop count) as chained
     * min-union CTEs, not the algorithm. Distances are exact longs.
-    * Lineage depth = hop count: beyond ~10 rounds you checkpoint like
-    * `Dedup.clusterLabels`; at 4 it's free. */
+    * Per-round `localCheckpoint` truncates both lineage AND the logical
+    * plan (`Dedup.clusterLabels` convention) — a `.cache()` dedupes
+    * execution but Catalyst still re-analyzes the full unrolled tree,
+    * which is what made the sibling SSSP a 58 s driver-side blowup
+    * before it was checkpointed. Empty frontier → early exit. */
   def bfsDistancesOn(edgesDf: DataFrame, source: Long, iters: Int): DataFrame = {
     val e = edgesDf.select(col("src"), col("dst"))
       .union(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
@@ -248,19 +251,20 @@ object Graph {
       .cache() // feeds every round's frontier join
     val spark = edgesDf.sparkSession
     import spark.implicits._
-    var dist     = Seq((source, 0L)).toDF("node", "dist")
+    var dist     = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
-    for (t <- 1 to iters) {
+    var t = 1
+    while (t <= iters && !frontier.isEmpty) {
       val expand = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), lit(t.toLong).as("dist"))
         .distinct()
-      // each frontier is consumed twice (next round's expand + the dist
-      // union) and dist's union tree re-reads every earlier frontier —
-      // uncached, round k's lineage re-evaluates round 1 O(2^k) times.
-      // Caching each (tiny) frontier makes the whole walk O(rounds).
-      frontier = expand.join(dist, Seq("node"), "left_anti").cache()
-      dist = dist.union(frontier)
+      frontier = expand.join(dist, Seq("node"), "left_anti").localCheckpoint()
+      dist = dist.union(frontier).localCheckpoint()
+      t += 1
     }
+    // dist is materialized with truncated lineage, so the edge cache is
+    // dead weight the other 160+ bench queries would contend with.
+    e.unpersist()
     dist.orderBy("node")
   }
 
@@ -310,17 +314,23 @@ object Graph {
     * node re-offers exactly the offers already applied) but touches each
     * edge once per improvement instead of once per round. Edges shuffle
     * on src every round with an unchanged key, so at cluster scale the
-    * hash partitioning is reused; frontiers are cached per round like
-    * BFS (round k's lineage otherwise re-evaluates round 1 O(2^k)
-    * times). Expects an e(src, dst, w) table with BOTH directions of
+    * hash partitioning is reused. Each round references `dist` three
+    * times and `improved` three times, so the unrolled logical plan
+    * grows ~9× per round; `.cache()` dedupes execution but NOT Catalyst
+    * analysis — that exact shape cost 58 s of driver time on a 211-node
+    * graph (round-12 verdict #2). Per-round eager `localCheckpoint`
+    * truncates the plan to O(1) per round (`Dedup.clusterLabels`
+    * convention) and its materialization makes the empty-frontier early
+    * exit free. Expects an e(src, dst, w) table with BOTH directions of
     * each undirected edge present. */
   def ssspOn(edgesDf: DataFrame, source: Long, iters: Int): DataFrame = {
     val e = edgesDf.select(col("src"), col("dst"), col("w")).cache()
     val spark = edgesDf.sparkSession
     import spark.implicits._
-    var dist     = Seq((source, 0L)).toDF("node", "dist")
+    var dist     = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
-    for (_ <- 1 to iters) {
+    var round = 1
+    while (round <= iters && !frontier.isEmpty) {
       // best offer per neighbor from the improved set (partial-aggregated
       // min, so ≤1 row per (partition, node) reaches the shuffle)
       val offers = frontier.join(e, col("node") === col("src"))
@@ -329,14 +339,16 @@ object Graph {
       val improved = offers.join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left")
         .filter(col("old").isNull || col("d") < col("old"))
         .select(col("node"), col("d"))
-        .cache()
+        .localCheckpoint()
       val updated = dist.join(improved.withColumnRenamed("d", "nd"), Seq("node"), "left")
         .select(col("node"), coalesce(col("nd"), col("dist")).as("dist"))
       val added = improved.join(dist, Seq("node"), "left_anti")
         .select(col("node"), col("d").as("dist"))
-      dist = updated.union(added).cache()
+      dist = updated.union(added).localCheckpoint()
       frontier = improved.withColumnRenamed("d", "dist")
+      round += 1
     }
+    e.unpersist() // dist is materialized with truncated lineage
     dist.orderBy("node")
   }
 
@@ -390,16 +402,17 @@ object Graph {
     * −label)) per node, which IS the deterministic argmax (highest
     * count, then lowest label) in a single shuffle with partial
     * aggregation. Only (long, long[, long]) tuples ever ship. Labels
-    * are cached per round: the unrolled join tree otherwise re-evaluates
-    * round 1's shuffle O(2^rounds) times, and beyond ~10 rounds you
-    * checkpoint exactly like `Dedup.clusterLabels`. */
+    * are `localCheckpoint`ed per round (`Dedup.clusterLabels`
+    * convention): the unrolled join tree otherwise re-evaluates round
+    * 1's shuffle O(2^rounds) times AND grows the logical plan Catalyst
+    * must re-analyze each round. */
   def lpaCommunitiesOn(edgesDf: DataFrame, iters: Int): DataFrame = {
     val e = edgesDf.select(col("src"), col("dst"))
       .union(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache() // feeds every round's propagation join
     val nodes = e.select(col("src").as("node")).distinct()
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
     for (_ <- 1 to iters) {
       val cnt = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -407,8 +420,9 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m").getField("nl")).as("label"))
-        .cache()
+        .localCheckpoint()
     }
+    e.unpersist() // final labels are materialized with truncated lineage
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "label")
       .select(col("node"), col("label").as("community"), col("community_size"))

@@ -12,6 +12,30 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hrw shard assignment moves only the removed shard's docs") {
+    val all     = 0 until Curation.NumShards
+    val without = all.filterNot(_ == 3)
+    val docs = tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Curation.hrwShard(col("doc_id"), all).as("before"),
+        Curation.hrwShard(col("doc_id"), without).as("after"))
+      .cache()
+    try {
+      // rendezvous property: survivors' hashes are unchanged, so a doc's
+      // argmax can only change if the removed shard held it
+      assert(docs.filter(col("before") =!= lit(3L) && col("before") =!= col("after"))
+        .count() == 0, "docs not on the removed shard must not move")
+      val onRemoved = docs.filter(col("before") === lit(3L))
+      assert(onRemoved.count() > 0, "fixture must exercise the removed shard")
+      assert(onRemoved.filter(col("after") === lit(3L)).count() == 0,
+        "removed shard's docs must all re-route")
+      // re-routed docs land on valid survivors (which survivor each picks
+      // is hash-determined; with few docs on the shard they may collide)
+      assert(onRemoved.filter(!col("after").isin(without.map(_.toLong): _*))
+        .count() == 0)
+    } finally { docs.unpersist(); () }
+  }
+
   test("pii_redact fires on every row and leaves no residual match") {
     val out = Curation.piiRedact(spark, sfDir).cache()
     try {

@@ -138,4 +138,23 @@ class GraphSpec extends SparkSpec {
     val reach = Graph.ssspOn(twoComp, 1L, 4).collect().map(_.getLong(0)).toSet
     assert(reach == Set(1L, 2L))
   }
+
+  test("iterative walks keep the logical plan O(1) per round (checkpoint truncation)") {
+    // Round-12 regression pin: each sssp round references dist 3× and
+    // improved 3×, so an uncheckpointed unrolled tree grows ~9× per
+    // round — 4 rounds ≈ thousands of subtrees and ~60 s of pure
+    // Catalyst analysis on a 211-node graph. Per-round localCheckpoint
+    // must keep the FINAL plan a constant-size tree over LogicalRDD
+    // leaves, independent of round count.
+    val chain = undirected((1L to 12L).sliding(2).map(p => (p(0), p(1), 1L)).toSeq)
+    def planLines(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.numberedTreeString.linesIterator.size
+    val p2  = planLines(Graph.ssspOn(chain, 1L, 2))
+    val p8  = planLines(Graph.ssspOn(chain, 1L, 8))
+    assert(p8 <= p2 + 2, s"plan must not grow with rounds: $p2 -> $p8")
+    assert(p8 < 20, s"checkpointed plan should be a handful of nodes, got $p8")
+    val b2 = planLines(Graph.bfsDistancesOn(chain.select("src", "dst"), 1L, 2))
+    val b8 = planLines(Graph.bfsDistancesOn(chain.select("src", "dst"), 1L, 8))
+    assert(b8 <= b2 + 2, s"bfs plan must not grow with rounds: $b2 -> $b8")
+  }
 }

@@ -88,4 +88,51 @@ class SourcesSpec extends SparkSpec {
     assert(viaSql == viaApi)
     assert(viaSql.size == 5)
   }
+
+  // Fixture-contract guard (round-12 regression): the driver regenerated
+  // events.parquet with ts as timestamp[us] (read as TIMESTAMP_NTZ) where
+  // it had been TIMESTAMP(NANOS) (read as raw long under nanosAsLong),
+  // silently breaking all 31 events-family queries. Tables.normalizeTs
+  // must yield identical TimestampType micros rows for every encoding the
+  // fixtures have ever shipped.
+  test("Tables.events yields identical TimestampType micros across ts encodings") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-events-contract").toString
+    val micros = Seq(0L, 1L, 1700000000000000L, 1700000000123456L, -1000000L)
+    val base = micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us) }
+      .toDF("event_id", "us")
+
+    // (a) legacy TIMESTAMP(NANOS): surfaces as a raw long under
+    // nanosAsLong — a plain int64 column is the same DataFrame shape
+    base.select(col("event_id"), (col("us") * 1000L).as("ts"))
+      .write.parquet(s"$tmp/nanos/events.parquet")
+    // (b) current fixtures: timestamp[us] isAdjustedToUTC=false → NTZ
+    base.select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$tmp/ntz/events.parquet")
+    // (c) instant-semantics timestamp[us] → TimestampType passthrough
+    base.select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.parquet(s"$tmp/tz/events.parquet")
+
+    val loaded = Seq("nanos", "ntz", "tz").map { enc =>
+      val df = tables.Tables.events(spark, s"$tmp/$enc")
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$enc must normalize to TimestampType")
+      enc -> df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }.toMap
+    val expect = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+    assert(loaded("nanos") == expect)
+    assert(loaded("ntz") == expect)
+    assert(loaded("tz") == expect)
+  }
+
+  test("driver events fixture loads as TimestampType with rows") {
+    val ev = tables.Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(ev.count() > 0)
+  }
 }
