@@ -660,6 +660,85 @@ object Curation {
     }
   }
 
+  private[graft] val SourceCap = 15
+
+  final case class SrcKey(source: String, h: Long, doc_id: Long)
+  final case class MinKBuf(var items: List[(Long, Long)])
+
+  /** Keeps the k lexicographically-smallest (h, doc_id) keys per group —
+    * the min-k twin of TopK.TopKAgg: partial buffers never exceed k
+    * entries, merge is a bounded fold, and the finished value is just
+    * the k-th smallest key (the cap threshold), or (MaxValue, MaxValue)
+    * when the group has fewer than k rows (= keep everything). */
+  class MinKKeysAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[SrcKey, MinKBuf, (Long, Long)] {
+    private def less(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(items: List[(Long, Long)], v: (Long, Long)): List[(Long, Long)] =
+      if (items.sizeIs >= k && !less(v, items.last)) items
+      else {
+        val (front, back) = items.span(less(_, v))
+        (front ::: v :: back).take(k)
+      }
+    override def zero: MinKBuf = MinKBuf(Nil)
+    override def reduce(b: MinKBuf, v: SrcKey): MinKBuf = {
+      b.items = insert(b.items, (v.h, v.doc_id)); b
+    }
+    override def merge(a: MinKBuf, b: MinKBuf): MinKBuf = {
+      a.items = b.items.foldLeft(a.items)(insert); a
+    }
+    override def finish(b: MinKBuf): (Long, Long) =
+      if (b.items.sizeIs < k) (Long.MaxValue, Long.MaxValue) else b.items.last
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MinKBuf] =
+      org.apache.spark.sql.Encoders.product[MinKBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long)]
+  }
+
+  /** Per-source document cap — the over-represented-domain limiter every
+    * web-corpus mixture applies (cap docs per domain at N so one crawl
+    * host cannot dominate training): keep the [[SourceCap]] docs with
+    * the smallest deterministic (hash, doc_id) key per source.
+    *
+    * Scale shape: NO corpus shuffle and NO per-source window. A
+    * [[MinKKeysAgg]] bounded-heap aggregate (map-side partial, ≤ cap
+    * entries per partition per source) reduces each source to its
+    * cap-th-smallest key; those ≤ n_sources threshold rows broadcast
+    * back and the keep decision is a map-side key comparison. The
+    * window row_number formulation — one task per source — lives only
+    * in the oracle; a hot domain with billions of docs costs the same
+    * as a cold one here. Keys are unique per doc, so exactly
+    * min(cap, n) docs survive per source. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), knuthBucket(col("doc_id"), HashReduceMod).as("h"),
+        col("doc_id"))
+    val thr = docs.as[SrcKey]
+      .groupByKey(_.source)
+      .agg(new MinKKeysAgg(SourceCap).toColumn.name("t"))
+      .toDF("source", "t")
+      .select(col("source"), col("t._1").as("th"), col("t._2").as("tid"))
+    docs.join(broadcast(thr), "source")
+      .filter(col("h") < col("th") ||
+        (col("h") === col("th") && col("doc_id") <= col("tid")))
+      .select(col("source"), col("doc_id"), col("h"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val sourceCapSql: String =
+    s"""WITH keyed AS (
+       |  SELECT source, ((doc_id % $HashReduceMod) * 2654435761) % $HashReduceMod AS h, doc_id
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT source, h, doc_id,
+       |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+       |  FROM keyed
+       |)
+       |SELECT source, doc_id, CAST(h AS BIGINT) AS h
+       |FROM ranked WHERE rn <= $SourceCap
+       |ORDER BY source, doc_id""".stripMargin
+
   /** Consistent shard assignment via rendezvous hashing — the routing
     * step that makes a 100 TB corpus re-shardable: each doc goes to the
     * shard maximizing a (doc, shard) hash, so REMOVING a shard moves
@@ -693,6 +772,7 @@ object Curation {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("shard_assign", shardAssignSql)(shardAssign),
+    QueryDef.sql("source_cap", sourceCapSql)(sourceCap),
     QueryDef.sql("quality_classifier",
       """WITH f AS (
         |  SELECT doc_id,

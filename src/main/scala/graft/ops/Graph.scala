@@ -222,14 +222,28 @@ object Graph {
   private val BfsIters  = 4
   private val BfsSource = 0L
 
+  /** Directed (src, dst) edge list from orders in a mod-prime node
+    * space — the shared raw-edge preamble every graph operator starts
+    * from (self-loops dropped). */
+  private def rawEdges(spark: SparkSession, dir: String, mod1: Long, mod2: Long): DataFrame =
+    Tables.orders(spark, dir)
+      .select((col("o_custkey") % mod1).as("src"), (col("o_orderkey") % mod2).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  /** Symmetrized, de-duplicated undirected edge view (both directions
+    * present exactly once) — the shared prep for BFS/SSSP/LPA/k-core,
+    * so every iterative walk inherits the same edge contract instead of
+    * re-deriving it (round-12 verdict #8). NOT cached here: each caller
+    * decides its own cache/checkpoint + unpersist discipline. */
+  private[graft] def symmetrize(edgesDf: DataFrame): DataFrame =
+    edgesDf.select(col("src"), col("dst"))
+      .union(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
   /** Single-source BFS distances (≤ [[BfsIters]] hops) over the
     * undirected form of the PageRank graph. */
-  def bfsDistances(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.orders(spark, dir)
-      .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 197).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    bfsDistancesOn(e0, BfsSource, BfsIters)
-  }
+  def bfsDistances(spark: SparkSession, dir: String): DataFrame =
+    bfsDistancesOn(rawEdges(spark, dir, 211L, 197L), BfsSource, BfsIters)
 
   /** Frontier-expansion BFS — the Pregel shape: each round joins ONLY
     * the newly-discovered frontier against the edge table (shuffle on
@@ -245,9 +259,7 @@ object Graph {
     * which is what made the sibling SSSP a 58 s driver-side blowup
     * before it was checkpointed. Empty frontier → early exit. */
   def bfsDistancesOn(edgesDf: DataFrame, source: Long, iters: Int): DataFrame = {
-    val e = edgesDf.select(col("src"), col("dst"))
-      .union(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val e = symmetrize(edgesDf)
       .cache() // feeds every round's frontier join
     val spark = edgesDf.sparkSession
     import spark.implicits._
@@ -295,12 +307,7 @@ object Graph {
     * CTEs compute, so the oracle mirrors the result definition rather
     * than the algorithm. */
   def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.orders(spark, dir)
-      .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 197).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val eu = e0.select(col("src"), col("dst"))
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val eu = symmetrize(rawEdges(spark, dir, 211L, 197L))
     val e = eu.select(col("src"), col("dst"),
       (lit(1L) + (least(col("src"), col("dst")) * 31L + greatest(col("src"), col("dst"))) % 9L)
         .as("w"))
@@ -384,12 +391,8 @@ object Graph {
     * gate it. Labels start as node ids.
     *
     * Output: node, final community label, and that community's size. */
-  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.orders(spark, dir)
-      .select((col("o_custkey") % TriMod).as("src"), (col("o_orderkey") % TriMod).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    lpaCommunitiesOn(e0, LpaIters)
-  }
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
+    lpaCommunitiesOn(rawEdges(spark, dir, TriMod.toLong, TriMod.toLong), LpaIters)
 
   /** LPA over an arbitrary directed edge list (symmetrized and
     * de-duplicated here) — split out so specs can drive it with a
@@ -407,9 +410,7 @@ object Graph {
     * 1's shuffle O(2^rounds) times AND grows the logical plan Catalyst
     * must re-analyze each round. */
   def lpaCommunitiesOn(edgesDf: DataFrame, iters: Int): DataFrame = {
-    val e = edgesDf.select(col("src"), col("dst"))
-      .union(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val e = symmetrize(edgesDf)
       .cache() // feeds every round's propagation join
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
@@ -460,11 +461,87 @@ object Graph {
        |ORDER BY l.node""".stripMargin
   }
 
+  // k = 2 (the cycle core): on the sparse mod-prime fixture graph the
+  // peel genuinely bites at sf0.001 (three shrinking rounds, 62-node
+  // core) while larger SFs densify and converge on the first check —
+  // both regimes exercised; k = 3 peeling is pinned in GraphSpec.
+  private val KcoreK      = 2
+  private val KcoreRounds = 4
+
+  /** k-core decomposition (bounded peel, k = [[KcoreK]], ≤
+    * [[KcoreRounds]] rounds): repeatedly delete every node of degree
+    * < k together with its incident edges — the standard dense-subgraph
+    * extraction (spam/link-farm cores in a crawl graph, the complement
+    * of the LPA community pass). Semantics are EXACTLY `rounds` peel
+    * iterations — the hop-bound convention of [[bfsDistances]] — which
+    * equals the true k-core whenever peeling converges within the
+    * bound; the oracle replays the identical rounds as chained CTEs.
+    * Output: surviving nodes with their degree in the surviving
+    * subgraph. */
+  def kcoreDecompose(spark: SparkSession, dir: String): DataFrame =
+    kcoreOn(rawEdges(spark, dir, TriMod.toLong, TriMod.toLong), KcoreK, KcoreRounds)
+
+  /** Bounded k-core peel over an arbitrary directed edge list
+    * (symmetrized here) — split out so specs can drive it with a
+    * hand-checkable graph.
+    *
+    * Scale shape per round: one partial-aggregated degree count, a
+    * tiny deleted-node table, and two anti joins that rewrite the edge
+    * table — the same edge-table-rewriting round every distributed
+    * k-core runs; the edge table only ever shrinks. Per-round eager
+    * `localCheckpoint` keeps the logical plan O(1) per round (the
+    * [[ssspOn]] convention) and makes the convergence early-exit free. */
+  def kcoreOn(edgesDf: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = symmetrize(edgesDf).localCheckpoint()
+    var round = 1
+    var converged = false
+    while (round <= rounds && !converged) {
+      val bad = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k)
+        .select(col("src"))
+        .localCheckpoint()
+      if (bad.isEmpty) converged = true
+      else
+        e = e.join(bad, Seq("src"), "left_anti")
+          .join(bad.withColumnRenamed("src", "dst"), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+      round += 1
+    }
+    e.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+      .orderBy("node")
+  }
+
+  private val kcoreSql: String = {
+    val base =
+      s"""WITH raw AS (
+         |  SELECT (o_custkey % $TriMod) AS src, (o_orderkey % $TriMod) AS dst FROM orders
+         |  WHERE (o_custkey % $TriMod) <> (o_orderkey % $TriMod)
+         |), e0 AS (
+         |  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+         |)""".stripMargin
+    val steps = (1 to KcoreRounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""b$i AS (
+         |  SELECT src AS node FROM $prev GROUP BY src HAVING count(*) < $KcoreK
+         |), e$i AS (
+         |  SELECT src, dst FROM $prev
+         |  WHERE src NOT IN (SELECT node FROM b$i) AND dst NOT IN (SELECT node FROM b$i)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$KcoreRounds GROUP BY src ORDER BY node""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("pagerank", pageRankSql)(pageRank),
     QueryDef.sql("triangle_count", triangleSql)(triangleCount),
     QueryDef.sql("bfs_distances", bfsSql)(bfsDistances),
     QueryDef.sql("sssp_weighted", ssspSql)(ssspWeighted),
     QueryDef.sql("lpa_communities", lpaSql)(lpaCommunities),
+    QueryDef.sql("kcore_decompose", kcoreSql)(kcoreDecompose),
   )
 }

@@ -117,6 +117,76 @@ object Lake {
       }
     }
 
+  /** Deletes every data file in `tableDir` whose name is not in
+    * `manifest` — the VACUUM/orphan-cleanup primitive every
+    * manifest-tracked lake table needs (failed writes, aborted
+    * compactions and speculative tasks leave behind data files that a
+    * directory-listing reader would double-count; a manifest-driven
+    * reader would not, but the bytes still cost money and the next
+    * listing-based consumer still breaks). Returns
+    * (filesBefore, filesAfter). Same Hadoop FS call pattern as
+    * [[compactTo]], so it ports to HDFS/object stores unchanged. */
+  def vacuumTo(spark: SparkSession, tableDir: String, manifest: Set[String]): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val p  = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val orphans = files.filterNot(f => manifest.contains(f.getPath.getName))
+    orphans.foreach(f => fs.delete(f.getPath, false))
+    (files.length, files.length - orphans.length)
+  }
+
+  /** Lists the committed data files of `tableDir` — the "manifest" a
+    * transactional lake format would read from its log. */
+  private[graft] def dataFiles(spark: SparkSession, tableDir: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val p  = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+  }
+
+  /** Plants `n` orphan copies of committed files under non-manifest
+    * names — the residue profile of a failed overwrite. */
+  private[graft] def plantOrphans(spark: SparkSession, tableDir: String, n: Int): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val p    = new Path(tableDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs   = p.getFileSystem(conf)
+    val live = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    (0 until n).foreach { i =>
+      val src = live(i % live.length)
+      FileUtil.copy(fs, src, fs, new Path(p, s"orphan-$i-${src.getName}"), false, conf)
+      ()
+    }
+  }
+
+  /** Orphan-file vacuum round-trip, driver-checked: orders written as a
+    * committed table, stale orphan copies planted next to the committed
+    * files (a listing-based read now double-counts — LakeSpec proves
+    * that corruption is real), then [[vacuumTo]] deletes everything not
+    * in the manifest and the read-back aggregate hash-matches the plain
+    * orders oracle. The table is never rewritten — vacuum touches only
+    * dead bytes, which is what makes it safe to run continuously on a
+    * 100 TB lake. */
+  def vacuumOrphans(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-vacuum") { tbl =>
+      Tables.orders(spark, dir).repartition(4)
+        .write.mode("overwrite").parquet(tbl)
+      val manifest = dataFiles(spark, tbl)
+      plantOrphans(spark, tbl, 3)
+      vacuumTo(spark, tbl, manifest)
+      spark.read.parquet(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_cents"))
+        .orderBy("o_orderstatus")
+        .localCheckpoint() // materialize before the temp dir is deleted
+    }
+
   /** Incremental aggregate maintenance, driver-checked: a materialized
     * aggregate (the pre-1996 "snapshot") merged with a new-data delta
     * via full-outer join + partial-sum combine — the incremental-view
@@ -421,6 +491,10 @@ object Lake {
   }
 
   def entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("vacuum_orphans",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(vacuumOrphans),
     QueryDef.sql("zorder_layout", zorderOracle)(zorderLayout),
     QueryDef.sql("scd2_snapshot",
       """SELECT o_custkey, CAST(row_number() OVER w AS BIGINT) AS version,

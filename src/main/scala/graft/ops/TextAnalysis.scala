@@ -442,6 +442,25 @@ object TextAnalysis {
     * vocabulary is bounded (≪ corpus), so merge rounds cost nothing
     * extra; more rounds = more chained vocabulary-local stages, never
     * another corpus scan. */
+  /** One BPE merge round: broadcast the 1-row top pair of `pc` into a
+    * literal replace over the symbol strings. Preserves every other
+    * column of `sym` (e.g. the original word for [[bpeEncode]]). */
+  private def applyMerge(sym: DataFrame, pc: DataFrame): DataFrame = {
+    val top = pc.orderBy(desc("n"), col("pair")).limit(1).select(
+      concat(lit("<"), replace(col("pair"), lit(" "), lit("><")), lit(">")).as("pat"),
+      concat(lit("<"), replace(col("pair"), lit(" "), lit("")), lit(">")).as("rep"))
+    sym.crossJoin(broadcast(top))
+      .withColumn("s", replace(col("s"), col("pat"), col("rep")))
+      .drop("pat", "rep")
+  }
+
+  /** Frequency-weighted adjacent-symbol-pair counts of a (s, f[, ...])
+    * symbol table — vocabulary-sized input, distinct-pair-sized output. */
+  private def pairCounts(sym: DataFrame): DataFrame =
+    sym.select(explode(TextFunctions.symbolPairsCol(col("s"))).as("pair"), col("f"))
+      .groupBy("pair").agg(sum("f").as("n"))
+      .cache() // distinct-pair-sized; feeds both the top-10 and the merge
+
   def bpePairs(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
@@ -449,19 +468,6 @@ object TextAnalysis {
     val sym0 = words
       .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("f"))
       .cache() // vocabulary-sized; root of the merge chain
-
-    def pairCounts(sym: DataFrame): DataFrame =
-      sym.select(explode(TextFunctions.symbolPairsCol(col("s"))).as("pair"), col("f"))
-        .groupBy("pair").agg(sum("f").as("n"))
-        .cache() // distinct-pair-sized; feeds both the top-10 and the merge
-
-    def applyMerge(sym: DataFrame, pc: DataFrame): DataFrame = {
-      val top = pc.orderBy(desc("n"), col("pair")).limit(1).select(
-        concat(lit("<"), replace(col("pair"), lit(" "), lit("><")), lit(">")).as("pat"),
-        concat(lit("<"), replace(col("pair"), lit(" "), lit("")), lit(">")).as("rep"))
-      sym.crossJoin(broadcast(top))
-        .select(replace(col("s"), col("pat"), col("rep")).as("s"), col("f"))
-    }
 
     val p0   = pairCounts(sym0)
     val sym1 = applyMerge(sym0, p0)
@@ -513,8 +519,93 @@ object TextAnalysis {
        |) ORDER BY round, n_pair DESC, pair""".stripMargin
   }
 
+  /** BPE ENCODE — the serving half of the tokenizer story ([[bpePairs]]
+    * is training): re-derive the first three merges from the corpus,
+    * apply them to the vocabulary, and report per-doc pre/post token
+    * counts — the "how many tokens is my corpus" question every
+    * training-data pipeline answers before packing sequences.
+    *
+    * Scale: the corpus-sized passes are word extraction into a
+    * (doc, word, count) table and the final join back — everything BPE
+    * (the merge chain, the per-word token count) runs on the
+    * vocabulary-sized symbol table, so more merge rounds never re-scan
+    * the corpus. The (doc, word) join equi-joins on the word; post-merge
+    * token count = number of '<' symbol openers, an exact length
+    * difference identical in both engines. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docWords = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .cache() // feeds the vocabulary derivation AND the final join
+
+    val words = docWords.groupBy("w").agg(sum("c").as("f"))
+    val sym0 = words
+      .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("f"))
+      .cache()
+    val sym1 = applyMerge(sym0, pairCounts(sym0))
+    val sym2 = applyMerge(sym1, pairCounts(sym1))
+    val sym3 = applyMerge(sym2, pairCounts(sym2))
+    val vocab = sym3.select(col("w"),
+      (length(col("s")) - length(replace(col("s"), lit("<"), lit("")))).cast("long").as("toks"))
+
+    val agg = docWords.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), sum(col("c") * col("toks")).as("n_tokens"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeEncodeSql: String = {
+    def pairsCte(i: Int): String =
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(a)), k -> a[k] || ' ' || a[k+1])) AS pair, f
+         |    FROM (SELECT regexp_extract_all(s, '<([a-z]+)>', 1) AS a, f FROM sym$i))
+         |  GROUP BY pair
+         |)""".stripMargin
+    def mergeCte(i: Int): String =
+      s"""m${i + 1} AS (SELECT pair FROM p$i ORDER BY n DESC, pair LIMIT 1),
+         |sym${i + 1} AS (
+         |  SELECT w, replace(s, '<' || replace(m${i + 1}.pair, ' ', '><') || '>',
+         |                       '<' || replace(m${i + 1}.pair, ' ', '') || '>') AS s, f
+         |  FROM sym$i CROSS JOIN m${i + 1}
+         |)""".stripMargin
+    s"""WITH docw AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY doc_id, w
+       |), words AS (
+       |  SELECT w, CAST(sum(c) AS BIGINT) AS f FROM docw GROUP BY w
+       |), sym0 AS (
+       |  SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS s, f FROM words
+       |), ${pairsCte(0)},
+       |${mergeCte(0)},
+       |${pairsCte(1)},
+       |${mergeCte(1)},
+       |${pairsCte(2)},
+       |${mergeCte(2)},
+       |vocab AS (
+       |  SELECT w, CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS toks FROM sym3
+       |), agg AS (
+       |  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_words,
+       |         CAST(sum(d.c * v.toks) AS BIGINT) AS n_tokens
+       |  FROM docw d JOIN vocab v USING (w) GROUP BY d.doc_id
+       |)
+       |SELECT doc.doc_id,
+       |       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+       |FROM documents doc LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("bpe_pairs", bpePairsSql)(bpePairs),
+    QueryDef.sql("bpe_encode", bpeEncodeSql)(bpeEncode),
     QueryDef.sql("bigram_lift", bigramLiftSql)(bigramLift),
     QueryDef.sql("lm_bigram_score", lmBigramSql)(lmBigramScore),
     QueryDef.sql("token_diversity",

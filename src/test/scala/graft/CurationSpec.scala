@@ -36,6 +36,48 @@ class CurationSpec extends SparkSpec {
     } finally { docs.unpersist(); () }
   }
 
+  test("source_cap keeps exactly cap docs per source, matching the window form") {
+    val out = Curation.sourceCap(spark, sfDir).cache()
+    try {
+      // fixture: 20 sources x 25 docs, cap 15 → the cap binds everywhere
+      val per = out.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(per.size == 20)
+      assert(per.values.forall(_ == Curation.SourceCap.toLong))
+      // the bounded-heap threshold must pick the same rows as the
+      // window row_number formulation (the oracle's shape)
+      val mod = Curation.HashReduceMod
+      val ref = tables.Tables.documents(spark, sfDir)
+        .select(col("source"), col("doc_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          rows.map { case (s, id) => (s, ((id % mod) * 2654435761L) % mod, id) }
+            .sortBy { case (_, h, id) => (h, id) }.take(Curation.SourceCap)
+            .map { case (s, _, id) => (s, id) }
+        }.toSet
+      val got = out.select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == ref)
+    } finally { out.unpersist(); () }
+  }
+
+  test("MinKKeysAgg under-cap groups keep everything (MaxValue threshold)") {
+    import spark.implicits._
+    val tiny = Seq(
+      Curation.SrcKey("a", 5L, 1L), Curation.SrcKey("a", 3L, 2L),
+      Curation.SrcKey("b", 9L, 3L)).toDS()
+    val thr = tiny.groupByKey(_.source)
+      .agg(new Curation.MinKKeysAgg(15).toColumn.name("t"))
+      .collect().toMap
+    assert(thr("a") == ((Long.MaxValue, Long.MaxValue)))
+    assert(thr("b") == ((Long.MaxValue, Long.MaxValue)))
+    // at-cap group: threshold = the cap-th smallest key
+    val thr2 = tiny.filter(_.source == "a").groupByKey(_.source)
+      .agg(new Curation.MinKKeysAgg(2).toColumn.name("t"))
+      .collect().toMap
+    assert(thr2("a") == ((5L, 1L)))
+  }
+
   test("pii_redact fires on every row and leaves no residual match") {
     val out = Curation.piiRedact(spark, sfDir).cache()
     try {

@@ -139,6 +139,24 @@ class GraphSpec extends SparkSpec {
     assert(reach == Set(1L, 2L))
   }
 
+  test("kcore peels the pendant tail and keeps the K4, with correct core degrees") {
+    // K4 on 1-4 (every degree 3) plus tail 4-5, 5-6: round 1 peels 6
+    // (deg 1) and 5 (deg 2); the K4 then stands alone and converges.
+    val k4   = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tail = Seq((4L, 5L), (5L, 6L))
+    val e    = (k4 ++ tail).toDF("src", "dst")
+    val got = Graph.kcoreOn(e, 3, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a bare triangle has no 3-core: every node is deg 2, peeled round 1
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(Graph.kcoreOn(tri, 3, 4).count() == 0)
+    // ...but IS its own 2-core, untouched by peeling
+    val got2 = Graph.kcoreOn(tri, 2, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("iterative walks keep the logical plan O(1) per round (checkpoint truncation)") {
     // Round-12 regression pin: each sssp round references dist 3× and
     // improved 3×, so an uncheckpointed unrolled tree grows ~9× per

@@ -99,4 +99,25 @@ class LakeSpec extends SparkSpec {
       .groupBy("pre").count().collect()
     assert(eras.length == 2, "fixture must span the 1996 snapshot/delta split")
   }
+
+  test("vacuum deletes only orphans; the orphan corruption is real before it") {
+    val tbl = Files.createTempDirectory("graft-vacuum-spec").toString
+    val n = Tables.orders(spark, sfDir).count()
+    Tables.orders(spark, sfDir).repartition(4).write.mode("overwrite").parquet(tbl)
+    val manifest = Lake.dataFiles(spark, tbl)
+    assert(manifest.size == 4)
+
+    Lake.plantOrphans(spark, tbl, 3)
+    // a listing-based reader now double-counts — the corruption vacuum exists to fix
+    assert(spark.read.parquet(tbl).count() > n,
+      "planted orphans must inflate a directory-listing read")
+
+    val (before, after) = Lake.vacuumTo(spark, tbl, manifest)
+    assert(before == 7 && after == 4)
+    assert(Lake.dataFiles(spark, tbl) == manifest, "vacuum must not touch committed files")
+    assert(spark.read.parquet(tbl).count() == n, "post-vacuum content must be exact")
+
+    // idempotent: a second vacuum finds nothing to delete
+    assert(Lake.vacuumTo(spark, tbl, manifest) == ((4, 4)))
+  }
 }
