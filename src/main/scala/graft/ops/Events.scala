@@ -418,7 +418,50 @@ object Events {
       |GROUP BY f.cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  private val EwmaWindow = 16
+
+  /** Per-user exponentially-decayed value sum — the time-series smoother
+    * behind anomaly baselines and engagement scores. True EWMA carries
+    * an irrational-in-binary recursion that can never hash-gate, so the
+    * operator computes its exact dyadic sibling: over the last
+    * [[EwmaWindow]] events, decayed = Σₖ cents(value₍ₜ₋ₖ₎)·2^(W−1−k) —
+    * most-recent weighs 2^15, halving per step, all exact longs (cents
+    * ≤ 1e7 × 2^15 × 16 ≪ 2^63).
+    *
+    * Scale shape: ONE per-user window (partitioned on user_id, ordered
+    * by the (ms, event_id) total order) evaluates all 16 lag terms in a
+    * single pass — key-partitioned state, no global window, the
+    * user_streaks shuffle shape. */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val decayed = (0 until EwmaWindow).map(k =>
+      coalesce(lag(col("c"), k).over(w), lit(0L)) * lit(1L << (EwmaWindow - 1 - k)))
+      .reduce(_ + _)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+        cents(col("value")).as("c"))
+      .withColumn("decayed", decayed)
+      .select("event_id", "user_id", "ms", "decayed")
+      .orderBy("user_id", "ms", "event_id")
+  }
+
+  private val ewmaSql: String = {
+    val terms = (0 until EwmaWindow).map(k =>
+      s"coalesce(lag(c, $k) OVER w, 0) * ${1L << (EwmaWindow - 1 - k)}")
+      .mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+       |         CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events
+       |)
+       |SELECT event_id, user_id, ms, CAST($terms AS BIGINT) AS decayed
+       |FROM ev
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+       |ORDER BY user_id, ms, event_id""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("ewma_smooth", ewmaSql)(ewmaSmooth),
     QueryDef.sql("funnel_steps", funnelSql)(funnelSteps),
     QueryDef.sql("cohort_retention", cohortSql)(cohortRetention),
     QueryDef.sql("user_streaks", streaksSql)(userStreaks),

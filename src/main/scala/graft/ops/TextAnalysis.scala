@@ -603,9 +603,59 @@ object TextAnalysis {
        |ORDER BY doc.doc_id""".stripMargin
   }
 
+  /** Vocabulary coverage curve — the tokenizer-design question "how much
+    * of the corpus do the top-k tokens cover": top-30 tokens by count
+    * with exact cumulative corpus share in integral micros.
+    *
+    * Scale: token counting is the usual explode + partial-agg reduction
+    * to a vocabulary-sized table; the global order is a
+    * `TakeOrderedAndProject` top-30 cut (never a full vocabulary sort),
+    * and the running sum then runs over a CONSTANT 30-row set — bounded
+    * work at any corpus size. The corpus-total rides along as a 1-row
+    * broadcast (the tfidf convention); shares divide in decimal(38)
+    * integral micros (the bigram_lift convention — a 100 TB corpus
+    * overflows cum·10⁶ in long). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+    val counts = tokens.groupBy("token").agg(count(lit(1)).as("n")).cache()
+    val tot = counts.agg(sum("n").as("tot"))
+    val top = counts.orderBy(desc("n"), col("token")).limit(30)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), col("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("n"), col("token"))).cast("long"))
+      .withColumn("cum_n", sum("n").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("token"), col("n"), col("cum_n"),
+        expr("CAST(CAST(cum_n AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)")
+          .as("cum_share_micros"))
+      .orderBy("rank")
+  }
+
+  private val vocabCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents
+      |), counts AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+      |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+      |top AS (
+      |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+      |  FROM counts ORDER BY n DESC, token LIMIT 30
+      |)
+      |SELECT rank, token, n,
+      |       CAST(sum(n) OVER (ORDER BY rank) AS BIGINT) AS cum_n,
+      |       CAST(CAST(sum(n) OVER (ORDER BY rank) AS HUGEINT) * 1000000
+      |            // (SELECT t FROM tot) AS BIGINT) AS cum_share_micros
+      |FROM top ORDER BY rank""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("bpe_pairs", bpePairsSql)(bpePairs),
     QueryDef.sql("bpe_encode", bpeEncodeSql)(bpeEncode),
+    QueryDef.sql("vocab_coverage", vocabCoverageSql)(vocabCoverage),
     QueryDef.sql("bigram_lift", bigramLiftSql)(bigramLift),
     QueryDef.sql("lm_bigram_score", lmBigramSql)(lmBigramScore),
     QueryDef.sql("token_diversity",

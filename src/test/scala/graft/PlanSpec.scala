@@ -348,4 +348,20 @@ class PlanSpec extends SparkSpec {
     coded.collect()
     assert(codegenStages(coded) > 0, "Quantize8 fell out of codegen")
   }
+
+  test("source_cap decides map-side via broadcast thresholds — no per-source window") {
+    val p = planOf("source_cap")
+    assert(!p.contains("Window"),
+      "cap must not plan a per-source window — that shape serializes each source into one task")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the n_sources threshold rows must broadcast back to the corpus scan")
+  }
+
+  test("bpe_encode keeps merge work off the corpus: no window, merges broadcast") {
+    val p = planOf("bpe_encode")
+    assert(!p.contains("Window"), "encode must not plan any window")
+    assert(!p.contains("CartesianProduct"), "1-row merge pair planned cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "merge pairs must reach the vocabulary via broadcast")
+  }
 }
