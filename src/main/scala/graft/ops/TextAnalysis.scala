@@ -549,6 +549,9 @@ object TextAnalysis {
     val vocab = sym3.select(col("w"),
       (length(col("s")) - length(replace(col("s"), lit("<"), lit("")))).cast("long").as("toks"))
 
+    // no broadcast hint: AQE broadcasts the vocabulary when it is small
+    // enough and falls back to a shuffle join when a 100 TB corpus's
+    // vocabulary isn't — a forced hint would pin the OOM-risk choice
     val agg = docWords.join(vocab, "w")
       .groupBy("doc_id")
       .agg(sum("c").as("n_words"), sum(col("c") * col("toks")).as("n_tokens"))
