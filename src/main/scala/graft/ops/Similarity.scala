@@ -191,11 +191,11 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     annIvfProbe(spark, dir, NProbe)
 
-  def annIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // coarse centroids (k = 10 label groups), collected: k×dim doubles,
-    // 6dp-rounded (= labelCentroids' oracle-stable output), sorted by
-    // label so first-wins tie-breaking = the oracle's ORDER BY dist,label
+  /** Coarse IVF centroids (k = 10 label groups) as plan literals:
+    * k×dim doubles, 6dp-rounded (= labelCentroids' oracle-stable
+    * output), sorted by label so first-wins tie-breaking = the oracle's
+    * ORDER BY dist,label. Returns (list labels, centroid matrix). */
+  private def ivfCentroidLits(spark: SparkSession, dir: String): (Column, Column) = {
     val cents = Centroids.labelCentroids(spark, dir)
       .groupBy("label").agg(collect_list(struct(col("dim"), col("avg_val"))).as("dims"))
       .collect().map { r =>
@@ -206,9 +206,13 @@ object Similarity {
       .sortBy(_._1)
     // nearestCentroidIdx returns -1 on an empty matrix, which 1-based
     // element_at would reject at runtime — fail at plan time instead
-    require(cents.nonEmpty, "annIvf: centroid table is empty")
-    val labelsLit = typedLit(cents.map(_._1).toSeq)
-    val matrixLit = typedLit(cents.map(_._2.toSeq).toSeq)
+    require(cents.nonEmpty, "ivfCentroidLits: centroid table is empty")
+    (typedLit(cents.map(_._1).toSeq), typedLit(cents.map(_._2.toSeq).toSeq))
+  }
+
+  def annIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (labelsLit, matrixLit) = ivfCentroidLits(spark, dir)
     val listed = base.withColumn("ivf_list",
       element_at(labelsLit, VectorFunctions.nearestCentroidIdx(col("embedding"), matrixLit) + 1))
     // query side: explode to the nprobe nearest lists (the transform
@@ -263,6 +267,38 @@ object Similarity {
     rankedTopK(spark, pairs)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         (-col("sim")).cast("long").as("qdist"))
+  }
+
+  /** Corpus-wide kNN graph over the IVF lists — the building block of
+    * graph-based curation (SemDeDup cluster pruning, duplicate-cluster
+    * seeding, diversity sampling): EVERY vector, not a 20-query probe
+    * set, gets its top-[[K]] neighbors from its [[NProbe]] nearest
+    * lists.
+    *
+    * Scale shape: candidate generation is an EQUI-JOIN on the list id
+    * between the single-assigned corpus and the nprobe-exploded corpus —
+    * work is Σ_list |list|·|probes into that list|, never the n² of
+    * [[annBruteforce]] (which stays as the 20-query exact baseline);
+    * neither side broadcasts, both shuffle once on the list id, and a
+    * hot list is exactly the skew AQE's skew-join split handles. The
+    * per-query top-K is the bounded-heap Aggregator (≤K rows per query
+    * per partition reach the shuffle). The oracle replays the identical
+    * quantizer, so the approximate structure gets an exact gate. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (labelsLit, matrixLit) = ivfCentroidLits(spark, dir)
+    val listed = base.withColumn("ivf_list",
+      element_at(labelsLit, VectorFunctions.nearestCentroidIdx(col("embedding"), matrixLit) + 1))
+    val probes = base
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(transform(
+          VectorFunctions.topCentroidIdxs(col("embedding"), matrixLit, NProbe),
+          i => element_at(labelsLit, i + 1))).as("ivf_list"))
+    val pairs = listed.join(probes, Seq("ivf_list"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
+    rankedTopK(spark, pairs)
   }
 
   private val cosineSql =
@@ -333,5 +369,28 @@ object Similarity {
          |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
          |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
          |), ${rankSql("pairs")}""".stripMargin)(annIvf),
+    QueryDef.sql("knn_graph",
+      s"""WITH cents AS (
+         |  SELECT label, list(avg_val ORDER BY d) AS c FROM (
+         |    SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
+         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+         |    GROUP BY label, d) t
+         |  GROUP BY label
+         |), ranked_assign AS (
+         |  SELECT e.vec_id, e.embedding, c.label AS ivf_list,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(generate_series(1, $Dim), d ->
+         |               (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
+         |             (a, v) -> a + v) ASC, c.label ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn <= $NProbe
+         |), pairs AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
+         |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
+         |), ${rankSql("pairs")}""".stripMargin)(knnGraph),
   )
 }

@@ -61,6 +61,24 @@ class CurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("MinKKeysAgg is exact under a hot source and adversarial partitioning") {
+    import spark.implicits._
+    // one source with 20k rows (the hot crawl domain), one with 3 —
+    // partitioned every which way the heap thresholds must stay exact
+    val rows = (1L to 20000L).map(id => Curation.SrcKey("hot", (id * 37) % 1009, id)) ++
+      Seq(Curation.SrcKey("cold", 7L, 99991L), Curation.SrcKey("cold", 7L, 99992L),
+        Curation.SrcKey("cold", 2L, 99993L))
+    for (parts <- Seq(1, 7, 32)) {
+      val thr = rows.toDS().repartition(parts).groupByKey(_.source)
+        .agg(new Curation.MinKKeysAgg(15).toColumn.name("t"))
+        .collect().toMap
+      val expectHot = rows.filter(_.source == "hot")
+        .map(r => (r.h, r.doc_id)).sorted.apply(14)
+      assert(thr("hot") == expectHot, s"parts=$parts")
+      assert(thr("cold") == ((Long.MaxValue, Long.MaxValue)), s"parts=$parts")
+    }
+  }
+
   test("MinKKeysAgg under-cap groups keep everything (MaxValue threshold)") {
     import spark.implicits._
     val tiny = Seq(

@@ -116,4 +116,18 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.annSq8(spark, sfDir).filter(org.apache.spark.sql.functions
       .col("qdist") < 0).count() == 0L)
   }
+
+  test("knn_graph restricted to the ann_ivf query set IS ann_ivf") {
+    import org.apache.spark.sql.functions.col
+    // same quantizer, same probes, same ranking — the corpus-wide graph
+    // must agree row-for-row with the 20-query op on those 20 queries
+    val fromGraph = Similarity.knnGraph(spark, sfDir)
+      .filter(col("query_id") < Similarity.NumQueries)
+      .collect().map(_.toSeq).toSeq
+    val fromIvf = Similarity.annIvf(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(fromGraph == fromIvf)
+    // every corpus vector appears as a query (no list strands a vector)
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(Similarity.knnGraph(spark, sfDir).select("query_id").distinct().count() == nVecs)
+  }
 }
