@@ -378,7 +378,68 @@ object Stats {
       |            AS BIGINT) AS t2_micros
       |FROM c""".stripMargin
 
+  /** CUSUM changepoint detection over the per-type daily event series —
+    * the distribution-drift alarm a training-data pipeline runs on its
+    * ingest volumes (a crawl source going dark or doubling shows up as
+    * the |CUSUM| peak). Exact-integer formulation: with n days and
+    * total T, the mean-centered prefix sum scaled by n is
+    * Sₖ = n·Σ_{d≤k} x_d − k·T — all longs, no division anywhere — and
+    * the changepoint candidate is the day maximizing |Sₖ| (earliest day
+    * on ties). Output per event_type: n_days, total, the argmax day and
+    * its signed Sₖ.
+    *
+    * Scale shape: events partial-aggregate to (type, day, count) cells
+    * first — the only corpus-sized pass; the prefix sum is a window
+    * over each type's ≤O(days) cells, key-partitioned on type, never a
+    * global order. */
+  def changepointCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val wCum = wType.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val scored = daily
+      .withColumn("n", count(lit(1)).over(wType))
+      .withColumn("t", sum("x").over(wType))
+      .withColumn("k", count(lit(1)).over(wCum))
+      .withColumn("s", col("n") * sum("x").over(wCum) - col("k") * col("t"))
+    scored
+      .withColumn("best", max(struct(abs(col("s")).as("a"), (-col("day")).as("nd")))
+        .over(wType))
+      .filter(abs(col("s")) === col("best.a") && col("day") === -col("best.nd"))
+      .select(col("event_type"), col("n").as("n_days"), col("t").as("total"),
+        col("day").as("cp_day"), col("s").as("s_at_cp"))
+      .orderBy("event_type")
+  }
+
+  private val changepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY event_type, day
+      |), scored AS (
+      |  SELECT event_type, day, x,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+      |         CAST(count(*) OVER w AS BIGINT) AS k,
+      |         CAST(count(*) OVER (PARTITION BY event_type) * sum(x) OVER w
+      |              - count(*) OVER w * sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), best AS (
+      |  SELECT event_type, first(day ORDER BY abs(s) DESC, day ASC) AS cp_day
+      |  FROM scored GROUP BY event_type
+      |)
+      |SELECT s.event_type, s.n AS n_days, s.t AS total,
+      |       s.day AS cp_day, s.s AS s_at_cp
+      |FROM scored s JOIN best b ON s.event_type = b.event_type AND s.day = b.cp_day
+      |ORDER BY s.event_type""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("changepoint_cusum", changepointSql)(changepointCusum),
     QueryDef.sql("ks_test", ksTestSql)(ksTest),
     QueryDef.sql("welch_t", welchTSql)(welchT),
     QueryDef.sql("mann_whitney", mannWhitneySql)(mannWhitney),
