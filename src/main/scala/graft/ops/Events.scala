@@ -462,6 +462,10 @@ object Events {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("ewma_smooth", ewmaSql)(ewmaSmooth),
+    // the stateful streaming twin shares the batch oracle: the bounded
+    // run must reproduce the lag-chain result row-for-row
+    QueryDef.sql("stream_ewma", ewmaSql)(
+      (s, d) => graft.streaming.Streams.runBoundedEwma(s, d)),
     QueryDef.sql("funnel_steps", funnelSql)(funnelSteps),
     QueryDef.sql("cohort_retention", cohortSql)(cohortRetention),
     QueryDef.sql("user_streaks", streaksSql)(userStreaks),

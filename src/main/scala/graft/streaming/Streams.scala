@@ -215,6 +215,56 @@ object Streams {
     }
   }
 
+  final case class EwmaOut(event_id: Long, user_id: Long, ms: Long, decayed: Long)
+  final case class EwmaState(recent: List[Long])
+
+  /** Streaming twin of `Events.ewmaSmooth` — the per-key ORDERED
+    * stateful map that windowed aggregation can't express: each user
+    * carries a ≤16-deep ring of recent cents values in the state store
+    * and every arriving event emits its dyadic-decayed sum
+    * Σₖ cents·2^(15−k). State is O(16 longs) per user — bounded by
+    * construction, no watermark needed for eviction correctness on the
+    * bounded verification runs (a production run would add a state TTL).
+    * Cents are rounded with the exact `BigDecimal.valueOf` HALF_UP rule
+    * Spark's `round` applies, so stream and batch produce identical
+    * longs. Deterministic here because the bounded single-file source
+    * yields one micro-batch, sorted per user by the (ms, event_id)
+    * total order inside the update function — the same order the batch
+    * window uses. */
+  def ewmaStream(events: Dataset[Event]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val W = 16
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var recent = state.getOption.map(_.recent).getOrElse(Nil) // most-recent first
+      val out = sorted.map { e =>
+        val c = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        recent = (c :: recent).take(W)
+        val dec = recent.iterator.zipWithIndex
+          .map { case (v, k) => v << (W - 1 - k) }.sum
+        EwmaOut(e.event_id, userId, e.ts.getTime, dec)
+      }
+      state.update(EwmaState(recent))
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[ewmaStream]] through the real engine over the bounded fixture —
+    * oracle = the batch lag-chain SQL, which the stream must match
+    * row-for-row. */
+  def runBoundedEwma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.tables.Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    runBounded(spark, "stream_ewma", ewmaStream(ev).toDF(),
+      OutputMode.Append(), Seq("user_id", "ms", "event_id"))
+  }
+
   /** Streaming exact dedup through the real engine, driver-checkable:
     * `dropDuplicates` keeps the first-SEEN row per key, which depends
     * on micro-batch task order — so the registered output is the KEY

@@ -304,4 +304,29 @@ class StreamingSpec extends SparkSpec {
       "provider conf leaked into the default-path run")
     assert(rocks == default, "state store provider changed the query output")
   }
+
+  test("ewma state carries the 16-deep ring across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 20 events for one user split across three batches: the ring
+      // must survive each boundary or the later sums lose history
+      val events = (1L to 20L).map(i => Event(i, ts(i), 7L, "click", i.toDouble))
+      input.addData(events.take(5): _*);  query.processAllAvailable()
+      input.addData(events.slice(5, 12): _*); query.processAllAvailable()
+      input.addData(events.drop(12): _*); query.processAllAvailable()
+      val got = spark.table("ewma_out")
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("decayed")).toMap
+      // driver-side reference over the unbroken series
+      val cents = (1L to 20L).map(_ * 100L)
+      val expect = (0 until 20).map { i =>
+        val recent = (i to math.max(0, i - 15) by -1).map(cents(_))
+        (i + 1).toLong -> recent.zipWithIndex.map { case (v, k) => v << (15 - k) }.sum
+      }.toMap
+      assert(got == expect)
+    } finally { query.stop(); spark.catalog.dropTempView("ewma_out"); () }
+  }
 }
