@@ -648,6 +648,26 @@ object Relational {
       buckets = 32)
       .orderBy("k")
 
+  /** hot-key JOIN via explicit salting (`Skew.saltedJoin`): the 3-flag
+    * key funnels ~1/3 of lineitem through each join task unsalted; the
+    * salt spreads every flag over 16 (flag, salt) buckets, with the
+    * 3-row dim replicated 16× — the manual fallback for the skew cases
+    * AQE's runtime split cannot reach. Output-invariant vs the plain
+    * join (every fact row meets its dim row exactly once), proven by
+    * the plain-join oracle; equality + full bucket spread pinned in
+    * `SkewSpec`. */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("k"), cents(col("l_extendedprice")).as("c"),
+        col("l_orderkey"))
+    val dim = fact.select(col("k")).distinct()
+      .withColumn("attr", ascii(col("k")).cast("long"))
+    Skew.saltedJoin(fact, dim, "k", col("l_orderkey"), 16)
+      .groupBy("k", "attr")
+      .agg(sum("c").as("total"), count(lit(1)).as("cnt"))
+      .orderBy("k")
+  }
+
   /** approx_percentile (GK sketch) beside the exact two-phase percentile
     * — the bounded-memory quantile path for when the distinct-value
     * domain is NOT small (see `quantiles`' scaling note). The sketch
@@ -1212,6 +1232,15 @@ object Relational {
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin)(skewSaltedSum),
+    QueryDef.sql("skew_salted_join",
+      """SELECT l.l_returnflag AS k, d.attr,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total,
+        |       count(*) AS cnt
+        |FROM lineitem l
+        |JOIN (SELECT DISTINCT l_returnflag AS k,
+        |             CAST(ascii(l_returnflag) AS BIGINT) AS attr FROM lineitem) d
+        |  ON l.l_returnflag = d.k
+        |GROUP BY l.l_returnflag, d.attr ORDER BY k""".stripMargin)(skewSaltedJoin),
     QueryDef.sql("approx_quantiles",
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -27,4 +27,24 @@ object Skew {
       .groupBy("k")
       .agg(sum("partial_sum").as("total"), sum("partial_cnt").as("cnt"))
   }
+
+  /** Salted equi-join — the manual skew fallback for when AQE's
+    * runtime skew split cannot apply (deterministic plan required, or
+    * the skew sits on the build side of a shuffled-hash join): fact
+    * rows salt their key over `buckets` and the dim side replicates
+    * each row once per bucket, so the join key becomes (key, salt) and
+    * the hot key's rows spread over `buckets` tasks instead of
+    * serializing in one. Output is identical to the unsalted join
+    * (every fact row still meets every dim row of its key exactly
+    * once); the cost is a `buckets`× dim-side shuffle — the standard
+    * trade, cheap when dim ≪ fact, which is exactly the skewed-join
+    * case that hurts. `saltOn` must be deterministic per row. */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, key: String,
+      saltOn: Column, buckets: Int): DataFrame = {
+    val sf = fact.withColumn("__salt", pmod(xxhash64(saltOn), lit(buckets)))
+    val sd = dim.withColumn("__salt",
+      explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
+    sf.join(sd, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -63,4 +63,22 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted == direct)
   }
+
+  test("salted join equals the plain join under a hot key and spreads every bucket") {
+    import spark.implicits._
+    // one key carries 96% of the fact table
+    val fact = ((1L to 4800L).map(i => ("hot", i)) ++ (1L to 200L).map(i => ("cold", -i)))
+      .toDF("k", "id")
+    val dim = Seq(("hot", 1L), ("cold", 2L)).toDF("k", "attr")
+    val plain = fact.join(dim, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", col("id"), buckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    assert(!Skew.saltedJoin(fact, dim, "k", col("id"), 8).columns.contains("__salt"))
+    // the hot key must actually occupy all 8 buckets, or nothing was gained
+    val spread = fact.filter(col("k") === "hot")
+      .select(pmod(xxhash64(col("id")), lit(8))).distinct().count()
+    assert(spread == 8)
+  }
 }
