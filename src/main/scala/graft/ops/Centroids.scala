@@ -307,7 +307,102 @@ object Centroids {
        |       CAST(sum(CAST(round(sqd * 1000000) AS BIGINT)) AS BIGINT) AS inertia_micros
        |FROM a1 GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  private val PcaIters = 3
+
+  /** Dominant principal direction of the embedding corpus via
+    * matrix-free power iteration on XᵀX — the dimensionality-reduction
+    * primitive behind whitening, ABTT embedding post-processing, and
+    * drift monitoring. [[PcaIters]] unrolled iterations, v₀ = the
+    * uniform unit vector.
+    *
+    * Spark shape per iteration (the pagerank of linear algebra): the
+    * current direction v is an O(dim) plan literal inside the codegen'd
+    * `DotProductF`, so the per-row projection x·v is a zero-shuffle
+    * map; the update w = Σ (x·v)·x is ONE partial-aggregated (dim,
+    * term) sum — shuffle rows = dim, never the corpus — and the O(dim)
+    * result returns to the driver (bounded metadata, the kmeans
+    * centroid convention).
+    *
+    * Determinism contract: per-row contribution terms round to exact
+    * integer NANOS before the order-insensitive long sum (the pagerank
+    * convention); the norm folds the dim-ordered doubles sequentially
+    * (mirrored by the oracle's ordered list_reduce); each new v is
+    * FLOAT-quantized (the planeWeightsF convention) so both engines
+    * multiply bit-identical operands next round. Output: (d, loading,
+    * eigen) with eigen = ‖w‖ of the last iteration rounded to 6dp. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    var v = Array.fill(Dim)((1.0 / math.sqrt(Dim.toDouble)).toFloat)
+    var lastNorm = 0.0
+    for (_ <- 1 to PcaIters) {
+      val vLit = array(v.map(x => lit(x)): _*)
+      val dots = base.select(col("vec_id"),
+        VectorFunctions.dot(col("embedding"), vLit).as("dot"))
+      val ws = base.join(dots, "vec_id")
+        .select(col("dot"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("d")
+        .agg(sum(round(col("dot") * col("x") * 1e9).cast("long")).as("wn"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      require(ws.length == Dim, s"pcaPower: expected $Dim dims, got ${ws.length}")
+      val wd = ws.map(_._2 / 1e9)
+      val norm = math.sqrt(wd.map(x => x * x).foldLeft(0.0)(_ + _))
+      require(norm > 0.0, "pcaPower: zero update — degenerate corpus")
+      v = wd.map(x => (x / norm).toFloat)
+      lastNorm = norm
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    v.zipWithIndex
+      // valueOf (shortest-decimal) + HALF_UP = exactly Spark's round()
+      .map { case (x, d) => (d.toLong, x.toDouble, java.math.BigDecimal
+        .valueOf(lastNorm).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()) }
+      .toSeq.toDF("d", "loading", "eigen")
+      .orderBy("d")
+  }
+
+  private val pcaSql: String = {
+    val v0 = (1.0 / math.sqrt(Dim.toDouble)).toFloat
+    val v0Dec = new java.math.BigDecimal(v0.toDouble).toPlainString
+    def iter(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""dots$i AS (
+         |  SELECT e.vec_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, $Dim),
+         |      dd -> CAST(e.embedding[dd] AS DOUBLE) * $prev.v[dd])),
+         |    (a, b) -> a + b) AS dot
+         |  FROM embeddings e CROSS JOIN $prev
+         |), w$i AS (
+         |  SELECT dd, sum(CAST(round(t.dot * CAST(e.embedding[dd] AS DOUBLE)
+         |                            * 1000000000.0) AS BIGINT)) AS wn
+         |  FROM embeddings e JOIN dots$i t ON e.vec_id = t.vec_id,
+         |       (SELECT unnest(generate_series(1, $Dim)) AS dd) dims
+         |  GROUP BY dd
+         |), n$i AS (
+         |  SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(list(wn / 1000000000.0 ORDER BY dd), x -> x * x)),
+         |    (a, b) -> a + b)) AS nrm
+         |  FROM w$i
+         |), v$i AS (
+         |  SELECT list(CAST(CAST((w.wn / 1000000000.0) / n.nrm AS REAL) AS DOUBLE)
+         |              ORDER BY w.dd) AS v
+         |  FROM w$i w CROSS JOIN n$i n
+         |)""".stripMargin
+    }
+    s"""WITH v0 AS (
+       |  SELECT list_transform(generate_series(1, $Dim),
+       |    dd -> CAST($v0Dec AS DOUBLE)) AS v
+       |),
+       |${(1 to PcaIters).map(iter).mkString(",\n")}
+       |SELECT CAST(dd - 1 AS BIGINT) AS d, v.v[dd] AS loading,
+       |       round(n$PcaIters.nrm, 6) AS eigen
+       |FROM v$PcaIters v CROSS JOIN n$PcaIters
+       |     CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS dd) dims
+       |ORDER BY d""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("pca_power", pcaSql)(pcaPower),
     QueryDef.sql("label_centroids",
       """SELECT CAST(label AS BIGINT) AS label, CAST(d - 1 AS BIGINT) AS dim,
         |       round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val

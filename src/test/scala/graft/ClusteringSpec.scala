@@ -47,4 +47,27 @@ class ClusteringSpec extends SparkSpec {
     assert(engInertia <= seedInertia + 1e-3,
       s"inertia rose after a Lloyd step: $engInertia > $seedInertia")
   }
+
+  test("pca_power emits a unit direction with positive gain, deterministically") {
+    val runs = (1 to 2).map(_ => graft.ops.Centroids.pcaPower(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq)
+    assert(runs(0) == runs(1), "power iteration must be bit-deterministic across runs")
+    val v = runs(0).map(_._2)
+    assert(v.length == 64)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    // float quantization of each component bounds the drift from 1
+    assert(math.abs(norm - 1.0) < 1e-5, s"direction must be unit, got $norm")
+    assert(runs(0).map(_._3).distinct.size == 1, "eigen is a single scalar")
+    assert(runs(0).head._3 > 0.0, "dominant eigenvalue must be positive")
+    // power iteration must actually gain over a random direction: the
+    // Rayleigh quotient along v exceeds the average row second moment
+    val data = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val proj = data.map(x => x.zip(v).map { case (a, b) => a * b }.sum)
+    val rayleigh = proj.map(p => p * p).sum
+    val avgDir = data.map(x => x.sum / math.sqrt(64.0))
+    assert(rayleigh >= avgDir.map(p => p * p).sum,
+      "dominant direction must capture at least the uniform direction's energy")
+  }
 }
