@@ -655,10 +655,84 @@ object TextAnalysis {
       |            // (SELECT t FROM tot) AS BIGINT) AS cum_share_micros
       |FROM top ORDER BY rank""".stripMargin
 
+  final case class TermDoc(term: String, doc_id: Long)
+  final case class PostBuf(var items: List[Long])
+
+  /** Keeps the k smallest doc_ids per term — the bounded posting-list
+    * Aggregator: partial buffers never exceed k entries, so a stopword
+    * appearing in every document of a 100 TB corpus still costs O(k)
+    * memory per partition instead of materializing its full posting
+    * list (the failure mode of a naive sort_array(collect_list)). */
+  class PostingsAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[TermDoc, PostBuf, Seq[Long]] {
+    private def insert(items: List[Long], v: Long): List[Long] =
+      if (items.sizeIs >= k && v >= items.last) items
+      else {
+        val (front, back) = items.span(_ < v)
+        (front ::: v :: back).take(k)
+      }
+    override def zero: PostBuf = PostBuf(Nil)
+    override def reduce(b: PostBuf, v: TermDoc): PostBuf = {
+      b.items = insert(b.items, v.doc_id); b
+    }
+    override def merge(a: PostBuf, b: PostBuf): PostBuf = {
+      a.items = b.items.foldLeft(a.items)(insert); a
+    }
+    override def finish(b: PostBuf): Seq[Long] = b.items
+    override def bufferEncoder: org.apache.spark.sql.Encoder[PostBuf] =
+      org.apache.spark.sql.Encoders.product[PostBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  private val PostingsK = 10
+
+  /** Inverted-index construction — the retrieval-side artifact next to
+    * [[bm25Search]]'s scoring: per term, document frequency plus the
+    * first [[PostingsK]] doc_ids of its posting list, top-100 terms by
+    * df. The (term, doc) pairs dedup with map-side partial aggregation;
+    * posting lists come from the bounded [[PostingsAgg]] so hot terms
+    * (stopwords) never materialize corpus-sized lists anywhere; the
+    * final cut is a TakeOrdered top-100, never a vocabulary sort.
+    * Postings emit as a comma-joined string (array hashing is
+    * engine-ambiguous; strings are not). */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val td = Tables.documents(spark, dir)
+      .select(explode(filter(toks(col("text")), t => t =!= "")).as("term"), col("doc_id"))
+      .distinct()
+      .cache() // feeds both the df count and the posting-list aggregate
+    val dfCounts = td.groupBy("term").agg(count(lit(1)).as("df"))
+    val posts = td.as[TermDoc]
+      .groupByKey(_.term)
+      .agg(new PostingsAgg(PostingsK).toColumn.name("p"))
+      .toDF("term", "p")
+    dfCounts.join(posts, "term")
+      .select(col("term"), col("df"),
+        size(col("p")).cast("long").as("n_postings"),
+        array_join(transform(col("p"), x => x.cast("string")), ",").as("postings"))
+      .orderBy(desc("df"), col("term"))
+      .limit(100)
+  }
+
+  private val invertedIndexSql: String =
+    s"""WITH td AS (
+       |  SELECT DISTINCT t.term, doc_id FROM documents,
+       |  LATERAL (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term) t
+       |), agg AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |         list_sort(list(doc_id))[1:$PostingsK] AS p
+       |  FROM td GROUP BY term
+       |)
+       |SELECT term, df, CAST(len(p) AS BIGINT) AS n_postings,
+       |       array_to_string(p, ',') AS postings
+       |FROM agg ORDER BY df DESC, term LIMIT 100""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("bpe_pairs", bpePairsSql)(bpePairs),
     QueryDef.sql("bpe_encode", bpeEncodeSql)(bpeEncode),
     QueryDef.sql("vocab_coverage", vocabCoverageSql)(vocabCoverage),
+    QueryDef.sql("inverted_index", invertedIndexSql)(invertedIndex),
     QueryDef.sql("bigram_lift", bigramLiftSql)(bigramLift),
     QueryDef.sql("lm_bigram_score", lmBigramSql)(lmBigramScore),
     QueryDef.sql("token_diversity",

@@ -44,4 +44,24 @@ class RetrievalSpec extends SparkSpec {
     val sorted = rows.sortBy { case (id, s) => (-s, id) }
     assert(rows == sorted)
   }
+
+  test("PostingsAgg keeps the k smallest doc_ids under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a "stopword" hitting 5000 docs: the bounded buffer must yield the
+    // 10 smallest ids whatever the partition layout, never the full list
+    val docs = (1L to 5000L).map(i => TextAnalysis.TermDoc("the", 5001L - i))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = docs.toDS().repartition(parts)
+        .groupByKey(_.term)
+        .agg(new TextAnalysis.PostingsAgg(10).toColumn.name("p"))
+        .collect().head._2
+      assert(got == (1L to 10L), s"parts=$parts: $got")
+    }
+    // under-full term keeps everything, ascending
+    val tiny = Seq(TextAnalysis.TermDoc("rare", 9L), TextAnalysis.TermDoc("rare", 3L)).toDS()
+    assert(tiny.groupByKey(_.term)
+      .agg(new TextAnalysis.PostingsAgg(10).toColumn.name("p"))
+      .collect().head._2 == Seq(3L, 9L))
+  }
 }
