@@ -460,8 +460,44 @@ object Events {
        |ORDER BY user_id, ms, event_id""".stripMargin
   }
 
+  private val RateCap = 3
+
+  /** Per-user daily event cap — the rate limiter an event-ingest
+    * curation applies before training on interaction data (a runaway
+    * client or bot must not dominate a user-day): keep the first
+    * [[RateCap]] events per (user, day) by the (ts, event_id) total
+    * order. The window key (user_id, day) is FINE-grained, so each
+    * window holds one user-day — tiny state at any scale and no hot
+    * partition (contrast `source_cap`, whose coarse hot keys need the
+    * bounded-heap/broadcast-threshold shape instead). */
+  def rateCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day").orderBy("ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= RateCap)
+      .select("user_id", "day", "rn", "event_id", "ms")
+      .orderBy("user_id", "day", "rn")
+  }
+
+  private val rateCapSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_ms(ts) // 86400000 AS day, epoch_ms(ts) AS ms
+       |  FROM events
+       |), ranked AS (
+       |  SELECT user_id, day, event_id, ms,
+       |         CAST(row_number() OVER (PARTITION BY user_id, day
+       |                                 ORDER BY ms, event_id) AS BIGINT) AS rn
+       |  FROM ev
+       |)
+       |SELECT user_id, day, rn, event_id, ms FROM ranked
+       |WHERE rn <= $RateCap ORDER BY user_id, day, rn""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("ewma_smooth", ewmaSql)(ewmaSmooth),
+    QueryDef.sql("rate_cap", rateCapSql)(rateCap),
     // the stateful streaming twin shares the batch oracle: the bounded
     // run must reproduce the lag-chain result row-for-row
     QueryDef.sql("stream_ewma", ewmaSql)(
