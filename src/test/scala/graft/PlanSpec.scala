@@ -349,6 +349,25 @@ class PlanSpec extends SparkSpec {
     assert(codegenStages(coded) > 0, "Quantize8 fell out of codegen")
   }
 
+  test("knn_graph generates candidates via a list-id equi-join, never all-pairs") {
+    val p = planOf("knn_graph")
+    assert(!p.contains("CartesianProduct"), "corpus x corpus planned cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "corpus-wide kNN must not plan an all-pairs nested loop — that is annBruteforce's job")
+  }
+
+  test("vocab_coverage cuts the vocabulary with TakeOrdered, never a full sort") {
+    val p = planOf("vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-30 cut must plan TakeOrderedAndProject")
+  }
+
+  test("inverted_index cuts terms with TakeOrdered and plans no window") {
+    val p = planOf("inverted_index")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 cut must plan TakeOrderedAndProject")
+    assert(!p.contains("Window"), "posting lists must come from the bounded aggregate, not a window")
+  }
+
   test("source_cap decides map-side via broadcast thresholds — no per-source window") {
     val p = planOf("source_cap")
     assert(!p.contains("Window"),
