@@ -187,6 +187,40 @@ object Lake {
         .localCheckpoint() // materialize before the temp dir is deleted
     }
 
+  /** Schema-evolution read, driver-checked: two parquet batches of the
+    * SAME table written with different schemas — the later batch adds
+    * an `o_year` column — land in one directory, and a `mergeSchema`
+    * read unions them with nulls filling the missing column. This is
+    * the lake-format answer to the exact failure class that broke
+    * round 12's events ingest (producer-side schema drift): columns
+    * may be ADDED over a table's life, and readers must keep working
+    * across the whole file history. The aggregate separates the two
+    * eras through `count(o_year)`/`sum(o_year)` (null-skipping), so
+    * the oracle can replay the union from the original rows. At 100 TB
+    * the same read works because merged footers, not data rewrites,
+    * reconcile the schemas — old files are never touched. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-evolve") { tbl =>
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents"), col("o_orderdate"))
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus", "price_cents")
+        .write.mode("append").parquet(tbl)
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price_cents"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .write.mode("append").parquet(tbl)
+      spark.read.option("mergeSchema", "true").parquet(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("price_cents").as("sum_cents"),
+          count(col("o_year")).as("n_evolved"),
+          coalesce(sum("o_year"), lit(0L)).as("sum_year"))
+        .orderBy("o_orderstatus")
+        .localCheckpoint() // materialize before the temp dir is deleted
+    }
+
   /** Incremental aggregate maintenance, driver-checked: a materialized
     * aggregate (the pre-1996 "snapshot") merged with a new-data delta
     * via full-outer join + partial-sum combine — the incremental-view
@@ -491,6 +525,13 @@ object Lake {
   }
 
   def entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("schema_evolution",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_evolved,
+        |       CAST(coalesce(sum(CASE WHEN o_orderkey % 2 = 1
+        |                              THEN year(o_orderdate) END), 0) AS BIGINT) AS sum_year
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(schemaEvolution),
     QueryDef.sql("vacuum_orphans",
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
