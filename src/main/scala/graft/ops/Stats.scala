@@ -438,7 +438,54 @@ object Stats {
       |FROM scored s JOIN best b ON s.event_type = b.event_type AND s.day = b.cp_day
       |ORDER BY s.event_type""".stripMargin
 
+  /** Within-group percentile normalization — the rank feature a
+    * curriculum/mixture pipeline attaches to every document ("this doc
+    * is at the 83rd length percentile of its language"): pct_micros =
+    * ⌊#(docs in lang with value ≤ mine) · 10⁶ / n_lang⌋, exact integers.
+    *
+    * Scale shape: the corpus reduces to (lang, value, count) CELLS
+    * first (partial-agg map-side); the cumulative rank runs per lang
+    * over those cells — O(distinct values) window state, never the
+    * corpus — and the percentile attaches back to docs via an equi-join
+    * on (lang, value) against the cell table (broadcast-able: cells ≪
+    * corpus). A per-lang window over raw docs — 5 coarse keys — would
+    * serialize 1/5 of the corpus per task; cells dodge the skew
+    * entirely (the group_quantiles convention). */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val cells = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy("n_chars")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val ranked = cells
+      .withColumn("cum_le", sum("cnt").over(wCum))
+      .withColumn("n_lang", sum("cnt").over(wAll))
+      .select(col("lang"), col("n_chars"),
+        expr("cum_le * 1000000 div n_lang").as("pct_micros"))
+    docs.join(ranked, Seq("lang", "n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("pct_micros"))
+      .orderBy("doc_id")
+  }
+
+  private val quantileNormalizeSql: String =
+    """WITH cells AS (
+      |  SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY lang, n_chars
+      |), ranked AS (
+      |  SELECT lang, n_chars,
+      |         CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+      |              // sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS pct_micros
+      |  FROM cells
+      |)
+      |SELECT d.doc_id, d.lang, d.n_chars, r.pct_micros
+      |FROM documents d JOIN ranked r ON d.lang = r.lang AND d.n_chars = r.n_chars
+      |ORDER BY d.doc_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("quantile_normalize", quantileNormalizeSql)(quantileNormalize),
     QueryDef.sql("changepoint_cusum", changepointSql)(changepointCusum),
     QueryDef.sql("ks_test", ksTestSql)(ksTest),
     QueryDef.sql("welch_t", welchTSql)(welchT),
