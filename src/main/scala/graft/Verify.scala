@@ -25,8 +25,17 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** Writes each query's result to `outDir/<name>` parquet; returns the
-    * name→error map for the ones that threw (empty = all green). */
+    * name→error map for the ones that threw (empty = all green). A
+    * failed query also DELETES any pre-existing `outDir/<name>` dir: a
+    * stale green artifact from an earlier run into the same outDir must
+    * never outlive the failure that superseded it. */
   private[graft] def dumpQueries(
       spark: SparkSession,
       sfDir: String,
@@ -42,6 +51,7 @@ object Verify {
           val msg = (e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("")).take(500)
           System.err.println(s"[verify] $name failed: $msg")
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
           Some(name -> msg)
       }
     }.toMap
@@ -73,7 +83,10 @@ object Verify {
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => subset.forall(_.contains(name)) }
     val errs = dumpQueries(spark, sfDir, outDir, selected)
-    writeErrors(outDir, errs)
+    // errors.json is written only on FULL runs: a subset run overwriting
+    // it with just the subset's errors would erase every other query's
+    // recorded failure and let a reused artifact dir read green
+    if (subset.isEmpty) writeErrors(outDir, errs)
     if (errs.nonEmpty)
       System.err.println(s"[verify] ${errs.size} queries FAILED: " +
         errs.keys.toSeq.sorted.mkString(", "))

@@ -575,10 +575,11 @@ object Curation {
     val flagged = t.withColumn("qfail",
       when(col("n_tokens") < 30L, "too_short")
         .when(col("n_chars") * 100L > col("n_tokens") * 572L, "low_density"))
-      // consumed twice (group min + the label join-back); the cached rows
-      // are (id, 3 longs, reason) — text is already dropped, so this
-      // materializes the reduced stats table, not the corpus
-      .cache()
+      // consumed twice (group min + the label join-back); the rows are
+      // (id, 3 longs, reason) — text is already dropped, so this
+      // materializes the reduced stats table, not the corpus. Checkpoint,
+      // not cache: ContextCleaner-owned, never CacheManager-pinned
+      .localCheckpoint()
     val firstIds = flagged.filter(col("qfail").isNull)
       .groupBy("fp").agg(min("doc_id").as("keep_id"))
     flagged.join(firstIds, Seq("fp"), "left")

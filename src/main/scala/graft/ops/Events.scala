@@ -307,7 +307,7 @@ object Events {
       .select(col("user_id"), unix_millis(col("ts")).as("ms"))
       .select(col("user_id"), expr("ms div 86400000").as("day"))
       .distinct()
-      .cache() // (user, day) ≪ events; consumed by both the day set and the explode
+      .localCheckpoint() // (user, day) ≪ events; consumed by both the day set and the explode
     val observed = ud.select("day").distinct()
     ud.select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
       .join(broadcast(observed), "day")
@@ -330,7 +330,7 @@ object Events {
       .filter(col("to_type").isNotNull)
       .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
-      .cache() // ≤|types|² rows, consumed twice — don't re-run the window
+      .localCheckpoint() // ≤|types|² rows, consumed twice — don't re-run the window
     val tot = cnt.groupBy("from_type").agg(sum("n").as("tot"))
     cnt.join(broadcast(tot), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),

@@ -39,7 +39,7 @@ object Graph {
     * link graph; the reference has no graph surface and the fixtures no
     * adjacency table). Distinct edges only — PageRank is defined on the
     * simple graph. */
-  private def edges(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def edges(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 197).as("dst"))
 
@@ -54,22 +54,35 @@ object Graph {
     * specs can drive it with a hand-checkable graph. Normalizes to the
     * simple graph first (PageRank's domain): self-loops and duplicate
     * edges dropped in one distinct pass. */
-  def pageRankOn(edgesDf: DataFrame): DataFrame = {
-    val e = edgesDf
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .cache()
-    val n   = nodes.agg(count(lit(1)).as("n"))
-    // deg and nodes feed every unrolled iteration plus the output join —
-    // cache the reduced tables once instead of re-shuffling per iteration
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).cache()
+  def pageRankOn(edgesDf: DataFrame): DataFrame =
+    pageRankOn(edgesDf, Iters, materialize = true)
 
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("node"), round(lit(1.0) / col("n"), 9).as("r"))
-    for (_ <- 1 to Iters) {
+  /** The working body. `materialize = true` (the served path) eagerly
+    * `localCheckpoint`s every reused intermediate — the reduced edge /
+    * node / degree tables once, ranks per round — so (a) the logical
+    * plan stays O(1) per round and (b) NOTHING is registered with the
+    * CacheManager: checkpoint blocks are dropped by the ContextCleaner
+    * as soon as the result goes out of scope, where a `.cache()` would
+    * pin storage for the rest of a 180-query bench run (round-13
+    * verdict #1). `materialize = false` keeps the whole pipeline lazy
+    * (no cache, no checkpoint) so plan specs can assert on the real
+    * join/aggregate shapes instead of truncated LogicalRDD leaves. */
+  private[graft] def pageRankOn(
+      edgesDf: DataFrame, iters: Int, materialize: Boolean): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    val e = ckpt(edgesDf
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val n   = nodes.agg(count(lit(1)).as("n"))
+    // deg and nodes feed every iteration plus the output join — reduce
+    // them once instead of re-shuffling per iteration
+    val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("d")))
+
+    var ranks = ckpt(nodes.crossJoin(broadcast(n))
+      .select(col("node"), round(lit(1.0) / col("n"), 9).as("r")))
+    for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
         .join(deg, "src")
@@ -77,12 +90,12 @@ object Graph {
           round((col("r") / col("d")) * 1e9).cast("long").as("cn"))
         .groupBy("node")
         .agg(sum("cn").as("sn"))
-      ranks = nodes
+      ranks = ckpt(nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
           round(lit(0.15) / col("n") +
-            lit(Damping) * (coalesce(col("sn"), lit(0L)).cast("double") / lit(1e9)), 9).as("r"))
+            lit(Damping) * (coalesce(col("sn"), lit(0L)).cast("double") / lit(1e9)), 9).as("r")))
     }
     ranks
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
@@ -127,7 +140,7 @@ object Graph {
   /** Undirected simple graph for triangle counting: canonical (u<v)
     * distinct edges over the same orders-derived node space PageRank
     * uses, just sparser. */
-  private def triEdges(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def triEdges(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select((col("o_custkey") % TriMod).as("a"), (col("o_orderkey") % TriMod).as("b"))
       .filter(col("a") =!= col("b"))
@@ -159,26 +172,36 @@ object Graph {
 
   /** Triangle counting over an arbitrary canonical (u<v) edge table —
     * split out so specs can drive it with a hand-checkable graph. */
-  def triangleCountOn(edgesDf: DataFrame): DataFrame = {
-    val e = edgesDf.cache()
+  def triangleCountOn(edgesDf: DataFrame): DataFrame =
+    triangleCountOn(edgesDf, materialize = true)
+
+  /** The working body — same `materialize` contract as [[pageRankOn]]:
+    * the served path `localCheckpoint`s the thrice-consumed edge table
+    * and the reused degree / oriented tables (eagerly materialized,
+    * ContextCleaner-owned, never CacheManager-pinned — round-13 verdict
+    * #1); plan specs pass `false` for the fully-lazy join shapes. The
+    * wedge join and close stay lazy on both paths — they are
+    * single-consumption and MUST stream (the wedge set is the O(m^1.5)
+    * bulk that never deserves materializing). */
+  private[graft] def triangleCountOn(edgesDf: DataFrame, materialize: Boolean): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    val e = ckpt(edgesDf)
     // deg and the oriented edge list each feed ≥2 downstream joins
-    // (both wedge sides, the close, the output) — cache the reduced
-    // (long, long) tables once instead of re-running their shuffles
-    // per consumer. MEMORY_AND_DISK, so at cluster scale this is the
-    // standard spill-safe reuse of an O(m) intermediate.
-    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-      .cache()
+    // (both wedge sides, the close, the output) — materialize the
+    // reduced (long, long) tables once instead of re-running their
+    // shuffles per consumer. MEMORY_AND_DISK, so at cluster scale this
+    // is the standard spill-safe reuse of an O(m) intermediate.
+    val deg = ckpt(e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg")))
 
     // orient each edge from the lower-(deg, id) endpoint to the higher
     val ej = e
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
     val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val or = ej.select(
+    val or = ckpt(ej.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
-      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
-      .cache()
+      when(uFirst, col("v")).otherwise(col("u")).as("dst")))
 
     // wedges at a common center; a.dst < b.dst by id makes the pair
     // canonical, so the close probes the u<v edge set directly

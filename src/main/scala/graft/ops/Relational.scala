@@ -352,7 +352,7 @@ object Relational {
     val cells = Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus").as("s"), col("o_orderpriority").as("p"))
       .agg(count(lit(1)).as("obs"))
-      .cache() // feeds margins, N, dof, and the terms — 5 consumers
+      .localCheckpoint() // feeds margins, N, dof, and the terms — 5 consumers
     val rt = cells.groupBy("s").agg(sum("obs").as("rt"))
     val ct = cells.groupBy("p").agg(sum("obs").as("ct"))
     val n  = cells.agg(sum("obs").as("n"))

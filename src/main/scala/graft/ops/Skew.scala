@@ -17,6 +17,7 @@ object Skew {
     * (a hash of any column set) so re-runs are stable. */
   def saltedSumCount(
       df: DataFrame, key: Column, value: Column, saltOn: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"saltedSumCount needs buckets > 0 (got $buckets): pmod by 0 yields null keys")
     val salted = df.select(
       key.as("k"),
       value.as("v"),
@@ -42,6 +43,10 @@ object Skew {
   def saltedJoin(
       fact: DataFrame, dim: DataFrame, key: String,
       saltOn: Column, buckets: Int): DataFrame = {
+    require(buckets > 0,
+      s"saltedJoin needs buckets > 0 (got $buckets): pmod by 0 nulls every key and an empty explode drops all dim rows")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column; an input already carrying one would collide with the join key")
     val sf = fact.withColumn("__salt", pmod(xxhash64(saltOn), lit(buckets)))
     val sd = dim.withColumn("__salt",
       explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))

@@ -192,12 +192,12 @@ object Stats {
     val cells = Tables.events(spark, dir)
       .select(col("event_type").as("t"), cents(col("value")).as("v"))
       .groupBy("t", "v").agg(count(lit(1)).as("f"))
-      .cache() // feeds the median pass and the deviation pass
+      .localCheckpoint() // feeds the median pass and the deviation pass
     val med = cells.groupBy("t")
       .agg((expr("percentile(v, 0.5D, f)") * 2).cast("long").as("med2"))
     val dev = cells.join(broadcast(med), "t")
       .withColumn("d2", abs(lit(2L) * col("v") - col("med2")))
-      .cache() // feeds the MAD pass and the outlier count
+      .localCheckpoint() // feeds the MAD pass and the outlier count
     val mad = dev.groupBy("t")
       .agg((expr("percentile(d2, 0.5D, f)") * 2).cast("long").as("mad4"))
     dev.join(broadcast(mad), "t")

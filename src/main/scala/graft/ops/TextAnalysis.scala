@@ -284,16 +284,28 @@ object TextAnalysis {
     * (gram, count) cells — vocabulary-sized, not corpus-sized. The
     * unigram side joins by plain equi-join (vocabulary is unbounded at
     * 100 TB, so no forced broadcast; AQE picks one when it fits). */
-  def bigramLift(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("text")
-    val uni = docs
+  /** Corpus-side reductions shared by [[bigramLift]]/[[lmBigramScore]]
+    * — split out so the column-pruning spec can pin the scan shape of
+    * the exact pipeline the served (checkpoint-truncated) queries
+    * materialize. */
+  private[graft] def unigramCounts(docs: DataFrame): DataFrame =
+    docs
       .select(explode(filter(toks(col("text")), t => t =!= "")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-      .cache() // vocabulary-sized; feeds the total + both join sides
-    val big = docs
+
+  private[graft] def bigramCounts(docs: DataFrame): DataFrame =
+    docs
       .select(explode(TextFunctions.wordBigramsCol(col("text"))).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cb"))
-      .cache() // distinct-bigram-sized; feeds the total + the lift rows
+
+  def bigramLift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("text")
+    // vocabulary-sized; feeds the total + both join sides. Checkpoint,
+    // not cache: materialized once, owned by the ContextCleaner, never
+    // pinned in the CacheManager across the rest of a bench run
+    val uni = unigramCounts(docs).localCheckpoint()
+    // distinct-bigram-sized; feeds the total + the lift rows
+    val big = bigramCounts(docs).localCheckpoint()
     val nuT = uni.agg(sum("c").as("nu"))
     val nbT = big.agg(sum("cb").as("nb")) // total BEFORE the support filter
     big.filter(col("cb") >= 5)
@@ -357,14 +369,10 @@ object TextAnalysis {
     * final per-doc aggregate is a plain partial-agg sum of longs. */
   def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val uni = docs
-      .select(explode(filter(toks(col("text")), t => t =!= "")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c"))
-      .cache() // vocabulary-sized; feeds V and the w1 join
+    // vocabulary-sized; feeds V and the w1 join
+    val uni = unigramCounts(docs).localCheckpoint()
     val vT = uni.agg(count(lit(1)).as("v"))
-    val big = docs
-      .select(explode(TextFunctions.wordBigramsCol(col("text"))).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("cb"))
+    val big = bigramCounts(docs)
     val docb = docs
       .select(col("doc_id"), explode(TextFunctions.wordBigramsCol(col("text"))).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
@@ -445,7 +453,7 @@ object TextAnalysis {
   /** One BPE merge round: broadcast the 1-row top pair of `pc` into a
     * literal replace over the symbol strings. Preserves every other
     * column of `sym` (e.g. the original word for [[bpeEncode]]). */
-  private def applyMerge(sym: DataFrame, pc: DataFrame): DataFrame = {
+  private[graft] def applyMerge(sym: DataFrame, pc: DataFrame): DataFrame = {
     val top = pc.orderBy(desc("n"), col("pair")).limit(1).select(
       concat(lit("<"), replace(col("pair"), lit(" "), lit("><")), lit(">")).as("pat"),
       concat(lit("<"), replace(col("pair"), lit(" "), lit("")), lit(">")).as("rep"))
@@ -459,7 +467,7 @@ object TextAnalysis {
   private def pairCounts(sym: DataFrame): DataFrame =
     sym.select(explode(TextFunctions.symbolPairsCol(col("s"))).as("pair"), col("f"))
       .groupBy("pair").agg(sum("f").as("n"))
-      .cache() // distinct-pair-sized; feeds both the top-10 and the merge
+      .localCheckpoint() // distinct-pair-sized; feeds both the top-10 and the merge
 
   def bpePairs(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
@@ -467,7 +475,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("f"))
     val sym0 = words
       .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("f"))
-      .cache() // vocabulary-sized; root of the merge chain
+      .localCheckpoint() // vocabulary-sized; root of the merge chain
 
     val p0   = pairCounts(sym0)
     val sym1 = applyMerge(sym0, p0)
@@ -537,12 +545,12 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .cache() // feeds the vocabulary derivation AND the final join
+      .localCheckpoint() // feeds the vocabulary derivation AND the final join
 
     val words = docWords.groupBy("w").agg(sum("c").as("f"))
     val sym0 = words
       .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("f"))
-      .cache()
+      .localCheckpoint()
     val sym1 = applyMerge(sym0, pairCounts(sym0))
     val sym2 = applyMerge(sym1, pairCounts(sym1))
     val sym3 = applyMerge(sym2, pairCounts(sym2))
@@ -621,7 +629,7 @@ object TextAnalysis {
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val tokens = Tables.documents(spark, dir)
       .select(explode(filter(toks(col("text")), t => t =!= "")).as("token"))
-    val counts = tokens.groupBy("token").agg(count(lit(1)).as("n")).cache()
+    val counts = tokens.groupBy("token").agg(count(lit(1)).as("n")).localCheckpoint()
     val tot = counts.agg(sum("n").as("tot"))
     val top = counts.orderBy(desc("n"), col("token")).limit(30)
     val w = org.apache.spark.sql.expressions.Window
@@ -701,7 +709,7 @@ object TextAnalysis {
     val td = Tables.documents(spark, dir)
       .select(explode(filter(toks(col("text")), t => t =!= "")).as("term"), col("doc_id"))
       .distinct()
-      .cache() // feeds both the df count and the posting-list aggregate
+      .localCheckpoint() // feeds both the df count and the posting-list aggregate
     val dfCounts = td.groupBy("term").agg(count(lit(1)).as("df"))
     val posts = td.as[TermDoc]
       .groupByKey(_.term)

@@ -48,7 +48,15 @@ object Tables {
     * reinterpretation (epoch values unchanged) and stays aligned with
     * the DuckDB oracle, which reads the same naive-micros parquet.
     */
-  def normalizeTs(df: DataFrame): DataFrame =
+  def normalizeTs(df: DataFrame): DataFrame = {
+    // The NTZ→TZ cast below is a pure reinterpretation ONLY under a UTC
+    // session timezone; any other zone silently shifts every epoch. All
+    // current entry points (Bench/Verify/specs) pin UTC — enforce it
+    // here so a future caller can't quietly diverge from the oracle.
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"Tables.normalizeTs requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "the TIMESTAMP_NTZ cast reinterprets naive micros and would shift epochs")
     df.schema("ts").dataType match {
       // TIMESTAMP(NANOS) read as raw long under nanosAsLong: integer
       // division keeps full precision (ns values exceed 2^53, so a
@@ -64,6 +72,7 @@ object Tables {
         throw new IllegalStateException(
           s"events.ts has unsupported type $other; expected long (nanos), TIMESTAMP_NTZ, or TIMESTAMP")
     }
+  }
 
   /** `events` with `ts` normalized to TimestampType micros regardless of
     * the fixture's on-disk encoding (see [[normalizeTs]]).

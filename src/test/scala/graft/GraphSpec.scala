@@ -174,5 +174,35 @@ class GraphSpec extends SparkSpec {
     val b2 = planLines(Graph.bfsDistancesOn(chain.select("src", "dst"), 1L, 2))
     val b8 = planLines(Graph.bfsDistancesOn(chain.select("src", "dst"), 1L, 8))
     assert(b8 <= b2 + 2, s"bfs plan must not grow with rounds: $b2 -> $b8")
+    // pagerank joined the checkpoint convention in round 14 (it was the
+    // last walk rebuilding ranks lazily per round — round-13 verdict #2)
+    val e = chain.select("src", "dst")
+    val g2 = planLines(Graph.pageRankOn(e, 2, materialize = true))
+    val g8 = planLines(Graph.pageRankOn(e, 8, materialize = true))
+    assert(g8 <= g2 + 2, s"pagerank plan must not grow with rounds: $g2 -> $g8")
+  }
+
+  test("no graph walk leaves CacheManager entries behind (storage hygiene)") {
+    // Round-13 verdict #1: pageRankOn/triangleCountOn leaked their
+    // .cache()s into the rest of the bench run. The family convention is
+    // now localCheckpoint (ContextCleaner-owned) or cache+unpersist —
+    // either way the CacheManager must be exactly as empty after each
+    // walk as before it. Suites share one sequential JVM, so snapshot
+    // emptiness first instead of assuming a pristine session.
+    def cacheEmpty: Boolean = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+    val before = cacheEmpty
+    val e = toyEdges.toDF("src", "dst")
+    val walks: Seq[(String, () => Unit)] = Seq(
+      "pagerank"  -> (() => { Graph.pageRankOn(e).collect(); () }),
+      "triangles" -> (() => { Graph.triangleCountOn(k4Pendant.toDF("u", "v")).collect(); () }),
+      "bfs"       -> (() => { Graph.bfsDistancesOn(e, 1L, 3).collect(); () }),
+      "sssp"      -> (() => { Graph.ssspOn(undirected(Seq((1L, 2L, 1L), (2L, 3L, 2L))), 1L, 3).collect(); () }),
+      "lpa"       -> (() => { Graph.lpaCommunitiesOn(e, 2).collect(); () }),
+      "kcore"     -> (() => { Graph.kcoreOn(e, 2, 3).collect(); () }))
+    walks.foreach { case (name, run) =>
+      run()
+      assert(cacheEmpty == before, s"$name left a CacheManager entry behind")
+    }
   }
 }

@@ -239,7 +239,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pagerank never plans a cartesian product and partial-aggregates contributions") {
-    val p = planOf("pagerank")
+    // served path checkpoints per round (truncated LogicalRDD leaves),
+    // so assert on the fully-lazy pipeline, where the round shapes are
+    // visible
+    val p = graft.ops.Graph.pageRankOn(graft.ops.Graph.edges(spark, sfDir),
+        iters = 2, materialize = false)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct"), "the 1-row N join must broadcast")
     assert(p.contains("partial_sum"), "contribution sum lost map-side combine")
   }
@@ -268,7 +273,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("triangle_count never plans a cartesian product") {
-    val p = planOf("triangle_count")
+    // lazy pipeline (the served path truncates its reused tables to
+    // LogicalRDD leaves; the wedge/close joins are visible either way,
+    // but the lazy form pins the whole tree)
+    val p = graft.ops.Graph.triangleCountOn(graft.ops.Graph.triEdges(spark, sfDir),
+        materialize = false)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct"),
       "wedge formation and closing must be key joins")
   }
@@ -298,13 +308,20 @@ class PlanSpec extends SparkSpec {
   test("bpe_pairs: corpus map side is one codegen'd pass; merges broadcast") {
     // the only corpus-sized work is word extraction + partial count —
     // everything downstream is vocabulary-sized. Pin (a) the SymbolPairs
-    // kernel stays inside whole-stage codegen, (b) each merge's 1-row
+    // kernel stays inside whole-stage codegen, (b) a merge round's 1-row
     // top pair reaches the vocabulary via broadcast, not a shuffle or
-    // cartesian product.
+    // cartesian product. The served query checkpoints each round's pair
+    // table (its final plan is three LogicalRDD scans), so the merge
+    // shape is pinned on the building block itself.
     import org.apache.spark.sql.functions._
-    val df = SparkEntry.queries("bpe_pairs")(spark, sfDir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    import spark.implicits._
+    val sym = Seq(("<a><b><c>", 3L), ("<a><b>", 2L)).toDF("s", "f")
+    val pc = sym
+      .select(explode(graft.functions.TextFunctions.symbolPairsCol(col("s"))).as("pair"), col("f"))
+      .groupBy("pair").agg(sum("f").as("n"))
+    val merged = graft.ops.TextAnalysis.applyMerge(sym, pc)
+    merged.collect()
+    val p = merged.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "merge join planned cartesian")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "1-row merge pair not broadcast")

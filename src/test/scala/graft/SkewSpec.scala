@@ -52,6 +52,16 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin rejects zero buckets and inputs already carrying __salt") {
+    val fact = Seq((1L, "a")).toDF("k", "x")
+    val dim  = Seq((1L, "d")).toDF("k", "y")
+    intercept[IllegalArgumentException](Skew.saltedJoin(fact, dim, "k", col("x"), 0))
+    intercept[IllegalArgumentException](Skew.saltedSumCount(fact, col("k"), col("k"), col("x"), 0))
+    val poisoned = fact.withColumn("__salt", lit(1L))
+    intercept[IllegalArgumentException](Skew.saltedJoin(poisoned, dim, "k", col("x"), 4))
+    intercept[IllegalArgumentException](Skew.saltedJoin(fact, poisoned, "k", col("x"), 4))
+  }
+
   test("salted sum/count equals direct aggregation under heavy skew") {
     val rows = (1 to 9000).map(i => ("hot", i.toLong)) ++
       (1 to 1000).map(i => (s"k${i % 17}", i.toLong))

@@ -137,12 +137,18 @@ class StatsSpec extends SparkSpec {
   }
 
   test("bigram_lift prunes the documents scan to the text column") {
-    val p = graft.ops.TextAnalysis.bigramLift(spark, sfDir)
-      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    val schemas = "ReadSchema: \\S+".r.findAllIn(p).toList
-    assert(schemas.nonEmpty)
-    schemas.foreach(s => assert(s.contains("struct<text:string>"),
-      s"documents scan reads more than text: $s"))
+    // the served query checkpoints its vocabulary tables (the final plan
+    // has no parquet scan), so pin pruning on the shared corpus-side
+    // reductions bigramLift/lmBigramScore actually materialize
+    val docs = Tables.documents(spark, sfDir)
+    for (side <- Seq(graft.ops.TextAnalysis.unigramCounts(docs),
+                     graft.ops.TextAnalysis.bigramCounts(docs))) {
+      val p = side.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      val schemas = "ReadSchema: \\S+".r.findAllIn(p).toList
+      assert(schemas.nonEmpty)
+      schemas.foreach(s => assert(s.contains("struct<text:string>"),
+        s"documents scan reads more than text: $s"))
+    }
   }
 
   test("wordBigramsAll keeps multiplicity and drops empty tokens before pairing") {

@@ -32,6 +32,22 @@ class VerifySpec extends SparkSpec {
     assert(!json.contains("good_query"))
   }
 
+  test("a failed query deletes its stale parquet from an earlier run into the same dir") {
+    // reused artifact dir: run green first, then the same query name
+    // fails — the old green parquet must NOT survive to read as a pass
+    val tmp = Files.createTempDirectory("graft-verify-stale").toString
+    val good: (SparkSession, String) => DataFrame =
+      (s, dir) => tables.Tables.region(s, dir)
+    val bad: (SparkSession, String) => DataFrame =
+      (_, _) => throw new IllegalStateException("second-run failure")
+    Verify.dumpQueries(spark, sfDir, tmp, Seq("q" -> good))
+    assert(Files.exists(Paths.get(s"$tmp/q")))
+    val errs = Verify.dumpQueries(spark, sfDir, tmp, Seq("q" -> bad))
+    assert(errs.keySet == Set("q"))
+    assert(!Files.exists(Paths.get(s"$tmp/q")),
+      "stale green parquet outlived the failure that superseded it")
+  }
+
   test("errors.json is {} when everything passes") {
     val tmp = Files.createTempDirectory("graft-verify-green").toString
     Verify.writeErrors(tmp, Map.empty)
