@@ -182,6 +182,43 @@ class GraphSpec extends SparkSpec {
     assert(g8 <= g2 + 2, s"pagerank plan must not grow with rounds: $g2 -> $g8")
   }
 
+  test("coreness matches the hand-derived core numbers on K4+tail and the lollipop") {
+    // K4 {1,2,3,4} + tail 4-5, 5-6: the K4 is a 3-core (each node has 3
+    // neighbors inside it); 5 and 6 sit on a path — coreness 1.
+    val k4tail = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = Graph.corenessOn(k4tail, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+    // lollipop: triangle 1-2-3 (2-core) + chain 3-4-5-6 (coreness 1)
+    val lolli = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got2 = Graph.corenessOn(lolli, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+    // iters = 0 is plain degree; one round already tightens the tail
+    // (h-index of node 5's neighbors {deg 4 = 3, deg 6 = 1} is 1)
+    val deg0 = Graph.corenessOn(k4tail, 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg0 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 2L, 6L -> 1L))
+    val one = Graph.corenessOn(k4tail, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(5L) == 1L && one(6L) == 1L)
+  }
+
+  test("coreness agrees with repeated k-core peel membership on the toy graphs") {
+    // cross-check the h-index fixpoint against kcoreOn: coreness(v) >= k
+    // iff v survives the k-core peel
+    val k4tail = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core = Graph.corenessOn(k4tail, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- 1 to 4) {
+      val members = Graph.kcoreOn(k4tail, k, 10).collect().map(_.getLong(0)).toSet
+      assert(core.filter(_._2 >= k).keySet == members,
+        s"k=$k: h-index coreness disagrees with the peel")
+    }
+  }
+
   test("no graph walk leaves CacheManager entries behind (storage hygiene)") {
     // Round-13 verdict #1: pageRankOn/triangleCountOn leaked their
     // .cache()s into the rest of the bench run. The family convention is
@@ -199,7 +236,8 @@ class GraphSpec extends SparkSpec {
       "bfs"       -> (() => { Graph.bfsDistancesOn(e, 1L, 3).collect(); () }),
       "sssp"      -> (() => { Graph.ssspOn(undirected(Seq((1L, 2L, 1L), (2L, 3L, 2L))), 1L, 3).collect(); () }),
       "lpa"       -> (() => { Graph.lpaCommunitiesOn(e, 2).collect(); () }),
-      "kcore"     -> (() => { Graph.kcoreOn(e, 2, 3).collect(); () }))
+      "kcore"     -> (() => { Graph.kcoreOn(e, 2, 3).collect(); () }),
+      "coreness"  -> (() => { Graph.corenessOn(e, 3).collect(); () }))
     walks.foreach { case (name, run) =>
       run()
       assert(cacheEmpty == before, s"$name left a CacheManager entry behind")
