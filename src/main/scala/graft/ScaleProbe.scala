@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness: converts the SURVEY §2.4 "would survive 100 TB"
+  * plan-shape claims into measured evidence.
+  *
+  * The driver's fixtures top out at sf0.1 (~17 MB) — small enough that a
+  * single task holds every partition and a super-linear operator can
+  * still look flat. This harness synthesizes k× replicas of the sf0.1
+  * tables into a temp dir (id-remapped and content-perturbed so near-dup
+  * operators see k independent corpora, not k exact copies of one — an
+  * exact-copy replica would put k rows in every LSH bucket and
+  * manufacture an O(k²) pair explosion that says nothing about the
+  * operator) and runs the most scale-sensitive operators at each
+  * multiplier, recording wall seconds, output rows, optimized-plan node
+  * count, and post-GC driver heap.
+  *
+  * What "passes" looks like, per operator:
+  *  - runtime grows ~linearly in k (the shuffle/join shape claims);
+  *  - optimized-plan node count is CONSTANT in k (no data-dependent
+  *    plan growth — the round-12 sssp defect class);
+  *  - driver heap is flat in k (no driver-side materialization of
+  *    data-sized state — collect() sites are bounded metadata only).
+  *
+  * Replica perturbation (replica r of k, r = 0 is byte-identical base):
+  *  - ids: every fact key gets `r * 10_000_000` added (doc_id, vec_id,
+  *    event_id, user_id, o_orderkey/l_orderkey) — replicas are disjoint
+  *    key spaces, so per-key state (sessions, dedup groups, graph nodes
+  *    where keyed by id) scales with data.
+  *  - documents.text: letters Caesar-shifted by r·7 mod 26 — every
+  *    shingle/gram/token differs across replicas while within-replica
+  *    duplicate structure is preserved exactly (the shift is a bijection
+  *    on the alphabet).
+  *  - embeddings.embedding: circularly rotated by r positions — replicas
+  *    point in unrelated directions (no manufactured cross-replica
+  *    near-dups) while the norm/cluster statistics of each replica match
+  *    the base corpus.
+  *  - events.ts: unchanged — the event-time window population is the
+  *    realistic axis (k× more keys and rows in the same time range).
+  *
+  * Env knobs: SPARK_GRAFT_SCALE_BASE (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_SCALE_MULTS (default "1,8,32"),
+  * SPARK_GRAFT_SCALE_QUERIES (default the scale-sensitive six + the
+  * corpus-scaled kNN variant), SPARK_GRAFT_SCALE_DIR (work dir).
+  * Emits one JSON line per (query, mult) on stdout and a final summary
+  * table on stderr; results land in PERF.md by hand.
+  */
+object ScaleProbe {
+
+  private val Stride = 10000000L
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase
+
+  /** Caesar target alphabet for replica r (identity at r=0). */
+  private def shifted(alpha: String, shift: Int): String =
+    alpha.drop(shift) + alpha.take(shift)
+
+  /** One perturbed replica of a base table. */
+  private def replica(name: String, base: DataFrame, r: Int): DataFrame = {
+    val off = r * Stride
+    name match {
+      case "documents" =>
+        // Caesar alone cycles with period 26 — replica 26 would be
+        // byte-identical to replica 0 and manufacture cross-replica
+        // near-dup pairs (observed: 54× rows at 32×). Reversing the
+        // text for r >= 26 keeps the map injective through k = 52.
+        val sh = (r * 7) % 26
+        val ciphered =
+          if (sh == 0) col("text")
+          else translate(col("text"), lower + upper, shifted(lower, sh) + shifted(upper, sh))
+        base
+          .withColumn("doc_id", col("doc_id") + off)
+          .withColumn("text", if (r >= 26) reverse(ciphered) else ciphered)
+      case "embeddings" =>
+        val dim = 64
+        val sh = r % dim
+        base
+          .withColumn("vec_id", col("vec_id") + off)
+          .withColumn("embedding",
+            if (sh == 0) col("embedding")
+            else concat(slice(col("embedding"), sh + 1, dim - sh), slice(col("embedding"), 1, sh)))
+      case "events" =>
+        base
+          .withColumn("event_id", col("event_id") + off)
+          .withColumn("user_id", col("user_id") + off)
+      case "orders" =>
+        base.withColumn("o_orderkey", col("o_orderkey") + off)
+      case "lineitem" =>
+        base.withColumn("l_orderkey", col("l_orderkey") + off)
+      case _ => base
+    }
+  }
+
+  /** Tables replicated k× (facts); dims are copied 1×. */
+  private val facts = Seq("documents", "embeddings", "events", "orders", "lineitem")
+  private val dims  = Seq("region", "nation", "customer", "supplier", "part")
+
+  /** Synthesizes `<outDir>/x<k>/` with the full fixture layout. `events`
+    * is rewritten as a single FILE named events.parquet (the streaming
+    * source's pathGlobFilter matches leaf file names); other tables are
+    * parquet directories, which every batch reader handles. */
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): String = {
+    val dir = s"$outDir/x$k"
+    val fs = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(fs)
+    dims.foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    facts.foreach { t =>
+      val base = spark.read.parquet(s"$baseDir/$t.parquet")
+      val scaled = (0 until k).map(r => replica(t, base, r)).reduce(_ union _)
+      if (t == "events") {
+        val tmp = s"$dir/_tmp_events"
+        scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        deleteRecursively(java.nio.file.Paths.get(tmp))
+      } else {
+        scaled.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    }
+    dir
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  private def heapUsedMb(): Long = {
+    System.gc(); Thread.sleep(300); System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  private[graft] def planNodes(df: DataFrame): Int = {
+    var n = 0
+    df.queryExecution.optimizedPlan.foreach(_ => n += 1)
+    n
+  }
+
+  /** The scale-sensitive set: the five operators the round-13 verdict
+    * named plus the corpus-scaled kNN-graph variant (knn_graph itself is
+    * ALSO probed — its fixed 10-list IVF is expected to show the
+    * quadratic knee that motivates the scaled variant). */
+  val DefaultQueries: Seq[String] = Seq(
+    "dedup_minhash", "semantic_dedup", "knn_graph", "substring_dup",
+    "sssp_weighted", "stream_session_rocksdb")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultQueries)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirsByMult = mults.map { k =>
+      System.err.println(s"[scale] synthesizing x$k from $baseDir ...")
+      val t0 = System.nanoTime()
+      val d = synthesize(spark, baseDir, workDir, k)
+      System.err.println(f"[scale] x$k ready in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      k -> d
+    }
+
+    // results: (query, mult) -> (sec, rows, planNodes, heapMb)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long, Int, Long)]
+    for (q <- queries) {
+      val fn = SparkEntry.queries.getOrElse(q,
+        throw new IllegalArgumentException(s"unknown query $q"))
+      // warmup at the smallest mult: pays codegen/JIT once so the
+      // measured points are steady-state compute, not compilation
+      try fn(spark, dirsByMult.head._2).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[scale] warmup $q: $e") }
+      for ((k, dir) <- dirsByMult) {
+        val t0 = System.nanoTime()
+        val res =
+          try {
+            val df = fn(spark, dir)
+            df.write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            val nRows = df.count()
+            Some((sec, nRows, planNodes(df)))
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] FAILED $q x$k: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+              None
+          }
+        val heap = heapUsedMb()
+        res.foreach { case (sec, nRows, pn) =>
+          rows += ((q, k, sec, nRows, pn, heap))
+          println(f"""{"query":"$q","mult":$k,"sec":$sec%.2f,"rows":$nRows,"plan_nodes":$pn,"heap_mb":$heap}""")
+        }
+      }
+    }
+
+    System.err.println("\n| query | mult | sec | rows | plan nodes | heap MB |")
+    System.err.println("|---|---|---|---|---|---|")
+    rows.foreach { case (q, k, s, n, p, h) =>
+      System.err.println(f"| $q | ${k}x | $s%.2f | $n | $p | $h |")
+    }
+    spark.stop()
+  }
+}

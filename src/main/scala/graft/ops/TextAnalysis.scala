@@ -614,6 +614,110 @@ object TextAnalysis {
        |ORDER BY doc.doc_id""".stripMargin
   }
 
+  /** Merge budget of [[bpeTrain]] — a real tokenizer trains 30k-100k
+    * merges; 20 is enough to prove the loop shape (every round beyond
+    * the third exercises the same code path) while keeping the chained
+    * 20-CTE DuckDB oracle tractable. */
+  val BpeTrainMerges = 20
+
+  /** The general N-merge BPE training loop ([[bpePairs]] is the 3-round
+    * unrolled demo). Per round: pair counts over the VOCABULARY-sized
+    * symbol table (one explode + partial agg — never a corpus re-scan),
+    * the 1-row top pair collected to the driver (bounded metadata, the
+    * kmeans-centroid convention — 2 strings + 1 long per round), and a
+    * literal replace applied to the symbol table, which is then eagerly
+    * `localCheckpoint`ed so round r's plan is O(1) — LogicalRDD +
+    * one Project — regardless of r (the graph-family discipline;
+    * pinned in PlanSpec). Early-exits when no pair remains. Returns the
+    * merge list (round, pair, n) and the final symbol table. */
+  private[graft] def bpeTrainLoop(
+      sym0: DataFrame, rounds: Int): (Seq[(Int, String, Long)], DataFrame) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var sym = sym0
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // NOT pairCounts(): that helper localCheckpoints (it feeds two
+      // consumers in bpePairs); here the counts feed exactly one top-1
+      // collect, so materializing them would add a per-round job
+      val top = sym
+        .select(explode(TextFunctions.symbolPairsCol(col("s"))).as("pair"), col("f"))
+        .groupBy("pair").agg(sum("f").as("n"))
+        .orderBy(desc("n"), col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        out += ((r, pair, top(0).getLong(1)))
+        val pat = "<" + pair.replace(" ", "><") + ">"
+        val rep = "<" + pair.replace(" ", "") + ">"
+        // lazy checkpoint: plan truncates to LogicalRDD immediately, but
+        // materialization rides the NEXT round's pair-count job instead
+        // of paying a dedicated job per round (20 jobs, not 40)
+        sym = sym.withColumn("s", replace(col("s"), lit(pat), lit(rep)))
+          .localCheckpoint(eager = false)
+        r += 1
+      }
+    }
+    (out.toSeq, sym)
+  }
+
+  /** BPE TRAIN — the merges.txt artifact a tokenizer ships: the first
+    * [[BpeTrainMerges]] merge rules (round, pair, frequency at merge
+    * time), trained with the iterative loop rather than [[bpePairs]]'s
+    * unrolled three rounds. The corpus is scanned exactly once (word
+    * extraction + counting); every round after that is vocabulary-local,
+    * so at 100 TB the merge budget prices in vocabulary passes, not
+    * corpus passes. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val sym0 = words
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("f"))
+      .localCheckpoint() // vocabulary-sized root of the merge chain
+    val (merges, _) = bpeTrainLoop(sym0, BpeTrainMerges)
+    merges.toDF("round", "pair", "n_pair").orderBy("round")
+  }
+
+  /** [[bpeTrain]]'s oracle: the identical loop as 20 chained CTE rounds
+    * (pair counts → top-1 merge → literal rewrite), emitting each
+    * round's merged pair. Same tie-break (n DESC, pair ASC) both sides.
+    * The chained CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and
+    * each sym_i is referenced twice (its pair counts and the next
+    * rewrite), so 20 un-materialized rounds expand 2^20 subtrees. */
+  private val bpeTrainSql: String = {
+    def pairsCte(i: Int): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(a)), k -> a[k] || ' ' || a[k+1])) AS pair, f
+         |    FROM (SELECT regexp_extract_all(s, '<([a-z]+)>', 1) AS a, f FROM sym$i))
+         |  GROUP BY pair
+         |)""".stripMargin
+    def mergeCte(i: Int): String =
+      s"""m${i + 1} AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1),
+         |sym${i + 1} AS MATERIALIZED (
+         |  SELECT replace(s, '<' || replace(m.pair, ' ', '><') || '>',
+         |                    '<' || replace(m.pair, ' ', '') || '>') AS s, f
+         |  FROM sym$i CROSS JOIN m${i + 1} m
+         |)""".stripMargin
+    val ctes = (0 until BpeTrainMerges)
+      .map(i => pairsCte(i) + ",\n" + mergeCte(i)).mkString(",\n")
+    val sel = (1 to BpeTrainMerges)
+      .map(i => s"SELECT $i AS round, pair, n AS n_pair FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY w
+       |), sym0 AS (
+       |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, f FROM words
+       |),
+       |$ctes
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   /** Vocabulary coverage curve — the tokenizer-design question "how much
     * of the corpus do the top-k tokens cover": top-30 tokens by count
     * with exact cumulative corpus share in integral micros.
@@ -739,6 +843,7 @@ object TextAnalysis {
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("bpe_pairs", bpePairsSql)(bpePairs),
     QueryDef.sql("bpe_encode", bpeEncodeSql)(bpeEncode),
+    QueryDef.sql("bpe_train", bpeTrainSql)(bpeTrain),
     QueryDef.sql("vocab_coverage", vocabCoverageSql)(vocabCoverage),
     QueryDef.sql("inverted_index", invertedIndexSql)(invertedIndex),
     QueryDef.sql("bigram_lift", bigramLiftSql)(bigramLift),

@@ -400,4 +400,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "merge pairs must reach the vocabulary via broadcast")
   }
+
+  test("bpe_train: N-merge loop keeps the symbol-table plan O(1) in rounds") {
+    // the round-12 defect class: an iterative operator whose per-round
+    // plan references the previous round's frame k times grows k^r —
+    // bpeTrainLoop localCheckpoints each round, so the round-r symbol
+    // table must plan as LogicalRDD + rewrite regardless of r
+    import spark.implicits._
+    val sym0 = Seq(("<l><o><w>", 3L), ("<l><o><w><e><r>", 2L), ("<n><e><w><e><s><t>", 1L))
+      .toDF("s", "f").localCheckpoint()
+    val (_, sym3) = graft.ops.TextAnalysis.bpeTrainLoop(sym0, 3)
+    val (_, sym8) = graft.ops.TextAnalysis.bpeTrainLoop(sym0, 8)
+    assert(ScaleProbe.planNodes(sym3) == ScaleProbe.planNodes(sym8),
+      s"plan grows with rounds: ${ScaleProbe.planNodes(sym3)} vs ${ScaleProbe.planNodes(sym8)}")
+  }
+
+  test("bpe_train reproduces the canonical merge sequence by hand") {
+    // Sennrich's worked example shape: {low×3, lower×2, newest×1}.
+    // Round ties break (n DESC, pair ASC) — proven by hand below.
+    import spark.implicits._
+    val sym0 = Seq(("<l><o><w>", 3L), ("<l><o><w><e><r>", 2L), ("<n><e><w><e><s><t>", 1L))
+      .toDF("s", "f").localCheckpoint()
+    val (merges, _) = graft.ops.TextAnalysis.bpeTrainLoop(sym0, 5)
+    assert(merges == Seq(
+      (1, "l o", 5L),   // "l o"=5 ties "o w"=5, asc tie-break
+      (2, "lo w", 5L),
+      (3, "e r", 2L),   // "e r"=2 ties "low e"=2, asc tie-break
+      (4, "low er", 2L),
+      (5, "e s", 1L)),  // all 1s in newest; "e s" first asc
+      s"got $merges")
+  }
 }
