@@ -401,8 +401,146 @@ object Centroids {
        |ORDER BY d""".stripMargin
   }
 
+  /** Components returned by [[pcaTopR]]. */
+  private val PcaR = 3
+
+  /** One power-iteration matvec: w = Σ_x (x·v)·x with per-term exact
+    * integer-NANOS rounding before the order-insensitive long sum (the
+    * [[pcaPower]] contract). Shuffle rows = dim; O(dim) result to the
+    * driver. */
+  private def pcaMatvec(base: DataFrame, v: Array[Float]): Array[Double] = {
+    import graft.functions.VectorFunctions
+    val vLit = array(v.map(x => lit(x)): _*)
+    val dots = base.select(col("vec_id"),
+      VectorFunctions.dot(col("embedding"), vLit).as("dot"))
+    val ws = base.join(dots, "vec_id")
+      .select(col("dot"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(sum(round(col("dot") * col("x") * 1e9).cast("long")).as("wn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    require(ws.length == Dim, s"pcaMatvec: expected $Dim dims, got ${ws.length}")
+    ws.map(_._2 / 1e9)
+  }
+
+  /** Top-[[PcaR]] principal directions via power iteration with
+    * vector-level DEFLATION — the general form of [[pcaPower]]'s top-1.
+    * Component c runs the same [[PcaIters]] matvec rounds, but each
+    * round's O(dim) update w is first projected off every previously
+    * found direction (w ← w − (vₚ·w)vₚ, sequentially in component
+    * order) BEFORE normalizing — orthogonal/deflated power iteration.
+    * The deflation is pure driver math on bounded O(dim·r) state (the
+    * corpus passes are identical to pcaPower's dim-row aggregates), and
+    * every operation — ascending-d projection folds, elementwise
+    * subtract, sequential norm fold, float re-quantization of each new
+    * v — is fixed-order IEEE arithmetic the DuckDB oracle replays
+    * bit-for-bit. Output: (comp, d, loading, eigen), eigen = last
+    * round's ‖w‖ rounded to 6dp, Rayleigh-ordered across components
+    * (pinned with orthogonality in ClusteringSpec). */
+  def pcaTopR(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val v0 = Array.fill(Dim)((1.0 / math.sqrt(Dim.toDouble)).toFloat)
+    val comps = scala.collection.mutable.ArrayBuffer.empty[(Array[Float], Double)]
+    for (_ <- 1 to PcaR) {
+      var v = v0
+      var lastNorm = 0.0
+      for (_ <- 1 to PcaIters) {
+        var wd = pcaMatvec(base, v)
+        for ((pv, _) <- comps) {
+          var proj = 0.0
+          var d = 0
+          while (d < Dim) { proj += pv(d).toDouble * wd(d); d += 1 }
+          wd = Array.tabulate(Dim)(i => wd(i) - proj * pv(i).toDouble)
+        }
+        val norm = math.sqrt(wd.map(x => x * x).foldLeft(0.0)(_ + _))
+        require(norm > 0.0, "pcaTopR: zero deflated update — rank-deficient corpus")
+        v = wd.map(x => (x / norm).toFloat)
+        lastNorm = norm
+      }
+      comps += ((v, lastNorm))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    comps.zipWithIndex.flatMap { case ((v, norm), c) =>
+      val eig = java.math.BigDecimal.valueOf(norm)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      v.zipWithIndex.map { case (x, d) => ((c + 1).toLong, d.toLong, x.toDouble, eig) }
+    }.toSeq.toDF("comp", "d", "loading", "eigen")
+      .orderBy("comp", "d")
+  }
+
+  /** [[pcaTopR]]'s oracle: the same R×iters CTE chain with the
+    * deflation folds spelled out per prior component. MATERIALIZED
+    * throughout — the per-iteration vectors are referenced more than
+    * once and DuckDB inlines plain CTEs exponentially. */
+  private val pcaTopRSql: String = {
+    val v0 = (1.0 / math.sqrt(Dim.toDouble)).toFloat
+    val v0Dec = new java.math.BigDecimal(v0.toDouble).toPlainString
+    def dot64(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, $Dim), dd -> $a[dd] * $b[dd])),
+         |    (x, y) -> x + y)""".stripMargin
+    // one power iteration for component c: matvec, deflate against
+    // comp1..comp{c-1} sequentially, norm, re-quantized v
+    def iter(c: Int, i: Int): String = {
+      val prevV = if (i == 1) s"c${c}v0" else s"c${c}v${i - 1}"
+      val matvec =
+        s"""c${c}dots$i AS MATERIALIZED (
+           |  SELECT e.vec_id, ${dot64("le", s"$prevV.v")} AS dot
+           |  FROM (SELECT vec_id, list_transform(generate_series(1, $Dim),
+           |          dd -> CAST(embedding[dd] AS DOUBLE)) AS le FROM embeddings) e
+           |  CROSS JOIN $prevV
+           |), c${c}w$i AS MATERIALIZED (
+           |  SELECT list(wn / 1000000000.0 ORDER BY dd) AS w FROM (
+           |    SELECT dd, sum(CAST(round(t.dot * CAST(e.embedding[dd] AS DOUBLE)
+           |                              * 1000000000.0) AS BIGINT)) AS wn
+           |    FROM embeddings e JOIN c${c}dots$i t ON e.vec_id = t.vec_id,
+           |         (SELECT unnest(generate_series(1, $Dim)) AS dd) dims
+           |    GROUP BY dd)
+           |)""".stripMargin
+      val defl = (1 until c).map { p =>
+        val src = if (p == 1) s"c${c}w$i" else s"c${c}wdef${i}_${p - 1}"
+        s"""c${c}wdef${i}_$p AS MATERIALIZED (
+           |  SELECT list_transform(generate_series(1, $Dim),
+           |    dd -> s.w[dd] - ${dot64(s"comp$p.v", "s.w")} * comp$p.v[dd]) AS w
+           |  FROM $src s CROSS JOIN comp$p
+           |)""".stripMargin
+      }
+      val wFinal = if (c == 1) s"c${c}w$i" else s"c${c}wdef${i}_${c - 1}"
+      val normV =
+        s"""c${c}n$i AS MATERIALIZED (
+           |  SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(w, x -> x * x)), (x, y) -> x + y)) AS nrm
+           |  FROM $wFinal
+           |), c${c}v$i AS MATERIALIZED (
+           |  SELECT list_transform(w.w, x -> CAST(CAST(x / n.nrm AS REAL) AS DOUBLE)) AS v
+           |  FROM $wFinal w CROSS JOIN c${c}n$i n
+           |)""".stripMargin
+      (Seq(matvec) ++ defl ++ Seq(normV)).mkString(",\n")
+    }
+    def comp(c: Int): String = {
+      val iters = (1 to PcaIters).map(i => iter(c, i)).mkString(",\n")
+      s"""c${c}v0 AS MATERIALIZED (
+         |  SELECT list_transform(generate_series(1, $Dim),
+         |    dd -> CAST($v0Dec AS DOUBLE)) AS v
+         |),
+         |$iters,
+         |comp$c AS MATERIALIZED (SELECT v FROM c${c}v$PcaIters),
+         |eig$c AS MATERIALIZED (SELECT round(nrm, 6) AS eigen FROM c${c}n$PcaIters)""".stripMargin
+    }
+    val sel = (1 to PcaR).map { c =>
+      s"""SELECT $c AS comp, CAST(dd - 1 AS BIGINT) AS d, v.v[dd] AS loading, e.eigen
+         |FROM comp$c v CROSS JOIN eig$c e
+         |     CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS dd) dims"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${(1 to PcaR).map(comp).mkString(",\n")}
+       |SELECT CAST(comp AS BIGINT) AS comp, d, loading, eigen FROM ($sel)
+       |ORDER BY comp, d""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("pca_power", pcaSql)(pcaPower),
+    QueryDef.sql("pca_topr", pcaTopRSql)(pcaTopR),
     QueryDef.sql("label_centroids",
       """SELECT CAST(label AS BIGINT) AS label, CAST(d - 1 AS BIGINT) AS dim,
         |       round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val

@@ -625,10 +625,11 @@ object TextAnalysis {
     * symbol table (one explode + partial agg — never a corpus re-scan),
     * the 1-row top pair collected to the driver (bounded metadata, the
     * kmeans-centroid convention — 2 strings + 1 long per round), and a
-    * literal replace applied to the symbol table, which is then eagerly
+    * literal replace applied to the symbol table, which is then lazily
     * `localCheckpoint`ed so round r's plan is O(1) — LogicalRDD +
     * one Project — regardless of r (the graph-family discipline;
-    * pinned in PlanSpec). Early-exits when no pair remains. Returns the
+    * pinned in PlanSpec) while the materialization rides the next
+    * round's job. Early-exits when no pair remains. Returns the
     * merge list (round, pair, n) and the final symbol table. */
   private[graft] def bpeTrainLoop(
       sym0: DataFrame, rounds: Int): (Seq[(Int, String, Long)], DataFrame) = {

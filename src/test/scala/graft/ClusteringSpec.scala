@@ -70,4 +70,31 @@ class ClusteringSpec extends SparkSpec {
     assert(rayleigh >= avgDir.map(p => p * p).sum,
       "dominant direction must capture at least the uniform direction's energy")
   }
+
+  test("pca_topr: orthogonal components in Rayleigh order, top-1 = pca_power") {
+    val rows = graft.ops.Centroids.pcaTopR(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 3 * 64)
+    val comps = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rs) => (c, rs.sortBy(_._2).map(_._3), rs.head._4) }
+    // each component is unit (float quantization bounds the drift)
+    for ((c, v, _) <- comps) {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"component $c not unit: $n")
+    }
+    // pairwise orthogonality: deflation projects each update off every
+    // prior direction, so residual dot is quantization-level only
+    for (Seq((ci, vi, _), (cj, vj, _)) <- comps.combinations(2)) {
+      val dot = math.abs(vi.zip(vj).map { case (a, b) => a * b }.sum)
+      assert(dot < 1e-3, s"components $ci,$cj not orthogonal: |dot| = $dot")
+    }
+    // Rayleigh ordering: eigenvalue estimates decrease down the deflation
+    val eigs = comps.map(_._3)
+    assert(eigs == eigs.sorted.reverse, s"eigen not descending: $eigs")
+    assert(eigs.last > 0.0)
+    // component 1 must be exactly pca_power's direction (same contract)
+    val p1 = graft.ops.Centroids.pcaPower(spark, sfDir)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1)).toSeq
+    assert(comps.head._2.toSeq == p1, "pca_topr comp 1 must reproduce pca_power")
+  }
 }
