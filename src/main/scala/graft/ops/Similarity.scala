@@ -149,10 +149,12 @@ object Similarity {
 
   /** the same bucket code as a DuckDB SQL expression: per plane, a
     * left-fold dot product in index order (matching VectorMath.dotF's
-    * accumulation exactly) against the float weights' exact decimals. */
-  private def bucketSql(embCol: String): String =
+    * accumulation exactly) against the float weights' exact decimals.
+    * `planeOffset` selects the table's plane family, mirroring
+    * [[bucketCode]]. */
+  private def bucketSql(embCol: String, planeOffset: Int = 0): String =
     (0 until NumPlanes).map { p =>
-      val weights = planeWeightsF(p)
+      val weights = planeWeightsF(planeOffset + p)
         .map(w => new java.math.BigDecimal(w.toDouble).toPlainString)
         .mkString("[", ", ", "]")
       s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -171,6 +173,50 @@ object Similarity {
         round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
     rankedTopK(spark, pairs)
   }
+
+  /** tables of [[annLshMulti]] — the recall dial of multi-table LSH: a
+    * single 8-plane table misses a cos ≈ 0.99 neighbor with p ≈ 0.31;
+    * six independent OR-ed tables cut the miss to ≈ 0.1%
+    * (SimilaritySpec pins the envelope on planted pairs AND the served
+    * path below). */
+  val LshTables = 6
+
+  /** Multi-table sign-LSH ANN — the SERVED form of the recall envelope
+    * ([[annLsh]] keeps the single-table shape): each vector gets
+    * [[LshTables]] independent bucket codes (plane families
+    * t·NumPlanes, all map-side codegen'd); candidates are the OR-union
+    * of the per-table bucket collisions via ONE equi-join on (table,
+    * code) — only (id, table, code) rows enter the shuffle, the pair
+    * set dedups on (query, neighbor) before any embedding re-attach,
+    * and exact cosine + the bounded-heap top-K run on the (tiny)
+    * deduped candidates. Same scale shape as [[graft.ops.Dedup
+    * .embeddingNearDup]]; no all-pairs anywhere. */
+  def annLshMultiOn(corpus: DataFrame, isQuery: Column): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col("vec_id"), col("embedding"))
+      // feeds the bucket explode and both candidate re-attach joins
+      .localCheckpoint()
+    val buckets = base.select(
+      col("vec_id"),
+      posexplode(array((0 until LshTables).map(t =>
+        bucketCode(col("embedding"), t * NumPlanes)): _*)).as(Seq("t", "code")))
+    val qb = buckets.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("t"), col("code"))
+    val cands = buckets.join(broadcast(qb), Seq("t", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val pairs = cands
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(base.filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
+    rankedTopK(spark, pairs)
+  }
+
+  def annLshMulti(spark: SparkSession, dir: String): DataFrame =
+    annLshMultiOn(Tables.embeddings(spark, dir), col("vec_id") < NumQueries)
 
   /** lists each query probes — ≥2 so boundary vectors (nearest centroid
     * ≠ their neighbor's centroid) stay reachable; nprobe=1 has a recall
@@ -320,6 +366,20 @@ object Similarity {
          |  FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
          |  WHERE q.vec_id < $NumQueries
          |), ${rankSql("pairs")}""".stripMargin)(annLsh),
+    QueryDef.sql("ann_lsh_multi",
+      s"""WITH buckets AS (
+         |${(0 until LshTables).map(t =>
+             s"  SELECT vec_id, $t AS t, ${bucketSql("embedding", t * NumPlanes)} AS code FROM embeddings")
+           .mkString("\n  UNION ALL\n")}
+         |), cands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM buckets q JOIN buckets b ON q.t = b.t AND q.code = b.code AND q.vec_id <> b.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), pairs AS (
+         |  SELECT c.query_id, c.neighbor_id, $cosineSql AS sim
+         |  FROM cands c JOIN embeddings q ON q.vec_id = c.query_id
+         |               JOIN embeddings b ON b.vec_id = c.neighbor_id
+         |), ${rankSql("pairs")}""".stripMargin)(annLshMulti),
     QueryDef.sql("ann_sq8",
       s"""WITH bounds AS (
          |  SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS lo, max(CAST(embedding[d] AS DOUBLE)) AS hi

@@ -401,6 +401,14 @@ class PlanSpec extends SparkSpec {
       "merge pairs must reach the vocabulary via broadcast")
   }
 
+  test("ann_lsh_multi: OR-union via one (table, code) equi-join — no cartesian, no BNLJ") {
+    val df = SparkEntry.queries("ann_lsh_multi")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "multi-table candidates planned cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "bucket join degenerated to BNLJ")
+  }
+
   test("bpe_train: N-merge loop keeps the symbol-table plan O(1) in rounds") {
     // the round-12 defect class: an iterative operator whose per-round
     // plan references the previous round's frame k times grows k^r —

@@ -85,6 +85,41 @@ class SimilaritySpec extends SparkSpec {
       s"6-table OR-amplification recall $anyOf6 must approach 1 (single $single)")
   }
 
+  test("ann_lsh_multi SERVED path: planted near-dups recalled at ≥0.99, dominates single-table") {
+    import org.apache.spark.sql.functions._
+    // plant a cos≈0.9998 copy of every vector (the envelope test's
+    // perturbation) and make EVERY original a query: the served 6-table
+    // OR-union must surface each original's planted copy in its top-K —
+    // the designed ≥0.99 recall, now pinned on the serving operator
+    // rather than the collision statistic
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(100.0)))
+          .cast("float")).as("embedding"))
+    val n = base.count()
+    val found = Similarity.annLshMultiOn(base.union(copies), col("vec_id") < 1000000L)
+      .filter(col("neighbor_id") === col("query_id") + 1000000L)
+      .count()
+    val recall = found.toDouble / n
+    info(s"served multi-table recall of planted copies: $recall (n=$n)")
+    assert(recall >= 0.99, s"served recall $recall below the 6-table envelope")
+
+    // candidate-superset dominance on the fixture corpus: at every
+    // (query, rank) the multi-table sim is >= the single-table sim —
+    // a bigger OR-union can only improve a per-query top-K
+    val multi = Similarity.annLshMulti(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val single = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(single.forall { case (k, s) => multi.getOrElse(k, Double.MinValue) >= s },
+      "multi-table top-K fell below single-table at some rank")
+    // table 0 IS ann_lsh's family, so no single-table pair can be lost
+    // as a candidate — only out-ranked by a better one
+    assert(multi.size >= single.length)
+  }
+
   test("sq8 quantized top-5 recalls ≥0.75 of the exact float-L2 top-5") {
     // exact float-L2 ranking, brute-forced driver-side over the sf0.001
     // corpus (500 vectors) — the uncompressed truth SQ8 approximates
