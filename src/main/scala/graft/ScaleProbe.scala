@@ -154,8 +154,8 @@ object ScaleProbe {
     * ALSO probed — its fixed 10-list IVF is expected to show the
     * quadratic knee that motivates the scaled variant). */
   val DefaultQueries: Seq[String] = Seq(
-    "dedup_minhash", "semantic_dedup", "knn_graph", "substring_dup",
-    "sssp_weighted", "stream_session_rocksdb")
+    "dedup_minhash", "semantic_dedup", "knn_graph", "knn_graph_scaled",
+    "substring_dup", "sssp_weighted", "stream_session_rocksdb")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

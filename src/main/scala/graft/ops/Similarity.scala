@@ -347,6 +347,98 @@ object Similarity {
     rankedTopK(spark, pairs)
   }
 
+  /** Target list population of [[knnGraphScaled]]: lists stay ~B rows
+    * at ANY corpus size because the list count scales as k = ⌈n/B⌉. */
+  val KnnScaledB = 50L
+
+  /** Corpus-scaled kNN graph — the named fix for [[knnGraph]]'s
+    * measured quadratic knee (scale probe, round 14: fixed nlist=10
+    * makes candidate work n²·nprobe/10 — 2.6 s at 1× sf0.1 but 900 s at
+    * 32×). Here the list COUNT grows with the corpus (k = ⌈n/B⌉, the
+    * SemDeDup sizing `Dedup.semanticK` uses) via the two-level
+    * coarse-quantized k-means assignment (`Centroids
+    * .kmeansAssignTwoLevel` — driver state O(√k·dim), per-row work
+    * O(√k·dim)), so the per-list population is ~[[KnnScaledB]] rows at
+    * any n and the self-equi-join on the list id does Σ|list|² ≈ n·B
+    * work — LINEAR in n (probe-measured near-linear at 1×/8×/32×).
+    * nprobe is 1 by construction (own list only) — the documented IVF
+    * boundary-recall trade the two-level assignment already carries;
+    * the exact oracle replays the identical quantizer. */
+  def knnGraphScaled(spark: SparkSession, dir: String): DataFrame =
+    knnEdgesOn(Tables.embeddings(spark, dir))
+
+  /** Prune threshold of [[knnDiversityPrune]] — the SemDeDup ε. */
+  val DiversityCos = 0.99
+
+  /** Diversity pruning over the kNN graph — the consumer the graph is
+    * built FOR (SemDeDup-style cluster pruning / coreset selection): a
+    * vector is pruned when its own top-[[K]] neighbor list contains a
+    * LOWER-id vector at cosine ≥ [[DiversityCos]] (the parallel
+    * lower-id rule `semantic_dedup` established — deterministic, no
+    * sequential greedy chain). Input is the [[knnEdgesOn]] edge set, so
+    * the decision work is Σ|list| rows, never n²; the rule differs from
+    * semantic_dedup in scope — only near-twins that SURVIVE into a
+    * rank-≤K edge can prune, i.e. it consumes the graph artifact
+    * rather than re-scanning clusters.
+    *
+    * The fixtures plant no near-dups, so the corpus is each vector
+    * plus the standard perturbed copy (id + 1,000,000, cos ≈ 0.9998 —
+    * the `semantic_dedup`/`embedding_neardup` convention); copies
+    * prune via their original unless the quantizer splits the pair
+    * across a list boundary (the documented recall trade, same both
+    * engines). */
+  def knnDiversityPrune(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val perturbed = base.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") *
+          (lit(1.0) + ((i % 5) - 2).cast("double") / lit(100.0))).cast("float"))
+        .as("embedding"))
+    val corpus = base.union(perturbed).localCheckpoint()
+    val edges = knnEdgesOn(corpus)
+    val dup = edges
+      .filter(col("sim") >= DiversityCos && col("neighbor_id") < col("query_id"))
+      .select(col("query_id").as("vec_id")).distinct()
+    corpus.select("vec_id")
+      .join(dup.withColumn("pruned", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("pruned"), lit(false)).as("pruned"))
+      .orderBy("vec_id")
+  }
+
+  /** CTEs producing the scaled-kNN candidate `pairs` over relation
+    * `src` (no leading WITH): the two-level quantizer sized k = ⌈n/B⌉
+    * plus the in-list self-join. */
+  private[ops] def knnScaledPairsCtes(src: String): String =
+    s"""${Centroids.kmeansIvfCtes(src,
+          s"SELECT CAST(ceil(count(*) / $KnnScaledB.0) AS BIGINT) FROM $src")},
+       |pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |          CAST(b.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |)""".stripMargin
+
+  /** (vec_id, embedding) corpus → its scaled-kNN top-[[K]] edge set
+    * (the [[knnGraphScaled]] core, reusable over any corpus). */
+  private[ops] def knnEdgesOn(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col("vec_id"), col("embedding"))
+      // feeds the sizing count plus the quantizer's passes
+      .localCheckpoint()
+    val k = math.max(1L, (base.count() + KnnScaledB - 1) / KnnScaledB)
+    val assigned = Centroids.kmeansAssignTwoLevel(base, k)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      // feeds both sides of the list self-join
+      .localCheckpoint()
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        round(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+    rankedTopK(spark, pairs)
+  }
+
   private val cosineSql =
     """round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |             CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
@@ -452,5 +544,30 @@ object Similarity {
          |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
          |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
          |), ${rankSql("pairs")}""".stripMargin)(knnGraph),
+    QueryDef.sql("knn_graph_scaled",
+      s"""WITH ${knnScaledPairsCtes("embeddings")}, ${rankSql("pairs")}""")(knnGraphScaled),
+    QueryDef.sql("knn_diversity_prune",
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(generate_series(1, $Dim), d ->
+         |      CAST(CAST(embedding[d] AS DOUBLE) *
+         |        (CAST(1 AS DOUBLE) + CAST((d - 1) % 5 - 2 AS DOUBLE) / CAST(100 AS DOUBLE))
+         |        AS FLOAT))
+         |  FROM embeddings
+         |), ${knnScaledPairsCtes("corpus")},
+         |edges AS (
+         |  SELECT query_id, neighbor_id, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank FROM pairs)
+         |  WHERE rank <= $K
+         |), dups AS (
+         |  SELECT DISTINCT query_id AS vec_id FROM edges
+         |  WHERE sim >= $DiversityCos AND neighbor_id < query_id
+         |)
+         |SELECT c.vec_id, (d.vec_id IS NOT NULL) AS pruned
+         |FROM corpus c LEFT JOIN dups d USING (vec_id)
+         |ORDER BY c.vec_id""".stripMargin)(knnDiversityPrune),
   )
 }

@@ -120,6 +120,31 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.size >= single.length)
   }
 
+  test("knn_graph_scaled: list count tracks the corpus; diversity prune hits only planted twins") {
+    import org.apache.spark.sql.functions._
+    // the named fix for knn_graph's quadratic knee: k = ceil(n/B) lists
+    // keeps per-list population ~B at any n, so edge work is n*B
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val k = math.max(1L, (n + Similarity.KnnScaledB - 1) / Similarity.KnnScaledB)
+    val edges = Similarity.knnGraphScaled(spark, sfDir)
+    assert(edges.count() <= n * Similarity.K, "more than top-K edges per vector")
+    // every vector appears (lists of size >= 2 give everyone a neighbor;
+    // at B=50 a singleton list would mean the quantizer collapsed)
+    assert(edges.select("query_id").distinct().count() >= n / 2)
+    info(s"n=$n k=$k edges=${edges.count()}")
+
+    // prune consumer: natural fixture sims top out ~0.47, so ONLY the
+    // planted cos~0.9998 copies (id >= 1e6) can cross DiversityCos —
+    // originals must all survive, and most copies must die via their
+    // lower-id original (boundary-split copies survive: the IVF trade)
+    val pruned = Similarity.knnDiversityPrune(spark, sfDir)
+      .filter(col("pruned")).select("vec_id").collect().map(_.getLong(0))
+    assert(pruned.nonEmpty, "prune rule never fired on planted twins")
+    assert(pruned.forall(_ >= 1000000L), "an original was pruned — only copies can be")
+    assert(pruned.length >= (n * 0.9).toInt,
+      s"only ${pruned.length} of $n planted copies pruned — below the in-list recall envelope")
+  }
+
   test("sq8 quantized top-5 recalls ≥0.75 of the exact float-L2 top-5") {
     // exact float-L2 ranking, brute-forced driver-side over the sf0.001
     // corpus (500 vectors) — the uncompressed truth SQ8 approximates
