@@ -93,6 +93,60 @@ class ScaleSpec extends SparkSpec {
       s"q1_agg shuffled $records of $nRows rows — map-side combine lost")
   }
 
+  test("ScaleProbe synthesis: replicas are disjoint, content-perturbed, workload-independent") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scalespec").toString
+    try {
+      val k = 3
+      val dir = ScaleProbe.synthesize(spark, sfDir, tmp, k)
+      // facts replicate exactly k×; dims copy 1×
+      for (t <- Seq("documents", "embeddings", "events", "orders", "lineitem")) {
+        val base   = spark.read.parquet(s"$sfDir/$t.parquet").count()
+        val scaled = spark.read.parquet(s"$dir/$t.parquet").count()
+        assert(scaled == k * base, s"$t: $scaled != $k × $base")
+      }
+      assert(spark.read.parquet(s"$dir/nation.parquet").count() ==
+        spark.read.parquet(s"$sfDir/nation.parquet").count())
+      // id spaces are disjoint across replicas (per-key state must scale)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      assert(docs.select("doc_id").distinct().count() == docs.count())
+      // the Caesar/reversal perturbation is a bijection per replica:
+      // replicas contribute disjoint text spaces, so distinct texts
+      // scale exactly k× — the property that prevents manufactured
+      // cross-replica near-dup pairs
+      val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      assert(docs.select("text").distinct().count() ==
+        k * baseDocs.select("text").distinct().count(),
+        "replica texts collide — near-dup workload would go quadratic in k")
+      // embeddings rotate: distinct vectors also scale k×
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      assert(emb.select("embedding").distinct().count() ==
+        k * spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("embedding").distinct().count())
+      // a near-dup operator's output scales exactly k× on the synthetic
+      // dir (replica independence, end-to-end), and its plan is the
+      // SAME plan it has at 1× (no data-dependent plan growth)
+      val at1 = SparkEntry.queries("dedup_minhash")(spark, sfDir)
+      val atK = SparkEntry.queries("dedup_minhash")(spark, dir)
+      assert(atK.count() == k * at1.count(),
+        "dedup pairs not k× — replicas are not workload-independent")
+      assert(ScaleProbe.planNodes(atK) == ScaleProbe.planNodes(at1))
+      // events survive the single-file rewrite with both id offsets
+      val ev = graft.tables.Tables.events(spark, dir)
+      assert(ev.count() == k * graft.tables.Tables.events(spark, sfDir).count())
+      assert(ev.select("event_id").distinct().count() == ev.count())
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).toArray
+            .map(_.asInstanceOf[java.nio.file.Path]).foreach(rm)
+        java.nio.file.Files.deleteIfExists(p)
+        ()
+      }
+      rm(java.nio.file.Paths.get(tmp))
+    }
+  }
+
   test("curation_pipeline and media_dedup shuffle hash-sized rows, never text/media bytes") {
     val textBytes = spark.read.parquet(s"$sfDir/documents.parquet")
       .agg(org.apache.spark.sql.functions.sum(
