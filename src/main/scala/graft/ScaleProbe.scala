@@ -167,13 +167,19 @@ object ScaleProbe {
       .getOrElse(DefaultQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
 
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // diagnostic overrides, e.g. "spark.sql.autoBroadcastJoinThreshold=100m"
+    // to test whether a knee is a broadcast->shuffle plan transition
+    val spark = sys.env.get("SPARK_GRAFT_SCALE_CONF")
+      .map(_.split(";").filter(_.contains("=")).foldLeft(b0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }).getOrElse(b0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
