@@ -850,7 +850,82 @@ object Curation {
        |FROM a GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** minimum group size of [[kAnonymity]]'s release rule. */
+  val KAnon = 10
+
+  /** k-anonymity release with a generalization ladder — the privacy
+    * gate a curated corpus passes before rows with quasi-identifiers
+    * ship (k-anonymity, Sweeney 2002): a customer row is released at
+    * the most specific quasi-identifier level whose group holds ≥
+    * [[KAnon]] rows — level 0 = (nation, segment); groups under k
+    * generalize geography to level 1 = (region, segment), recounted
+    * over ONLY the level-0 failures (the iterative suppression rule);
+    * still-small groups are fully suppressed (level 2, `*`).
+    *
+    * Scale shape: the group-count tables are bounded by QUASI-ID
+    * CARDINALITY (≤ nations×segments and ≤ regions×segments rows), not
+    * data size, so both count passes are map-side partial aggregates
+    * whose results broadcast back — the release decision is a map-side
+    * key comparison, no per-group window, no data-sized shuffle. The
+    * dimension attach is a 25-row broadcast. A billion-row hot group
+    * costs the same as a small one. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_nationkey"),
+        col("n_name"), col("r_name"))
+      // feeds the level-0 count, the re-attach, and the level-1 recount
+      .localCheckpoint()
+    val g0 = base.groupBy("n_nationkey", "c_mktsegment").agg(count(lit(1)).as("n0"))
+    val lvl0 = base.join(broadcast(g0), Seq("n_nationkey", "c_mktsegment"))
+    val fail0 = lvl0.filter(col("n0") < KAnon)
+    val g1 = fail0.groupBy("r_name", "c_mktsegment").agg(count(lit(1)).as("n1"))
+    val lvl1 = fail0.join(broadcast(g1), Seq("r_name", "c_mktsegment"))
+    lvl0.filter(col("n0") >= KAnon)
+      .select(col("c_custkey"), lit(0L).as("level"),
+        col("n_name").as("quasi_geo"), col("c_mktsegment").as("quasi_segment"))
+      .unionByName(lvl1.filter(col("n1") >= KAnon)
+        .select(col("c_custkey"), lit(1L).as("level"),
+          col("r_name").as("quasi_geo"), col("c_mktsegment").as("quasi_segment")))
+      .unionByName(lvl1.filter(col("n1") < KAnon)
+        .select(col("c_custkey"), lit(2L).as("level"),
+          lit("*").as("quasi_geo"), lit("*").as("quasi_segment")))
+      .orderBy("c_custkey")
+  }
+
+  private val kAnonymitySql: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey, c_mktsegment, n.n_nationkey, n.n_name, r.r_name
+       |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |                  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |), g0 AS (
+       |  SELECT n_nationkey, c_mktsegment, count(*) AS n0 FROM base GROUP BY 1, 2
+       |), lvl0 AS (
+       |  SELECT b.*, g.n0 FROM base b JOIN g0 g USING (n_nationkey, c_mktsegment)
+       |), fail0 AS (
+       |  SELECT * FROM lvl0 WHERE n0 < $KAnon
+       |), g1 AS (
+       |  SELECT r_name, c_mktsegment, count(*) AS n1 FROM fail0 GROUP BY 1, 2
+       |), lvl1 AS (
+       |  SELECT f.*, g.n1 FROM fail0 f JOIN g1 g USING (r_name, c_mktsegment)
+       |)
+       |SELECT c_custkey, CAST(0 AS BIGINT) AS level, n_name AS quasi_geo,
+       |       c_mktsegment AS quasi_segment
+       |FROM lvl0 WHERE n0 >= $KAnon
+       |UNION ALL
+       |SELECT c_custkey, CAST(1 AS BIGINT), r_name, c_mktsegment
+       |FROM lvl1 WHERE n1 >= $KAnon
+       |UNION ALL
+       |SELECT c_custkey, CAST(2 AS BIGINT), '*', '*'
+       |FROM lvl1 WHERE n1 < $KAnon
+       |ORDER BY c_custkey""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("k_anonymity", kAnonymitySql)(kAnonymity),
     QueryDef.sql("shard_assign", shardAssignSql)(shardAssign),
     QueryDef.sql("source_cap", sourceCapSql)(sourceCap),
     QueryDef.sql("url_normalize", urlNormalizeSql)(urlNormalize),

@@ -237,12 +237,11 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     annIvfProbe(spark, dir, NProbe)
 
-  /** Coarse IVF centroids (k = 10 label groups) as plan literals:
-    * k×dim doubles, 6dp-rounded (= labelCentroids' oracle-stable
-    * output), sorted by label so first-wins tie-breaking = the oracle's
-    * ORDER BY dist,label. Returns (list labels, centroid matrix). */
-  private def ivfCentroidLits(spark: SparkSession, dir: String): (Column, Column) = {
-    val cents = Centroids.labelCentroids(spark, dir)
+  /** Per-label centroid matrix ((label, dim-ordered doubles) rows,
+    * label asc, 6dp-rounded — labelCentroids' oracle-stable output) —
+    * shared by the IVF literal builder and the PQ codebook slicer. */
+  private def centroidRows(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    Centroids.labelCentroids(spark, dir)
       .groupBy("label").agg(collect_list(struct(col("dim"), col("avg_val"))).as("dims"))
       .collect().map { r =>
         val arr = new Array[Double](Dim)
@@ -250,6 +249,13 @@ object Similarity {
         (r.getLong(0), arr)
       }
       .sortBy(_._1)
+
+  /** Coarse IVF centroids (k = 10 label groups) as plan literals:
+    * k×dim doubles, sorted by label so first-wins tie-breaking = the
+    * oracle's ORDER BY dist,label. Returns (list labels, centroid
+    * matrix). */
+  private def ivfCentroidLits(spark: SparkSession, dir: String): (Column, Column) = {
+    val cents = centroidRows(spark, dir)
     // nearestCentroidIdx returns -1 on an empty matrix, which 1-based
     // element_at would reject at runtime — fail at plan time instead
     require(cents.nonEmpty, "ivfCentroidLits: centroid table is empty")
@@ -313,6 +319,68 @@ object Similarity {
     rankedTopK(spark, pairs)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         (-col("sim")).cast("long").as("qdist"))
+  }
+
+  /** Subspaces of the product quantizer: [[Dim]]=64 dims split into 16
+    * blocks of 4; codebooks are the subspace slices of the first
+    * [[PqC]] corpus vectors (a deterministic train sample — k-means
+    * init without the iterations; swap in per-subspace Lloyd rounds for
+    * production codebooks, the plumbing is identical), so the code
+    * space is [[PqC]]^m = 64^16 cells from a 16×64×4 double codebook. */
+  val PqM      = 16
+  val PqSubDim = Dim / PqM
+  val PqC      = 64
+
+  /** Product-quantization ANN with asymmetric-distance (ADC) scan — the
+    * aggressive end of the vector-compression axis ([[annSq8]] is 4×
+    * smaller than float32; this is 32×: each corpus vector becomes
+    * [[PqM]] small ints = 8 B at cluster width, so a 100 TB float32
+    * corpus scans as ~3 TB of codes while RAW queries keep full
+    * precision).
+    *
+    * Encode: per subspace s, code_s = nearest codebook entry of the
+    * vector's 8-dim slice (codegen'd `NearestCentroidIdx` against the
+    * sliced literal codebook — strict-less-than, lowest entry on ties).
+    * Scan: qdist(q, x) = Σ_s ‖q_s − book_s[x.code_s]‖² with the QUERY
+    * side unquantized — each term is the codegen'd `SqDistFD` against
+    * the codebook entry selected by `element_at`, summed s = 0..m−1 in
+    * a fixed fold order, so the oracle's s-ordered `list_reduce`
+    * reproduces the double bit-for-bit. Ranking reuses the bounded-heap
+    * Aggregator via the exact sim = −qdist embedding (no double-
+    * rounding hazard: negation is exact).
+    *
+    * The broadcast side is the [[NumQueries]]-row query set (the
+    * bruteforce convention); the corpus side never re-attaches raw
+    * embeddings — the scan reads codes only, which is the entire point
+    * of PQ at scale. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // train sample = first PqC vectors by id: PqC×Dim floats of bounded
+    // driver metadata (the IVF-centroid convention), exact float→double
+    val train = base.filter(col("vec_id") < PqC)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(train.nonEmpty, "annPq: train sample is empty")
+    val books: IndexedSeq[Column] = (0 until PqM).map { s =>
+      typedLit(train.map(_._2.slice(s * PqSubDim, (s + 1) * PqSubDim)
+        .map(_.toDouble).toSeq).toSeq)
+    }
+    val codeCols = (0 until PqM).map { s =>
+      VectorFunctions.nearestCentroidIdx(
+        slice(col("embedding"), s * PqSubDim + 1, PqSubDim), books(s)).as(s"c$s")
+    }
+    val coded = base.select(col("vec_id") +: codeCols: _*)
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val adc = (0 until PqM).map { s =>
+      VectorFunctions.sqDist(
+        slice(col("qv"), s * PqSubDim + 1, PqSubDim),
+        element_at(books(s), col(s"c$s") + 1))
+    }.foldLeft(lit(0.0))(_ + _)
+    val pairs = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-round(adc, 6)).as("sim"))
+    rankedTopK(spark, pairs)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), (-col("sim")).as("qdist"))
   }
 
   /** Corpus-wide kNN graph over the IVF lists — the building block of
@@ -497,6 +565,47 @@ object Similarity {
          |)
          |SELECT query_id, neighbor_id, rank, qdist FROM ranked
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)(annSq8),
+    QueryDef.sql("ann_pq",
+      s"""WITH cb AS (
+         |  SELECT vec_id AS entry, s, list(v ORDER BY d) AS c FROM (
+         |    SELECT vec_id, CAST((d - 1) // $PqSubDim AS INT) AS s, d,
+         |           CAST(embedding[d] AS DOUBLE) AS v
+         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+         |    WHERE vec_id < $PqC) t
+         |  GROUP BY vec_id, s
+         |), assign AS (
+         |  SELECT e.vec_id, c.s, c.entry,
+         |    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, $PqSubDim), i ->
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
+         |        (a, v) -> a + v) ASC, c.entry ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cb c
+         |), codes AS (
+         |  SELECT vec_id, s, entry AS code FROM assign WHERE rn = 1
+         |), terms AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.s,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, $PqSubDim), i ->
+         |        (CAST(q.embedding[x.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
+         |        (CAST(q.embedding[x.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
+         |      (a, v) -> a + v) AS term
+         |  FROM embeddings q
+         |  JOIN codes x ON x.vec_id <> q.vec_id
+         |  JOIN cb c ON c.s = x.s AND c.entry = x.code
+         |  WHERE q.vec_id < $NumQueries
+         |), pairs AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY s)),
+         |      (a, v) -> a + v), 6) AS qdist
+         |  FROM terms GROUP BY query_id, neighbor_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS rank
+         |  FROM pairs
+         |)
+         |SELECT query_id, neighbor_id, rank, qdist FROM ranked
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)(annPq),
     QueryDef.sql("ann_ivf",
       s"""WITH cents AS (
          |  SELECT label, list(avg_val ORDER BY d) AS c FROM (

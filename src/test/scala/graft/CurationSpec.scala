@@ -381,6 +381,37 @@ class CurationSpec extends SparkSpec {
     assert(chunksOf("") == Seq.empty)
   }
 
+  test("k_anonymity: released groups hold ≥ k rows, ladder is exhaustive and minimal") {
+    val out = Curation.kAnonymity(spark, sfDir).cache()
+    try {
+      val nCust = tables.Tables.customer(spark, sfDir).count()
+      // exhaustive and exclusive: every customer appears exactly once
+      assert(out.count() == nCust)
+      assert(out.select("c_custkey").distinct().count() == nCust)
+      // the k-anonymity property itself: at levels 0 and 1 every
+      // released (quasi_geo, quasi_segment) group has ≥ k members —
+      // computed over the RELEASED table, i.e. what an attacker sees
+      val small = out.filter(col("level") < 2)
+        .groupBy("level", "quasi_geo", "quasi_segment").agg(count(lit(1)).as("n"))
+        .filter(col("n") < Curation.KAnon)
+      assert(small.count() == 0, "a released group is smaller than k")
+      // suppressed rows reveal nothing
+      assert(out.filter(col("level") === 2 &&
+        (col("quasi_geo") =!= "*" || col("quasi_segment") =!= "*")).count() == 0)
+      // minimality: level-1/2 rows exist only because their level-0
+      // group was genuinely small (no over-generalization)
+      val lvl0Big = tables.Tables.customer(spark, sfDir)
+        .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n0"))
+        .filter(col("n0") >= Curation.KAnon)
+        .join(tables.Tables.nation(spark, sfDir),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("quasi_geo"), col("c_mktsegment").as("quasi_segment"))
+      assert(out.filter(col("level") === 0).select("quasi_geo", "quasi_segment")
+        .distinct().count() == lvl0Big.distinct().count(),
+        "level-0 release set must equal the set of big level-0 groups")
+    } finally out.unpersist()
+  }
+
   test("cdc chunking re-synchronizes after a prefix edit (fixed-size chunking cannot)") {
     val base    = lcgText(1200, 42L)
     val edited  = "INSERTED PREFIX >>> " + base

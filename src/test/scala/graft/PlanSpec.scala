@@ -366,6 +366,20 @@ class PlanSpec extends SparkSpec {
     assert(codegenStages(coded) > 0, "Quantize8 fell out of codegen")
   }
 
+  test("ann_pq scans codes only: queries broadcast, corpus never re-attaches embeddings") {
+    val p = planOf("ann_pq")
+    assert(!p.contains("CartesianProduct"), "ADC pair generation planned cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the raw-query side must broadcast against the coded corpus scan")
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val book = typedLit(Seq.fill(4)(Seq.fill(4)(0.5)))
+    val coded = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(VectorFunctions.nearestCentroidIdx(slice(col("embedding"), 1, 4), book).as("c"))
+    coded.collect()
+    assert(codegenStages(coded) > 0, "NearestCentroidIdx encode fell out of codegen")
+  }
+
   test("knn_graph generates candidates via a list-id equi-join, never all-pairs") {
     val p = planOf("knn_graph")
     assert(!p.contains("CartesianProduct"), "corpus x corpus planned cartesian")
