@@ -322,11 +322,12 @@ object Similarity {
   }
 
   /** Subspaces of the product quantizer: [[Dim]]=64 dims split into 16
-    * blocks of 4; codebooks are the subspace slices of the first
-    * [[PqC]] corpus vectors (a deterministic train sample — k-means
-    * init without the iterations; swap in per-subspace Lloyd rounds for
-    * production codebooks, the plumbing is identical), so the code
-    * space is [[PqC]]^m = 64^16 cells from a 16×64×4 double codebook. */
+    * blocks of 4; codebooks init from the subspace slices of the first
+    * [[PqC]] corpus vectors (deterministic seeds, the kmeans_embed
+    * convention) and take one Lloyd refinement round — per-subspace
+    * k-means, trained on the full corpus via one bounded cells
+    * aggregate. Code space is [[PqC]]^m = 64^16 cells from a 16×64×4
+    * double codebook. */
   val PqM      = 16
   val PqSubDim = Dim / PqM
   val PqC      = 64
@@ -355,15 +356,43 @@ object Similarity {
     * of PQ at scale. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // train sample = first PqC vectors by id: PqC×Dim floats of bounded
-    // driver metadata (the IVF-centroid convention), exact float→double
+      // feeds the init collect, the Lloyd-update cells pass, and the
+      // final coded scan
+      .localCheckpoint()
+    // init = first PqC vectors by id: PqC×Dim floats of bounded driver
+    // metadata (the IVF-centroid convention), exact float→double
     val train = base.filter(col("vec_id") < PqC)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(train.nonEmpty, "annPq: train sample is empty")
-    val books: IndexedSeq[Column] = (0 until PqM).map { s =>
-      typedLit(train.map(_._2.slice(s * PqSubDim, (s + 1) * PqSubDim)
-        .map(_.toDouble).toSeq).toSeq)
+    val init: Array[Array[Array[Double]]] = Array.tabulate(PqM) { s =>
+      train.map(_._2.slice(s * PqSubDim, (s + 1) * PqSubDim).map(_.toDouble))
     }
+    val books0 = init.map(b => typedLit(b.map(_.toSeq).toSeq))
+    val code0 = (0 until PqM).map { s =>
+      VectorFunctions.nearestCentroidIdx(
+        slice(col("embedding"), s * PqSubDim + 1, PqSubDim), books0(s))
+    }
+    // ONE Lloyd round (assign → update → assign, the kmeans_embed
+    // convention): the update is a single cells pass — explode each
+    // vector to (subspace, code, dim-in-subspace, value) and avg; the
+    // grouping key space is m×PqC×subdim cells, so the map-side partial
+    // aggregation reduces the 64×-row explosion to a few thousand rows
+    // per partition before the shuffle. Centroids round to 6dp (the
+    // hash-green label_centroids invariant absorbing float-sum
+    // association); empty cells keep their init entry (the k-means
+    // empty-cluster rule), so every codebook slot stays populated.
+    val sCol = (col("d") / PqSubDim).cast("int")
+    val cells = base
+      .select(array(code0: _*).as("codes"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(sCol.as("s"), element_at(col("codes"), sCol + 1).as("code"),
+        (col("d") % PqSubDim).as("i"), col("x").cast("double").as("x"))
+      .groupBy("s", "code", "i").agg(round(avg(col("x")), 6).as("m"))
+      .collect()
+    val refined = init.map(_.map(_.clone))
+    cells.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    val books: IndexedSeq[Column] = refined.toIndexedSeq.map(b => typedLit(b.map(_.toSeq).toSeq))
     val codeCols = (0 until PqM).map { s =>
       VectorFunctions.nearestCentroidIdx(
         slice(col("embedding"), s * PqSubDim + 1, PqSubDim), books(s)).as(s"c$s")
@@ -566,13 +595,36 @@ object Similarity {
          |SELECT query_id, neighbor_id, rank, qdist FROM ranked
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)(annSq8),
     QueryDef.sql("ann_pq",
-      s"""WITH cb AS (
+      s"""WITH cb0 AS (
          |  SELECT vec_id AS entry, s, list(v ORDER BY d) AS c FROM (
          |    SELECT vec_id, CAST((d - 1) // $PqSubDim AS INT) AS s, d,
          |           CAST(embedding[d] AS DOUBLE) AS v
          |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
          |    WHERE vec_id < $PqC) t
          |  GROUP BY vec_id, s
+         |), assign0 AS (
+         |  SELECT e.vec_id, c.s, c.entry,
+         |    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, $PqSubDim), i ->
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
+         |        (a, v) -> a + v) ASC, c.entry ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cb0 c
+         |), codes0 AS (
+         |  SELECT vec_id, s, entry AS code FROM assign0 WHERE rn = 1
+         |), upd AS (
+         |  SELECT x.s, x.code, di.i,
+         |         round(avg(CAST(e.embedding[x.s * $PqSubDim + di.i] AS DOUBLE)), 6) AS m
+         |  FROM codes0 x JOIN embeddings e ON e.vec_id = x.vec_id,
+         |       (SELECT unnest(generate_series(1, $PqSubDim)) AS i) di
+         |  GROUP BY x.s, x.code, di.i
+         |), cb AS (
+         |  SELECT c0.entry, c0.s, list(coalesce(u.m, c0.c[di.i]) ORDER BY di.i) AS c
+         |  FROM cb0 c0
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $PqSubDim)) AS i) di
+         |  LEFT JOIN upd u ON u.s = c0.s AND u.code = c0.entry AND u.i = di.i
+         |  GROUP BY c0.entry, c0.s
          |), assign AS (
          |  SELECT e.vec_id, c.s, c.entry,
          |    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY

@@ -201,10 +201,10 @@ class SimilaritySpec extends SparkSpec {
     val pq     = pairs(Similarity.annPq(spark, sfDir))
     val recall = (pq & exact).size.toDouble / exact.size
     info(s"pq recall@${Similarity.K} vs exact L2: $recall")
-    // measured 0.43 at sf0.001 with m=16 × 64-entry codebooks (16 B/
-    // vector vs sq8's 64 B, a 4× further compression — the recall cost
-    // IS the tradeoff being bought); deterministic fixture ⇒
-    // deterministic recall, so the floor sits just under the measurement
+    // measured 0.49 at sf0.001 with m=16 × 64-entry Lloyd-refined
+    // codebooks (16 B/vector vs sq8's 64 B, a 4× further compression —
+    // the recall cost IS the tradeoff being bought); deterministic
+    // fixture ⇒ deterministic recall, floor sits under the measurement
     assert(recall >= 0.4, s"pq recall $recall below the designed envelope")
     // ADC distances are rounded non-negative doubles
     assert(Similarity.annPq(spark, sfDir).filter(col("qdist") < 0).count() == 0L)
