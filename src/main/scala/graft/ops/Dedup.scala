@@ -335,6 +335,9 @@ object Dedup {
     val maxIters = 20
     var iter     = 0
     var changed  = 1L
+    // the checkpoint HANDLE behind `labels` (from round 1 on, labels is
+    // a rename view Checkpoints.free can't reach)
+    var labelsCkpt = labels
     while (changed > 0 && iter < maxIters) {
       // candidate labels from neighbors; keep the min of (own, neighbors').
       // Checkpoint the round's join+groupBy ONCE; both the convergence
@@ -349,7 +352,10 @@ object Dedup {
         .select(col("id"), least(col("rep"), col("nbr_rep")).as("new_rep"), col("rep"))
         .localCheckpoint()
       changed = next.filter(col("new_rep") < col("rep")).count()
+      val prevCkpt = labelsCkpt
       labels = next.select(col("id"), col("new_rep").as("rep"))
+      labelsCkpt = next
+      Checkpoints.free(prevCkpt) // next is materialized; old round is dead
       iter += 1
     }
     // a component with diameter > maxIters would get wrong representatives;
@@ -358,6 +364,9 @@ object Dedup {
       throw new IllegalStateException(
         s"clusterLabels: label propagation did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters for deeper components")
+    // the memoized labels read only the final round's checkpoint; the
+    // edge table's blocks are dead weight from here on
+    Checkpoints.free(edges)
     labels
   }
 

@@ -90,12 +90,20 @@ object Graph {
           round((col("r") / col("d")) * 1e9).cast("long").as("cn"))
         .groupBy("node")
         .agg(sum("cn").as("sn"))
+      val prev = ranks
       ranks = ckpt(nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
           round(lit(0.15) / col("n") +
             lit(Damping) * (coalesce(col("sn"), lit(0L)).cast("double") / lit(1e9)), 9).as("r")))
+      if (materialize) Checkpoints.free(prev) // new ranks materialized; old round dead
+    }
+    if (materialize) {
+      // the output join reads only the final ranks + deg; the edge and
+      // node checkpoints are dead weight from here on
+      Checkpoints.free(e)
+      Checkpoints.free(nodes)
     }
     ranks
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
@@ -293,10 +301,17 @@ object Graph {
       val expand = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), lit(t.toLong).as("dist"))
         .distinct()
+      val prevFrontier = frontier
+      val prevDist     = dist
       frontier = expand.join(dist, Seq("node"), "left_anti").localCheckpoint()
       dist = dist.union(frontier).localCheckpoint()
+      // both successors are materialized; the superseded node tables'
+      // blocks are dead (round 1 aliases frontier = dist, free once)
+      if (prevFrontier ne prevDist) Checkpoints.free(prevFrontier)
+      Checkpoints.free(prevDist)
       t += 1
     }
+    if (frontier ne dist) Checkpoints.free(frontier) // last frontier is dead too
     // dist is materialized with truncated lineage, so the edge cache is
     // dead weight the other 160+ bench queries would contend with.
     e.unpersist()
@@ -359,6 +374,9 @@ object Graph {
     import spark.implicits._
     var dist     = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
+    // the checkpoint HANDLE behind `frontier` (frontier itself is a
+    // rename view from round 1 on, which Checkpoints.free can't reach)
+    var frontierCkpt = dist
     var round = 1
     while (round <= iters && !frontier.isEmpty) {
       // best offer per neighbor from the improved set (partial-aggregated
@@ -374,10 +392,18 @@ object Graph {
         .select(col("node"), coalesce(col("nd"), col("dist")).as("dist"))
       val added = improved.join(dist, Seq("node"), "left_anti")
         .select(col("node"), col("d").as("dist"))
+      val prevDist         = dist
+      val prevFrontierCkpt = frontierCkpt
       dist = updated.union(added).localCheckpoint()
       frontier = improved.withColumnRenamed("d", "dist")
+      frontierCkpt = improved
+      // the new dist and improved are materialized; the superseded
+      // node tables' blocks are dead (round 1 aliases both, free once)
+      if (prevFrontierCkpt ne prevDist) Checkpoints.free(prevFrontierCkpt)
+      Checkpoints.free(prevDist)
       round += 1
     }
+    if (frontierCkpt ne dist) Checkpoints.free(frontierCkpt) // last frontier is dead too
     e.unpersist() // dist is materialized with truncated lineage
     dist.orderBy("node")
   }
@@ -440,11 +466,13 @@ object Graph {
     for (_ <- 1 to iters) {
       val cnt = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val prev = labels
       labels = cnt
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m").getField("nl")).as("label"))
         .localCheckpoint()
+      Checkpoints.free(prev) // new labels materialized; old round is dead
     }
     e.unpersist() // final labels are materialized with truncated lineage
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
@@ -524,11 +552,17 @@ object Graph {
         .select(col("src"))
         .localCheckpoint()
       if (bad.isEmpty) converged = true
-      else
+      else {
+        val prev = e
         e = e.join(bad, Seq("src"), "left_anti")
           .join(bad.withColumnRenamed("src", "dst"), Seq("dst"), "left_anti")
           .select(col("src"), col("dst"))
           .localCheckpoint()
+        // the rewritten edge table is materialized; the superseded
+        // (edge-sized!) round and its deleted-node table are dead
+        Checkpoints.free(prev)
+      }
+      Checkpoints.free(bad)
       round += 1
     }
     e.groupBy("src").agg(count(lit(1)).as("core_deg"))
@@ -601,12 +635,20 @@ object Graph {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("v").orderBy(desc("nc"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val prev = c
       c = cells
         .withColumn("cum", sum("cnt").over(w))
         .groupBy(col("v").as("node"))
         .agg(max(least(col("nc"), col("cum"))).as("c"))
         .localCheckpoint()
+      // the new labels are materialized; the superseded round's blocks
+      // would otherwise outlive the query (probe-observed: warm rerun
+      // at 32× slowed 25 s → 39 s under the accumulated storage).
+      // Checkpoints.free, not Dataset.unpersist — the latter is a
+      // silent no-op on checkpointed tables (see Checkpoints).
+      Checkpoints.free(prev)
     }
+    Checkpoints.free(e) // final labels are materialized with truncated lineage
     c.select(col("node"), col("c").as("coreness")).orderBy("node")
   }
 

@@ -230,17 +230,28 @@ class GraphSpec extends SparkSpec {
       .sharedState.cacheManager.isEmpty
     val before = cacheEmpty
     val e = toyEdges.toDF("src", "dst")
-    val walks: Seq[(String, () => Unit)] = Seq(
-      "pagerank"  -> (() => { Graph.pageRankOn(e).collect(); () }),
-      "triangles" -> (() => { Graph.triangleCountOn(k4Pendant.toDF("u", "v")).collect(); () }),
-      "bfs"       -> (() => { Graph.bfsDistancesOn(e, 1L, 3).collect(); () }),
-      "sssp"      -> (() => { Graph.ssspOn(undirected(Seq((1L, 2L, 1L), (2L, 3L, 2L))), 1L, 3).collect(); () }),
-      "lpa"       -> (() => { Graph.lpaCommunitiesOn(e, 2).collect(); () }),
-      "kcore"     -> (() => { Graph.kcoreOn(e, 2, 3).collect(); () }),
-      "coreness"  -> (() => { Graph.corenessOn(e, 3).collect(); () }))
-    walks.foreach { case (name, run) =>
+    // allowance = checkpoint blocks that legitimately BACK the returned
+    // result (freed only once the result is GC'd): pagerank keeps final
+    // ranks + deg, triangles keeps e + deg + oriented, the walks keep
+    // their final label/distance/edge table. Everything superseded —
+    // every prior round, dead edge/node prep — must be freed inline
+    // (Checkpoints.free; Dataset.unpersist is a no-op on checkpoints).
+    val walks: Seq[(String, Int, () => Unit)] = Seq(
+      ("pagerank", 2, () => { Graph.pageRankOn(e).collect(); () }),
+      ("triangles", 3, () => { Graph.triangleCountOn(k4Pendant.toDF("u", "v")).collect(); () }),
+      ("bfs", 1, () => { Graph.bfsDistancesOn(e, 1L, 3).collect(); () }),
+      ("sssp", 1, () => { Graph.ssspOn(undirected(Seq((1L, 2L, 1L), (2L, 3L, 2L))), 1L, 3).collect(); () }),
+      ("lpa", 1, () => { Graph.lpaCommunitiesOn(e, 2).collect(); () }),
+      ("kcore", 1, () => { Graph.kcoreOn(e, 2, 3).collect(); () }),
+      ("coreness", 1, () => { Graph.corenessOn(e, 3).collect(); () }))
+    walks.foreach { case (name, allowance, run) =>
+      val rddsBefore = spark.sparkContext.getPersistentRDDs.size
       run()
       assert(cacheEmpty == before, s"$name left a CacheManager entry behind")
+      val rddsAfter = spark.sparkContext.getPersistentRDDs.size
+      assert(rddsAfter <= rddsBefore + allowance,
+        s"$name leaked round checkpoints: $rddsBefore persistent RDDs before, " +
+          s"$rddsAfter after (allowance $allowance for the result's own backing)")
     }
   }
 }
