@@ -850,6 +850,78 @@ object Curation {
        |FROM a GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** Main-content extraction from HTML — the step between "raw crawl"
+    * and every text operator in this library (a web corpus arrives as
+    * markup; token counts, dedup shingles and quality scores are all
+    * computed over the EXTRACTED text): drop `<head>` wholesale, strip
+    * `<script>` blocks with their payload, remove known boilerplate
+    * containers (nav bar, footer), strip remaining tags, decode
+    * entities, collapse whitespace. The fixtures carry no HTML, so the
+    * query first WRAPS each doc in a deterministic page (title + style
+    * + nav links + the doc text + an inline tracking script + footer —
+    * all pure functions of (doc_id, text), the pii_redact convention)
+    * and then extracts; the cascade must remove every synthesized
+    * boilerplate element and return the document text unharmed
+    * (roundtrip pinned in `CurationSpec`). Everything is per-row regex
+    * work in codegen'd expressions — scan speed, zero shuffle, and the
+    * extraction regexes are non-greedy single-element matches (the
+    * synthesized pages nest none of the removed elements). */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{color:red}</style></head><body>" +
+        "<div class=\"nav\"><a href=\"/\">Home</a> | <a href=\"/about\">About</a></div><p>"),
+      col("text"),
+      lit(" &amp; fin</p><script>track("), (col("doc_id") % 7).cast("string"),
+      lit(");</script><footer>&copy; 2026</footer></body></html>"))
+    val noHead   = regexp_replace(col("html"), "(?s)<head>.*?</head>", " ")
+    val noScript = regexp_replace(noHead, "(?s)<script[^>]*>.*?</script>", " ")
+    val noNav    = regexp_replace(noScript, "(?s)<div class=\"nav\">.*?</div>", " ")
+    val noFooter = regexp_replace(noNav, "(?s)<footer>.*?</footer>", " ")
+    val noTags   = regexp_replace(noFooter, "<[^>]+>", " ")
+    val decoded  = regexp_replace(noTags, "&amp;", "&")
+    val clean    = trim(regexp_replace(decoded, "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("html", page)
+      .select(col("doc_id"),
+        regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+        clean.as("body_text"),
+        length(clean).cast("long").as("body_len"))
+      .orderBy("doc_id")
+  }
+
+  private val htmlExtractSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>p{color:red}</style></head><body>' ||
+      |    '<div class="nav"><a href="/">Home</a> | <a href="/about">About</a></div><p>' ||
+      |    text || ' &amp; fin</p><script>track(' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    ');</script><footer>&copy; 2026</footer></body></html>' AS html
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id,
+      |    regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+      |    trim(regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(html, '(?s)<head>.*?</head>', ' ', 'g'),
+      |                '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |              '(?s)<div class="nav">.*?</div>', ' ', 'g'),
+      |            '(?s)<footer>.*?</footer>', ' ', 'g'),
+      |          '<[^>]+>', ' ', 'g'),
+      |        '&amp;', '&', 'g'),
+      |      '\s+', ' ', 'g')) AS body_text
+      |  FROM h
+      |)
+      |SELECT doc_id, title, body_text,
+      |       CAST(length(body_text) AS BIGINT) AS body_len
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** minimum group size of [[kAnonymity]]'s release rule. */
   val KAnon = 10
 
@@ -925,6 +997,7 @@ object Curation {
        |ORDER BY c_custkey""".stripMargin
 
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("html_extract", htmlExtractSql)(htmlExtract),
     QueryDef.sql("k_anonymity", kAnonymitySql)(kAnonymity),
     QueryDef.sql("shard_assign", shardAssignSql)(shardAssign),
     QueryDef.sql("source_cap", sourceCapSql)(sourceCap),

@@ -381,6 +381,29 @@ class CurationSpec extends SparkSpec {
     assert(chunksOf("") == Seq.empty)
   }
 
+  test("html_extract: boilerplate dies, entities decode, document text survives intact") {
+    val docs = tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(trim(regexp_replace(col("text"), "\\s+", " ")), lit(" & fin")).as("want"))
+    val out = Curation.htmlExtract(spark, sfDir)
+    // roundtrip: the extracted body is exactly the wrapped document text
+    // (whitespace-collapsed) plus the decoded entity tail — nothing of
+    // the nav/script/footer/head leaks in, nothing of the doc leaks out
+    assert(out.join(docs, "doc_id")
+      .filter(col("body_text") =!= col("want")).count() == 0)
+    // no tag fragments survive extraction
+    assert(out.filter(col("body_text").contains("<") ||
+      col("body_text").contains(">")).count() == 0)
+    // the removed elements' PAYLOADS are gone too (content removal, not
+    // just tag stripping): nav link text, script body, footer, css
+    for (leak <- Seq("Home", "About", "track(", "2026", "color:red"))
+      assert(out.filter(col("body_text").contains(leak)).count() == 0,
+        s"boilerplate payload '$leak' leaked into extracted text")
+    // the title channel extracts from the head that body extraction drops
+    assert(out.filter(col("title") =!= concat(lit("Doc "),
+      col("doc_id").cast("string"))).count() == 0)
+  }
+
   test("k_anonymity: released groups hold ≥ k rows, ladder is exhaustive and minimal") {
     val out = Curation.kAnonymity(spark, sfDir).cache()
     try {
