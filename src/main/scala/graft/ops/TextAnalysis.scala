@@ -635,6 +635,10 @@ object TextAnalysis {
       sym0: DataFrame, rounds: Int): (Seq[(Int, String, Long)], DataFrame) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var sym = sym0
+    // the round superseded when `sym` was last rewritten; freeable only
+    // once the successor MATERIALIZES (the lazy checkpoint rides the
+    // next round's job), so the free sits after the collect below
+    var prevSym: DataFrame = null
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -645,6 +649,13 @@ object TextAnalysis {
         .select(explode(TextFunctions.symbolPairsCol(col("s"))).as("pair"), col("f"))
         .groupBy("pair").agg(sum("f").as("n"))
         .orderBy(desc("n"), col("pair")).limit(1).collect()
+      // that job materialized sym's checkpoint — the superseded round's
+      // vocabulary-sized blocks are dead now (Checkpoints.free; a plain
+      // unpersist is a no-op on checkpointed tables). Ownership rule:
+      // only rounds this loop created — never the caller's sym0, which
+      // callers may reuse (PlanSpec drives two loops off one table)
+      if ((prevSym ne null) && (prevSym ne sym0)) Checkpoints.free(prevSym)
+      prevSym = null
       if (top.isEmpty) exhausted = true
       else {
         val pair = top(0).getString(0)
@@ -654,11 +665,14 @@ object TextAnalysis {
         // lazy checkpoint: plan truncates to LogicalRDD immediately, but
         // materialization rides the NEXT round's pair-count job instead
         // of paying a dedicated job per round (20 jobs, not 40)
+        prevSym = sym
         sym = sym.withColumn("s", replace(col("s"), lit(pat), lit(rep)))
           .localCheckpoint(eager = false)
         r += 1
       }
     }
+    // NOT freeing the final prevSym: the returned sym's lazy checkpoint
+    // may still need it to materialize; both are ContextCleaner-owned
     (out.toSeq, sym)
   }
 
