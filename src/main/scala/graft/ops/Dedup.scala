@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline:
@@ -495,6 +496,108 @@ object Dedup {
        |) g ON d.doc_id = g.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** containment threshold and candidate-anchor count of
+    * [[containmentDup]]. */
+  val ContainThresh  = 0.9
+  val ContainAnchors = 3
+
+  /** Corpus of [[containmentDup]]: every doc plus a MID-SLICE copy
+    * (tokens [20%, 70%), id + 2,000,000) — a true substring document.
+    * The planted pair's Jaccard is ~0.5/1.0 ≈ 0.33–0.5, far below the
+    * near-dup threshold: containment is the asymmetric relation the
+    * symmetric dedup family structurally misses (quotes, boilerplate
+    * wraps, doc-in-doc aggregation). */
+  private def containCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val toks  = split(col("text"), " ")
+    val start = greatest(lit(1), floor(size(toks) * 0.2).cast("int"))
+    val keep  = greatest(lit(1), floor(size(toks) * 0.5).cast("int"))
+    docs.union(docs.select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, start, keep)).as("text")))
+  }
+
+  /** Doc-in-doc CONTAINMENT dedup: emit (src, host) pairs where
+    * containment C(src→host) = |grams(src) ∩ grams(host)| / |grams(src)|
+    * ≥ [[ContainThresh]] over distinct word 5-gram shingles — the
+    * asymmetric complement of [[ngramJaccard]] (a short doc quoted
+    * whole inside a long one has Jaccard ≈ |src|/|host| → 0 but
+    * containment 1).
+    *
+    * Scale shape: candidates come from [[ContainAnchors]] bottom-hash
+    * anchor grams per SRC doc (a per-doc window — doc_id is a
+    * high-cardinality key, never a hot partition) equi-joined against
+    * the corpus gram table: Σ_gram (#anchor-srcs) × (#hosts sharing it)
+    * work, never all-pairs. Anchor selection needs NO oracle replay —
+    * it only chooses which pairs get verified, and a pair with C ≥ t
+    * has ≥ C·k odds per anchor of landing in the shared subset (miss
+    * odds (1−C)^k ≈ 0.1% at t = 0.9, k = 3; = 0 for the planted C = 1
+    * pairs, and the exact gate proves recall = 1 at these parameters —
+    * the ngram_jaccard LSH convention). Exact verify joins only the
+    * candidate pairs' gram sets; the shuffle carries (doc_id, gram)
+    * pairs, never text. */
+  def containmentDup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = containCorpus(spark, dir)
+    val grams = corpus.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordShinglesDistinct(col("text"), 5)).as("ng"))
+      // feeds anchors, both candidate-join sides, both verify sides,
+      // and the per-doc sizes
+      .localCheckpoint()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val w = Window.partitionBy("doc_id").orderBy(xxhash64(col("ng")), col("ng"))
+    val anchors = grams
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= ContainAnchors)
+      .select(col("doc_id").as("src_id"), col("ng"))
+    val cands = anchors
+      .join(grams.select(col("doc_id").as("host_id"), col("ng")), "ng")
+      .filter(col("src_id") =!= col("host_id"))
+      .select("src_id", "host_id").distinct()
+    val inter = cands
+      .join(grams.select(col("doc_id").as("src_id"), col("ng")), "src_id")
+      .join(grams.select(col("doc_id").as("host_id"), col("ng")), Seq("host_id", "ng"))
+      .groupBy("src_id", "host_id").agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("src_id"), col("n_grams").as("n_grams_src")),
+        "src_id")
+      .select(col("src_id"), col("host_id"), col("n_grams_src"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("n_grams_src"), 6).as("containment"))
+      .filter(col("containment") >= ContainThresh)
+      .orderBy("src_id", "host_id")
+    out
+  }
+
+  private val containmentDupSql: String =
+    s"""WITH toksed AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string(w[greatest(1, CAST(floor(len(w) * 0.2) AS INT)) :
+       |      greatest(1, CAST(floor(len(w) * 0.2) AS INT)) +
+       |      greatest(1, CAST(floor(len(w) * 0.5) AS INT)) - 1], ' ')
+       |  FROM toksed
+       |), cg AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(w) >= 5
+       |         THEN list_distinct(list_transform(range(1, len(w) - 3),
+       |                i -> array_to_string(w[i:i+4], ' ')))
+       |         ELSE CAST([] AS VARCHAR[]) END) AS ng
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS src_id, b.doc_id AS host_id, count(*) AS n_inter
+       |  FROM cg a JOIN cg b ON a.ng = b.ng AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.src_id, i.host_id, CAST(s.n AS BIGINT) AS n_grams_src,
+       |  CAST(i.n_inter AS BIGINT) AS n_inter,
+       |  round(CAST(i.n_inter AS DOUBLE) / s.n, 6) AS containment
+       |FROM inter i JOIN sizes s ON s.doc_id = i.src_id
+       |WHERE round(CAST(i.n_inter AS DOUBLE) / s.n, 6) >= $ContainThresh
+       |ORDER BY src_id, host_id""".stripMargin
+
   /** edit-distance threshold for fuzzy name matching. */
   val MaxEditDist = 3
 
@@ -856,5 +959,6 @@ object Dedup {
         |            CAST(b.embedding AS DOUBLE[])), 4) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin)(embeddingNearDup),
     QueryDef.sql("substring_dup", substringDupSql)(substringDup),
+    QueryDef.sql("containment_dup", containmentDupSql)(containmentDup),
   )
 }

@@ -156,6 +156,31 @@ class DedupSpec extends SparkSpec {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("containment finds every planted mid-slice pair; the relation is asymmetric") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.containmentDup(spark, sfDir).cache()
+    try {
+      // every doc whose mid-slice still carries ≥ 1 shingle must emit
+      // (slice → original) at containment exactly 1.0 (consecutive-token
+      // slices only produce shingles of the original)
+      val planted = out.filter(col("src_id") >= 2000000L &&
+        col("host_id") === col("src_id") - 2000000L)
+      val expected = tables.Tables.documents(spark, sfDir)
+        .select(size(split(col("text"), " ")).as("n"))
+        // slice = floor(0.5 n) tokens; needs ≥ 5 for one shingle
+        .filter(floor(col("n") * 0.5) >= 5).count()
+      assert(planted.count() == expected,
+        s"planted containment pairs: got ${planted.count()}, want $expected")
+      assert(planted.filter(col("containment") =!= 1.0).count() == 0,
+        "a consecutive-token slice must be contained at exactly 1.0")
+      // asymmetry: the ORIGINAL is only ~50% contained in its slice, so
+      // no (original → slice) pair may qualify at t = 0.9 — this is the
+      // directional relation symmetric Jaccard dedup cannot express
+      assert(out.filter(col("src_id") < 2000000L &&
+        col("host_id") === col("src_id") + 2000000L).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("semantic_dedup prunes exactly the co-clustered perturbed copies") {
     val rows = Dedup.semanticDedup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
