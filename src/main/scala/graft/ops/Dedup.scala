@@ -121,18 +121,24 @@ object Dedup {
     * base is NOT: it is a pushed-down column scan both the banding pass
     * and the candidate re-attach read straight from the source.
     */
-  private def lshCandidatesVerified(
-      docs0: DataFrame, idCol: String,
-      wordGrams: Boolean, n: Int, threshold: Double): DataFrame = {
-    // same row set the shingle-array pipeline kept: at least one window
-    val hasWindow =
-      if (wordGrams) size(split(col("text"), " ", -1)) >= n
-      else length(col("text")) >= n
-    val base = docs0.filter(hasWindow).select(col(idCol), col("text"))
+  /** rows with at least one shingle window (the signature's domain). */
+  private def hasWindow(wordGrams: Boolean, n: Int): Column =
+    if (wordGrams) size(split(col("text"), " ", -1)) >= n
+    else length(col("text")) >= n
+
+  /** (id, band, bandHash) rows from an (idCol, text) frame — the LSH
+    * signature/band table. One allocation-free fused kernel pass per
+    * row (`MinHashWordGrams`/`MinHashCharGrams`), NumBands output rows
+    * per doc. This IS the artifact a production pipeline persists: at
+    * 100 TB the index corpus's band table is written once and every
+    * subsequent batch only joins against it ([[incrementalDedup]]). */
+  private def bandTable(
+      docs0: DataFrame, idCol: String, wordGrams: Boolean, n: Int): DataFrame = {
     val sig =
       if (wordGrams) minhashWordGramsCol(col("text"), n, NumHashes)
       else minhashCharGramsCol(col("text"), n, NumHashes)
-    val bands = base
+    docs0.filter(hasWindow(wordGrams, n))
+      .select(col(idCol), col("text"))
       .withColumn("sig", sig)
       .select(
         col(idCol),
@@ -141,7 +147,14 @@ object Dedup {
             xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)), j).as("bh"))))
           .as("b"))
       .select(col(idCol), col("b.band"), col("b.bh"))
-      .localCheckpoint()
+  }
+
+  private def lshCandidatesVerified(
+      docs0: DataFrame, idCol: String,
+      wordGrams: Boolean, n: Int, threshold: Double): DataFrame = {
+    // same row set the shingle-array pipeline kept: at least one window
+    val base = docs0.filter(hasWindow(wordGrams, n)).select(col(idCol), col("text"))
+    val bands = bandTable(docs0, idCol, wordGrams, n).localCheckpoint()
     // AQE would coalesce this small ids-only set to ~1 partition (it
     // coalesces by BYTES, blind to downstream compute cost) and the
     // whole verify stage would run single-threaded — the classic
@@ -175,6 +188,66 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     lshCandidatesVerified(nearDupCorpus(spark, dir), "doc_id",
       wordGrams = true, n = 3, JaccardThreshold)
+
+  /** Incremental (cross-corpus) near-dedup: flag each document of a NEW
+    * batch that near-duplicates the STANDING corpus, without touching
+    * the standing corpus's text. This is the shape every growing
+    * training corpus actually runs — each crawl snapshot is deduped
+    * against the index built from all prior snapshots, not re-deduped
+    * all-pairs — and it is asymmetric where [[dedupMinhash]] is
+    * symmetric: index docs are never flagged, and index↔index pairs are
+    * never formed.
+    *
+    * Scale shape: the index side enters ONLY as its persisted band
+    * table ((id, band, bandHash) — NumBands rows/doc, built once,
+    * appended as the corpus grows; here [[bandTable]] materialized via
+    * `localCheckpoint` stands in for the stored table). A new batch
+    * computes its own signatures map-side and equi-joins the index
+    * bands on (band, bandHash); only bucket-collision pairs attach
+    * texts for the exact-jaccard verify. Cost per batch is
+    * O(batch·bands + collisions) regardless of index size; the 100 TB
+    * standing corpus is never rescanned.
+    *
+    * Output: one row per batch doc — duplicate-match count, the flag,
+    * and the first (min-id) matching index doc (NULL when none; batch
+    * docs too short to carry a signature window are kept with the same
+    * NULL shape, mirrored by the oracle). The DuckDB oracle is the
+    * brute-force batch×index jaccard join, so the hash-match also
+    * re-proves LSH recall 1.0 at these parameters on the cross pairs. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    val index  = corpus.filter(col("doc_id") < 1000000L)
+    val batch  = corpus.filter(col("doc_id") >= 1000000L)
+    val n      = 3
+    // the standing corpus's stored artifact: its band table
+    val indexBands = bandTable(index, "doc_id", wordGrams = true, n = n)
+      .withColumnRenamed("doc_id", "index_id")
+      .localCheckpoint()
+    val batchBands = bandTable(batch, "doc_id", wordGrams = true, n = n)
+    val candidates = batchBands
+      .join(indexBands, Seq("band", "bh"))
+      .select(col("doc_id"), col("index_id"))
+      .distinct()
+      // lshCandidatesVerified's AQE note: the ids-only candidate set is
+      // tiny in bytes but verify is CPU-heavy — pin its parallelism
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val verified = candidates
+      .join(batch.select(col("doc_id"), col("text").as("tb")), "doc_id")
+      .join(index.select(col("doc_id").as("index_id"), col("text").as("ti")), "index_id")
+      .withColumn("jaccard",
+        jaccardDistinctCol(wordShinglesDistinct(col("tb"), n), wordShinglesDistinct(col("ti"), n)))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dups"), min("index_id").as("first_dup"))
+    batch.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"),
+        col("first_dup"))
+      .orderBy("doc_id")
+  }
 
   /** SimHash near-dup: 64-bit signature per doc (map-side, codegen'd),
     * candidates via 16-bit chunk collision, verified by exact hamming
@@ -849,6 +922,28 @@ object Dedup {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin)(dedupMinhash),
+    // brute-force batch×index jaccard — the cross-pair restriction of
+    // the dedup_minhash oracle, plus the batch docs that matched nothing
+    QueryDef.sql("incremental_dedup",
+      s"""WITH $corpusSql, $shingleSql,
+         |pairs AS (
+         |  SELECT b.doc_id, i.doc_id AS index_id
+         |  FROM shingled b JOIN shingled i
+         |    ON b.doc_id >= 1000000 AND i.doc_id < 1000000
+         |   AND CAST(len(list_intersect(b.sh, i.sh)) AS DOUBLE)
+         |         / (len(b.sh) + len(i.sh) - len(list_intersect(b.sh, i.sh))) >= 0.7
+         |),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_dups, min(index_id) AS first_dup
+         |  FROM pairs GROUP BY doc_id
+         |)
+         |SELECT c.doc_id,
+         |       COALESCE(p.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+         |       COALESCE(p.n_dups, CAST(0 AS BIGINT)) > 0 AS is_dup,
+         |       p.first_dup
+         |FROM (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) c
+         |LEFT JOIN per p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)(incrementalDedup),
     // full oracle: brute-force all-pairs hamming over signatures
     // recomputed in SQL — md5_number_lower(token) is bit-identical to
     // TextMath.md5Lower64; vote sums and the ±1 mapping are pure integer

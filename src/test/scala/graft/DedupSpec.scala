@@ -26,6 +26,27 @@ class DedupSpec extends SparkSpec {
     assert(missing.isEmpty, s"LSH missed ${missing.length} constructed pairs: ${missing.take(5).mkString(",")}")
   }
 
+  test("incremental dedup flags every long batch doc against the index, and only batch docs") {
+    val out = Dedup.incrementalDedup(spark, sfDir).collect()
+    // asymmetric: one row per BATCH doc, index docs never appear
+    val ids = out.map(_.getLong(0))
+    assert(ids.forall(_ >= 1000000L), "index docs leaked into the batch-side output")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n").collect()
+    assert(ids.toSet == docs.map(_.getLong(0) + 1000000L).toSet,
+      "every batch doc must get a row, matched or not")
+    // every >= 20-token doc's truncation sits at jaccard ~0.8 vs its
+    // original: it must be flagged and its original must be among the
+    // matches (first_dup is the min matching index id, so <= original)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    docs.filter(_.getLong(1) >= 20).foreach { d =>
+      val r = byId(d.getLong(0) + 1000000L)
+      assert(r.getBoolean(2), s"batch doc ${r.getLong(0)} not flagged")
+      assert(!r.isNullAt(3) && r.getLong(3) <= d.getLong(0),
+        s"first_dup of ${r.getLong(0)} should be <= its original ${d.getLong(0)}")
+    }
+  }
+
   test("fixture invariant: qualifying near-dup pairs are exact copies (recall-1 precondition)") {
     // embeddingNearDup's exact-compare oracle relies on every pair at
     // rounded cos >= 0.99 being an IDENTICAL vector pair (those collide
