@@ -85,22 +85,8 @@ object SketchFunctions {
 
     override def eval(buf: KMVBuffer): Any = buf.estimate
 
-    override def serialize(buf: KMVBuffer): Array[Byte] = {
-      val bb = ByteBuffer.allocate(4 + 8 * buf.heap.size())
-      bb.putInt(buf.heap.size())
-      val it = buf.heap.iterator()
-      while (it.hasNext) bb.putLong(it.next())
-      bb.array()
-    }
-
-    override def deserialize(bytes: Array[Byte]): KMVBuffer = {
-      val bb  = ByteBuffer.wrap(bytes)
-      val n   = bb.getInt
-      val buf = new KMVBuffer(k)
-      var i   = 0
-      while (i < n) { buf.heap.add(bb.getLong); i += 1 }
-      buf
-    }
+    override def serialize(buf: KMVBuffer): Array[Byte] = kmvToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): KMVBuffer = kmvFromBytes(bytes, k)
 
     override def withNewMutableAggBufferOffset(o: Int): KMVDistinct =
       copy(mutableAggBufferOffset = o)
@@ -114,6 +100,127 @@ object SketchFunctions {
   def kmvDistinct(col: Column, k: Int): Column =
     ColumnBridge.column(
       KMVDistinct(ColumnBridge.expression(col), k).toAggregateExpression())
+
+  /** Shared KMV wire format (count + unsigned-sorted hashes) — the same
+    * bytes the aggregate ships through Spark's partial-agg shuffle. A
+    * sketch EMITTED by [[KMVSketch]] and later consumed by [[KMVMerge]]
+    * therefore behaves exactly like a shuffled partial buffer: persisting
+    * sketches to a table and merging them later is the same computation
+    * as never persisting them at all. */
+  private[functions] def kmvToBytes(buf: KMVBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.heap.size())
+    bb.putInt(buf.heap.size())
+    val it = buf.heap.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  private[functions] def kmvFromBytes(bytes: Array[Byte], k: Int): KMVBuffer = {
+    val bb  = ByteBuffer.wrap(bytes)
+    val n   = bb.getInt
+    val buf = new KMVBuffer(k)
+    var i   = 0
+    while (i < n) { buf.insert(bb.getLong); i += 1 }
+    buf
+  }
+
+  /** `kmv_sketch(col, k)` — the PERSISTABLE form of [[KMVDistinct]]:
+    * same buffer, same update/merge, but eval returns the serialized
+    * sketch (BINARY) instead of collapsing it to an estimate. This is
+    * what makes distinct-count rollup cubes possible at 100 TB: write
+    * one O(k) sketch per fine-grained cell once, then answer any
+    * coarser grouping by merging stored sketches ([[KMVMerge]]) without
+    * ever rescanning the fact table — the re-aggregatable-summary
+    * pipeline (Agarwal et al., "Mergeable Summaries", PODS'12) that
+    * `approx_count_distinct` cannot express because its sketch lives
+    * and dies inside a single aggregation. */
+  case class KMVSketch(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[KMVBuffer] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def createAggregationBuffer(): KMVBuffer = new KMVBuffer(k)
+
+    override def update(buf: KMVBuffer, input: InternalRow): KMVBuffer = {
+      val v = child.eval(input)
+      if (v != null) buf.insert(XxHash64Function.hash(v, child.dataType, 42L))
+      buf
+    }
+
+    override def merge(buf: KMVBuffer, other: KMVBuffer): KMVBuffer = {
+      buf.mergeIn(other); buf
+    }
+
+    override def eval(buf: KMVBuffer): Any = kmvToBytes(buf)
+
+    override def serialize(buf: KMVBuffer): Array[Byte] = kmvToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): KMVBuffer = kmvFromBytes(bytes, k)
+
+    override def withNewMutableAggBufferOffset(o: Int): KMVSketch =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KMVSketch =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  }
+
+  def kmvSketch(col: Column, k: Int): Column =
+    ColumnBridge.column(
+      KMVSketch(ColumnBridge.expression(col), k).toAggregateExpression())
+
+  /** `kmv_merge(sketchCol, k)` — merges STORED [[KMVSketch]] binaries
+    * back into one estimate. Update deserializes each input sketch and
+    * set-merges it; because KMV is a pure function of the input value
+    * set and merge keeps the k unsigned-smallest hashes, the merged
+    * estimate is BIT-IDENTICAL to a direct [[KMVDistinct]] over the
+    * original rows (pinned in SketchSpec and the sketch_rollup verdict
+    * column), under any partitioning, persist granularity, or merge
+    * order. */
+  case class KMVMerge(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[KMVBuffer] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = LongType
+
+    override def createAggregationBuffer(): KMVBuffer = new KMVBuffer(k)
+
+    override def update(buf: KMVBuffer, input: InternalRow): KMVBuffer = {
+      val v = child.eval(input)
+      if (v != null) buf.mergeIn(kmvFromBytes(v.asInstanceOf[Array[Byte]], k))
+      buf
+    }
+
+    override def merge(buf: KMVBuffer, other: KMVBuffer): KMVBuffer = {
+      buf.mergeIn(other); buf
+    }
+
+    override def eval(buf: KMVBuffer): Any = buf.estimate
+
+    override def serialize(buf: KMVBuffer): Array[Byte] = kmvToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): KMVBuffer = kmvFromBytes(bytes, k)
+
+    override def withNewMutableAggBufferOffset(o: Int): KMVMerge =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KMVMerge =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  }
+
+  def kmvMerge(col: Column, k: Int): Column =
+    ColumnBridge.column(
+      KMVMerge(ColumnBridge.expression(col), k).toAggregateExpression())
 
   /** Misra-Gries heavy-hitters buffer: at most `capacity` (item →
     * counter) pairs. Update: resident item increments; a new item takes

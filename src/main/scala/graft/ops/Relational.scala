@@ -578,6 +578,69 @@ object Relational {
           <= col("n_exact") * lit(0.08)).as("within_bounds"))
       .orderBy("l_returnflag")
 
+  /** Re-mergeable sketch ROLLUP — the summary-table pattern that makes
+    * distinct counting tractable at 100 TB: each fine-grained cell
+    * (returnflag × ship month) keeps one O(k) KMV sketch, the cell
+    * sketches are PERSISTED (a real parquet round-trip below), and any
+    * coarser question (distinct parts per returnflag, here) is answered
+    * by merging STORED sketches — the fact table is scanned once at
+    * build time and never again. Spark's own `approx_count_distinct`
+    * cannot do this: its HLL buffer lives and dies inside a single
+    * aggregation. Built from two custom `TypedImperativeAggregate`s
+    * over the kmv_distinct buffer: `kmvSketch` (eval = the BINARY
+    * buffer bytes — the same bytes the partial-agg shuffle ships) and
+    * `kmvMerge` (update = deserialize + set-merge stored sketches).
+    *
+    * Verification (kmv_distinct convention, plus a stronger pin): KMV
+    * is a pure function of the input value SET, so the rolled-up
+    * estimate must not merely land within the error bound
+    * (`within_bounds`) — it must EQUAL the direct single-pass estimate
+    * bit-for-bit (`merge_equals_direct`), proving the persist-then-
+    * merge path loses nothing vs never persisting. The oracle computes
+    * the exact counts and states both verdicts as literal TRUE. */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val K = 4096
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sketch").toString
+    try {
+      val li = Tables.lineitem(spark, dir).select(
+        col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_partkey"))
+      // build time: one fact scan → one sketch row per cell, persisted
+      li.groupBy("l_returnflag", "month")
+        .agg(graft.functions.SketchFunctions.kmvSketch(col("l_partkey"), K).as("sk"))
+        .write.mode("overwrite").parquet(tmp)
+      // query time: merge stored sketches only — no fact access
+      val rolled = spark.read.parquet(tmp)
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.SketchFunctions.kmvMerge(col("sk"), K).as("est"),
+          count(lit(1)).as("n_cells"))
+      // exactness + direct-path reference (pre-agg keeps the shuffle on
+      // (flag, partkey) cells, the kmv_distinct convention)
+      val direct = li
+        .groupBy("l_returnflag", "l_partkey").agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.SketchFunctions.kmvDistinct(col("l_partkey"), K).as("est_direct"),
+          count(lit(1)).as("n_exact"))
+      rolled.join(direct, Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"), col("n_cells"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double")
+            <= col("n_exact") * lit(0.08)).as("within_bounds"),
+          (col("est") === col("est_direct")).as("merge_equals_direct"))
+        .orderBy("l_returnflag")
+        .localCheckpoint() // result must outlive the temp dir's deletion
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Bloom-filter bits/hashes for `bloom_membership`: 128 Kbit (16 KB)
     * is sized for the sf0.1 key cardinality (~14.5k distinct custkeys →
     * k·n/m ≈ 0.44, false-positive rate ≈ 2%); the verdict bound below
@@ -1220,6 +1283,14 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, count(*) AS n_rows,
         |       TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(kmvDistinctQuery),
+    // kmv_distinct's verdict contract, plus merge_equals_direct: the
+    // persisted-and-merged sketch must equal the never-persisted one
+    QueryDef.sql("sketch_rollup",
+      """SELECT l_returnflag,
+        |       count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS n_cells,
+        |       count(DISTINCT l_partkey) AS n_exact,
+        |       TRUE AS within_bounds, TRUE AS merge_equals_direct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(sketchRollup),
     // TRUE literals = the cms_watchlist deterministic-verdict contract:
     // the Spark side really evaluates both predicates over the sketch.
     QueryDef.sql("bloom_membership",

@@ -38,6 +38,35 @@ class SketchSpec extends SparkSpec {
       s"est=$est exact=$exact bound=${5 * rsd * exact}")
   }
 
+  test("kmv sketch persist + merge equals the direct estimate at ANY cell granularity") {
+    // above-k regime (k=64, 5000 distinct) so the estimate path is
+    // actually exercised, not the exact small-cardinality shortcut
+    val k  = 64
+    val df = (1L to 20000L).map(i => (i % 13, i * 2654435761L % 5000L)).toDF("cell", "v")
+    val direct = df.agg(SketchFunctions.kmvDistinct(col("v"), k)).head().getLong(0)
+    for (cells <- Seq(1, 5, 13)) {
+      val sketches = df.withColumn("c2", col("cell") % cells)
+        .groupBy("c2")
+        .agg(SketchFunctions.kmvSketch(col("v"), k).as("sk"))
+        .localCheckpoint() // force the binaries through real serialization
+      val merged = sketches.agg(SketchFunctions.kmvMerge(col("sk"), k)).head().getLong(0)
+      assert(merged == direct,
+        s"persist-then-merge over $cells cells gave $merged, direct gave $direct")
+    }
+  }
+
+  test("kmv merge tolerates sketches built with mixed fill levels") {
+    // one nearly-empty cell + one saturated cell: merge must keep the
+    // k unsigned-smallest of the union, same as one pass over the union
+    val k = 32
+    val a = (1L to 5L).toDF("v").agg(SketchFunctions.kmvSketch(col("v"), k).as("sk"))
+    val b = (6L to 5000L).toDF("v").agg(SketchFunctions.kmvSketch(col("v"), k).as("sk"))
+    val merged = a.union(b).agg(SketchFunctions.kmvMerge(col("sk"), k)).head().getLong(0)
+    val direct = (1L to 5000L).toDF("v")
+      .agg(SketchFunctions.kmvDistinct(col("v"), k)).head().getLong(0)
+    assert(merged == direct, s"merged=$merged direct=$direct")
+  }
+
   test("kmv ignores nulls like COUNT(DISTINCT)") {
     val df = Seq(Some(1L), Some(2L), None, Some(2L), None).toDF("v")
     val got = df.agg(SketchFunctions.kmvDistinct(col("v"), 64)).head().getLong(0)
