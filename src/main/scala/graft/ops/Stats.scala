@@ -484,7 +484,75 @@ object Stats {
       |FROM documents d JOIN ranked r ON d.lang = r.lang AND d.n_chars = r.n_chars
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Sample autocorrelation of each event type's daily-count series at
+    * lags 1..3 — the seasonality/burstiness probe run before choosing a
+    * time-partitioned sampling or mixing strategy. Cells-before-windows:
+    * the raw stream collapses to (event_type, day, count) cells first,
+    * so everything after the first aggregation is O(days) per type.
+    *
+    * Exactness: with T = Σx and n = #days per type, the mean-centered
+    * products are scaled by n² so both ACF terms are exact BIGINTs —
+    * num_L = Σ (n·x_t − T)(n·x_{t+L} − T) over observed (t, t+L) pairs,
+    * den   = Σ (n·x_t − T)² over all observed days — and the one double
+    * division num/den is bit-identical cross-engine (the welch_t
+    * integer-scaling convention). Gap days simply contribute no pair:
+    * the lag join is on day+L PRESENT, mirrored by the oracle. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("x").as("t"), count(lit(1)).as("n"))
+    val centered = daily.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("day"), (col("x") * col("n") - col("t")).as("d"))
+    val den = centered.groupBy("event_type").agg(sum(col("d") * col("d")).as("den"))
+    val lagged = centered
+      .withColumn("lag", explode(array((1 to 3).map(lit): _*)))
+      .withColumn("day2", col("day") + col("lag"))
+    val pairs = lagged.as("a")
+      .join(centered.select(col("event_type"), col("day").as("day2"), col("d").as("d2")),
+        Seq("event_type", "day2"))
+      .groupBy(col("event_type"), col("lag").cast("long").as("lag"))
+      .agg(sum(col("d") * col("d2")).as("num"), count(lit(1)).as("n_pairs"))
+    pairs.join(broadcast(den), "event_type")
+      .select(
+        col("event_type"), col("lag"), col("n_pairs"), col("num"), col("den"),
+        when(col("den") =!= 0, col("num").cast("double") / col("den")).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  private val autocorrSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY event_type, day
+      |), tot AS (
+      |  SELECT event_type, CAST(sum(x) AS BIGINT) AS t,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM daily GROUP BY event_type
+      |), centered AS (
+      |  SELECT daily.event_type, day, x * n - t AS d
+      |  FROM daily JOIN tot USING (event_type)
+      |), den AS (
+      |  SELECT event_type, CAST(sum(d * d) AS BIGINT) AS den
+      |  FROM centered GROUP BY event_type
+      |), pairs AS (
+      |  SELECT a.event_type, CAST(l.lag AS BIGINT) AS lag,
+      |         CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(sum(a.d * b.d) AS BIGINT) AS num
+      |  FROM centered a
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS lag) l
+      |  JOIN centered b
+      |    ON b.event_type = a.event_type AND b.day = a.day + l.lag
+      |  GROUP BY a.event_type, l.lag
+      |)
+      |SELECT event_type, lag, n_pairs, num, den,
+      |       CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / den END AS acf
+      |FROM pairs JOIN den USING (event_type)
+      |ORDER BY event_type, lag""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("autocorr", autocorrSql)(autocorr),
     QueryDef.sql("quantile_normalize", quantileNormalizeSql)(quantileNormalize),
     QueryDef.sql("changepoint_cusum", changepointSql)(changepointCusum),
     QueryDef.sql("ks_test", ksTestSql)(ksTest),

@@ -19,6 +19,35 @@ class StatsSpec extends SparkSpec {
     if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
   }
 
+  test("autocorr matches the driver-side gapped-series ACF definition at sf0.001") {
+    val got = Stats.autocorr(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    // brute-force per type on the driver: same day bucketing, same
+    // n²-scaled centering, pairs only where day+lag is observed
+    val daily = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_millis(ts) div 86400000 AS day")
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val byDay = rows.map(r => r._2 -> r._3).toMap
+      val n = byDay.size.toLong
+      val t = byDay.values.sum
+      val d = byDay.map { case (day, x) => day -> (x * n - t) }
+      val den = d.values.map(v => v * v).sum
+      for (lag <- 1L to 3L) {
+        val pairs = d.toSeq.flatMap { case (day, v) => d.get(day + lag).map(v2 => (v, v2)) }
+        if (pairs.nonEmpty) {
+          val (np, num, dn) = got((et, lag))
+          assert(np == pairs.size.toLong, s"$et lag $lag n_pairs")
+          assert(num == pairs.map { case (a, b) => a * b }.sum, s"$et lag $lag num")
+          assert(dn == den, s"$et lag $lag den")
+        }
+      }
+    }
+  }
+
   test("ks_test matches the driver-side exact two-sample D at sf0.001") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("event_type").isin("click", "purchase"))
