@@ -89,6 +89,32 @@ object TextAnalysis {
       .orderBy("doc_id")
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
 
+  /** Feature hashing (the "hashing trick", Weinberger et al., ICML'09):
+    * every document becomes a fixed 64-bucket sparse vector with NO
+    * vocabulary — bucket = token-hash mod 64, sign = the next hash bit,
+    * weight = signed occurrence count. This is how text features reach
+    * a learner at 100 TB when a fitted vocabulary is impossible: the op
+    * is a stateless per-row map (explode → codegen'd rolling-hash →
+    * groupBy (doc, bucket) with map-side partial sums), needs no second
+    * pass, no broadcast, and no driver state, and the output width is
+    * fixed regardless of corpus vocabulary. Long-form (doc_id, bucket,
+    * w) output — the sparse representation one feeds to a trainer.
+    * Weights are exact BIGINTs; the token hash is the same mod-1e9+7
+    * polynomial as `fingerprint`, so the oracle recomputes it in SQL. */
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(TextFunctions.tokens(col("text")), t => t =!= "")).as("t"))
+      .select(col("doc_id"), TextFunctions.fingerprint(col("t")).as("h"))
+      .select(col("doc_id"), (col("h") % B).as("bucket"),
+        // `div`, not `/`: Spark's `/` on longs is DOUBLE division
+        when(expr(s"(h div $B) % 2") === 0, lit(1L)).otherwise(lit(-1L)).as("s"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum("s").as("w"))
+      .orderBy("doc_id", "bucket")
+  }
+
   /** TF-IDF top-3 terms per document — the classic corpus-statistics op
     * of a training-data pipeline (keyword extraction, quality features).
     *
@@ -939,5 +965,21 @@ object TextAnalysis {
         |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)(fingerprint),
+    QueryDef.sql("feature_hash",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(t)),
+        |        i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |  FROM toks
+        |)
+        |SELECT doc_id, h % 64 AS bucket,
+        |       CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+        |FROM hashed GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin)(featureHash),
   )
 }
