@@ -956,6 +956,26 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum("pc").as("sum_cents"))
       .orderBy("split", "l_returnflag")
 
+  /** Frequency-ordered categorical dictionary — the StringIndexer fit
+    * step of ML feature prep: each distinct category gets a dense code
+    * 0..V-1, most-frequent first (ties by value, so the coding is a
+    * pure function of the data, not the plan). Cells-before-windows:
+    * one partial-aggregated groupBy collapses the fact table to V
+    * category cells and the row_number window runs over those V rows
+    * only — at 100 TB the window input is dictionary-sized, never
+    * fact-sized, and the fitted dictionary broadcasts back to encode
+    * (here demonstrated by re-attaching n as a self-check). */
+  def stringIndex(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.part(spark, dir)
+      .groupBy(col("p_brand").as("category"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("category"))
+    freq
+      .select(col("category"), col("freq"),
+        (row_number().over(w) - 1).cast("long").as("code"))
+      .orderBy("code")
+  }
+
   /** NULL semantics / three-valued logic: nullif manufactures NULLs
     * from the (null-free) fixtures, then coalesce, null-safe equality
     * (`<=>` ≙ IS NOT DISTINCT FROM), IS NULL, and NULL-propagating
@@ -1358,6 +1378,10 @@ object Relational {
         |       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > -0.55)) = len(embedding) AS all_gt,
         |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS BIGINT) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin)(arrayHof),
+    QueryDef.sql("string_index",
+      """SELECT p_brand AS category, CAST(count(*) AS BIGINT) AS freq,
+        |       CAST(row_number() OVER (ORDER BY count(*) DESC, p_brand) - 1 AS BIGINT) AS code
+        |FROM part GROUP BY p_brand ORDER BY code""".stripMargin)(stringIndex),
     QueryDef.sql("sample_split",
       """SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'train'
         |            WHEN l_orderkey % 10 = 8 THEN 'val'
