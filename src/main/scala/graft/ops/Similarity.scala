@@ -354,16 +354,23 @@ object Similarity {
     * bruteforce convention); the corpus side never re-attaches raw
     * embeddings — the scan reads codes only, which is the entire point
     * of PQ at scale. */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-      // feeds the init collect, the Lloyd-update cells pass, and the
-      // final coded scan
-      .localCheckpoint()
-    // init = first PqC vectors by id: PqC×Dim floats of bounded driver
-    // metadata (the IVF-centroid convention), exact float→double
+  /** One-Lloyd-round PQ codebook training over `base` (vec_id,
+    * embedding) — shared by [[annPq]] and [[annIvfPq]]. Init = subspace
+    * slices of the first [[PqC]] vectors (bounded driver metadata, the
+    * IVF-centroid convention); ONE Lloyd refinement (assign → update →
+    * assign, the kmeans_embed convention) where the update is a single
+    * cells pass: explode each vector to (subspace, code, dim-in-
+    * subspace, value) and avg — the grouping key space is m×PqC×subdim
+    * cells, so map-side partial aggregation reduces the 64×-row
+    * explosion to a few thousand rows per partition before the shuffle.
+    * Centroids round to 6dp (the hash-green label_centroids invariant
+    * absorbing float-sum association); empty cells keep their init
+    * entry (the k-means empty-cluster rule), so every codebook slot
+    * stays populated. Returns the m literal codebook columns. */
+  private def pqTrainedBooks(base: DataFrame): IndexedSeq[Column] = {
     val train = base.filter(col("vec_id") < PqC)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    require(train.nonEmpty, "annPq: train sample is empty")
+    require(train.nonEmpty, "pqTrainedBooks: train sample is empty")
     val init: Array[Array[Array[Double]]] = Array.tabulate(PqM) { s =>
       train.map(_._2.slice(s * PqSubDim, (s + 1) * PqSubDim).map(_.toDouble))
     }
@@ -372,15 +379,6 @@ object Similarity {
       VectorFunctions.nearestCentroidIdx(
         slice(col("embedding"), s * PqSubDim + 1, PqSubDim), books0(s))
     }
-    // ONE Lloyd round (assign → update → assign, the kmeans_embed
-    // convention): the update is a single cells pass — explode each
-    // vector to (subspace, code, dim-in-subspace, value) and avg; the
-    // grouping key space is m×PqC×subdim cells, so the map-side partial
-    // aggregation reduces the 64×-row explosion to a few thousand rows
-    // per partition before the shuffle. Centroids round to 6dp (the
-    // hash-green label_centroids invariant absorbing float-sum
-    // association); empty cells keep their init entry (the k-means
-    // empty-cluster rule), so every codebook slot stays populated.
     val sCol = (col("d") / PqSubDim).cast("int")
     val cells = base
       .select(array(code0: _*).as("codes"), posexplode(col("embedding")).as(Seq("d", "x")))
@@ -392,7 +390,15 @@ object Similarity {
     cells.foreach { r =>
       refined(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
     }
-    val books: IndexedSeq[Column] = refined.toIndexedSeq.map(b => typedLit(b.map(_.toSeq).toSeq))
+    refined.toIndexedSeq.map(b => typedLit(b.map(_.toSeq).toSeq))
+  }
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      // feeds the init collect, the Lloyd-update cells pass, and the
+      // final coded scan
+      .localCheckpoint()
+    val books = pqTrainedBooks(base)
     val codeCols = (0 until PqM).map { s =>
       VectorFunctions.nearestCentroidIdx(
         slice(col("embedding"), s * PqSubDim + 1, PqSubDim), books(s)).as(s"c$s")
@@ -406,6 +412,52 @@ object Similarity {
         element_at(books(s), col(s"c$s") + 1))
     }.foldLeft(lit(0.0))(_ + _)
     val pairs = coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-round(adc, 6)).as("sim"))
+    rankedTopK(spark, pairs)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), (-col("sim")).as("qdist"))
+  }
+
+  /** IVF + PQ composed — the production ANN index shape (FAISS IVFPQ
+    * with by_residual=false): the coarse quantizer prunes WHICH vectors
+    * are scanned ([[annIvf]]'s [[NProbe]]-list probe) while the product
+    * quantizer shrinks WHAT is scanned ([[annPq]]'s 16-code rows + ADC
+    * against raw queries). The two axes multiply: at 100 TB a query
+    * touches nprobe/nlist of the corpus, reading 8 B codes instead of
+    * 256 B floats — ~1000× less I/O than brute force, which is why this
+    * exact composition is the standard billion-scale serving layout.
+    * The corpus pass stays one codegen'd map (list assignment + m code
+    * assignments, no shuffle); the probe joins on the list id EQUI-key
+    * with the query set broadcast, and ADC never re-attaches raw
+    * corpus embeddings. Codebooks and coarse centroids are the same
+    * trained artifacts as the component queries, so the oracle composes
+    * their CTEs verbatim. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val books = pqTrainedBooks(base)
+    val (labelsLit, matrixLit) = ivfCentroidLits(spark, dir)
+    val codeCols = (0 until PqM).map { s =>
+      VectorFunctions.nearestCentroidIdx(
+        slice(col("embedding"), s * PqSubDim + 1, PqSubDim), books(s)).as(s"c$s")
+    }
+    val listCol = element_at(labelsLit,
+      VectorFunctions.nearestCentroidIdx(col("embedding"), matrixLit) + 1).as("ivf_list")
+    val coded = base.select(col("vec_id") +: listCol +: codeCols: _*)
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(transform(
+          VectorFunctions.topCentroidIdxs(col("embedding"), matrixLit, NProbe),
+          i => element_at(labelsLit, i + 1))).as("ivf_list"))
+    val adc = (0 until PqM).map { s =>
+      VectorFunctions.sqDist(
+        slice(col("qv"), s * PqSubDim + 1, PqSubDim),
+        element_at(books(s), col(s"c$s") + 1))
+    }.foldLeft(lit(0.0))(_ + _)
+    // a corpus vector lives in exactly one list, so a (query, neighbor)
+    // pair arises from at most one probed list — no dedup needed
+    val pairs = coded.join(broadcast(queries), Seq("ivf_list"))
+      .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (-round(adc, 6)).as("sim"))
     rankedTopK(spark, pairs)
@@ -682,6 +734,92 @@ object Similarity {
          |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
          |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
          |), ${rankSql("pairs")}""".stripMargin)(annIvf),
+    // composes ann_ivf's coarse-assignment CTEs with ann_pq's codebook
+    // CTEs verbatim; only `terms` changes — the scan is restricted to
+    // the query's probed lists
+    QueryDef.sql("ann_ivf_pq",
+      s"""WITH cents AS (
+         |  SELECT label, list(avg_val ORDER BY d) AS c FROM (
+         |    SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
+         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+         |    GROUP BY label, d) t
+         |  GROUP BY label
+         |), ranked_assign AS (
+         |  SELECT e.vec_id, e.embedding, c.label AS ivf_list,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(generate_series(1, $Dim), d ->
+         |               (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
+         |             (a, v) -> a + v) ASC, c.label ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, ivf_list FROM ranked_assign WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign
+         |  WHERE rn <= $NProbe AND vec_id < $NumQueries
+         |), cb0 AS (
+         |  SELECT vec_id AS entry, s, list(v ORDER BY d) AS c FROM (
+         |    SELECT vec_id, CAST((d - 1) // $PqSubDim AS INT) AS s, d,
+         |           CAST(embedding[d] AS DOUBLE) AS v
+         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+         |    WHERE vec_id < $PqC) t
+         |  GROUP BY vec_id, s
+         |), assign0 AS (
+         |  SELECT e.vec_id, c.s, c.entry,
+         |    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, $PqSubDim), i ->
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
+         |        (a, v) -> a + v) ASC, c.entry ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cb0 c
+         |), codes0 AS (
+         |  SELECT vec_id, s, entry AS code FROM assign0 WHERE rn = 1
+         |), upd AS (
+         |  SELECT x.s, x.code, di.i,
+         |         round(avg(CAST(e.embedding[x.s * $PqSubDim + di.i] AS DOUBLE)), 6) AS m
+         |  FROM codes0 x JOIN embeddings e ON e.vec_id = x.vec_id,
+         |       (SELECT unnest(generate_series(1, $PqSubDim)) AS i) di
+         |  GROUP BY x.s, x.code, di.i
+         |), cb AS (
+         |  SELECT c0.entry, c0.s, list(coalesce(u.m, c0.c[di.i]) ORDER BY di.i) AS c
+         |  FROM cb0 c0
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $PqSubDim)) AS i) di
+         |  LEFT JOIN upd u ON u.s = c0.s AND u.code = c0.entry AND u.i = di.i
+         |  GROUP BY c0.entry, c0.s
+         |), assign AS (
+         |  SELECT e.vec_id, c.s, c.entry,
+         |    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, $PqSubDim), i ->
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
+         |        (a, v) -> a + v) ASC, c.entry ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cb c
+         |), codes AS (
+         |  SELECT vec_id, s, entry AS code FROM assign WHERE rn = 1
+         |), terms AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, x.s,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, $PqSubDim), i ->
+         |        (CAST(q.embedding[x.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
+         |        (CAST(q.embedding[x.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
+         |      (a, v) -> a + v) AS term
+         |  FROM probes q
+         |  JOIN assigned b ON b.ivf_list = q.ivf_list AND b.vec_id <> q.vec_id
+         |  JOIN codes x ON x.vec_id = b.vec_id
+         |  JOIN cb c ON c.s = x.s AND c.entry = x.code
+         |), pairs AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY s)),
+         |      (a, v) -> a + v), 6) AS qdist
+         |  FROM terms GROUP BY query_id, neighbor_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS rank
+         |  FROM pairs
+         |)
+         |SELECT query_id, neighbor_id, rank, qdist FROM ranked
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)(annIvfPq),
     QueryDef.sql("knn_graph",
       s"""WITH cents AS (
          |  SELECT label, list(avg_val ORDER BY d) AS c FROM (

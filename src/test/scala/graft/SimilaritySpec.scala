@@ -210,6 +210,45 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.annPq(spark, sfDir).filter(col("qdist") < 0).count() == 0L)
   }
 
+  test("ivf+pq composition: recall within the two components' envelope, well-formed ranks") {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val exact: Set[(Long, Long)] = rows.filter(_._1 < Similarity.NumQueries).flatMap {
+      case (qid, qv) =>
+        rows.filter(_._1 != qid)
+          .map { case (nid, nv) =>
+            var d = 0.0
+            var i = 0
+            while (i < qv.length) {
+              val x = qv(i).toDouble - nv(i).toDouble; d += x * x; i += 1
+            }
+            (nid, d)
+          }
+          .sortBy { case (nid, d) => (d, nid) }
+          .take(Similarity.K)
+          .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val res = Similarity.annIvfPq(spark, sfDir)
+    val got = pairs(res)
+    val recall = (got & exact).size.toDouble / exact.size
+    info(s"ivf+pq recall@${Similarity.K} vs exact L2: $recall")
+    // both pruning axes stack (nprobe misses + ADC distortion), so the
+    // floor sits below the flat-PQ 0.4 (measured 0.30 at sf0.001); the
+    // pin is that the composition produces a USEFUL index, not a
+    // degenerate one — deterministic fixture ⇒ deterministic recall
+    assert(recall >= 0.25, s"ivf+pq recall $recall below the designed envelope")
+    assert(res.filter(col("qdist") < 0).count() == 0L)
+    // ranks are 1..n_q contiguous per query, at most K rows each
+    val byQ = res.collect().groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.size.toLong) && ranks.size <= Similarity.K,
+        s"query $q ranks $ranks")
+    }
+  }
+
   test("knn_graph restricted to the ann_ivf query set IS ann_ivf") {
     import org.apache.spark.sql.functions.col
     // same quantizer, same probes, same ranking — the corpus-wide graph
