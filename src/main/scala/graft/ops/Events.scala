@@ -495,7 +495,71 @@ object Events {
        |SELECT user_id, day, rn, event_id, ms FROM ranked
        |WHERE rn <= $RateCap ORDER BY user_id, day, rn""".stripMargin
 
+  private[graft] val DebounceMs = 21600000L // 6 h; shared with the streaming twin
+
+  /** Per-user debounce: keep an event only if ≥ [[DebounceMs]] has
+    * passed since the last KEPT event — the burst-collapse an
+    * interaction-data curation runs so a retry storm contributes one
+    * training signal, not hundreds. The gate depends on which earlier
+    * events SURVIVED, so this is a running recursion no window function
+    * can express (contrast [[rateCap]]'s rank filter) — the genuine
+    * secondary-sort case: repartition by user, sortWithinPartitions
+    * (user, ms, event_id), one O(1)-state `mapPartitions` pass whose
+    * state (current user, last-kept ms, kept ordinal) resets on user
+    * change — the [[graft.ops.Curation.sequencePack]] convention. The
+    * shuffle carries three longs per event; at 100 TB the pass streams
+    * each user's sorted run once with constant memory. The DuckDB
+    * oracle replays the same recursion as a recursive CTE advancing
+    * every user one event per step. */
+  def debounceEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      .repartition(parts, col("user_id"))
+      .sortWithinPartitions("user_id", "ms", "event_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var user     = Long.MinValue
+        var lastKept = Long.MinValue
+        var seq      = 0L
+        it.flatMap { case (u, ms, eid) =>
+          if (u != user) {
+            user = u; lastKept = ms; seq = 1L
+            Some((u, eid, ms, seq))
+          } else if (ms - lastKept >= DebounceMs) {
+            lastKept = ms; seq += 1L
+            Some((u, eid, ms, seq))
+          } else None
+        }
+      }
+      .toDF("user_id", "event_id", "ms", "keep_seq")
+      .orderBy("user_id", "keep_seq")
+  }
+
+  private val debounceSql: String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+       |         CAST(row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY epoch_ms(ts), event_id) AS BIGINT) AS rn
+       |  FROM events
+       |), step(user_id, rn, ms, event_id, last_kept, keep_seq, kept) AS (
+       |  SELECT user_id, rn, ms, event_id, ms, CAST(1 AS BIGINT), TRUE FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.rn, e.ms, e.event_id,
+       |         CASE WHEN e.ms - s.last_kept >= $DebounceMs THEN e.ms ELSE s.last_kept END,
+       |         CASE WHEN e.ms - s.last_kept >= $DebounceMs THEN s.keep_seq + 1 ELSE s.keep_seq END,
+       |         e.ms - s.last_kept >= $DebounceMs
+       |  FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+       |)
+       |SELECT user_id, event_id, ms, keep_seq FROM step WHERE kept
+       |ORDER BY user_id, keep_seq""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("debounce_events", debounceSql)(debounceEvents),
+    // stateful streaming twin, same oracle (the stream_ewma convention)
+    QueryDef.sql("stream_debounce", debounceSql)(
+      (s, d) => graft.streaming.Streams.runBoundedDebounce(s, d)),
     QueryDef.sql("ewma_smooth", ewmaSql)(ewmaSmooth),
     QueryDef.sql("rate_cap", rateCapSql)(rateCap),
     // the stateful streaming twin shares the batch oracle: the bounded

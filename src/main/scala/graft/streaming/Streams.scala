@@ -218,6 +218,51 @@ object Streams {
   final case class EwmaOut(event_id: Long, user_id: Long, ms: Long, decayed: Long)
   final case class EwmaState(recent: List[Long])
 
+  final case class DebounceOut(user_id: Long, event_id: Long, ms: Long, keep_seq: Long)
+  final case class DebounceState(lastKept: Long, seq: Long)
+
+  /** Stateful streaming twin of [[graft.ops.Events.debounceEvents]]:
+    * keep an event only if ≥ DebounceMs since the last KEPT event of
+    * the same user. The state is two longs per user (last-kept ms +
+    * kept ordinal) in the state store — constant per key forever, the
+    * cheapest possible stateful operator — and the kept/dropped
+    * decision is exactly the batch recursion, so the bounded run shares
+    * the batch query's recursive-CTE oracle row-for-row. On an
+    * unbounded production stream this replaces the batch job's daily
+    * re-sort with one O(1) update per event. */
+  def debounceStream(events: Dataset[Event]): Dataset[DebounceOut] = {
+    import events.sparkSession.implicits._
+    val D = graft.ops.Events.DebounceMs
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[DebounceState]): Iterator[DebounceOut] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var (last, seq) = state.getOption
+        .map(s => (s.lastKept, s.seq)).getOrElse((Long.MinValue, 0L))
+      val out = sorted.flatMap { e =>
+        val ms = e.ts.getTime
+        if (seq == 0L || ms - last >= D) {
+          last = ms; seq += 1L
+          Some(DebounceOut(userId, e.event_id, ms, seq))
+        } else None
+      }
+      state.update(DebounceState(last, seq))
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[debounceStream]] through the real engine over the bounded
+    * fixture — oracle = the batch debounce recursive CTE. */
+  def runBoundedDebounce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.tables.Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    runBounded(spark, "stream_debounce", debounceStream(ev).toDF(),
+      OutputMode.Append(), Seq("user_id", "keep_seq"))
+  }
+
   /** Streaming twin of `Events.ewmaSmooth` — the per-key ORDERED
     * stateful map that windowed aggregation can't express: each user
     * carries a ≤16-deep ring of recent cents values in the state store

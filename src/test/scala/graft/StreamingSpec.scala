@@ -305,6 +305,32 @@ class StreamingSpec extends SparkSpec {
     assert(rocks == default, "state store provider changed the query output")
   }
 
+  test("debounce state carries last-kept ms across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.debounceStream(input.toDS())
+      .writeStream.format("memory").queryName("debounce_out")
+      .outputMode(OutputMode.Append).start()
+    val D = graft.ops.Events.DebounceMs
+    try {
+      def at(ms: Long) = new java.sql.Timestamp(ms)
+      // batch 1: t=0 kept, t=D-1 dropped
+      input.addData(Event(1L, at(0L), 7L, "click", 1.0),
+        Event(2L, at(D - 1), 7L, "click", 1.0))
+      query.processAllAvailable()
+      // batch 2: t=D-2+... within D of the KEPT t=0? t=D+1 is ≥D after 0 → kept;
+      // t=D+2 is 1ms after new last-kept → dropped. If state were lost,
+      // both would be kept (fresh user ⇒ first event always kept).
+      input.addData(Event(3L, at(D + 1), 7L, "click", 1.0),
+        Event(4L, at(D + 2), 7L, "click", 1.0))
+      query.processAllAvailable()
+      val kept = spark.table("debounce_out")
+        .collect().map(r => r.getAs[Long]("event_id")).sorted.toSeq
+      assert(kept == Seq(1L, 3L),
+        s"expected events 1 and 3 kept across the batch boundary, got $kept")
+    } finally { query.stop(); spark.catalog.dropTempView("debounce_out"); () }
+  }
+
   test("ewma state carries the 16-deep ring across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
