@@ -91,26 +91,30 @@ object Centroids {
     * matrix would ship as a broadcast join — the assignment stays a
     * shuffle-free map either way. Returns
     * (vec_id, embedding, cluster, sqd). */
-  private[ops] def kmeansAssign(base: DataFrame, k: Int = KmeansK): DataFrame = {
-    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
-      val ids = typedLit(cents.map(_._1))
-      val m   = typedLit(cents.map(_._2))
-      val idx = graft.functions.VectorFunctions.nearestCentroidIdx(col("embedding"), m)
-      base
-        .withColumn("cluster", element_at(ids, idx + 1))
-        .withColumn("sqd",
-          graft.functions.VectorFunctions.sqDist(col("embedding"), element_at(m, idx + 1)))
-    }
+  /** assignment against a literal centroid matrix: zero shuffle, one
+    * codegen'd nearest-centroid scan per row. */
+  private[ops] def assignWith(
+      base: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val ids = typedLit(cents.map(_._1))
+    val m   = typedLit(cents.map(_._2))
+    val idx = graft.functions.VectorFunctions.nearestCentroidIdx(col("embedding"), m)
+    base
+      .withColumn("cluster", element_at(ids, idx + 1))
+      .withColumn("sqd",
+        graft.functions.VectorFunctions.sqDist(col("embedding"), element_at(m, idx + 1)))
+  }
 
-    // seeds: first k vectors by id, floats widened exactly to double
-    val seeds: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < k)
+  /** seeds: first k vectors by id, floats widened exactly to double. */
+  private[ops] def seedCents(base: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
+    base.filter(col("vec_id") < k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1).toSeq
 
-    // one Lloyd update: per-(cluster, dim) 6dp-rounded avg, collected
-    // back to the driver (k×dim rows — bounded, like annIvf's quantizer)
-    val updated: Seq[(Long, Seq[Double])] = assign(seeds)
+  /** one Lloyd update: per-(cluster, dim) 6dp-rounded avg, collected
+    * back to the driver (k×dim rows — bounded, like annIvf's quantizer). */
+  private[ops] def lloydUpdate(assigned: DataFrame): Seq[(Long, Seq[Double])] =
+    assigned
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("cluster", "dim").agg(round(avg(col("v").cast("double")), 6).as("av"))
       .collect()
@@ -119,8 +123,8 @@ object Centroids {
       .mapValues(_.sortBy(_._2).map(_._3).toSeq)
       .toSeq.sortBy(_._1)
 
-    assign(updated)
-  }
+  private[ops] def kmeansAssign(base: DataFrame, k: Int = KmeansK): DataFrame =
+    assignWith(base, lloydUpdate(assignWith(base, seedCents(base, k))))
 
   /** Two-level (IVF-coarse) variant of [[kmeansAssign]] for callers whose
     * k scales with the corpus (semantic dedup's k = ⌈n/B⌉): the ONLY
@@ -306,6 +310,73 @@ object Centroids {
        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
        |       CAST(sum(CAST(round(sqd * 1000000) AS BIGINT)) AS BIGINT) AS inertia_micros
        |FROM a1 GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  private[graft] val KmeansRounds = 5
+
+  /** The GENERAL N-round Lloyd trainer ([[KmeansRounds]] = 5) — the
+    * last fixed-round demo shape graduated to its real form (the
+    * bpe_train / pca_topr convention). Per round: assignment against
+    * that round's LITERAL k×dim centroid matrix (zero shuffle, one
+    * codegen'd scan), total inertia as one exact-micros aggregate, and
+    * a centroid update as one bounded (cluster, dim) cells aggregate
+    * collected back as driver metadata — so per-round driver state is
+    * k×dim doubles and plan size is flat in rounds (each assignment is
+    * a fresh scan + literal, never a growing lineage; the base table is
+    * `localCheckpoint`ed once and re-read 2× per round). Output is the
+    * training curve (round, total inertia) a user watches for
+    * convergence; the oracle replays all 5 rounds as chained
+    * MATERIALIZED CTEs and `ClusteringSpec` pins the curve
+    * non-increasing with round 1 equal to the seed assignment. */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    var cents = seedCents(base, KmeansK)
+    val curve = (1 to KmeansRounds).map { r =>
+      val a = assignWith(base, cents)
+      val inertia = a.agg(sum(round(col("sqd") * 1e6).cast("long"))).head().getLong(0)
+      if (r < KmeansRounds) cents = lloydUpdate(a)
+      (r.toLong, inertia)
+    }
+    curve.toDF("round", "inertia_micros").orderBy("round")
+  }
+
+  private val kmeansTrainSql: String = {
+    val sq =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, $Dim), d ->
+         |    (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
+         |  (a, v) -> a + v)""".stripMargin
+    def assign(cents: String): String =
+      s"""SELECT vec_id, embedding, cluster, sqd FROM (
+         |  SELECT e.vec_id, e.embedding, c.cluster, $sq AS sqd,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY $sq ASC, c.cluster ASC) AS rn
+         |  FROM embeddings e CROSS JOIN $cents c) t
+         |WHERE rn = 1""".stripMargin
+    // a_{r} is the round-(r+1) assignment; MATERIALIZED (the bpe_train
+    // lesson): plain CTEs would inline the chain exponentially
+    val chain = (1 until KmeansRounds).map { r =>
+      s"""cents$r AS MATERIALIZED (
+         |  SELECT cluster, list(avg_val ORDER BY d) AS c FROM (
+         |    SELECT cluster, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
+         |    FROM a${r - 1}, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+         |    GROUP BY cluster, d) t
+         |  GROUP BY cluster
+         |), a$r AS MATERIALIZED (${assign(s"cents$r")})""".stripMargin
+    }.mkString(",\n")
+    val selects = (0 until KmeansRounds).map { r =>
+      s"""SELECT CAST(${r + 1} AS BIGINT) AS round,
+         |  CAST(sum(CAST(round(sqd * 1000000) AS BIGINT)) AS BIGINT) AS inertia_micros
+         |FROM a$r""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM embeddings WHERE vec_id < $KmeansK
+       |), a0 AS MATERIALIZED (${assign("cents0")}),
+       |$chain
+       |$selects ORDER BY round""".stripMargin
+  }
 
   private val PcaIters = 3
 
@@ -547,5 +618,6 @@ object Centroids {
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) dims
         |GROUP BY label, d ORDER BY label, dim""".stripMargin)(labelCentroids),
     QueryDef.sql("kmeans_embed", kmeansSql)(kmeansEmbed),
+    QueryDef.sql("kmeans_train", kmeansTrainSql)(kmeansTrain),
   )
 }

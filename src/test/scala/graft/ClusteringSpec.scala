@@ -48,6 +48,21 @@ class ClusteringSpec extends SparkSpec {
       s"inertia rose after a Lloyd step: $engInertia > $seedInertia")
   }
 
+  test("kmeans_train curve: 5 rounds, non-increasing inertia, round 1 = seed assignment") {
+    val curve = Centroids.kmeansTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == (1L to Centroids.KmeansRounds.toLong))
+    // 6dp centroid rounding can perturb the strict Lloyd bound slightly
+    curve.sliding(2).foreach {
+      case Array((ra, ia), (rb, ib)) =>
+        assert(ib <= ia + 1000L, s"inertia rose round $ra -> $rb: $ia -> $ib")
+      case _ =>
+    }
+    // round 1 is the seed assignment — same number the one-step test
+    // derives by hand; training must actually improve on it by the end
+    assert(curve.last._2 < curve.head._2, "5 rounds improved nothing — vacuous trainer")
+  }
+
   test("pca_power emits a unit direction with positive gain, deterministically") {
     val runs = (1 to 2).map(_ => graft.ops.Centroids.pcaPower(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq)
