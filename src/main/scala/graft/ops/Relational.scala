@@ -956,6 +956,47 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum("pc").as("sum_cents"))
       .orderBy("split", "l_returnflag")
 
+  /** Association-rule mining over order baskets (the Apriori level-2
+    * pair pass): support, confidence and lift for brand pairs bought in
+    * the same order — the collaborative-filtering / recommendation prep
+    * op. Scale shape: baskets reduce to DISTINCT (order, brand) rows
+    * first (the dim is broadcast), so the pair generation is a
+    * self-equi-join on the order key whose fan-out is bounded by basket
+    * size squared (~13² here) — never corpus-quadratic and AQE-safe on
+    * hot orders; everything after is pair-type-sized cells. Ratios are
+    * exact integral micros via DECIMAL(38) cross-multiplication (the
+    * bigram_lift convention — lift's log form is cross-engine unstable,
+    * its rational core is not), so at 100 TB order counts the division
+    * still cannot overflow. */
+  def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(spark, dir).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val baskets = Tables.lineitem(spark, dir)
+      .join(broadcast(dim), "l_partkey")
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("b"))
+      .distinct()
+      .localCheckpoint() // feeds total, singles, and both pair sides
+    val nT = baskets.select("okey").distinct().agg(count(lit(1)).as("n"))
+    val singles = baskets.groupBy("b").agg(count(lit(1)).as("cs"))
+    val pairs = baskets.as("x")
+      .join(baskets.as("y"), col("x.okey") === col("y.okey") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
+      .agg(count(lit(1)).as("cab"))
+    pairs.filter(col("cab") >= 20)
+      .join(singles.select(col("b").as("brand_a"), col("cs").as("ca")), "brand_a")
+      .join(singles.select(col("b").as("brand_b"), col("cs").as("cb")), "brand_b")
+      .crossJoin(broadcast(nT))
+      .select(
+        col("brand_a"), col("brand_b"), col("cab").as("n_both"),
+        col("ca").as("n_a"), col("cb").as("n_b"),
+        expr("CAST((CAST(cab AS DECIMAL(38,0)) * 1000000) div ca AS BIGINT)")
+          .as("confidence_micros"),
+        expr("""CAST((CAST(cab AS DECIMAL(38,0)) * n * 1000000)
+               |     div (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)""".stripMargin)
+          .as("lift_micros"))
+      .orderBy(desc("lift_micros"), col("brand_a"), col("brand_b"))
+      .limit(50)
+  }
+
   /** Frequency-ordered categorical dictionary — the StringIndexer fit
     * step of ML feature prep: each distinct category gets a dense code
     * 0..V-1, most-frequent first (ties by value, so the coding is a
@@ -1378,6 +1419,28 @@ object Relational {
         |       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > -0.55)) = len(embedding) AS all_gt,
         |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS BIGINT) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin)(arrayHof),
+    QueryDef.sql("market_basket",
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS b
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |), tot AS (SELECT count(DISTINCT okey) AS n FROM baskets),
+        |singles AS (SELECT b, count(*) AS cs FROM baskets GROUP BY b),
+        |pairs AS (
+        |  SELECT x.b AS brand_a, y.b AS brand_b, count(*) AS cab
+        |  FROM baskets x JOIN baskets y ON x.okey = y.okey AND x.b < y.b
+        |  GROUP BY 1, 2
+        |)
+        |SELECT brand_a, brand_b, CAST(cab AS BIGINT) AS n_both,
+        |       CAST(sa.cs AS BIGINT) AS n_a, CAST(sb.cs AS BIGINT) AS n_b,
+        |       CAST((CAST(cab AS HUGEINT) * 1000000) // sa.cs AS BIGINT) AS confidence_micros,
+        |       CAST((CAST(cab AS HUGEINT) * n * 1000000)
+        |            // (CAST(sa.cs AS HUGEINT) * sb.cs) AS BIGINT) AS lift_micros
+        |FROM pairs CROSS JOIN tot
+        |JOIN singles sa ON sa.b = brand_a
+        |JOIN singles sb ON sb.b = brand_b
+        |WHERE cab >= 20
+        |ORDER BY lift_micros DESC, brand_a, brand_b
+        |LIMIT 50""".stripMargin)(marketBasket),
     QueryDef.sql("string_index",
       """SELECT p_brand AS category, CAST(count(*) AS BIGINT) AS freq,
         |       CAST(row_number() OVER (ORDER BY count(*) DESC, p_brand) - 1 AS BIGINT) AS code
