@@ -80,20 +80,11 @@ object Centroids {
   val KmeansK     = 8
   private val Dim = 64
 
-  /** The seeds → assign → update → assign core of [[kmeansEmbed]],
-    * factored over an arbitrary (vec_id, embedding) corpus so the
-    * semantic-dedup composition (`Dedup.semanticDedup`) can cluster its
-    * own corpus with the identical algorithm and determinism contract.
-    * `k` defaults to the fixed [[KmeansK]] of `kmeans_embed`; callers
-    * that must stay sub-quadratic at any corpus size (semantic dedup)
-    * pass a size-derived k instead. Centroids stay a driver-side k×dim
-    * literal; past codegen-literal comfort (k·dim ≳ 10⁶) the same
-    * matrix would ship as a broadcast join — the assignment stays a
-    * shuffle-free map either way. Returns
-    * (vec_id, embedding, cluster, sqd). */
   /** assignment against a literal centroid matrix: zero shuffle, one
-    * codegen'd nearest-centroid scan per row. */
-  private[ops] def assignWith(
+    * codegen'd nearest-centroid scan per row. Past codegen-literal
+    * comfort (k·dim ≳ 10⁶) the same matrix would ship as a broadcast
+    * join — still a shuffle-free map either way. */
+  private[graft] def assignWith(
       base: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val ids = typedLit(cents.map(_._1))
     val m   = typedLit(cents.map(_._2))
@@ -105,7 +96,7 @@ object Centroids {
   }
 
   /** seeds: first k vectors by id, floats widened exactly to double. */
-  private[ops] def seedCents(base: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
+  private[graft] def seedCents(base: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
     base.filter(col("vec_id") < k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
@@ -123,6 +114,14 @@ object Centroids {
       .mapValues(_.sortBy(_._2).map(_._3).toSeq)
       .toSeq.sortBy(_._1)
 
+  /** The seeds → assign → update → assign core of [[kmeansEmbed]],
+    * factored over an arbitrary (vec_id, embedding) corpus so the
+    * semantic-dedup composition (`Dedup.semanticDedup`) can cluster its
+    * own corpus with the identical algorithm and determinism contract.
+    * `k` defaults to the fixed [[KmeansK]] of `kmeans_embed`; callers
+    * that must stay sub-quadratic at any corpus size (semantic dedup)
+    * pass a size-derived k instead. Returns
+    * (vec_id, embedding, cluster, sqd). */
   private[ops] def kmeansAssign(base: DataFrame, k: Int = KmeansK): DataFrame =
     assignWith(base, lloydUpdate(assignWith(base, seedCents(base, k))))
 

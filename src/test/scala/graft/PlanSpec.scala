@@ -437,6 +437,42 @@ class PlanSpec extends SparkSpec {
       s"plan grows with rounds: ${ScaleProbe.planNodes(sym3)} vs ${ScaleProbe.planNodes(sym8)}")
   }
 
+  test("incremental_dedup: batch reaches the index via a (band, bh) equi-join — no cartesian") {
+    val p = planOf("incremental_dedup")
+    assert(!p.contains("CartesianProduct"), "batch x index planned cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated to BNLJ")
+  }
+
+  test("feature_hash partial-aggregates (doc, bucket) sums before the shuffle") {
+    val p = planOf("feature_hash")
+    assert(p.contains("HashAggregate"), "no hash aggregate planned")
+    val aggs = p.split("\n").count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregate pair, saw $aggs HashAggregate rows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("market_basket broadcasts the part dim and the 1-row total; no cartesian pair-gen") {
+    val p = planOf("market_basket")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "part dim not broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "basket pair generation must ride the okey equi-join")
+    assert(p.contains("TakeOrderedAndProject"), "top-50 cut planned as a global sort")
+  }
+
+  test("kmeans_train assignment rounds stay join-free pure maps (flat plan in rounds)") {
+    // the returned curve is a local DF; pin the ROUND plan instead:
+    // an assignment against literal centroids must plan no join
+    val base = graft.tables.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = graft.ops.Centroids.seedCents(base, graft.ops.Centroids.KmeansK)
+    val p = graft.ops.Centroids.assignWith(base, cents)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      "per-round assignment must be a zero-shuffle map against the literal matrix")
+  }
+
   test("bpe_train reproduces the canonical merge sequence by hand") {
     // Sennrich's worked example shape: {low×3, lower×2, newest×1}.
     // Round ties break (n DESC, pair ASC) — proven by hand below.
