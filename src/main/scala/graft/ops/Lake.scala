@@ -386,6 +386,58 @@ object Lake {
     * BloomFilterMightContain is really in the optimized plan. The
     * result is materialized inside the conf window (plans optimize at
     * execution, not construction). */
+  /** Dynamic-partition-pruning join, driver-checked: the fact table is
+    * date-PARTITIONED on disk and the dim side carries a selective
+    * filter, so Spark compiles the dim's broadcast build side into a
+    * runtime partition-predicate subquery (DPP) and entire fact
+    * partition DIRECTORIES are skipped before a single row is read —
+    * the partition-level complement of `runtime_filter_join`'s
+    * row-level bloom. At 100 TB with daily partitions a 3-day dim
+    * prunes 27/30 of the lake at the directory level; no static filter
+    * could do it because the qualifying days are only known at runtime
+    * (here: the 3 busiest purchase days, deterministically tie-broken).
+    * The fact tree is a real partitioned parquet write (the
+    * partitioned_roundtrip convention); `PartitionPruningSpec` asserts
+    * `dynamicpruningexpression` appears in the executed fact scan. The
+    * oracle replays the same day selection + aggregate over raw events. */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-dpp") { tmp =>
+      val ev = Tables.events(spark, dir).select(
+        expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v_cents"),
+        col("event_type"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
+      // partition-value inference types `day` as INT — keep the join
+      // key in that type (a cast on the partition column could defeat
+      // the DPP insertion) and widen only in the final projection
+      val fact = spark.read.parquet(tmp)
+      val dim = ev.filter(col("event_type") === "purchase")
+        .groupBy("day").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("day")).limit(3)
+        .select(col("day").cast("int").as("day"))
+      fact.join(broadcast(dim), "day")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"))
+        .select(col("day").cast("long").as("day"), col("n"), col("sum_cents"))
+        .orderBy("day")
+        .localCheckpoint()
+    }
+
+  private[graft] val dppSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS v_cents, event_type
+      |  FROM events
+      |), dim AS (
+      |  SELECT day FROM (
+      |    SELECT day, count(*) AS c FROM ev WHERE event_type = 'purchase'
+      |    GROUP BY day ORDER BY c DESC, day LIMIT 3)
+      |)
+      |SELECT CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(v_cents) AS BIGINT) AS sum_cents
+      |FROM ev JOIN dim USING (day)
+      |GROUP BY day ORDER BY day""".stripMargin
+
   def runtimeFilterJoin(spark: SparkSession, dir: String): DataFrame =
     withConfs(spark, runtimeFilterConfs) {
       Tables.lineitem(spark, dir)
@@ -525,6 +577,7 @@ object Lake {
   }
 
   def entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("dpp_join", dppSql)(dppJoin),
     QueryDef.sql("schema_evolution",
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

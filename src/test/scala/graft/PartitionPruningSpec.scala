@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   */
 class PartitionPruningSpec extends SparkSpec {
 
+  test("dpp_join: the fact scan carries a dynamic partition-pruning subquery") {
+    // same shape as Lake.dppJoin (which cleans up its temp tree before
+    // returning, so the plan is rebuilt here for inspection)
+    val tmp = Files.createTempDirectory("graft-dpp-spec").toString
+    try {
+      val ev = graft.tables.Tables.events(spark, sfDir).select(
+        expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val fact = spark.read.parquet(tmp)
+      val dim = ev.filter(col("event_type") === "purchase")
+        .groupBy("day").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("day")).limit(3)
+        .select(col("day").cast("int").as("day"))
+      val df = fact.join(broadcast(dim), "day").groupBy("day").count()
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("dynamicpruning"),
+        s"fact partition scan carries no DPP subquery:\n${p.take(2000)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(java.nio.file.Paths.get(tmp))
+      try walk.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("date-partitioned write + partition-filtered read prunes directories") {
     val tmp = Files.createTempDirectory("graft-part").toString
     val events = graft.tables.Tables.events(spark, sfDir)
