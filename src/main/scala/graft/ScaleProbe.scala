@@ -155,7 +155,10 @@ object ScaleProbe {
     * quadratic knee that motivates the scaled variant). */
   val DefaultQueries: Seq[String] = Seq(
     "dedup_minhash", "semantic_dedup", "knn_graph", "knn_graph_scaled",
-    "substring_dup", "sssp_weighted", "stream_session_rocksdb")
+    "substring_dup", "sssp_weighted", "stream_session_rocksdb",
+    // second-session scale-sensitive additions (measured passes 3-4 in
+    // PERF.md; kept in the default sweep so regressions surface)
+    "incremental_dedup", "market_basket", "ann_ivf_pq", "debounce_events")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
