@@ -529,11 +529,20 @@ object Dedup {
   def substringDupOn(docs: DataFrame, l: Int): DataFrame = {
     val dh = docs.select(col("doc_id"), explode(gramHashesCol(col("text"), l)).as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-    val dupH = dh.groupBy("h")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    // "shared by ≥2 docs" as a FINE-grained window over the hash (each
+    // h group is a handful of docs), not a groupBy(h) + join-back: the
+    // join form consumes dh twice, so the corpus-sized explode + first
+    // aggregation either recomputes (the 64x probe measured that as a
+    // superlinear knee — 10.7 s at 32x -> 97 s at 64x, hash-agg spill
+    // paid twice) or materializes ~#positions rows (a 6 GB block-store
+    // working set at 64x). The window is one sort-based pass over the
+    // same h-keyed exchange the groupBy needed anyway — no second
+    // compute, no stored table, spill-graceful (sort, not hash map).
+    val w = Window.partitionBy("h")
+    val dupPerDoc = dh
+      .withColumn("mn", min("doc_id").over(w))
+      .withColumn("mx", max("doc_id").over(w))
       .filter(col("mn") =!= col("mx"))
-      .select("h")
-    val dupPerDoc = dh.join(dupH, "h")
       .groupBy("doc_id").agg(sum("c").as("dup_spans"))
     docs.select(col("doc_id"), size(gramHashesCol(col("text"), l)).cast("long").as("n_grams"))
       .join(dupPerDoc, Seq("doc_id"), "left")
