@@ -336,6 +336,141 @@ object Graph {
     s"$base,\n$steps\nSELECT node, dist FROM d$BfsIters ORDER BY node"
   }
 
+  private val BcSources = Seq(0L, 7L)
+  private val BcHops    = 3
+
+  /** Sampled-source betweenness centrality (Brandes 2001; source
+    * sampling as in Riondato–Kornaropoulos: exact betweenness needs one
+    * forward+backward sweep per NODE, so at scale one runs the sweep
+    * for K sampled sources and the per-source dependencies are an
+    * unbiased estimator up to the fixed n/K factor). Hop-bounded to
+    * [[BcHops]] like every walk in this family, so the oracle can
+    * replay it as chained CTEs.
+    *
+    * Per source: the FORWARD sweep is frontier BFS carrying exact
+    * shortest-path COUNTS σ (a level's σ(v) = Σ σ(u) over its dist-1
+    * predecessors — one partial-aggregated sum per level riding the
+    * same node-key shuffle as [[bfsDistancesOn]]); the BACKWARD sweep
+    * walks levels deepest→source accumulating Brandes' dependency
+    * δ(v) = Σ_{w: succ} σv/σw · (1 + δw), each per-edge term rounded
+    * to exact integer NANOS before the order-insensitive long sum (the
+    * pagerank convention — association-free, partition-layout-proof).
+    * Every level and every δ table is `localCheckpoint`ed and freed as
+    * soon as superseded ([[Checkpoints.free]]); per-round work is one
+    * frontier-edge join, never a re-traversal of settled levels.
+    * Output: node, accumulated dependency over the sampled sources in
+    * nanos (sources' own rows excluded, unreached nodes absent). */
+  def betweenness(spark: SparkSession, dir: String): DataFrame =
+    betweennessOn(rawEdges(spark, dir, 211L, 197L), BcSources, BcHops)
+
+  def betweennessOn(edgesDf: DataFrame, sources: Seq[Long], hops: Int): DataFrame = {
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    val e = symmetrize(edgesDf).cache()
+    val perSource: Seq[DataFrame] = sources.map { s =>
+      // forward: levels.head is the deepest level, (node, sigma) each
+      var levels  = List(Seq((s, 1L)).toDF("node", "sigma").localCheckpoint())
+      var visited = levels.head.select("node").localCheckpoint()
+      var h    = 1
+      var stop = false
+      while (h <= hops && !stop) {
+        val next = levels.head.join(e, col("node") === col("src"))
+          .groupBy(col("dst")).agg(sum("sigma").as("sigma"))
+          .select(col("dst").as("node"), col("sigma"))
+          .join(visited, Seq("node"), "left_anti")
+          .localCheckpoint()
+        if (next.isEmpty) { Checkpoints.free(next); stop = true }
+        else {
+          val prevVisited = visited
+          visited = visited.union(next.select("node")).localCheckpoint()
+          Checkpoints.free(prevVisited)
+          levels = next :: levels
+          h += 1
+        }
+      }
+      Checkpoints.free(visited) // only needed during discovery
+      // backward: deepest level has delta = 0 by the hop-bounded
+      // definition; each shallower level joins ONLY the level below
+      // (shortest-path successors sit at exactly dist+1)
+      var below = levels.head
+        .select(col("node"), col("sigma"), lit(0L).as("delta"))
+        .localCheckpoint()
+      var acc = List(below)
+      for (lvl <- levels.tail) {
+        val terms = lvl.as("v").join(e, col("v.node") === col("src"))
+          .join(below.as("w"), col("dst") === col("w.node"))
+          .select(col("v.node").as("node"),
+            round(col("v.sigma").cast("double") / col("w.sigma")
+              * (lit(1000000000L) + col("w.delta"))).cast("long").as("term"))
+          .groupBy("node").agg(sum("term").as("d"))
+        below = lvl.join(terms, Seq("node"), "left")
+          .select(col("node"), col("sigma"), coalesce(col("d"), lit(0L)).as("delta"))
+          .localCheckpoint()
+        acc = below :: acc
+      }
+      val out = acc.map(_.select("node", "delta")).reduce(_ union _)
+        .filter(col("node") =!= s)
+        .localCheckpoint() // materialize so the per-level tables can free
+      (acc ++ levels).foreach(Checkpoints.free)
+      out
+    }
+    val bc = perSource.reduce(_ union _)
+      .groupBy("node").agg(sum("delta").as("bc_nanos"))
+      .orderBy(desc("bc_nanos"), col("node"))
+      .localCheckpoint()
+    perSource.foreach(Checkpoints.free)
+    e.unpersist()
+    bc
+  }
+
+  private val betweennessSql: String = {
+    val base =
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst FROM orders
+         |  WHERE (o_custkey % 211) <> (o_orderkey % 197)
+         |), e AS (
+         |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+         |)""".stripMargin
+    val perSource = BcSources.map { s =>
+      val fwd = (1 to BcHops).map { h =>
+        s"""f${s}_$h AS (
+           |  SELECT c.node, c.sigma FROM (
+           |    SELECT e.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |    FROM f${s}_${h - 1} f JOIN e ON e.src = f.node GROUP BY e.dst
+           |  ) c WHERE c.node NOT IN (SELECT node FROM v${s}_${h - 1})
+           |),
+           |v${s}_$h AS (SELECT node FROM v${s}_${h - 1} UNION ALL SELECT node FROM f${s}_$h)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (BcHops - 1 to 0 by -1).map { lvl =>
+        s"""b${s}_$lvl AS (
+           |  SELECT f.node, f.sigma, COALESCE(t.d, CAST(0 AS BIGINT)) AS delta
+           |  FROM f${s}_$lvl f LEFT JOIN (
+           |    SELECT f2.node,
+           |      CAST(SUM(CAST(round(CAST(f2.sigma AS DOUBLE) / w.sigma
+           |        * (1000000000 + w.delta)) AS BIGINT)) AS BIGINT) AS d
+           |    FROM f${s}_$lvl f2 JOIN e ON e.src = f2.node
+           |    JOIN b${s}_${lvl + 1} w ON w.node = e.dst
+           |    GROUP BY f2.node
+           |  ) t ON t.node = f.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""f${s}_0 AS (SELECT CAST($s AS BIGINT) AS node, CAST(1 AS BIGINT) AS sigma),
+         |v${s}_0 AS (SELECT node FROM f${s}_0),
+         |$fwd,
+         |b${s}_$BcHops AS (SELECT node, sigma, CAST(0 AS BIGINT) AS delta FROM f${s}_$BcHops),
+         |$bwd""".stripMargin
+    }.mkString(",\n")
+    val unions = BcSources.flatMap { s =>
+      (0 to BcHops).map(lvl =>
+        s"SELECT node, delta FROM b${s}_$lvl WHERE node <> $s")
+    }.mkString(" UNION ALL ")
+    s"""$base,
+       |$perSource
+       |SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_nanos FROM (
+       |  $unions
+       |) GROUP BY node ORDER BY bc_nanos DESC, node""".stripMargin
+  }
+
   /** Weighted single-source shortest paths (Bellman-Ford, ≤ [[BfsIters]]
     * relaxation rounds) over the undirected BFS graph with deterministic
     * integer edge weights 1..9 (a symmetric function of the endpoints,
@@ -683,6 +818,7 @@ object Graph {
     QueryDef.sql("pagerank", pageRankSql)(pageRank),
     QueryDef.sql("triangle_count", triangleSql)(triangleCount),
     QueryDef.sql("bfs_distances", bfsSql)(bfsDistances),
+    QueryDef.sql("betweenness_sampled", betweennessSql)(betweenness),
     QueryDef.sql("sssp_weighted", ssspSql)(ssspWeighted),
     QueryDef.sql("lpa_communities", lpaSql)(lpaCommunities),
     QueryDef.sql("kcore_decompose", kcoreSql)(kcoreDecompose),

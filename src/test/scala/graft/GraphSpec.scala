@@ -219,6 +219,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("betweenness dependencies match hand-derived Brandes values on path/diamond/star") {
+    def deltas(edges: Seq[(Long, Long)], src: Long): Map[Long, Long] =
+      Graph.betweennessOn(edges.toDF("src", "dst"), Seq(src), 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // path 1-2-3-4 from 1: δ(2) = 1·(1+δ3) = 2, δ(3) = 1, δ(4) = 0
+    assert(deltas(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1L) ==
+      Map(2L -> 2000000000L, 3L -> 1000000000L, 4L -> 0L))
+
+    // diamond 1-2-4 / 1-3-4 from 1: σ(4) = 2, so δ(2) = δ(3) = σ/σ·… =
+    // (1/2)·(1+0) = 0.5 each; δ(4) = 0
+    assert(deltas(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), 1L) ==
+      Map(2L -> 500000000L, 3L -> 500000000L, 4L -> 0L))
+
+    // star center 0, leaves 1..3, from leaf 1: δ(0) = (1+0)+(1+0) = 2
+    // (one unit per far leaf), leaves 2,3 are endpoints: 0
+    assert(deltas(Seq((0L, 1L), (0L, 2L), (0L, 3L)), 1L) ==
+      Map(0L -> 2000000000L, 2L -> 0L, 3L -> 0L))
+
+    // two sampled sources accumulate: path 1-2-3 from both endpoints
+    // gives the middle node 1 + 1 = 2 units
+    val two = Graph.betweennessOn(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), Seq(1L, 3L), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(2L) == 2000000000L && two(1L) == 0L && two(3L) == 0L)
+  }
+
   test("no graph walk leaves CacheManager entries behind (storage hygiene)") {
     // Round-13 verdict #1: pageRankOn/triangleCountOn leaked their
     // .cache()s into the rest of the bench run. The family convention is
@@ -243,7 +269,8 @@ class GraphSpec extends SparkSpec {
       ("sssp", 1, () => { Graph.ssspOn(undirected(Seq((1L, 2L, 1L), (2L, 3L, 2L))), 1L, 3).collect(); () }),
       ("lpa", 1, () => { Graph.lpaCommunitiesOn(e, 2).collect(); () }),
       ("kcore", 1, () => { Graph.kcoreOn(e, 2, 3).collect(); () }),
-      ("coreness", 1, () => { Graph.corenessOn(e, 3).collect(); () }))
+      ("coreness", 1, () => { Graph.corenessOn(e, 3).collect(); () }),
+      ("betweenness", 1, () => { Graph.betweennessOn(e, Seq(1L), 3).collect(); () }))
     walks.foreach { case (name, allowance, run) =>
       val rddsBefore = spark.sparkContext.getPersistentRDDs.size
       run()
