@@ -115,6 +115,120 @@ object TextAnalysis {
       .orderBy("doc_id", "bucket")
   }
 
+  private val UlmMaxWordLen = 12
+  private val UlmPieceMax   = 4
+  private val UlmMinCount   = 5L
+
+  /** Unigram-LM subword scoring (the serving half of SentencePiece's
+    * unigram model, Kudo 2018 — the sibling of [[bpeEncode]] for the
+    * OTHER mainstream tokenizer family): seed a piece vocabulary from
+    * corpus substring frequencies (every ≤[[UlmPieceMax]]-char substring
+    * weighted by word frequency; singles always kept for coverage,
+    * longer pieces pruned below [[UlmMinCount]]), assign each piece its
+    * unigram log-probability, and score every word by its VITERBI-best
+    * segmentation — the per-doc sum is the subword-LM quality signal a
+    * curation pipeline thresholds on (gibberish and keyboard-mash score
+    * far below fluent text under any subword LM).
+    *
+    * Scale shape: the corpus is scanned once (word counts); everything
+    * after — candidate pieces, probabilities, the per-WORD Viterbi DP —
+    * is VOCABULARY-sized (the bpe_train convention), and the per-doc
+    * re-attach is one broadcastable word→score equi-join. The DP runs
+    * as a driver-captured-map UDF over the distinct-word table: an
+    * imperative O(len·[[UlmPieceMax]]) loop per word, deliberately off
+    * the corpus path (the ann_ivf "interpreted on the tiny side only"
+    * convention).
+    *
+    * Determinism contract: log-probs quantized to integer MICROS
+    * (round(ln·1e6) — the tfidf ln convention, coarse enough that a
+    * cross-engine libm ULP cannot move a boundary in practice), DP adds
+    * exact longs, and the output is the tie-FREE best SCORE (never the
+    * segmentation, whose tie-breaks would be engine-specific). The
+    * oracle replays the vocabulary in SQL and replaces the DP with an
+    * exhaustive recursive-CTE path search — same max by definition. */
+  def unigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(TextFunctions.tokens(col("text")), t => t =!= "")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("w"))
+    val words = toks
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .filter(length(col("w")) <= UlmMaxWordLen)
+      .localCheckpoint() // vocabulary-sized; feeds piece counting + DP
+    val cand = words
+      .select(col("f"), explode(flatten(
+        transform(sequence(lit(1), lit(UlmPieceMax)), k =>
+          when(length(col("w")) >= k,
+            transform(sequence(lit(1), length(col("w")) - k + 1),
+              i => col("w").substr(i, k)))
+            .otherwise(array().cast("array<string>"))))).as("p"))
+      .groupBy("p").agg(sum("f").as("c"))
+      .filter(length(col("p")) === 1 || col("c") >= UlmMinCount)
+    val total = cand.agg(sum("c")).head().getLong(0)
+    // piece → quantized log-prob: vocab-sized driver metadata (the
+    // centroid-literal convention)
+    val lq: Map[String, Long] = cand.collect().map { r =>
+      r.getString(0) -> math.round(math.log(r.getLong(1).toDouble / total) * 1e6)
+    }.toMap
+    val viterbi = udf { (w: String) =>
+      val L    = w.length
+      val NEG  = Long.MinValue / 4
+      val best = Array.fill(L + 1)(NEG)
+      best(0) = 0L
+      var p = 1
+      while (p <= L) {
+        var k = 1
+        while (k <= UlmPieceMax && k <= p) {
+          if (best(p - k) > NEG) lq.get(w.substring(p - k, p)).foreach { q =>
+            if (best(p - k) + q > best(p)) best(p) = best(p - k) + q
+          }
+          k += 1
+        }
+        p += 1
+      }
+      best(L)
+    }
+    val wordScores = words.select(col("w"), viterbi(col("w")).as("ws"))
+    toks.join(broadcast(wordScores), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("ws").as("score_micros"))
+      .orderBy("doc_id")
+  }
+
+  private val unigramScoreSql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |  FROM documents
+       |), words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks
+       |  WHERE length(w) <= $UlmMaxWordLen GROUP BY w
+       |), cand AS (
+       |  SELECT substr(w.w, CAST(i AS INT), CAST(k AS INT)) AS p, CAST(SUM(w.f) AS BIGINT) AS c
+       |  FROM words w,
+       |       (SELECT unnest(generate_series(1, $UlmPieceMax)) AS k) ks,
+       |       (SELECT unnest(generate_series(1, $UlmMaxWordLen)) AS i) pos
+       |  WHERE i + k - 1 <= length(w.w)
+       |  GROUP BY p
+       |), pieces AS (
+       |  SELECT p, c FROM cand WHERE length(p) = 1 OR c >= $UlmMinCount
+       |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM pieces),
+       |pq AS (
+       |  SELECT p, CAST(length(p) AS BIGINT) AS len,
+       |         CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000) AS BIGINT) AS lq
+       |  FROM pieces CROSS JOIN tot
+       |),
+       |seg AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS score FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + q.len, s.score + q.lq
+       |  FROM seg s JOIN pq q ON q.p = substr(s.w, CAST(s.pos + 1 AS INT), CAST(q.len AS INT))
+       |  WHERE s.pos + q.len <= length(s.w)
+       |),
+       |best AS (SELECT w, MAX(score) AS ws FROM seg WHERE pos = length(w) GROUP BY w)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(b.ws) AS BIGINT) AS score_micros
+       |FROM toks t JOIN best b ON b.w = t.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** TF-IDF top-3 terms per document — the classic corpus-statistics op
     * of a training-data pipeline (keyword extraction, quality features).
     *
@@ -965,6 +1079,7 @@ object TextAnalysis {
         |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)(fingerprint),
+    QueryDef.sql("unigram_score", unigramScoreSql)(unigramScore),
     QueryDef.sql("feature_hash",
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t

@@ -8,6 +8,42 @@ import graft.ops.TextAnalysis
   */
 class RetrievalSpec extends SparkSpec {
 
+  test("unigram_score: Viterbi DP equals exhaustive segmentation; coverage total") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.unigramScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // log-probs are negative, so every doc score must be strictly < 0
+    assert(out.forall(_._3 < 0L), "a doc scored >= 0 under a log-prob model")
+    // rebuild the piece table the operator's contract defines, then
+    // check a brute-force exhaustive best-segmentation per word equals
+    // the doc sums (single chars guarantee full coverage)
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val words = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      .filter { case (w, _) => w.length <= 12 }
+    val cand = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      for (k <- 1 to 4; i <- 0 to w.length - k)
+        cand.updateWith(w.substring(i, i + k))(v => Some(v.getOrElse(0L) + f))
+    }
+    val pieces = cand.filter { case (p, c) => p.length == 1 || c >= 5 }
+    val total  = pieces.values.sum
+    val lq = pieces.map { case (p, c) => p -> math.round(math.log(c.toDouble / total) * 1e6) }
+    def exhaustive(w: String): Long =
+      if (w.isEmpty) 0L
+      else (1 to math.min(4, w.length)).flatMap { k =>
+        lq.get(w.substring(0, k)).map(_ + exhaustive(w.substring(k)))
+      }.max
+    val wordScore = words.keys.map(w => w -> exhaustive(w)).toMap
+    val expected = toks.filter(t => wordScore.contains(t._2)).groupBy(_._1).map {
+      case (doc, ts) => (doc, ts.length.toLong, ts.map(t => wordScore(t._2)).sum)
+    }.toSet
+    assert(out.toSet == expected,
+      s"DP diverged from exhaustive segmentation (got ${out.length} rows)")
+  }
+
   test("bm25 top-k matches a driver-side reference ranking") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
