@@ -423,6 +423,81 @@ object Graph {
     bc
   }
 
+  private val WalkSteps = 4
+
+  /** Deterministic node-hash step choice for [[randomWalks]]: the
+    * "random" neighbor is the one minimizing a Knuth multiplicative
+    * hash of (cur, nbr, step) — reproducible under any partitioning
+    * and recomputable in plain SQL (node ids < 211 and steps ≤ 9 keep
+    * the product ≪ 2⁶³ on both engines). */
+  private def walkHash(cur: Column, nbr: Column, step: Int): Column =
+    pmod((cur * 211L + nbr) * 10L + step, lit(1000003L)) * 2654435761L % 1000003L
+
+  /** DeepWalk-style walk corpus (Perozzi et al. 2014): every node
+    * starts one [[WalkSteps]]-step walk; the step distribution is the
+    * usual uniform-neighbor choice DERANDOMIZED into a hash argmin (the
+    * weighted_sample convention — training-data generation must be
+    * reproducible, and a seeded hash of (position, step) is how a
+    * production walk engine shards determinstically anyway). Per step:
+    * one frontier-edge join on the node key + one argmin per walker
+    * (min of the (hash, nbr) struct — partial-aggregated), per-step
+    * `localCheckpoint`; work per step is O(frontier-degree sum), never
+    * a re-traversal. Output: (start, step, node) rows — the walk
+    * corpus an embedding trainer consumes. */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame =
+    randomWalksOn(rawEdges(spark, dir, 211L, 197L), WalkSteps)
+
+  def randomWalksOn(edgesDf: DataFrame, steps: Int): DataFrame = {
+    val e = symmetrize(edgesDf).cache()
+    var cur = e.select(col("src").as("start")).distinct()
+      .select(col("start"), col("start").as("node"))
+      .localCheckpoint()
+    // every step's frame feeds the final union, so the checkpoints are
+    // freed only once the result materializes (unlike bfs/sssp, whose
+    // superseded rounds really are dead mid-walk)
+    var frames = List(cur)
+    var out    = cur.select(col("start"), lit(0L).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      cur = cur.join(e, col("node") === col("src"))
+        .select(col("start"),
+          struct(walkHash(col("node"), col("dst"), t).as("h"), col("dst").as("n")).as("hn"))
+        .groupBy("start").agg(min("hn").as("hn"))
+        .select(col("start"), col("hn.n").as("node"))
+        .localCheckpoint()
+      frames = cur :: frames
+      out = out.union(cur.select(col("start"), lit(t.toLong).as("step"), col("node")))
+    }
+    val res = out.orderBy("start", "step").localCheckpoint()
+    frames.foreach(Checkpoints.free)
+    e.unpersist()
+    res
+  }
+
+  private val walksSql: String = {
+    val base =
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst FROM orders
+         |  WHERE (o_custkey % 211) <> (o_orderkey % 197)
+         |), e AS (
+         |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+         |), w0 AS (SELECT DISTINCT src AS start, src AS node FROM e)""".stripMargin
+    val steps = (1 to WalkSteps).map { t =>
+      s"""w$t AS (
+         |  SELECT start, node FROM (
+         |    SELECT w.start, e.dst AS node,
+         |      row_number() OVER (PARTITION BY w.start ORDER BY
+         |        ((w.node * 211 + e.dst) * 10 + $t) % 1000003 * 2654435761 % 1000003,
+         |        e.dst) AS rn
+         |    FROM w${t - 1} w JOIN e ON e.src = w.node
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to WalkSteps)
+      .map(t => s"SELECT start, CAST($t AS BIGINT) AS step, node FROM w$t")
+      .mkString(" UNION ALL ")
+    s"$base,\n$steps\n$unions ORDER BY start, step"
+  }
+
   private val betweennessSql: String = {
     val base =
       s"""WITH e0 AS (
@@ -819,6 +894,7 @@ object Graph {
     QueryDef.sql("triangle_count", triangleSql)(triangleCount),
     QueryDef.sql("bfs_distances", bfsSql)(bfsDistances),
     QueryDef.sql("betweenness_sampled", betweennessSql)(betweenness),
+    QueryDef.sql("random_walks", walksSql)(randomWalks),
     QueryDef.sql("sssp_weighted", ssspSql)(ssspWeighted),
     QueryDef.sql("lpa_communities", lpaSql)(lpaCommunities),
     QueryDef.sql("kcore_decompose", kcoreSql)(kcoreDecompose),

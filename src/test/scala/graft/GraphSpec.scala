@@ -245,6 +245,27 @@ class GraphSpec extends SparkSpec {
     assert(two(2L) == 2000000000L && two(1L) == 0L && two(3L) == 0L)
   }
 
+  test("random walks traverse real edges only, one full-length walk per node, reproducibly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val eSet  = (edges ++ edges.map(_.swap)).toSet
+    def run() = Graph.randomWalksOn(edges.toDF("src", "dst"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w = run()
+    val byStart = w.groupBy(_._1)
+    assert(byStart.keySet == Set(1L, 2L, 3L, 4L), "every node must start a walk")
+    byStart.foreach { case (s, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(rows.map(_._2).sorted.toSeq == (0L to 4L), s"walk from $s not full length")
+      assert(path.head == s, s"walk from $s does not start at $s")
+      path.sliding(2).foreach {
+        case Array(a, b) => assert(eSet((a, b)), s"walk from $s took non-edge ($a,$b)")
+        case _           =>
+      }
+    }
+    // derandomized: a second run is bit-identical
+    assert(run().toSet == w.toSet, "walks must be reproducible")
+  }
+
   test("no graph walk leaves CacheManager entries behind (storage hygiene)") {
     // Round-13 verdict #1: pageRankOn/triangleCountOn leaked their
     // .cache()s into the rest of the bench run. The family convention is
@@ -270,7 +291,8 @@ class GraphSpec extends SparkSpec {
       ("lpa", 1, () => { Graph.lpaCommunitiesOn(e, 2).collect(); () }),
       ("kcore", 1, () => { Graph.kcoreOn(e, 2, 3).collect(); () }),
       ("coreness", 1, () => { Graph.corenessOn(e, 3).collect(); () }),
-      ("betweenness", 1, () => { Graph.betweennessOn(e, Seq(1L), 3).collect(); () }))
+      ("betweenness", 1, () => { Graph.betweennessOn(e, Seq(1L), 3).collect(); () }),
+      ("walks", 1, () => { Graph.randomWalksOn(e, 3).collect(); () }))
     walks.foreach { case (name, allowance, run) =>
       val rddsBefore = spark.sparkContext.getPersistentRDDs.size
       run()
