@@ -551,7 +551,74 @@ object Stats {
       |FROM pairs JOIN den USING (event_type)
       |ORDER BY event_type, lag""".stripMargin
 
+  /** Classical seasonal decomposition of the daily event-volume series:
+    * trend = centered 7-day moving average, seasonal = day-of-week mean
+    * deviation from trend, residual = the rest — the drift monitor's
+    * view that separates "weekends are slow" from "ingest actually
+    * changed" (complements [[changepointCusum]]'s single-break alarm).
+    *
+    * Cells-before-windows: the stream collapses to (day, count) first;
+    * the ONE ordered window runs over those day cells — a set bounded
+    * by the calendar (a years-long 100 TB stream is ~10³ rows), the
+    * vocab_coverage constant-window convention, never the event table.
+    * Exactness: trend is an integral-micros DECIMAL(38) division
+    * (overflow-proof at any daily volume); the seasonal mean divides
+    * a possibly NEGATIVE deviation sum, so the sign is applied after
+    * dividing absolute values (the welch_t truncation-direction
+    * convention); residual is plain long subtraction. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wMa = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("ts_", sum("n").over(wMa))
+      .withColumn("tc", count(lit(1)).over(wMa))
+      .withColumn("trend_micros",
+        expr("CAST((CAST(ts_ AS DECIMAL(38,0)) * 1000000) div tc AS BIGINT)"))
+      .withColumn("dev", col("n") * 1000000L - col("trend_micros"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val seas = t.groupBy("dow")
+      .agg(sum("dev").as("sd"), count(lit(1)).as("sc"))
+      .select(col("dow"),
+        expr("""CAST(CASE WHEN sd >= 0 THEN CAST(sd AS DECIMAL(38,0)) div sc
+               |     ELSE -(CAST(-sd AS DECIMAL(38,0)) div sc) END AS BIGINT)""".stripMargin)
+          .as("seasonal_micros"))
+    t.join(broadcast(seas), "dow")
+      .select(col("day"), col("n"), col("trend_micros"), col("dow"),
+        col("seasonal_micros"),
+        (col("dev") - col("seasonal_micros")).as("residual_micros"))
+      .orderBy("day")
+  }
+
+  private val seasonalSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY day
+      |), t AS (
+      |  SELECT day, n,
+      |    CAST((CAST(sum(n) OVER w AS HUGEINT) * 1000000) // (count(*) OVER w) AS BIGINT)
+      |      AS trend_micros,
+      |    day % 7 AS dow
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), t2 AS (
+      |  SELECT *, n * 1000000 - trend_micros AS dev FROM t
+      |), seas AS (
+      |  SELECT dow,
+      |    CAST(CASE WHEN SUM(dev) >= 0 THEN CAST(SUM(dev) AS HUGEINT) // count(*)
+      |         ELSE -(CAST(-SUM(dev) AS HUGEINT) // count(*)) END AS BIGINT)
+      |      AS seasonal_micros
+      |  FROM t2 GROUP BY dow
+      |)
+      |SELECT t2.day, t2.n, t2.trend_micros, t2.dow, s.seasonal_micros,
+      |       t2.dev - s.seasonal_micros AS residual_micros
+      |FROM t2 JOIN seas s USING (dow)
+      |ORDER BY day""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
     QueryDef.sql("autocorr", autocorrSql)(autocorr),
     QueryDef.sql("quantile_normalize", quantileNormalizeSql)(quantileNormalize),
     QueryDef.sql("changepoint_cusum", changepointSql)(changepointCusum),

@@ -48,6 +48,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("seasonal_decompose: trend+seasonal+residual reconstruct n exactly, replay-checked") {
+    val got = Stats.seasonalDecompose(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // identity: n·1e6 = trend + seasonal + residual on every row
+    got.foreach { case (day, n, tr, _, se, re) =>
+      assert(n * 1000000L == tr + se + re, s"decomposition identity broken on day $day")
+    }
+    // driver replay of the moving average + dow means over the cells
+    val daily = Tables.events(spark, sfDir)
+      .selectExpr("unix_millis(ts) div 86400000 AS day")
+      .groupBy("day").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val trend = daily.indices.map { i =>
+      val win = daily.slice(math.max(0, i - 3), math.min(daily.length, i + 4))
+      val (s, c) = (win.map(_._2).sum, win.length.toLong)
+      daily(i)._1 -> s * 1000000L / c
+    }.toMap
+    val dev = daily.map { case (d, n) => (d, n * 1000000L - trend(d)) }
+    val seas = dev.groupBy(_._1 % 7).map { case (dow, xs) =>
+      val s = xs.map(_._2).sum
+      dow -> (if (s >= 0) s / xs.length else -((-s) / xs.length))
+    }
+    got.foreach { case (day, _, tr, dow, se, _) =>
+      assert(tr == trend(day), s"trend mismatch on day $day")
+      assert(se == seas(dow), s"seasonal mismatch on dow $dow")
+    }
+  }
+
   test("ks_test matches the driver-side exact two-sample D at sf0.001") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("event_type").isin("click", "purchase"))
