@@ -18,19 +18,6 @@ object Lake {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
-  /** run `f` against a fresh temp dir, deleting the tree afterwards. */
-  private def withTempDir[A](prefix: String)(f: String => A): A = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
-    try f(tmp)
-    finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close() // the stream holds directory fds until closed
-    }
-  }
-
   /** JSON-lines round-trip, driver-checked: write a projection to JSON,
     * read it back with an explicit schema, aggregate. Money leaves as
     * integer cents BEFORE the write — JSON round-trips longs and strings

@@ -600,8 +600,7 @@ object Relational {
     * the exact counts and states both verdicts as literal TRUE. */
   def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
     val K = 4096
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sketch").toString
-    try {
+    withTempDir("graft-sketch") { tmp =>
       val li = Tables.lineitem(spark, dir).select(
         col("l_returnflag"),
         date_format(col("l_shipdate"), "yyyy-MM").as("month"),
@@ -632,12 +631,6 @@ object Relational {
           (col("est") === col("est_direct")).as("merge_equals_direct"))
         .orderBy("l_returnflag")
         .localCheckpoint() // result must outlive the temp dir's deletion
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
     }
   }
 

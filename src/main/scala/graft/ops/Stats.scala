@@ -490,13 +490,17 @@ object Stats {
     * the raw stream collapses to (event_type, day, count) cells first,
     * so everything after the first aggregation is O(days) per type.
     *
-    * Exactness: with T = Σx and n = #days per type, the mean-centered
-    * products are scaled by n² so both ACF terms are exact BIGINTs —
-    * num_L = Σ (n·x_t − T)(n·x_{t+L} − T) over observed (t, t+L) pairs,
-    * den   = Σ (n·x_t − T)² over all observed days — and the one double
-    * division num/den is bit-identical cross-engine (the welch_t
-    * integer-scaling convention). Gap days simply contribute no pair:
-    * the lag join is on day+L PRESENT, mirrored by the oracle. */
+    * Exactness: with T = Σx and n = #days per type, each mean-centered
+    * deviation d = n·x_t − T is an exact BIGINT, but the n²-scaled
+    * products d·d' are accumulated in DECIMAL(38,0) (HUGEINT in the
+    * oracle, the welch_t/seasonal_decompose convention): at the daily
+    * volumes a 100 TB stream produces, d ~ 10¹³ and d² ~ 10²⁶ — far past
+    * int64, where Spark would wrap silently while DuckDB diverges — so
+    * num_L = Σ d_t·d_{t+L} over observed (t, t+L) pairs and
+    * den = Σ d_t² over all observed days ship as wrap-free decimals and
+    * the one double division num/den is bit-identical cross-engine.
+    * Gap days simply contribute no pair: the lag join is on day+L
+    * PRESENT, mirrored by the oracle. */
   def autocorr(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
@@ -505,7 +509,8 @@ object Stats {
       .agg(sum("x").as("t"), count(lit(1)).as("n"))
     val centered = daily.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("day"), (col("x") * col("n") - col("t")).as("d"))
-    val den = centered.groupBy("event_type").agg(sum(col("d") * col("d")).as("den"))
+    val den = centered.groupBy("event_type")
+      .agg(sum(col("d").cast("decimal(38,0)") * col("d")).as("den"))
     val lagged = centered
       .withColumn("lag", explode(array((1 to 3).map(lit): _*)))
       .withColumn("day2", col("day") + col("lag"))
@@ -513,11 +518,13 @@ object Stats {
       .join(centered.select(col("event_type"), col("day").as("day2"), col("d").as("d2")),
         Seq("event_type", "day2"))
       .groupBy(col("event_type"), col("lag").cast("long").as("lag"))
-      .agg(sum(col("d") * col("d2")).as("num"), count(lit(1)).as("n_pairs"))
+      .agg(sum(col("d").cast("decimal(38,0)") * col("d2")).as("num"),
+        count(lit(1)).as("n_pairs"))
     pairs.join(broadcast(den), "event_type")
       .select(
         col("event_type"), col("lag"), col("n_pairs"), col("num"), col("den"),
-        when(col("den") =!= 0, col("num").cast("double") / col("den")).as("acf"))
+        when(col("den") =!= 0,
+          col("num").cast("double") / col("den").cast("double")).as("acf"))
       .orderBy("event_type", "lag")
   }
 
@@ -534,12 +541,12 @@ object Stats {
       |  SELECT daily.event_type, day, x * n - t AS d
       |  FROM daily JOIN tot USING (event_type)
       |), den AS (
-      |  SELECT event_type, CAST(sum(d * d) AS BIGINT) AS den
+      |  SELECT event_type, CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS den
       |  FROM centered GROUP BY event_type
       |), pairs AS (
       |  SELECT a.event_type, CAST(l.lag AS BIGINT) AS lag,
       |         CAST(count(*) AS BIGINT) AS n_pairs,
-      |         CAST(sum(a.d * b.d) AS BIGINT) AS num
+      |         CAST(sum(CAST(a.d AS HUGEINT) * b.d) AS HUGEINT) AS num
       |  FROM centered a
       |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS lag) l
       |  JOIN centered b
@@ -547,7 +554,8 @@ object Stats {
       |  GROUP BY a.event_type, l.lag
       |)
       |SELECT event_type, lag, n_pairs, num, den,
-      |       CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / den END AS acf
+      |       CASE WHEN den <> 0
+      |            THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
       |FROM pairs JOIN den USING (event_type)
       |ORDER BY event_type, lag""".stripMargin
 

@@ -229,7 +229,18 @@ object Streams {
     * decision is exactly the batch recursion, so the bounded run shares
     * the batch query's recursive-CTE oracle row-for-row. On an
     * unbounded production stream this replaces the batch job's daily
-    * re-sort with one O(1) update per event. */
+    * re-sort with one O(1) update per event — UNDER AN EXPLICIT
+    * IN-ORDER-ARRIVAL CONTRACT: events are sorted by (ts, event_id)
+    * only WITHIN each micro-batch, and the last-kept recursion is not
+    * revisable, so a per-user event arriving in a later micro-batch
+    * than a successor it precedes in event time is debounced against
+    * the wrong last-kept anchor (the batch recursion would re-decide
+    * the kept set; this operator cannot). That is the right trade for
+    * per-key-ordered transports (CDC logs, a key-partitioned queue);
+    * feeds with cross-batch reordering need a watermark-buffered
+    * variant that holds events until the watermark closes their order
+    * window — deliberately not this operator, whose whole point is the
+    * two-long state floor. */
   def debounceStream(events: Dataset[Event]): Dataset[DebounceOut] = {
     import events.sparkSession.implicits._
     val D = graft.ops.Events.DebounceMs

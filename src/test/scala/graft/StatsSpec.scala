@@ -22,7 +22,8 @@ class StatsSpec extends SparkSpec {
   test("autocorr matches the driver-side gapped-series ACF definition at sf0.001") {
     val got = Stats.autocorr(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        (r.getLong(2), r.getDecimal(3).longValueExact(),
+          r.getDecimal(4).longValueExact())).toMap
     assert(got.nonEmpty)
     // brute-force per type on the driver: same day bucketing, same
     // n²-scaled centering, pairs only where day+lag is observed
