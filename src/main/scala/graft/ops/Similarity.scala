@@ -87,11 +87,11 @@ object Similarity {
   /** (query_id, neighbor_id, sim) pairs → per-query top-K with dense
     * rank, ordered (sim desc, neighbor_id). Output identical to the
     * row_number-window form, so it shares that form's SQL oracle. */
-  private def rankedTopK(spark: SparkSession, pairs: DataFrame): DataFrame = {
+  private def rankedTopK(spark: SparkSession, pairs: DataFrame, k: Int = K): DataFrame = {
     import spark.implicits._
     pairs.select(col("query_id"), col("neighbor_id"), col("sim")).as[SimPair]
       .groupByKey(_.query_id)
-      .agg(new TopNeighborsAgg(K).toColumn.name("top"))
+      .agg(new TopNeighborsAgg(k).toColumn.name("top"))
       .toDF("query_id", "top")
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
       .select(col("query_id"), col("t.neighbor_id"),
@@ -435,6 +435,16 @@ object Similarity {
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       .localCheckpoint()
+    rankedTopK(spark, ivfPqAdcPairs(spark, dir, base))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), (-col("sim")).as("qdist"))
+  }
+
+  /** The IVFPQ candidate scan shared by [[annIvfPq]] (serves ADC ranks
+    * directly) and [[annRefine]] (passes them to an exact re-rank):
+    * (query_id, neighbor_id, sim) where sim = −round(ADC distance, 6).
+    * `base` must be the checkpointed (vec_id, embedding) corpus — it
+    * feeds the codebook training collects AND the coded scan. */
+  private def ivfPqAdcPairs(spark: SparkSession, dir: String, base: DataFrame): DataFrame = {
     val books = pqTrainedBooks(base)
     val (labelsLit, matrixLit) = ivfCentroidLits(spark, dir)
     val codeCols = (0 until PqM).map { s =>
@@ -456,12 +466,45 @@ object Similarity {
     }.foldLeft(lit(0.0))(_ + _)
     // a corpus vector lives in exactly one list, so a (query, neighbor)
     // pair arises from at most one probed list — no dedup needed
-    val pairs = coded.join(broadcast(queries), Seq("ivf_list"))
+    coded.join(broadcast(queries), Seq("ivf_list"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (-round(adc, 6)).as("sim"))
-    rankedTopK(spark, pairs)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), (-col("sim")).as("qdist"))
+  }
+
+  /** Candidates each query passes from the compressed stage to the
+    * exact re-rank — 4·[[K]] is the standard refine factor (FAISS
+    * `IndexRefine` k_factor): enough that the true top-[[K]] usually
+    * survives ADC's quantization error, constant per query. */
+  val RefineR = 20
+
+  /** Two-stage retrieval: IVFPQ candidate generation + exact re-rank
+    * (FAISS `IndexRefineFlat`) — THE standard production serving
+    * composition, closing the recall gap PQ compression opens. Stage 1
+    * is [[annIvfPq]]'s scan verbatim: the corpus is touched only as
+    * 16 B/vector codes inside the probed lists, and a bounded heap
+    * keeps the top-[[RefineR]] ADC candidates per query. Stage 2
+    * fetches raw embeddings for ONLY those Q·R candidate ids — an
+    * equi-join against the corpus, Q·R constant rows at any corpus
+    * size, so at 100 TB the full-precision vectors are read for ~100
+    * rows while the 6 TB code scan does all the winnowing — and
+    * re-ranks by exact cosine. Recall recovers to what the candidate
+    * set contains (measured: 0.30 ADC-ranked → exact-ranked strictly
+    * higher, envelope pinned in `SimilaritySpec`) at a per-query cost
+    * that stays O(R·dim). */
+  def annRefine(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val cands = rankedTopK(spark, ivfPqAdcPairs(spark, dir, base), RefineR)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = cands
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
+    rankedTopK(spark, exact)
   }
 
   /** Corpus-wide kNN graph over the IVF lists — the building block of
@@ -591,6 +634,90 @@ object Similarity {
   private val cosineSql =
     """round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |             CAST(b.embedding AS DOUBLE[])), 6)""".stripMargin
+
+  // composes ann_ivf's coarse-assignment CTEs with ann_pq's codebook
+  // CTEs verbatim; only `terms` changes — the scan is restricted to
+  // the query's probed lists. Ends at `pairs` (query_id, neighbor_id,
+  // qdist) so ann_ivf_pq (ADC ranks served directly) and ann_refine
+  // (exact re-rank of the same candidate stream) share it verbatim.
+  private val ivfPqPairsCtes: String =
+    s"""cents AS (
+         |  SELECT label, list(avg_val ORDER BY d) AS c FROM (
+         |    SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
+         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+         |    GROUP BY label, d) t
+         |  GROUP BY label
+         |), ranked_assign AS (
+         |  SELECT e.vec_id, e.embedding, c.label AS ivf_list,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(generate_series(1, $Dim), d ->
+         |               (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
+         |             (a, v) -> a + v) ASC, c.label ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, ivf_list FROM ranked_assign WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign
+         |  WHERE rn <= $NProbe AND vec_id < $NumQueries
+         |), cb0 AS (
+         |  SELECT vec_id AS entry, s, list(v ORDER BY d) AS c FROM (
+         |    SELECT vec_id, CAST((d - 1) // $PqSubDim AS INT) AS s, d,
+         |           CAST(embedding[d] AS DOUBLE) AS v
+         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+         |    WHERE vec_id < $PqC) t
+         |  GROUP BY vec_id, s
+         |), assign0 AS (
+         |  SELECT e.vec_id, c.s, c.entry,
+         |    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, $PqSubDim), i ->
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
+         |        (a, v) -> a + v) ASC, c.entry ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cb0 c
+         |), codes0 AS (
+         |  SELECT vec_id, s, entry AS code FROM assign0 WHERE rn = 1
+         |), upd AS (
+         |  SELECT x.s, x.code, di.i,
+         |         round(avg(CAST(e.embedding[x.s * $PqSubDim + di.i] AS DOUBLE)), 6) AS m
+         |  FROM codes0 x JOIN embeddings e ON e.vec_id = x.vec_id,
+         |       (SELECT unnest(generate_series(1, $PqSubDim)) AS i) di
+         |  GROUP BY x.s, x.code, di.i
+         |), cb AS (
+         |  SELECT c0.entry, c0.s, list(coalesce(u.m, c0.c[di.i]) ORDER BY di.i) AS c
+         |  FROM cb0 c0
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $PqSubDim)) AS i) di
+         |  LEFT JOIN upd u ON u.s = c0.s AND u.code = c0.entry AND u.i = di.i
+         |  GROUP BY c0.entry, c0.s
+         |), assign AS (
+         |  SELECT e.vec_id, c.s, c.entry,
+         |    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, $PqSubDim), i ->
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
+         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
+         |        (a, v) -> a + v) ASC, c.entry ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cb c
+         |), codes AS (
+         |  SELECT vec_id, s, entry AS code FROM assign WHERE rn = 1
+         |), terms AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, x.s,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, $PqSubDim), i ->
+         |        (CAST(q.embedding[x.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
+         |        (CAST(q.embedding[x.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
+         |      (a, v) -> a + v) AS term
+         |  FROM probes q
+         |  JOIN assigned b ON b.ivf_list = q.ivf_list AND b.vec_id <> q.vec_id
+         |  JOIN codes x ON x.vec_id = b.vec_id
+         |  JOIN cb c ON c.s = x.s AND c.entry = x.code
+         |), pairs AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY s)),
+         |      (a, v) -> a + v), 6) AS qdist
+         |  FROM terms GROUP BY query_id, neighbor_id
+         |)""".stripMargin
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("ann_bruteforce",
@@ -734,92 +861,25 @@ object Similarity {
          |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
          |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
          |), ${rankSql("pairs")}""".stripMargin)(annIvf),
-    // composes ann_ivf's coarse-assignment CTEs with ann_pq's codebook
-    // CTEs verbatim; only `terms` changes — the scan is restricted to
-    // the query's probed lists
     QueryDef.sql("ann_ivf_pq",
-      s"""WITH cents AS (
-         |  SELECT label, list(avg_val ORDER BY d) AS c FROM (
-         |    SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
-         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
-         |    GROUP BY label, d) t
-         |  GROUP BY label
-         |), ranked_assign AS (
-         |  SELECT e.vec_id, e.embedding, c.label AS ivf_list,
-         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |             list_transform(generate_series(1, $Dim), d ->
-         |               (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
-         |             (a, v) -> a + v) ASC, c.label ASC) AS rn
-         |  FROM embeddings e CROSS JOIN cents c
-         |), assigned AS (
-         |  SELECT vec_id, ivf_list FROM ranked_assign WHERE rn = 1
-         |), probes AS (
-         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign
-         |  WHERE rn <= $NProbe AND vec_id < $NumQueries
-         |), cb0 AS (
-         |  SELECT vec_id AS entry, s, list(v ORDER BY d) AS c FROM (
-         |    SELECT vec_id, CAST((d - 1) // $PqSubDim AS INT) AS s, d,
-         |           CAST(embedding[d] AS DOUBLE) AS v
-         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
-         |    WHERE vec_id < $PqC) t
-         |  GROUP BY vec_id, s
-         |), assign0 AS (
-         |  SELECT e.vec_id, c.s, c.entry,
-         |    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
-         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |        list_transform(generate_series(1, $PqSubDim), i ->
-         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
-         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
-         |        (a, v) -> a + v) ASC, c.entry ASC) AS rn
-         |  FROM embeddings e CROSS JOIN cb0 c
-         |), codes0 AS (
-         |  SELECT vec_id, s, entry AS code FROM assign0 WHERE rn = 1
-         |), upd AS (
-         |  SELECT x.s, x.code, di.i,
-         |         round(avg(CAST(e.embedding[x.s * $PqSubDim + di.i] AS DOUBLE)), 6) AS m
-         |  FROM codes0 x JOIN embeddings e ON e.vec_id = x.vec_id,
-         |       (SELECT unnest(generate_series(1, $PqSubDim)) AS i) di
-         |  GROUP BY x.s, x.code, di.i
-         |), cb AS (
-         |  SELECT c0.entry, c0.s, list(coalesce(u.m, c0.c[di.i]) ORDER BY di.i) AS c
-         |  FROM cb0 c0
-         |  CROSS JOIN (SELECT unnest(generate_series(1, $PqSubDim)) AS i) di
-         |  LEFT JOIN upd u ON u.s = c0.s AND u.code = c0.entry AND u.i = di.i
-         |  GROUP BY c0.entry, c0.s
-         |), assign AS (
-         |  SELECT e.vec_id, c.s, c.entry,
-         |    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
-         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |        list_transform(generate_series(1, $PqSubDim), i ->
-         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
-         |          (CAST(e.embedding[c.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
-         |        (a, v) -> a + v) ASC, c.entry ASC) AS rn
-         |  FROM embeddings e CROSS JOIN cb c
-         |), codes AS (
-         |  SELECT vec_id, s, entry AS code FROM assign WHERE rn = 1
-         |), terms AS (
-         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, x.s,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(generate_series(1, $PqSubDim), i ->
-         |        (CAST(q.embedding[x.s * $PqSubDim + i] AS DOUBLE) - c.c[i]) *
-         |        (CAST(q.embedding[x.s * $PqSubDim + i] AS DOUBLE) - c.c[i]))),
-         |      (a, v) -> a + v) AS term
-         |  FROM probes q
-         |  JOIN assigned b ON b.ivf_list = q.ivf_list AND b.vec_id <> q.vec_id
-         |  JOIN codes x ON x.vec_id = b.vec_id
-         |  JOIN cb c ON c.s = x.s AND c.entry = x.code
-         |), pairs AS (
-         |  SELECT query_id, neighbor_id,
-         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY s)),
-         |      (a, v) -> a + v), 6) AS qdist
-         |  FROM terms GROUP BY query_id, neighbor_id
-         |), ranked AS (
+      s"""WITH $ivfPqPairsCtes, ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS rank
          |  FROM pairs
          |)
          |SELECT query_id, neighbor_id, rank, qdist FROM ranked
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)(annIvfPq),
+    QueryDef.sql("ann_refine",
+      s"""WITH $ivfPqPairsCtes, cranked AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS crank
+         |  FROM pairs
+         |), cands AS (
+         |  SELECT query_id, neighbor_id FROM cranked WHERE crank <= $RefineR
+         |), exact AS (
+         |  SELECT c.query_id, c.neighbor_id, $cosineSql AS sim
+         |  FROM cands c JOIN embeddings q ON q.vec_id = c.query_id
+         |               JOIN embeddings b ON b.vec_id = c.neighbor_id
+         |), ${rankSql("exact")}""".stripMargin)(annRefine),
     QueryDef.sql("knn_graph",
       s"""WITH cents AS (
          |  SELECT label, list(avg_val ORDER BY d) AS c FROM (

@@ -249,6 +249,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_refine: exact re-rank lifts recall over the raw ADC ranks, well-formed") {
+    import org.apache.spark.sql.functions.col
+    // both measured against the served exact-cosine truth (ann_bruteforce):
+    // refine re-ranks the SAME candidate stream by exact cosine, so its
+    // agreement with the exact ranking can only meet or beat the ADC order
+    val truth   = pairs(Similarity.annBruteforce(spark, sfDir))
+    val adcOnly = pairs(Similarity.annIvfPq(spark, sfDir))
+    val refined = pairs(Similarity.annRefine(spark, sfDir))
+    val rAdc = (adcOnly & truth).size.toDouble / truth.size
+    val rRef = (refined & truth).size.toDouble / truth.size
+    info(s"recall@${Similarity.K} vs exact cosine: adc=$rAdc refined=$rRef")
+    assert(rRef >= rAdc,
+      s"refined recall $rRef fell below the ADC-ranked $rAdc it re-ranks")
+    assert(rRef > 0.25, s"refined recall $rRef below the designed envelope")
+    // sims are exact cosines: bounded, and ranks contiguous per query
+    val res = Similarity.annRefine(spark, sfDir)
+    assert(res.filter(col("sim") > 1.000001 || col("sim") < -1.000001).count() == 0L)
+    res.collect().groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.size.toLong) && ranks.size <= Similarity.K,
+        s"query $q ranks $ranks")
+    }
+  }
+
   test("knn_graph restricted to the ann_ivf query set IS ann_ivf") {
     import org.apache.spark.sql.functions.col
     // same quantizer, same probes, same ranking — the corpus-wide graph
