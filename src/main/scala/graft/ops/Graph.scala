@@ -889,6 +889,87 @@ object Graph {
        |FROM c$CorenessIters ORDER BY node""".stripMargin
   }
 
+  /** Hub guard for [[linkPredict]]: wedge generation at a center costs
+    * C(deg, 2) pairs, so one hub of degree h materializes h² candidates
+    * — the "curse of the last reducer" again, but orientation can't
+    * help here (common-neighbor counting needs BOTH wedge arms of every
+    * center). The standard production cut: skip centers above a degree
+    * cap. Principled, not just pragmatic — a hub is the LEAST
+    * informative witness (Adamic–Adar weights it 1/ln(deg) → ~0, and a
+    * node connected to everyone predicts nothing), so the cap removes
+    * the quadratic cost exactly where the signal is weakest. */
+  private val LpDegCap = 64
+  private val LpTopN   = 50
+
+  def linkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredictOn(triEdges(spark, dir))
+
+  /** Link prediction over a canonical (u<v) undirected edge table:
+    * score every NON-adjacent pair at distance 2 by common-neighbor
+    * count and Adamic–Adar Σ_{c ∈ N(x)∩N(y)} 1/ln(deg c) — the
+    * classical neighborhood heuristics (Liben-Nowell & Kleinberg 2003)
+    * behind recommend-a-friend / suggest-a-citation, and the graph
+    * family's second wedge consumer beside [[triangleCountOn]].
+    *
+    * Scale shape: one symmetrized adjacency pass, a broadcastable
+    * degree attach, then the wedge self-EQUI-join on the center id
+    * restricted to deg ≤ [[LpDegCap]] centers — per-center work is
+    * bounded by C(cap, 2), so total wedges are ≤ cap·m regardless of
+    * skew (the hot-hub h² blowup is designed out, see [[LpDegCap]]).
+    * Each AA witness term is quantized to integral micros of
+    * 1/ln(deg) BEFORE the sum (the tfidf ln convention: one double
+    * division of exact ints, correctly rounded on both engines, then
+    * association-free long sums), existing edges leave by an anti-join
+    * against the canonical edge set, and the top-[[LpTopN]] cut is a
+    * TakeOrderedAndProject on the (aa desc, x, y) total order — never
+    * a global sort. */
+  def linkPredictOn(edgesDf: DataFrame): DataFrame = {
+    val ec = edgesDf.localCheckpoint() // feeds adjacency + the anti-join
+    val adj = ec.select(col("u").as("c"), col("v").as("nbr"))
+      .union(ec.select(col("v").as("c"), col("u").as("nbr")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+    // per-center AA witness term, computed once per adjacency row;
+    // deg ≥ 2 is implied by the wedge join (a deg-1 center forms none)
+    val adjW = adj.join(deg, "c")
+      .filter(col("deg") <= LpDegCap && col("deg") >= 2)
+      .select(col("c"), col("nbr"),
+        round(lit(1000000.0) / log(col("deg"))).cast("long").as("aa_term"))
+      .localCheckpoint() // both wedge arms read it
+    val wedges = adjW.as("a")
+      .join(adjW.as("b"), col("a.c") === col("b.c") && col("a.nbr") < col("b.nbr"))
+      .select(col("a.nbr").as("x"), col("b.nbr").as("y"), col("a.aa_term").as("t"))
+    val scored = wedges.groupBy("x", "y")
+      .agg(count(lit(1)).as("cn"), sum("t").as("aa_micros"))
+    scored
+      .join(ec, col("x") === col("u") && col("y") === col("v"), "left_anti")
+      .orderBy(col("aa_micros").desc, col("x"), col("y"))
+      .limit(LpTopN)
+  }
+
+  private val linkPredictSql: String =
+    s"""WITH raw AS (
+       |  SELECT (o_custkey % $TriMod) AS a, (o_orderkey % $TriMod) AS b FROM orders
+       |), e AS (
+       |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw WHERE a <> b
+       |), adj AS (
+       |  SELECT u AS c, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+       |), deg AS (
+       |  SELECT c, count(*) AS deg FROM adj GROUP BY c
+       |), adjw AS (
+       |  SELECT adj.c, adj.nbr,
+       |         CAST(round(1000000.0 / ln(deg.deg)) AS BIGINT) AS aa_term
+       |  FROM adj JOIN deg ON deg.c = adj.c
+       |  WHERE deg.deg <= $LpDegCap AND deg.deg >= 2
+       |), scored AS (
+       |  SELECT a.nbr AS x, b.nbr AS y, CAST(count(*) AS BIGINT) AS cn,
+       |         CAST(sum(a.aa_term) AS BIGINT) AS aa_micros
+       |  FROM adjw a JOIN adjw b ON a.c = b.c AND a.nbr < b.nbr
+       |  GROUP BY a.nbr, b.nbr
+       |)
+       |SELECT x, y, cn, aa_micros FROM scored s
+       |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.x AND e.v = s.y)
+       |ORDER BY aa_micros DESC, x, y LIMIT $LpTopN""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("pagerank", pageRankSql)(pageRank),
     QueryDef.sql("triangle_count", triangleSql)(triangleCount),
@@ -899,5 +980,6 @@ object Graph {
     QueryDef.sql("lpa_communities", lpaSql)(lpaCommunities),
     QueryDef.sql("kcore_decompose", kcoreSql)(kcoreDecompose),
     QueryDef.sql("coreness", corenessSql)(coreness),
+    QueryDef.sql("link_predict", linkPredictSql)(linkPredict),
   )
 }

@@ -91,6 +91,37 @@ class GraphSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("link_predict scores distance-2 pairs by CN + Adamic-Adar, hand-proved") {
+    def aa(deg: Long): Long = math.round(1000000.0 / math.log(deg.toDouble))
+    // path 1-2-3: the only non-adjacent distance-2 pair is (1,3) via
+    // center 2 (deg 2); star 10-{11,12,13}: three leaf pairs via the
+    // deg-3 center; K4 on 20..23 is complete -> contributes nothing
+    val e = (Seq((1L, 2L), (2L, 3L)) ++
+      Seq((10L, 11L), (10L, 12L), (10L, 13L)) ++
+      Seq((20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L)))
+    val got = Graph.linkPredictOn(e.toDF("u", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 3L, 1L, aa(2)),
+      (11L, 12L, 1L, aa(3)), (11L, 13L, 1L, aa(3)), (12L, 13L, 1L, aa(3))))
+  }
+
+  test("link_predict hub cap: an over-cap center contributes no candidate pairs") {
+    // a 70-leaf star: every leaf pair is distance 2, but the only
+    // witness center has deg 70 > LpDegCap, so the prediction set is
+    // empty — the h^2 wedge blowup is designed out, not just survived
+    val star = (1L to 70L).map(i => (0L, i))
+    assert(Graph.linkPredictOn(star.toDF("u", "v")).count() == 0L)
+    // add a second, small witness for (1,2): the pair is now predicted
+    // with cn=1 (only the uncapped center 100 counts), and leaves 1,2
+    // (now deg 2) each witness the new (0,100) pair themselves
+    val mixed = star ++ Seq((100L, 1L), (100L, 2L))
+    val aa2 = math.round(1000000.0 / math.log(2.0))
+    val got = Graph.linkPredictOn(mixed.toDF("u", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 1L, aa2), (0L, 100L, 2L, 2 * aa2)))
+  }
+
   test("bfs levels match the hand-traced lollipop graph, edges traversed undirected") {
     // triangle 1-2-3 with a tail 3→4→5→6; edges given in ONE direction
     // only — symmetrization is the operator's job. From source 1:
