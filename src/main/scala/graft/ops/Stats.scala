@@ -625,8 +625,84 @@ object Stats {
       |FROM t2 JOIN seas s USING (dow)
       |ORDER BY day""".stripMargin
 
+  /** One-way ANOVA F across ALL event types' cents values — the k-group
+    * generalization of [[welchT]]'s two-sample mean test (is spend
+    * level homogeneous across event types, or does some type differ?).
+    * Needs only the three algebraic sums (n, Σv, Σv²) PER GROUP — one
+    * partial-aggregated pass over the scan, k cells after it — so at
+    * 100 TB this is a single scan like welch_t, with k·3 longs of
+    * driver-free state.
+    *
+    * Determinism contract (welch_t convention, extended to k groups):
+    * the between/within sum-of-squares decomposition
+    *   SSB = Σ S_g²/n_g − T²/N,  SSW = Σv² − Σ S_g²/n_g
+    * has per-group divisions, so each S_g²/n_g is quantized to exact
+    * integral MICROS by integral division (floor; dividends are
+    * non-negative so floor = truncate on both engines) — the quantized
+    * decomposition is the operator's defined semantics and the oracle
+    * replays it digit-for-digit. All composite products run in
+    * DECIMAL(38,0) (HUGEINT); F ships as the two-step integral
+    * division f_micros = |ssb|·(N−k) div ((k−1)·ssw div 10⁶) with the
+    * sign applied after (negative-dividend truncation differs between
+    * engines), NULL when the within term floors to zero. Arithmetic
+    * bound (welch_t posture): S_g²·10⁶ is wrap-free to ~10³⁸ and each
+    * quantized term to ~9·10¹⁸ — comfortable for cents sums out to
+    * ~10¹⁵ (a 100 TB stream's worth). */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val g = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n_g"), sum("v").as("s_g"),
+      sum(col("v") * col("v")).as("ss_g"))
+    val s = g.agg(
+      count(lit(1)).as("k"), sum("n_g").as("n"),
+      sum("s_g").as("t"), sum("ss_g").as("ss"),
+      sum(expr("(CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000) div n_g")
+        .cast("decimal(38,0)")).as("a"))
+    s.select(
+        col("k"), col("n"),
+        (col("a") - expr("(CAST(t AS DECIMAL(38,0)) * t * 1000000) div n"))
+          .cast("decimal(38,0)").as("ssb_micros"),
+        (col("ss").cast("decimal(38,0)") * 1000000 - col("a"))
+          .cast("decimal(38,0)").as("ssw_micros"))
+      .select(
+        col("k"), col("n"), col("ssb_micros"), col("ssw_micros"),
+        expr("""CASE WHEN ((k - 1) * ssw_micros) div 1000000 = 0 THEN NULL
+               |ELSE CAST(CASE WHEN ssb_micros < 0 THEN -1 ELSE 1 END *
+               |  ((abs(ssb_micros) * (n - k)) div
+               |   (((k - 1) * ssw_micros) div 1000000)) AS BIGINT)
+               |END""".stripMargin).as("f_micros"))
+  }
+
+  private val anovaFSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+      |), g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+      |         CAST(sum(v) AS BIGINT) AS s_g, CAST(sum(v * v) AS BIGINT) AS ss_g
+      |  FROM ev GROUP BY event_type
+      |), s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |         CAST(sum(s_g) AS BIGINT) AS t, CAST(sum(ss_g) AS BIGINT) AS ss,
+      |         CAST(sum((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g) AS HUGEINT) AS a
+      |  FROM g
+      |), c AS (
+      |  SELECT k, n,
+      |         CAST(a - (CAST(t AS HUGEINT) * t * 1000000) // n AS HUGEINT) AS ssb_micros,
+      |         CAST(CAST(ss AS HUGEINT) * 1000000 - a AS HUGEINT) AS ssw_micros
+      |  FROM s
+      |)
+      |SELECT k, n, ssb_micros, ssw_micros,
+      |       CASE WHEN ((k - 1) * ssw_micros) // 1000000 = 0 THEN NULL
+      |            ELSE CAST(CASE WHEN ssb_micros < 0 THEN -1 ELSE 1 END *
+      |              ((abs(ssb_micros) * (n - k)) //
+      |               (((k - 1) * ssw_micros) // 1000000)) AS BIGINT)
+      |       END AS f_micros
+      |FROM c""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
+    QueryDef.sql("anova_f", anovaFSql)(anovaF),
     QueryDef.sql("autocorr", autocorrSql)(autocorr),
     QueryDef.sql("quantile_normalize", quantileNormalizeSql)(quantileNormalize),
     QueryDef.sql("changepoint_cusum", changepointSql)(changepointCusum),

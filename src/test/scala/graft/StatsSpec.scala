@@ -49,6 +49,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("anova_f matches the driver-side quantized decomposition at sf0.001") {
+    val row = Stats.anovaF(spark, sfDir).collect().head
+    val (k, n) = (row.getLong(0), row.getLong(1))
+    val (ssb, ssw) = (row.getDecimal(2).toBigInteger, row.getDecimal(3).toBigInteger)
+    val f = row.getLong(4)
+    // driver brute force: same cents rounding, same floor-quantized
+    // per-group S_g^2/n_g micros, same two-step integral F division
+    val vals = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(k == groups.size.toLong && n == vals.length.toLong)
+    val a = groups.values.map { xs =>
+      val s = xs.map(BigInt(_)).sum
+      (s * s * 1000000) / xs.length
+    }.sum
+    val t  = BigInt(vals.map(_._2).sum)
+    val ss = vals.map(v => BigInt(v._2) * v._2).sum
+    val expSsb = a - (t * t * 1000000) / n
+    val expSsw = ss * 1000000 - a
+    assert(BigInt(ssb) == expSsb, "ssb_micros")
+    assert(BigInt(ssw) == expSsw, "ssw_micros")
+    val den = ((k - 1) * expSsw) / 1000000
+    val expF = (expSsb.abs * (n - k)) / den * expSsb.signum
+    assert(f == expF.toLong, "f_micros")
+    // the decomposition is non-degenerate on the fixtures: both real
+    assert(expSsb > 0 && expSsw > 0)
+  }
+
   test("seasonal_decompose: trend+seasonal+residual reconstruct n exactly, replay-checked") {
     val got = Stats.seasonalDecompose(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
