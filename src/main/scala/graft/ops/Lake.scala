@@ -563,8 +563,65 @@ object Lake {
        |ORDER BY layout, probe""".stripMargin
   }
 
+  /** Time travel, driver-checked: read a table AS OF an earlier version
+    * after a copy-on-write update — the MVCC read path every manifest
+    * table format (Delta/Iceberg-style) serves. A "version" here is
+    * exactly what it is in those formats: a MANIFEST (an immutable file
+    * list), never a data copy. The table starts as cold + hot file
+    * groups (manifest v1 = both); a CoW update then rewrites the hot
+    * rows (o_orderkey % 10 = 0) with doubled prices as NEW files, and
+    * manifest v2 swaps the hot files for their replacements while the
+    * v1 files stay untouched on disk. Reading v1 and v2 from the SAME
+    * directory yields different, fully consistent snapshots — the v1
+    * aggregate is provably unaffected by the later rewrite. At 100 TB
+    * this is why time travel is free: version selection is a manifest
+    * lookup, storage cost is only the rewritten files, and
+    * [[vacuumOrphans]]' machinery is what eventually reclaims expired
+    * versions past retention. Oracle replays both versions from the
+    * source rows. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-tt") { tbl =>
+      val orders = Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val hot = orders.filter(col("o_orderkey") % 10 === 0)
+      orders.filter(col("o_orderkey") % 10 =!= 0)
+        .write.mode("append").parquet(tbl)
+      val coldFiles = dataFiles(spark, tbl)
+      hot.write.mode("append").parquet(tbl)
+      val v1 = dataFiles(spark, tbl)
+      // CoW update: the hot rows are REWRITTEN (doubled price) as new
+      // files; v2 = v1 with the hot files swapped for the rewrites
+      hot.withColumn("price_cents", col("price_cents") * 2)
+        .write.mode("append").parquet(tbl)
+      val v2 = coldFiles ++ (dataFiles(spark, tbl) -- v1)
+      def readVersion(manifest: Set[String], version: Long): DataFrame =
+        spark.read.parquet(manifest.map(f => s"$tbl/$f").toSeq: _*)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+          .select(lit(version).as("version"), col("o_orderstatus"),
+            col("n"), col("sum_cents"))
+      readVersion(v1, 1L).union(readVersion(v2, 2L))
+        .orderBy("version", "o_orderstatus")
+        .localCheckpoint() // materialize before the temp dir is deleted
+    }
+
   def entries: Seq[QueryDef] = Seq(
     QueryDef.sql("dpp_join", dppSql)(dppJoin),
+    QueryDef.sql("time_travel",
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |)
+        |SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM o GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), o_orderstatus, CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 2 * c ELSE c END) AS BIGINT)
+        |FROM o GROUP BY o_orderstatus
+        |ORDER BY version, o_orderstatus""".stripMargin)(timeTravel),
     QueryDef.sql("schema_evolution",
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

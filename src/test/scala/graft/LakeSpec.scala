@@ -120,4 +120,21 @@ class LakeSpec extends SparkSpec {
     // idempotent: a second vacuum finds nothing to delete
     assert(Lake.vacuumTo(spark, tbl, manifest) == ((4, 4)))
   }
+
+  test("time_travel: versions share one directory and isolate; a naive read double-counts") {
+    val n = Tables.orders(spark, sfDir).count()
+    val res = Lake.timeTravel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val v1 = res.filter(_._1._1 == 1L)
+    val v2 = res.filter(_._1._1 == 2L)
+    // both snapshots are complete (every order exactly once) …
+    assert(v1.values.map(_._1).sum == n && v2.values.map(_._1).sum == n)
+    // … and genuinely different: the CoW rewrite doubled the hot rows'
+    // prices, so every status group strictly gained cents in v2
+    v1.foreach { case ((_, status), (rows, cents1)) =>
+      val (rows2, cents2) = v2((2L, status))
+      assert(rows2 == rows && cents2 > cents1,
+        s"status $status: v2 ($rows2, $cents2) vs v1 ($rows, $cents1)")
+    }
+  }
 }
