@@ -194,6 +194,123 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** WordPiece greedy encoding (Wu et al. 2016 — BERT's tokenizer,
+    * completing the tokenizer-family triptych beside [[bpeEncode]]
+    * (merge-list replay) and [[unigramScore]] (Viterbi LM)): a
+    * POSITIONAL piece vocabulary — word-initial pieces and `##`
+    * continuation pieces are distinct entries — seeded from corpus
+    * substring frequencies under the unigram constants (singles always
+    * kept for coverage, longer pieces pruned below [[UlmMinCount]]),
+    * then every word encoded by greedy LONGEST-MATCH-FIRST: at each
+    * position take the longest vocabulary piece, never backtrack.
+    * Because both single-char families are coverage-complete, the walk
+    * cannot dead-end, so no word falls to `[UNK]` and the greedy path
+    * is total. Output per doc: word count, WordPiece token count, and
+    * words kept whole (encoded as one piece) — the fertility stats a
+    * tokenizer design review reads.
+    *
+    * Scale shape = [[unigramScore]]'s: one corpus scan (word counts),
+    * vocabulary-sized candidate/count tables, the greedy loop as a
+    * driver-captured-set UDF over the distinct-word table (O(len·
+    * [[UlmPieceMax]]) per word, off the corpus path), one broadcast
+    * word→count equi-join back.
+    *
+    * Oracle equivalence: greedy longest-match-first = the complete
+    * segmentation path whose piece-LENGTH sequence is lexicographically
+    * MAXIMAL (greedy always exists since singles cover every position,
+    * and any other path first deviates by choosing a shorter piece —
+    * i.e. a smaller digit at that step). [[UlmPieceMax]] ≤ 9 keeps each
+    * length a single digit, so the oracle enumerates all paths
+    * recursive-CTE-style (the unigram machinery) carrying a digit-
+    * string key and keeps `max(key)` per word. */
+  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(TextFunctions.tokens(col("text")), t => t =!= "")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("w"))
+    val words = toks
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .filter(length(col("w")) <= UlmMaxWordLen)
+      .localCheckpoint() // vocabulary-sized; feeds piece counting + encode
+    val startCand = words.select(col("f"), explode(
+        transform(sequence(lit(1), least(lit(UlmPieceMax), length(col("w")))),
+          k => col("w").substr(lit(1), k))).as("s"))
+      .withColumn("st", lit(true))
+    val contCand = words.filter(length(col("w")) >= 2)
+      .select(col("f"), explode(flatten(
+        transform(sequence(lit(1), lit(UlmPieceMax)), k =>
+          when(length(col("w")) - 1 >= k,
+            transform(sequence(lit(2), length(col("w")) - k + 1),
+              i => col("w").substr(i, k)))
+            .otherwise(array().cast("array<string>"))))).as("s"))
+      .withColumn("st", lit(false))
+    val pieces = startCand.union(contCand)
+      .groupBy("st", "s").agg(sum("f").as("c"))
+      .filter(length(col("s")) === 1 || col("c") >= UlmMinCount)
+      .collect()
+    val startV: Set[String] =
+      pieces.collect { case r if r.getBoolean(0) => r.getString(1) }.toSet
+    val contV: Set[String] =
+      pieces.collect { case r if !r.getBoolean(0) => r.getString(1) }.toSet
+    val greedy = udf { (w: String) =>
+      var pos = 0
+      var n   = 0L
+      while (pos < w.length) {
+        var k = math.min(UlmPieceMax, w.length - pos)
+        while (k > 1 && !(if (pos == 0) startV(w.substring(pos, pos + k))
+                          else contV(w.substring(pos, pos + k)))) k -= 1
+        pos += k // k = 1 always matches: singles are coverage-complete
+        n += 1
+      }
+      n
+    }
+    val wp = words.select(col("w"), greedy(col("w")).as("np"))
+    toks.join(broadcast(wp), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"),
+        sum(when(col("np") === 1, 1L).otherwise(0L)).as("n_whole"))
+      .orderBy("doc_id")
+  }
+
+  private val wordpieceSql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |  FROM documents
+       |), words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks
+       |  WHERE length(w) <= $UlmMaxWordLen GROUP BY w
+       |), cand AS (
+       |  SELECT TRUE AS st, substr(w.w, 1, CAST(k AS INT)) AS s, CAST(SUM(f) AS BIGINT) AS c
+       |  FROM words w, (SELECT unnest(generate_series(1, $UlmPieceMax)) AS k) ks
+       |  WHERE k <= length(w.w) GROUP BY s
+       |  UNION ALL
+       |  SELECT FALSE, substr(w.w, CAST(i AS INT), CAST(k AS INT)), CAST(SUM(f) AS BIGINT)
+       |  FROM words w, (SELECT unnest(generate_series(1, $UlmPieceMax)) AS k) ks,
+       |       (SELECT unnest(generate_series(2, $UlmMaxWordLen)) AS i) pos
+       |  WHERE i + k - 1 <= length(w.w) GROUP BY 2
+       |), pieces AS (
+       |  SELECT st, s, CAST(length(s) AS BIGINT) AS len, c FROM cand
+       |  WHERE length(s) = 1 OR c >= $UlmMinCount
+       |), seg AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n, '' AS key FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + q.len, s.n + 1, s.key || CAST(q.len AS VARCHAR)
+       |  FROM seg s JOIN pieces q ON q.st = (s.pos = 0)
+       |    AND q.s = substr(s.w, CAST(s.pos + 1 AS INT), CAST(q.len AS INT))
+       |  WHERE s.pos + q.len <= length(s.w)
+       |), complete AS (
+       |  SELECT w, n, key FROM seg WHERE pos = length(w)
+       |), greedy AS (
+       |  SELECT w, n FROM (
+       |    SELECT w, n, row_number() OVER (PARTITION BY w ORDER BY key DESC) AS rn
+       |    FROM complete)
+       |  WHERE rn = 1
+       |)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(g.n) AS BIGINT) AS n_pieces,
+       |       CAST(SUM(CASE WHEN g.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole
+       |FROM toks t JOIN greedy g ON g.w = t.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   private val unigramScoreSql: String =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
@@ -1080,6 +1197,7 @@ object TextAnalysis {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)(fingerprint),
     QueryDef.sql("unigram_score", unigramScoreSql)(unigramScore),
+    QueryDef.sql("wordpiece_encode", wordpieceSql)(wordpieceEncode),
     QueryDef.sql("feature_hash",
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t

@@ -44,6 +44,50 @@ class RetrievalSpec extends SparkSpec {
       s"DP diverged from exhaustive segmentation (got ${out.length} rows)")
   }
 
+  test("wordpiece_encode: greedy longest-match replay, total coverage, fertility bounds") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.wordpieceEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // fertility bounds: every word yields >= 1 piece (total coverage, no
+    // UNK) and n_whole counts a subset of the words
+    assert(out.forall { case (_, nw, np, wh) => np >= nw && wh <= nw })
+    // rebuild the positional piece vocabulary the contract defines and
+    // replay greedy longest-match-first on the driver
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val words = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      .filter { case (w, _) => w.length <= 12 }
+    val start = scala.collection.mutable.Map.empty[String, Long]
+    val cont  = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      for (k <- 1 to 4; i <- 0 to w.length - k) {
+        val m = if (i == 0) start else cont
+        m.updateWith(w.substring(i, i + k))(v => Some(v.getOrElse(0L) + f))
+      }
+    }
+    val startV = start.filter { case (p, c) => p.length == 1 || c >= 5 }.keySet
+    val contV  = cont.filter { case (p, c) => p.length == 1 || c >= 5 }.keySet
+    def greedy(w: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < w.length) {
+        var k = math.min(4, w.length - pos)
+        while (k > 1 && !(if (pos == 0) startV(w.substring(pos, pos + k))
+                          else contV(w.substring(pos, pos + k)))) k -= 1
+        pos += k; n += 1
+      }
+      n
+    }
+    val wp = words.keys.map(w => w -> greedy(w)).toMap
+    val expected = toks.filter(t => wp.contains(t._2)).groupBy(_._1).map {
+      case (doc, ts) =>
+        (doc, ts.length.toLong, ts.map(t => wp(t._2)).sum,
+          ts.count(t => wp(t._2) == 1L).toLong)
+    }.toSet
+    assert(out.toSet == expected, "greedy replay diverged")
+  }
+
   test("bm25 top-k matches a driver-side reference ranking") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
