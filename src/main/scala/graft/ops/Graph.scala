@@ -140,6 +140,101 @@ object Graph {
        |ORDER BY f.node""".stripMargin
   }
 
+  /** seed-set cutoff for [[personalizedPagerank]]: nodes below this id
+    * form the trusted seed set. */
+  private val PprSeedMax = 10L
+
+  def personalizedPagerank(spark: SparkSession, dir: String): DataFrame =
+    pprOn(edges(spark, dir), Iters)
+
+  /** Personalized PageRank from the seed set {node < [[PprSeedMax]]} —
+    * the seed-EXPANSION primitive of web-corpus curation (rank every
+    * page by random-walk proximity to a small trusted set, then keep
+    * the high-PPR tail; the same walk powers who-to-follow style
+    * recommendation). Identical machinery and determinism contract as
+    * [[pageRankOn]] — exact-nanos contribution sums, 9 dp re-rounding
+    * per round, per-round `localCheckpoint` + [[Checkpoints.free]] —
+    * with ONE change: the teleport term lands only on seeds (0.15/|S|
+    * instead of 0.15/N), so mass injects at the seeds and decays
+    * outward by 0.85 per hop. Nodes unreachable from the seed set stay
+    * at EXACTLY 0.0 — the walk never visits them — which is the
+    * filtering property the curation use case reads. The 1-row seed
+    * count broadcasts like pagerank's N. */
+  private[graft] def pprOn(edgesDf: DataFrame, iters: Int): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
+    val e = ckpt(edgesDf
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val s   = nodes.filter(col("node") < PprSeedMax).agg(count(lit(1)).as("s"))
+    val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("d")))
+    val teleport =
+      when(col("node") < PprSeedMax, lit(0.15) / col("s")).otherwise(lit(0.0))
+    var ranks = ckpt(nodes.crossJoin(broadcast(s))
+      .select(col("node"),
+        when(col("node") < PprSeedMax, round(lit(1.0) / col("s"), 9))
+          .otherwise(lit(0.0)).as("r")))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          round((col("r") / col("d")) * 1e9).cast("long").as("cn"))
+        .groupBy("node")
+        .agg(sum("cn").as("sn"))
+      val prev = ranks
+      ranks = ckpt(nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(s))
+        .select(col("node"),
+          round(teleport +
+            lit(Damping) * (coalesce(col("sn"), lit(0L)).cast("double") / lit(1e9)), 9)
+            .as("r")))
+      Checkpoints.free(prev)
+    }
+    Checkpoints.free(e)
+    Checkpoints.free(nodes)
+    ranks
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("d"), lit(0L)).as("out_deg"), col("r").as("rank"))
+      .orderBy("node")
+  }
+
+  private val pprSql: String = {
+    val base =
+      s"""WITH edges AS (
+         |  SELECT DISTINCT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst
+         |  FROM orders WHERE (o_custkey % 211) <> (o_orderkey % 197)
+         |), nodes AS (
+         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+         |), ss AS (SELECT count(*) AS s FROM nodes WHERE node < $PprSeedMax),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT node, CASE WHEN node < $PprSeedMax THEN round(1.0 / ss.s, 9)
+         |               ELSE CAST(0 AS DOUBLE) END AS r
+         |  FROM nodes, ss)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT x.node,
+         |    round(CASE WHEN x.node < $PprSeedMax THEN 0.15 / ss.s
+         |               ELSE CAST(0 AS DOUBLE) END
+         |          + 0.85 * (coalesce(c.sn, 0) / 1000000000.0), 9) AS r
+         |  FROM nodes x CROSS JOIN ss LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           sum(CAST(round((p.r / deg.d) * 1000000000.0) AS BIGINT)) AS sn
+         |    FROM edges e JOIN $prev p ON e.src = p.node
+         |    JOIN deg ON e.src = deg.src GROUP BY e.dst
+         |  ) c ON x.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT f.node, CAST(coalesce(deg.d, 0) AS BIGINT) AS out_deg, f.r AS rank
+       |FROM r$Iters f LEFT JOIN deg ON f.node = deg.src
+       |ORDER BY f.node""".stripMargin
+  }
+
   /** node-space modulus for the triangle graph: larger than PageRank's
     * so the graph stays sparse (avg degree ~6 at sf0.01) instead of
     * saturating to a clique. */
@@ -981,5 +1076,6 @@ object Graph {
     QueryDef.sql("kcore_decompose", kcoreSql)(kcoreDecompose),
     QueryDef.sql("coreness", corenessSql)(coreness),
     QueryDef.sql("link_predict", linkPredictSql)(linkPredict),
+    QueryDef.sql("personalized_pagerank", pprSql)(personalizedPagerank),
   )
 }

@@ -91,6 +91,24 @@ class GraphSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("personalized pagerank: mass injects at seeds, decays 0.85/hop, zero off-walk") {
+    // chain 1 -> 11 -> 12 (only node 1 is a seed, |S| = 1) plus an
+    // isolated non-seed edge 50 -> 51 the walk can never reach
+    val e = Seq((1L, 11L), (11L, 12L), (50L, 51L))
+    val got = Graph.pprOn(e.toDF("src", "dst"), 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // hand trace (teleport 0.15 on the seed only, damping 0.85):
+    // r1: 1=0.15, 11=0.85,  12=0
+    // r2: 1=0.15, 11=0.1275, 12=0.7225
+    // r3: 1=0.15, 11=0.1275, 12=0.108375
+    assert(got(1L) == ((1L, 0.15)))
+    assert(got(11L) == ((1L, 0.1275)))
+    assert(got(12L) == ((0L, 0.108375)))
+    // unreachable-from-seed nodes sit at EXACTLY zero — the filtering
+    // property seed-expansion curation reads
+    assert(got(50L) == ((1L, 0.0)) && got(51L) == ((0L, 0.0)))
+  }
+
   test("link_predict scores distance-2 pairs by CN + Adamic-Adar, hand-proved") {
     def aa(deg: Long): Long = math.round(1000000.0 / math.log(deg.toDouble))
     // path 1-2-3: the only non-adjacent distance-2 pair is (1,3) via
@@ -323,7 +341,9 @@ class GraphSpec extends SparkSpec {
       ("kcore", 1, () => { Graph.kcoreOn(e, 2, 3).collect(); () }),
       ("coreness", 1, () => { Graph.corenessOn(e, 3).collect(); () }),
       ("betweenness", 1, () => { Graph.betweennessOn(e, Seq(1L), 3).collect(); () }),
-      ("walks", 1, () => { Graph.randomWalksOn(e, 3).collect(); () }))
+      ("walks", 1, () => { Graph.randomWalksOn(e, 3).collect(); () }),
+      ("ppr", 2, () => { Graph.pprOn(e, 3).collect(); () }),
+      ("link_predict", 2, () => { Graph.linkPredictOn(k4Pendant.toDF("u", "v")).collect(); () }))
     walks.foreach { case (name, allowance, run) =>
       val rddsBefore = spark.sparkContext.getPersistentRDDs.size
       run()
