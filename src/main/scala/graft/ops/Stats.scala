@@ -700,9 +700,84 @@ object Stats {
       |       END AS f_micros
       |FROM c""".stripMargin
 
+  /** Rolling robust anomaly detection over each event type's daily
+    * volume series — the day-granular alarm beside [[changepointCusum]]
+    * (which finds ONE level shift; this flags individual outlier days
+    * against a trailing baseline, the "did yesterday's ingest spike?"
+    * monitor). A day is anomalous when its count deviates from the
+    * trailing window's MEDIAN by more than 5× the window's MAD — both
+    * robust, so a previous spike inside the window cannot mask the next
+    * one (the mean/stddev failure mode).
+    *
+    * Exactness ([[robustOutliers]] convention, applied per window):
+    * order statistics are carried DOUBLED — med2 = lo+hi of the sorted
+    * window, deviations 2·|2x−med2| stay even, mad4 = lo+hi of the
+    * sorted doubled deviations — so the flag |4n − 2·med2| > 5·mad4 is
+    * pure integer arithmetic, no interpolation ever happening.
+    *
+    * Scale shape: cells-before-windows — the stream collapses to
+    * (type, day, n) cells first, the trailing window (previous ≤28
+    * OBSERVED days, ≥8 required) runs per type over O(days) cells with
+    * a ≤28-element list per cell; never a data-sized window. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day").rowsBetween(-28, -1)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("ws", sort_array(collect_list(col("n")).over(w)))
+      .filter(size(col("ws")) >= 8)
+      .withColumn("m", size(col("ws")).cast("long"))
+      .withColumn("med2", expr(
+        """CASE WHEN m % 2 = 1 THEN 2 * element_at(ws, CAST((m + 1) div 2 AS INT))
+          |ELSE element_at(ws, CAST(m div 2 AS INT)) +
+          |     element_at(ws, CAST(m div 2 + 1 AS INT)) END""".stripMargin))
+      .withColumn("ds", expr("array_sort(transform(ws, x -> abs(2 * x - med2)))"))
+      .withColumn("mad4", expr(
+        """CASE WHEN m % 2 = 1 THEN 2 * element_at(ds, CAST((m + 1) div 2 AS INT))
+          |ELSE element_at(ds, CAST(m div 2 AS INT)) +
+          |     element_at(ds, CAST(m div 2 + 1 AS INT)) END""".stripMargin))
+      .select(col("event_type"), col("day"), col("n"), col("m").as("n_window"),
+        col("med2"), col("mad4"),
+        (abs(lit(4) * col("n") - lit(2) * col("med2")) > lit(5) * col("mad4"))
+          .as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  private val anomalyMadSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, day
+      |), win AS (
+      |  SELECT event_type, day, n,
+      |         list(n) OVER (PARTITION BY event_type ORDER BY day
+      |           ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS w
+      |  FROM daily
+      |), c AS (
+      |  SELECT event_type, day, n, list_sort(w) AS ws, CAST(len(w) AS BIGINT) AS m
+      |  FROM win WHERE len(w) >= 8
+      |), med AS (
+      |  SELECT *, CASE WHEN m % 2 = 1 THEN 2 * ws[CAST((m + 1) // 2 AS INT)]
+      |            ELSE ws[CAST(m // 2 AS INT)] + ws[CAST(m // 2 + 1 AS INT)] END AS med2
+      |  FROM c
+      |), dev AS (
+      |  SELECT *, list_sort(list_transform(ws, x -> abs(2 * x - med2))) AS ds FROM med
+      |), mad AS (
+      |  SELECT *, CASE WHEN m % 2 = 1 THEN 2 * ds[CAST((m + 1) // 2 AS INT)]
+      |            ELSE ds[CAST(m // 2 AS INT)] + ds[CAST(m // 2 + 1 AS INT)] END AS mad4
+      |  FROM dev
+      |)
+      |SELECT event_type, day, n, m AS n_window, CAST(med2 AS BIGINT) AS med2,
+      |       CAST(mad4 AS BIGINT) AS mad4,
+      |       abs(4 * n - 2 * med2) > 5 * mad4 AS is_anomaly
+      |FROM mad ORDER BY event_type, day""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
     QueryDef.sql("anova_f", anovaFSql)(anovaF),
+    QueryDef.sql("anomaly_mad", anomalyMadSql)(anomalyMad),
     QueryDef.sql("autocorr", autocorrSql)(autocorr),
     QueryDef.sql("quantile_normalize", quantileNormalizeSql)(quantileNormalize),
     QueryDef.sql("changepoint_cusum", changepointSql)(changepointCusum),

@@ -78,6 +78,34 @@ class StatsSpec extends SparkSpec {
     assert(expSsb > 0 && expSsw > 0)
   }
 
+  test("anomaly_mad matches a driver-side rolling median/MAD replay at sf0.001") {
+    val got = Stats.anomalyMad(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_millis(ts) div 86400000 AS day")
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    var checkedAnomaly = false
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val series = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      series.indices.foreach { i =>
+        val win = series.slice(math.max(0, i - 28), i).map(_._2)
+        if (win.size >= 8) {
+          val (day, n) = series(i)
+          val m2   = median2(win)
+          val mad4 = median2(win.map(x => math.abs(2 * x - m2)))
+          val flag = math.abs(4 * n - 2 * m2) > 5 * mad4
+          assert(got((et, day)) == ((n, win.size.toLong, m2, mad4, flag)),
+            s"$et day $day")
+          checkedAnomaly ||= flag
+        } else assert(!got.contains((et, series(i)._1)), s"$et short-window day emitted")
+      }
+    }
+    info(s"replayed ${got.size} rows; any anomaly flagged: $checkedAnomaly")
+  }
+
   test("seasonal_decompose: trend+seasonal+residual reconstruct n exactly, replay-checked") {
     val got = Stats.seasonalDecompose(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
