@@ -158,7 +158,9 @@ object ScaleProbe {
     "substring_dup", "sssp_weighted", "stream_session_rocksdb",
     // second-session scale-sensitive additions (measured passes 3-4 in
     // PERF.md; kept in the default sweep so regressions surface)
-    "incremental_dedup", "market_basket", "ann_ivf_pq", "debounce_events")
+    "incremental_dedup", "market_basket", "ann_ivf_pq", "debounce_events",
+    // round-15 scale-sensitive additions (pass 7 in PERF.md)
+    "link_predict", "ann_refine", "wordpiece_encode")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

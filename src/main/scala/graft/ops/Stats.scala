@@ -778,6 +778,16 @@ object Stats {
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
     QueryDef.sql("anova_f", anovaFSql)(anovaF),
     QueryDef.sql("anomaly_mad", anomalyMadSql)(anomalyMad),
+    // stateful streaming twin: emits one verdict per CLOSED day, i.e.
+    // the batch result minus each type's final observed day (which
+    // never closes inside the stream) — the oracle states exactly that
+    QueryDef.sql("stream_anomaly",
+      anomalyMadSql.replace(
+        "FROM mad ORDER BY event_type, day",
+        """FROM mad m2
+          |WHERE day < (SELECT max(day) FROM daily d WHERE d.event_type = m2.event_type)
+          |ORDER BY event_type, day""".stripMargin))(
+      (s, d) => graft.streaming.Streams.runBoundedAnomaly(s, d)),
     QueryDef.sql("autocorr", autocorrSql)(autocorr),
     QueryDef.sql("quantile_normalize", quantileNormalizeSql)(quantileNormalize),
     QueryDef.sql("changepoint_cusum", changepointSql)(changepointCusum),

@@ -312,6 +312,73 @@ object Streams {
   /** [[ewmaStream]] through the real engine over the bounded fixture —
     * oracle = the batch lag-chain SQL, which the stream must match
     * row-for-row. */
+  final case class DayCell(day: Long, n: Long)
+  final case class AnomalyState(ring: List[DayCell], curDay: Long, curN: Long)
+  final case class AnomalyOut(event_type: String, day: Long, n: Long,
+      n_window: Long, med2: Long, mad4: Long, is_anomaly: Boolean)
+
+  /** Stateful streaming twin of [[graft.ops.Stats.anomalyMad]]: per
+    * event type the state store carries the trailing ≤28 CLOSED
+    * (day, count) cells plus the currently-accumulating day — O(29
+    * pairs) per key forever. A day CLOSES when a later-day event of the
+    * same type arrives; the closed day is judged against the ring
+    * (same doubled-median/MAD integer arithmetic as the batch op) and
+    * then joins it. Emission is therefore one verdict per closed day:
+    * exactly the batch result MINUS each type's final observed day,
+    * which never closes inside the stream — the oracle applies that
+    * same predicate, so stream and batch semantics stay provably
+    * aligned rather than approximately similar. In-order contract as
+    * [[debounceStream]]: per-key event-time order across micro-batches
+    * (day closure is not revisable). */
+  def anomalyStream(events: Dataset[Event]): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    def med2Of(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val m = s.size
+      if (m % 2 == 1) 2 * s(m / 2) else s(m / 2 - 1) + s(m / 2)
+    }
+    def verdict(et: String, ring: List[DayCell], day: Long, n: Long): Option[AnomalyOut] =
+      if (ring.size < 8) None
+      else {
+        val win  = ring.map(_.n)
+        val m2   = med2Of(win)
+        val mad4 = med2Of(win.map(x => math.abs(2 * x - m2)))
+        Some(AnomalyOut(et, day, n, ring.size.toLong, m2, mad4,
+          math.abs(4 * n - 2 * m2) > 5 * mad4))
+      }
+    def update(et: String, batch: Iterator[Event],
+        state: GroupState[AnomalyState]): Iterator[AnomalyOut] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(AnomalyState(Nil, Long.MinValue, 0L))
+      val out = scala.collection.mutable.ListBuffer.empty[AnomalyOut]
+      sorted.foreach { e =>
+        val day = e.ts.getTime / 86400000L
+        if (st.curDay == Long.MinValue) st = AnomalyState(Nil, day, 1L)
+        else if (day == st.curDay) st = st.copy(curN = st.curN + 1)
+        else {
+          verdict(et, st.ring, st.curDay, st.curN).foreach(out += _)
+          st = AnomalyState(
+            (st.ring :+ DayCell(st.curDay, st.curN)).takeRight(28), day, 1L)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[anomalyStream]] through the real engine over the bounded fixture
+    * — oracle = the batch anomaly_mad SQL minus each type's final day. */
+  def runBoundedAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.tables.Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    runBounded(spark, "stream_anomaly", anomalyStream(ev).toDF(),
+      OutputMode.Append(), Seq("event_type", "day"))
+  }
+
   def runBoundedEwma(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = graft.tables.Tables.eventsStream(spark, dir)

@@ -331,6 +331,49 @@ class StreamingSpec extends SparkSpec {
     } finally { query.stop(); spark.catalog.dropTempView("debounce_out"); () }
   }
 
+  test("anomaly state: day ring + open day survive micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one type, 12 days of synthetic volumes; day 8 is a planted 5x
+      // spike. Day d closes only when day d+1's first event arrives, so
+      // verdicts exist for days 8..10 (ring >= 8) and never for day 11.
+      val counts = Seq(10L, 12L, 11L, 10L, 13L, 12L, 11L, 10L, 50L, 11L, 12L, 1L)
+      var id = 0L
+      val events = counts.zipWithIndex.flatMap { case (c, d) =>
+        (1L to c).map { k => id += 1; Event(id, new java.sql.Timestamp(
+          d * 86400000L + k * 60000L), 7L, "click", 1.0) }
+      }
+      // split mid-day-4 and mid-day-9: both the closed ring AND the
+      // open day's partial count must survive the boundary
+      val cut1 = counts.take(4).sum.toInt + 6
+      val cut2 = counts.take(9).sum.toInt + 5
+      input.addData(events.take(cut1): _*); query.processAllAvailable()
+      input.addData(events.slice(cut1, cut2): _*); query.processAllAvailable()
+      input.addData(events.drop(cut2): _*); query.processAllAvailable()
+      val got = spark.table("anom_out").collect()
+        .map(r => r.getAs[Long]("day") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("n_window"), r.getAs[Boolean]("is_anomaly")))
+        .toMap
+      def med2Of(xs: Seq[Long]): Long = {
+        val s = xs.sorted; val m = s.size
+        if (m % 2 == 1) 2 * s(m / 2) else s(m / 2 - 1) + s(m / 2)
+      }
+      val expect = (8 to 10).map { d =>
+        val win  = counts.take(d).takeRight(28)
+        val m2   = med2Of(win)
+        val mad4 = med2Of(win.map(x => math.abs(2 * x - m2)))
+        d.toLong -> ((counts(d), win.size.toLong,
+          math.abs(4 * counts(d) - 2 * m2) > 5 * mad4))
+      }.toMap
+      assert(got == expect)
+      assert(got(8L)._3 && !got(9L)._3, "the planted spike must flag; its successor must not")
+    } finally { query.stop(); spark.catalog.dropTempView("anom_out"); () }
+  }
+
   test("ewma state carries the 16-deep ring across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
