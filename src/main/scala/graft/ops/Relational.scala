@@ -766,8 +766,7 @@ object Relational {
     * round-trip (long, string); doubles would pick up formatting drift.
     * The temp directory is deleted after the result is materialized. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
-    try {
+    withTempDir("graft-csv") { tmp =>
       Tables.documents(spark, dir).select("doc_id", "lang")
         .write.mode("overwrite").option("header", "true").csv(tmp)
       spark.read.option("header", "true")
@@ -777,12 +776,42 @@ object Relational {
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("lang")
         .localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close() // the stream holds directory fds until closed
+    }
+  }
+
+  /** Malformed-record handling at CSV ingest, driver-checked: the
+    * hygiene path every real crawl/export ingest needs — a reader that
+    * neither dies on the first bad row (FAILFAST) nor silently drops it
+    * (DROPMALFORMED), but quarantines it for audit. Every 10th order is
+    * written with `oops` in its numeric price column; the PERMISSIVE
+    * read routes those rows' raw text into the `columnNameOfCorruptRecord`
+    * column while clean rows parse normally. The aggregate counts both
+    * populations and sums ONLY the clean rows (conditioned on the
+    * corrupt column being null, so the verdict is independent of how
+    * much of a bad row the parser salvages). At 100 TB this is a
+    * per-row map decision at scan speed — no second pass, no shuffle;
+    * the corrupt population would be written to a quarantine sink for
+    * replay. The oracle knows which keys were corrupted and replays
+    * the split from the source rows. */
+  def csvBadRecords(spark: SparkSession, dir: String): DataFrame = {
+    withTempDir("graft-csv-bad") { tmp =>
+      Tables.orders(spark, dir)
+        .select(concat_ws(",",
+          col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 10 === 0, lit("oops"))
+            .otherwise(cents(col("o_totalprice")).cast("string"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      spark.read
+        .schema("o_orderkey LONG, o_orderstatus STRING, price_cents LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(tmp)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("_corrupt")).as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, col("price_cents"))).as("sum_cents_good"),
+          sum(when(col("_corrupt").isNull, col("o_orderkey"))).as("sum_keys_good"))
+        .localCheckpoint()
     }
   }
 
@@ -798,8 +827,7 @@ object Relational {
     * temp directory is deleted after the result is materialized, like
     * the csv round-trip above. */
   def orcZstdRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
-    try {
+    withTempDir("graft-orc") { tmp =>
       Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
         .write.mode("overwrite").option("compression", "zstd").orc(tmp)
       val files = new java.io.File(tmp).listFiles()
@@ -811,12 +839,6 @@ object Relational {
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("lang")
         .localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close() // the stream holds directory fds until closed
     }
   }
 
@@ -834,8 +856,7 @@ object Relational {
     * partition values). The temp tree is deleted after the result is
     * materialized (localCheckpoint), like the csv round-trip above. */
   def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
-    try {
+    withTempDir("graft-part") { tmp =>
       val events = Tables.events(spark, dir)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       // repartition on the partition column BEFORE partitionBy: without
@@ -851,12 +872,6 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
         .orderBy("day", "event_type")
         .localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close() // the stream holds directory fds until closed
     }
   }
 
@@ -1375,6 +1390,15 @@ object Relational {
     QueryDef.sql("csv_roundtrip",
       """SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(csvRoundtrip),
+    QueryDef.sql("csv_bad_records",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |       CAST(sum(CASE WHEN o_orderkey % 10 <> 0
+        |                     THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |         AS sum_cents_good,
+        |       CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN o_orderkey END) AS BIGINT)
+        |         AS sum_keys_good
+        |FROM orders""".stripMargin)(csvBadRecords),
     QueryDef.sql("orc_zstd_roundtrip",
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       min(doc_id) AS min_id, max(doc_id) AS max_id
