@@ -774,9 +774,79 @@ object Stats {
       |       abs(4 * n - 2 * med2) > 5 * mad4 AS is_anomaly
       |FROM mad ORDER BY event_type, day""".stripMargin
 
+  /** Least-squares TREND of each event type's daily volume series —
+    * the "is this source growing or dying?" monitor beside
+    * [[changepointCusum]] (single break) and [[anomalyMad]] (outlier
+    * days): slope and intercept of n ~ day, plus the sign of the slope
+    * as a verdict. One cells pass (type, day, n), then the five
+    * algebraic sums per type — nothing here is more than O(types) rows
+    * after the first aggregation.
+    *
+    * Exactness: slope = (m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²) is a RATIONAL
+    * of integer sums; both numerator and denominator ship exactly in
+    * DECIMAL(38,0)/HUGEINT (x = day − min_day keeps the magnitudes
+    * small), and the slope is emitted as welch_t-style integral micros
+    * with the sign applied after dividing absolute values. Days are
+    * centered per type so a 100 TB epoch-day (~20k) cannot inflate the
+    * composites. */
+  def volumeTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val based = daily
+      .withColumn("x", col("day") - min("day").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    val s = based.groupBy("event_type").agg(
+      count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    s.select(
+        col("event_type"), col("m"),
+        (col("m").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).as("num"),
+        (col("m").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx")).as("den"))
+      .select(
+        col("event_type"), col("m").as("n_days"),
+        expr("""CASE WHEN den = 0 THEN NULL
+               |ELSE CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+               |  ((abs(num) * 1000000) div den) AS BIGINT) END""".stripMargin)
+          .as("slope_micros"),
+        expr("""CASE WHEN num < 0 THEN 'falling' WHEN num > 0 THEN 'rising'
+               |ELSE 'flat' END""".stripMargin).as("trend"))
+      .orderBy("event_type")
+  }
+
+  private val volumeTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, day
+      |), based AS (
+      |  SELECT event_type, day - min(day) OVER (PARTITION BY event_type) AS x, y
+      |  FROM daily
+      |), s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM based GROUP BY event_type
+      |), c AS (
+      |  SELECT event_type, m,
+      |         CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |         CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+      |  FROM s
+      |)
+      |SELECT event_type, m AS n_days,
+      |       CASE WHEN den = 0 THEN NULL
+      |            ELSE CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+      |                      ((abs(num) * 1000000) // den) AS BIGINT) END AS slope_micros,
+      |       CASE WHEN num < 0 THEN 'falling' WHEN num > 0 THEN 'rising'
+      |            ELSE 'flat' END AS trend
+      |FROM c ORDER BY event_type""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
     QueryDef.sql("anova_f", anovaFSql)(anovaF),
+    QueryDef.sql("volume_trend", volumeTrendSql)(volumeTrend),
     QueryDef.sql("anomaly_mad", anomalyMadSql)(anomalyMad),
     // stateful streaming twin: emits one verdict per CLOSED day, i.e.
     // the batch result minus each type's final observed day (which

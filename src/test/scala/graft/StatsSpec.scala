@@ -78,6 +78,31 @@ class StatsSpec extends SparkSpec {
     assert(expSsb > 0 && expSsw > 0)
   }
 
+  test("volume_trend matches the driver-side exact-rational slope at sf0.001") {
+    val got = Stats.volumeTrend(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3))).toMap
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_millis(ts) div 86400000 AS day")
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val minDay = rows.map(_._2).min
+      val pts = rows.map(r => (BigInt(r._2 - minDay), BigInt(r._3)))
+      val m = BigInt(pts.size)
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val num = m * sxy - sx * sy
+      val den = m * sxx - sx * sx
+      val slope = if (den == 0) None
+        else Some(((num.abs * 1000000) / den * num.signum).toLong)
+      val trend = if (num < 0) "falling" else if (num > 0) "rising" else "flat"
+      assert(got(et) == ((m.toLong, slope, trend)), s"type $et")
+    }
+  }
+
   test("anomaly_mad matches a driver-side rolling median/MAD replay at sf0.001") {
     val got = Stats.anomalyMad(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
