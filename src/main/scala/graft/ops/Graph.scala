@@ -984,6 +984,106 @@ object Graph {
        |FROM c$CorenessIters ORDER BY node""".stripMargin
   }
 
+  private val HitsIters = 2
+
+  def hitsScores(spark: SparkSession, dir: String): DataFrame =
+    hitsOn(edges(spark, dir), HitsIters)
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the directed graph —
+    * the asymmetric complement to [[pageRank]]: a node is a good HUB if
+    * it points at good authorities and a good AUTHORITY if good hubs
+    * point at it (directories vs. content — the distinction a crawler
+    * uses to rank seed lists vs. fetch targets). [[HitsIters]] unrolled
+    * rounds of the alternating update a ← Σ_in h, h ← Σ_out a.
+    *
+    * Determinism contract: the textbook L2 normalization is a sqrt — a
+    * cross-engine float hazard — so this uses SUM normalization (the
+    * equally standard variant: scores are shares summing to ~10⁶):
+    * after each half-step every score is re-quantized to integral
+    * micros of its sum via integral division — non-negative dividends,
+    * so floor = truncate on both engines — and all sums are exact
+    * longs with the products in DECIMAL(38,0)/HUGEINT. Same per-round
+    * shuffle shape as pagerank (join on the node id, partial-agg sum),
+    * per-round `localCheckpoint` + [[Checkpoints.free]]. */
+  private[graft] def hitsOn(edgesDf: DataFrame, iters: Int): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
+    val e = ckpt(edgesDf
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    def normalized(raw: DataFrame): DataFrame = {
+      // raw: (node, raw) — re-quantize to micros of the total
+      val tot = raw.agg(sum(col("raw").cast("decimal(38,0)")).as("tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"), expr(
+          """CASE WHEN tot IS NULL OR tot = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(coalesce(raw, 0) AS DECIMAL(38,0)) * 1000000)
+            |          div tot AS BIGINT) END""".stripMargin).as("s"))
+    }
+    var hub  = ckpt(nodes.select(col("node"), lit(1000000L).as("s")))
+    var auth = hub
+    for (i <- 1 to iters) {
+      val prevAuth = auth
+      auth = ckpt(normalized(e
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("s").as("raw"))))
+      if (i > 1) Checkpoints.free(prevAuth) // round 1's "prev" is hub's alias
+      val prevHub = hub
+      hub = ckpt(normalized(e
+        .join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum("s").as("raw"))))
+      Checkpoints.free(prevHub)
+    }
+    Checkpoints.free(e)
+    val out = hub.withColumnRenamed("s", "hub_micros")
+      .join(auth.withColumnRenamed("s", "auth_micros"), "node")
+      .select(col("node"), col("auth_micros"), col("hub_micros"))
+      .orderBy("node")
+    val result = out.localCheckpoint()
+    Checkpoints.free(nodes)
+    Checkpoints.free(hub)
+    Checkpoints.free(auth)
+    result
+  }
+
+  private val hitsSql: String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst
+        |  FROM orders WHERE (o_custkey % 211) <> (o_orderkey % 197)
+        |), nodes AS (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        |), h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes)""".stripMargin
+    def norm(rawCte: String, outCte: String) =
+      s"""${outCte}_t AS (SELECT CAST(sum(CAST(raw AS HUGEINT)) AS HUGEINT) AS tot FROM $rawCte),
+         |$outCte AS (
+         |  SELECT n.node,
+         |         CASE WHEN t.tot IS NULL OR t.tot = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST((CAST(coalesce(r.raw, 0) AS HUGEINT) * 1000000)
+         |                        // t.tot AS BIGINT) END AS s
+         |  FROM nodes n CROSS JOIN ${outCte}_t t
+         |  LEFT JOIN $rawCte r ON r.node = n.node)""".stripMargin
+    val rounds = (1 to HitsIters).map { i =>
+      val ph = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}_raw AS (
+         |  SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
+         |  FROM edges e JOIN $ph h ON h.node = e.src GROUP BY e.dst),
+         |${norm(s"a${i}_raw", s"a$i")},
+         |h${i}_raw AS (
+         |  SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
+         |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+         |${norm(s"h${i}_raw", s"h$i")}""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT n.node, a.s AS auth_micros, h.s AS hub_micros
+       |FROM nodes n JOIN a$HitsIters a ON a.node = n.node
+       |JOIN h$HitsIters h ON h.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   /** Hub guard for [[linkPredict]]: wedge generation at a center costs
     * C(deg, 2) pairs, so one hub of degree h materializes h² candidates
     * — the "curse of the last reducer" again, but orientation can't
@@ -1077,5 +1177,6 @@ object Graph {
     QueryDef.sql("coreness", corenessSql)(coreness),
     QueryDef.sql("link_predict", linkPredictSql)(linkPredict),
     QueryDef.sql("personalized_pagerank", pprSql)(personalizedPagerank),
+    QueryDef.sql("hits_scores", hitsSql)(hitsScores),
   )
 }

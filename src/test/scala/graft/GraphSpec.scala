@@ -109,6 +109,29 @@ class GraphSpec extends SparkSpec {
     assert(got(50L) == ((1L, 0.0)) && got(51L) == ((0L, 0.0)))
   }
 
+  test("hits separates hubs from authorities on a directed star, hand-proved") {
+    // 1 -> {10, 11}, 2 -> {10}: node 10 is the strong authority (two
+    // hubs point at it), 1 the strong hub (it points at everything)
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+    val got = Graph.hitsOn(e.toDF("src", "dst"), 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // round 1: a_raw = in-hub sums over h0 = 1e6 each -> 10: 2e6, 11: 1e6
+    //   a = micros of 3e6 total -> 10: 666666, 11: 333333
+    //   h_raw -> 1: 999999, 2: 666666; total 1666665 divides both
+    //   exactly -> h: 1: 600000, 2: 400000
+    // round 2: a_raw -> 10: 1000000, 11: 600000; total 1600000
+    //   a -> 10: 625000, 11: 375000
+    //   h_raw -> 1: 1000000, 2: 625000; total 1625000
+    //   h -> 1: floor(1e12/1625000) = 615384, 2: 384615
+    assert(got(10L) == ((625000L, 0L)))
+    assert(got(11L) == ((375000L, 0L)))
+    assert(got(1L) == ((0L, 615384L)))
+    assert(got(2L) == ((0L, 384615L)))
+    // pure sinks have zero hub score, pure sources zero authority; the
+    // two-hub target dominates the one-hub target
+    assert(got(10L)._1 > got(11L)._1 && got(1L)._2 > got(2L)._2)
+  }
+
   test("link_predict scores distance-2 pairs by CN + Adamic-Adar, hand-proved") {
     def aa(deg: Long): Long = math.round(1000000.0 / math.log(deg.toDouble))
     // path 1-2-3: the only non-adjacent distance-2 pair is (1,3) via
@@ -343,6 +366,7 @@ class GraphSpec extends SparkSpec {
       ("betweenness", 1, () => { Graph.betweennessOn(e, Seq(1L), 3).collect(); () }),
       ("walks", 1, () => { Graph.randomWalksOn(e, 3).collect(); () }),
       ("ppr", 2, () => { Graph.pprOn(e, 3).collect(); () }),
+      ("hits", 1, () => { Graph.hitsOn(e, 2).collect(); () }),
       ("link_predict", 2, () => { Graph.linkPredictOn(k4Pendant.toDF("u", "v")).collect(); () }))
     walks.foreach { case (name, allowance, run) =>
       val rddsBefore = spark.sparkContext.getPersistentRDDs.size
