@@ -393,10 +393,19 @@ object Dedup {
 
   private def computeClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(spark, dir).select("id_a", "id_b")
-    // undirected edge list
-    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst")
-      .localCheckpoint()
+    ccOn(pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst"))
+  }
+
+  /** Connected-component representatives over a SYMMETRIC (src, dst)
+    * edge table — the label-propagation loop shared by the minhash
+    * cluster labels and [[entityResolve]]'s fuzzy-match graph. Generic
+    * over the id type: `least`/`min` order longs numerically and
+    * strings lexicographically, so components converge on their minimum
+    * id either way. Returns (id, rep) for nodes WITH at least one edge;
+    * singletons are the caller's left-join concern. */
+  private[graft] def ccOn(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
     // init = identity fused with the first propagation round: rep0 =
     // min(id, min neighbor). Star components centered on their min id —
     // the dominant shape of a near-dup pair graph — converge right here,
@@ -794,6 +803,60 @@ object Dedup {
        |WHERE levenshtein(a.n, b.n) <= $MaxEditDist
        |ORDER BY name_a, name_b""".stripMargin
 
+  /** End-to-end entity resolution — the composition a real catalog /
+    * author / vendor-table dedup runs: [[fuzzyJoinOn]]'s PassJoin-banded
+    * match pairs become an undirected graph, [[ccOn]]'s label
+    * propagation finds the entity CLUSTERS (transitive: "cold anvil" ~
+    * "old anvil" ~ "bold anvil" resolve together even when the extremes
+    * exceed the edit threshold), and every cluster takes its
+    * lexicographically-least member as the canonical form — the
+    * deterministic rule both engines share. Singletons keep themselves.
+    * Scale shape: everything runs on the DISTINCT name vocabulary
+    * (vocabulary ≪ rows at 100 TB); pair generation is the equi-banded
+    * PassJoin (no all-pairs), propagation shuffles (name, rep) strings,
+    * and the final size attach is a vocabulary-sized join. Oracle:
+    * recursive-CTE transitive closure over the same pair predicate. */
+  def entityResolve(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name").as("n"))
+      .distinct().localCheckpoint() // feeds banding + the singleton join
+    val pairs = fuzzyCandidates(names, MaxEditDist)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= MaxEditDist)
+    val labels = ccOn(pairs.union(
+        pairs.select(col("name_b").as("name_a"), col("name_a").as("name_b")))
+      .toDF("src", "dst"))
+    val canon = names
+      .join(labels.withColumnRenamed("id", "n"), Seq("n"), "left")
+      .select(col("n").as("name"), coalesce(col("rep"), col("n")).as("canonical"))
+    val sizes = canon.groupBy("canonical").agg(count(lit(1)).as("cluster_size"))
+    canon.join(sizes, "canonical")
+      .select(col("name"), col("canonical"), col("cluster_size"))
+      .orderBy("canonical", "name")
+  }
+
+  private val entityResolveSql: String =
+    s"""WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part),
+       |pairs AS (
+       |  SELECT a.n AS na, b.n AS nb
+       |  FROM names a JOIN names b
+       |    ON a.n < b.n AND abs(length(a.n) - length(b.n)) <= $MaxEditDist
+       |  WHERE levenshtein(a.n, b.n) <= $MaxEditDist
+       |), edges AS (
+       |  SELECT na AS src, nb AS dst FROM pairs
+       |  UNION ALL SELECT nb, na FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT n, n FROM names
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+       |), canon AS (
+       |  SELECT src AS name, min(dst) AS canonical FROM reach GROUP BY src
+       |), sizes AS (
+       |  SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM canon GROUP BY canonical
+       |)
+       |SELECT c.name, c.canonical, s.cluster_size
+       |FROM canon c JOIN sizes s USING (canonical)
+       |ORDER BY canonical, name""".stripMargin
+
   // ------------------------------------------------------ semantic dedup
 
   /** Cosine threshold for the in-cluster prune: perturbed copies land at
@@ -900,6 +963,7 @@ object Dedup {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("fuzzy_join", fuzzyJoinSql)(fuzzyJoin),
+    QueryDef.sql("entity_resolve", entityResolveSql)(entityResolve),
     QueryDef.sql("semantic_dedup", semanticDedupSql)(semanticDedup),
     QueryDef.sql("dedup_exact",
       """SELECT p_name, min(p_partkey) AS keep_key, count(*) AS n_dups

@@ -110,6 +110,38 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("entity_resolve: transitive chains resolve together; canonical is the cluster min") {
+    import spark.implicits._
+    // string-typed CC: chain "cold anvil" ~ "bold anvil" ~ "old anvil"
+    // must resolve as ONE entity even where the extremes are within
+    // threshold or not — transitivity is the point of the CC step
+    val pairs = Seq(("bold anvil", "cold anvil"), ("bold anvil", "old anvil"),
+      ("zeta", "zetb"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val labels = Dedup.ccOn(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels("cold anvil") == "bold anvil" && labels("old anvil") == "bold anvil"
+      && labels("bold anvil") == "bold anvil")
+    assert(labels("zeta") == "zeta" && labels("zetb") == "zeta")
+    // operator-level invariants on the real fixture
+    val res = Dedup.entityResolve(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    // canonical is a member and the lexicographic min of its cluster
+    val byCanon = res.groupBy(_._2)
+    byCanon.foreach { case (c, members) =>
+      val names = members.map(_._1)
+      assert(names.min == c, s"canonical $c is not its cluster's min")
+      assert(members.forall(_._3 == names.length.toLong), s"size mismatch in $c")
+    }
+    // every fuzzy pair landed in one cluster (transitive consistency)
+    val canonOf = res.map(t => t._1 -> t._2).toMap
+    Dedup.fuzzyJoin(spark, sfDir).collect().foreach { r =>
+      assert(canonOf(r.getString(0)) == canonOf(r.getString(1)),
+        s"matched pair split across clusters: ${r.getString(0)} / ${r.getString(1)}")
+    }
+  }
+
   test("fuzzy join stays exact on a skewed same-length fixture and random mutations") {
     import spark.implicits._
     // every name the same length — the worst case for a length-only band —
