@@ -506,8 +506,11 @@ object Centroids {
     * bit-for-bit. Output: (comp, d, loading, eigen), eigen = last
     * round's ‖w‖ rounded to 6dp, Rayleigh-ordered across components
     * (pinned with orthogonality in ClusteringSpec). */
-  def pcaTopR(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+  /** The deflated-power component loop shared by [[pcaTopR]] (which
+    * serves the loadings) and [[pcaProject]] (which applies them):
+    * returns the [[PcaR]] (float-quantized direction, final ‖w‖)
+    * pairs under the exact pcaTopR determinism contract. */
+  private def pcaComponentsOf(base: DataFrame): Seq[(Array[Float], Double)] = {
     val v0 = Array.fill(Dim)((1.0 / math.sqrt(Dim.toDouble)).toFloat)
     val comps = scala.collection.mutable.ArrayBuffer.empty[(Array[Float], Double)]
     for (_ <- 1 to PcaR) {
@@ -528,6 +531,12 @@ object Centroids {
       }
       comps += ((v, lastNorm))
     }
+    comps.toSeq
+  }
+
+  def pcaTopR(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val comps = pcaComponentsOf(base)
     val spark2 = spark
     import spark2.implicits._
     comps.zipWithIndex.flatMap { case ((v, norm), c) =>
@@ -542,7 +551,14 @@ object Centroids {
     * deflation folds spelled out per prior component. MATERIALIZED
     * throughout — the per-iteration vectors are referenced more than
     * once and DuckDB inlines plain CTEs exponentially. */
-  private val pcaTopRSql: String = {
+  private def pcaDot64Sql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(generate_series(1, $Dim), dd -> $a[dd] * $b[dd])),
+       |    (x, y) -> x + y)""".stripMargin
+
+  /** The pcaTopR CTE chain through comp1..R / eig1..R — shared verbatim
+    * by the pca_topr and pca_project oracles. */
+  private val pcaChainCtes: String = {
     val v0 = (1.0 / math.sqrt(Dim.toDouble)).toFloat
     val v0Dec = new java.math.BigDecimal(v0.toDouble).toPlainString
     def dot64(a: String, b: String): String =
@@ -597,13 +613,63 @@ object Centroids {
          |comp$c AS MATERIALIZED (SELECT v FROM c${c}v$PcaIters),
          |eig$c AS MATERIALIZED (SELECT round(nrm, 6) AS eigen FROM c${c}n$PcaIters)""".stripMargin
     }
+    (1 to PcaR).map(comp).mkString(",\n")
+  }
+
+  /** Whitened top-[[PcaR]] PCA projection — [[pcaTopR]]'s CONSUMER,
+    * the serving transform a real pipeline applies after training the
+    * components (dimensionality reduction for clustering/ANN, feature
+    * whitening before a linear probe): every embedding's score on
+    * component c is its dot with vc divided by √eigenᶜ, so the
+    * projected coordinates are variance-equalized across components.
+    * One corpus pass — the [[PcaR]] codegen'd dots against literal
+    * float directions run per row, no shuffle at all beyond the scan —
+    * while component training is the same bounded driver-state loop as
+    * pca_topr (shared `pcaComponentsOf`).
+    *
+    * Determinism: directions are float-quantized literals, eigen is the
+    * 6dp-rounded double pca_topr already hash-gates, sqrt and the
+    * division are correctly-rounded IEEE on both engines, and scores
+    * round to 6dp. The oracle composes the pca_topr CTE chain verbatim
+    * and projects against comp1..R. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val comps = pcaComponentsOf(base)
+    val scoreCols = comps.map { case (v, norm) =>
+      val eig = java.math.BigDecimal.valueOf(norm)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      round(VectorFunctions.dot(col("embedding"),
+        array(v.map(x => lit(x)): _*)) / lit(math.sqrt(eig)), 6)
+    }
+    base.select(col("vec_id"), posexplode(array(scoreCols: _*)).as(Seq("i", "score")))
+      .select(col("vec_id"), (col("i") + 1).cast("long").as("comp"), col("score"))
+      .orderBy("vec_id", "comp")
+  }
+
+  private val pcaProjectSql: String = {
+    val proj = (1 to PcaR).map { c =>
+      s"""SELECT e.vec_id, CAST($c AS BIGINT) AS comp,
+         |       round(${pcaDot64Sql("e.le", "v.v")} / sqrt(g.eigen), 6) AS score
+         |FROM emb64 e CROSS JOIN comp$c v CROSS JOIN eig$c g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $pcaChainCtes,
+       |emb64 AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(generate_series(1, $Dim),
+       |    dd -> CAST(embedding[dd] AS DOUBLE)) AS le FROM embeddings
+       |)
+       |SELECT vec_id, comp, score FROM ($proj)
+       |ORDER BY vec_id, comp""".stripMargin
+  }
+
+  private val pcaTopRSql: String = {
     val sel = (1 to PcaR).map { c =>
       s"""SELECT $c AS comp, CAST(dd - 1 AS BIGINT) AS d, v.v[dd] AS loading, e.eigen
          |FROM comp$c v CROSS JOIN eig$c e
          |     CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS dd) dims"""
         .stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${(1 to PcaR).map(comp).mkString(",\n")}
+    s"""WITH $pcaChainCtes
        |SELECT CAST(comp AS BIGINT) AS comp, d, loading, eigen FROM ($sel)
        |ORDER BY comp, d""".stripMargin
   }
@@ -611,6 +677,7 @@ object Centroids {
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("pca_power", pcaSql)(pcaPower),
     QueryDef.sql("pca_topr", pcaTopRSql)(pcaTopR),
+    QueryDef.sql("pca_project", pcaProjectSql)(pcaProject),
     QueryDef.sql("label_centroids",
       """SELECT CAST(label AS BIGINT) AS label, CAST(d - 1 AS BIGINT) AS dim,
         |       round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val

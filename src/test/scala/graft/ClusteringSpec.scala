@@ -112,4 +112,44 @@ class ClusteringSpec extends SparkSpec {
       .collect().sortBy(_.getLong(0)).map(_.getDouble(1)).toSeq
     assert(comps.head._2.toSeq == p1, "pca_topr comp 1 must reproduce pca_power")
   }
+
+  test("pca_project: whitened scores replay from the served loadings") {
+    val proj = graft.ops.Centroids.pcaProject(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val n = proj.keys.map(_._1).toSet.size
+    assert(proj.size == 3 * n && n > 0)
+    // driver replay from the SERVED loadings/eigenvalues (pca_topr
+    // output) against the raw embeddings: score = (x . v) / sqrt(eigen)
+    val comps = graft.ops.Centroids.pcaTopR(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.sortBy(_._2).map(_._3), rs.head._4)).toMap
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    embs.foreach { case (id, x) =>
+      for (c <- 1L to 3L) {
+        val (v, eig) = comps(c)
+        // same fold order as the codegen'd dot: ascending dimension,
+        // float operands widened to double
+        var dot = 0.0
+        var d = 0
+        while (d < x.length) { dot += x(d).toDouble * v(d).toFloat.toDouble; d += 1 }
+        val want = BigDecimal(dot / math.sqrt(eig))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(proj((id, c)) == want, s"vec $id comp $c")
+      }
+    }
+    // whitening equalizes energy: eigen estimates the XᵀX eigenvalue
+    // (≈ n·per-direction second moment), so whitened mean squares land
+    // near 1/n for EVERY component — and nearly equal across them,
+    // which is the point of dividing by √eigen (raw comp-1 projections
+    // would dominate by the eigenvalue ratio instead)
+    val ms = (1L to 3L).map(c =>
+      embs.indices.map(i => math.pow(proj((embs(i)._1, c)), 2)).sum / n)
+    assert(ms.forall(m => m > 0.5 / n && m < 2.0 / n),
+      s"whitened mean-square energy not ~1/n (n=$n): $ms")
+    assert(ms.max / ms.min < 1.5,
+      s"whitening failed to equalize component energies: $ms")
+  }
 }
