@@ -429,6 +429,57 @@ object Curation {
     * corpora are worse) through one task. Windows run per (pid, lang)
     * within a partition; cross-partition offsets are a collected
     * (pid, lang) count table — parts×k rows — broadcast back. */
+  /** Batch size of [[trainShuffle]]'s emitted training order. */
+  private val ShuffleBatch = 64L
+
+  /** Deterministic global training shuffle — the order-randomization
+    * step every epoch of LLM training consumes (and the one most often
+    * botched at scale with either a driver-side permutation or a true
+    * global sort): every doc gets the portable Knuth hash key
+    * ([[knuthBucket]] — pure row function, reproducible under any
+    * partitioning; change the salt to get the next epoch), the global
+    * position in (h, doc_id) order comes from the range-partition +
+    * per-partition-offset idiom ([[mixtureSample]]'s prefix scan — the
+    * local rank windows run PER RANGE PARTITION in parallel, the only
+    * driver state is one count per partition, and no coarse-key window
+    * ever serializes the corpus), and positions group into fixed-size
+    * training batches. Hash order is a uniform permutation for
+    * training purposes while staying resumable: batch k is the same
+    * rows on every rerun, so a crashed epoch restarts mid-stream. */
+  def trainShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), knuthBucket(col("doc_id"), 1000003L).as("h"))
+    val parted = docs
+      .repartitionByRange(ScanPartitions, col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids before they are used twice
+    val offs = parted.groupBy("pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offMap: Map[Int, Long] =
+      offs.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
+    val w = Window.partitionBy("pid").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("rk_local", count(lit(1)).over(w))
+      .withColumn("pos", element_at(typedLit(offMap), col("pid")) + col("rk_local"))
+      .select(col("doc_id"), col("h"), col("pos"),
+        expr(s"(pos - 1) div $ShuffleBatch").as("batch_id"))
+      .orderBy("pos")
+  }
+
+  private val trainShuffleSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 1000003 AS h FROM documents
+       |), r AS (
+       |  SELECT doc_id, h,
+       |         CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+       |  FROM keyed
+       |)
+       |SELECT doc_id, h, pos, (pos - 1) // $ShuffleBatch AS batch_id
+       |FROM r ORDER BY pos""".stripMargin
+
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -1114,6 +1165,7 @@ object Curation {
         |                    THEN n_chars END), 0) AS BIGINT) AS chars_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(stratifiedSample),
     QueryDef.sql("mixture_sample", mixtureSampleSql)(mixtureSample),
+    QueryDef.sql("train_shuffle", trainShuffleSql)(trainShuffle),
     QueryDef.sql("cms_watchlist",
       """SELECT CAST(l_partkey AS BIGINT) AS partkey, count(*) AS n_exact,
         |  TRUE AS lower_ok, TRUE AS upper_ok

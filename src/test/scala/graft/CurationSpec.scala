@@ -303,6 +303,33 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("train_shuffle is a complete deterministic permutation that genuinely mixes") {
+    val rows = Curation.trainShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    assert(n > 0)
+    // a PERMUTATION: positions are exactly 1..n, each doc once
+    assert(rows.map(_._3).sorted.toSeq == (1L to n.toLong))
+    assert(rows.map(_._1).distinct.length == n)
+    // the order is exactly (h, doc_id) — the driver replay of the rank
+    val want = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _, _, _), i) => id -> (i + 1).toLong }.toMap
+    rows.foreach { case (id, _, pos, batch) =>
+      assert(want(id) == pos, s"doc $id pos")
+      assert(batch == (pos - 1) / 64, s"doc $id batch")
+    }
+    // rerun-stable (resumable epochs)
+    val again = Curation.trainShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.toMap == rows.map(t => (t._1, t._3)).toMap)
+    // genuinely mixed: consecutive positions are not consecutive ids —
+    // the mean absolute id jump between neighbors in shuffle order is
+    // a large fraction of n (a sorted-by-id order would make it 1)
+    val byPos = rows.sortBy(_._3).map(_._1)
+    val meanJump = byPos.sliding(2).map { case Array(a, b) => math.abs(b - a) }.sum.toDouble / (n - 1)
+    assert(meanJump > n / 10.0, s"order barely mixed: mean id jump $meanJump over $n docs")
+  }
+
   test("largestRemainder apportions the full total within floor/floor+1 of ideal") {
     val cases = Seq(
       (225L, Seq("de" -> 0.20, "en" -> 0.35, "es" -> 0.17, "fr" -> 0.15, "zh" -> 0.13)),
