@@ -488,4 +488,43 @@ class PlanSpec extends SparkSpec {
       (5, "e s", 1L)),  // all 1s in newest; "e s" first asc
       s"got $merges")
   }
+  test("round-15 ops: no cartesian anywhere, windows key-partitioned, cuts TakeOrdered") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // link_predict: wedge generation must be an equi-join on the center
+    // id with a TakeOrdered cut — never a cartesian or a global sort
+    val lp = SparkEntry.queries("link_predict")(spark, sfDir)
+    lp.collect()
+    val lpP = lp.queryExecution.executedPlan.toString
+    assert(!lpP.contains("CartesianProduct"), "link_predict planned cartesian wedges")
+    assert(lpP.contains("TakeOrderedAndProject"), "link_predict top-50 must be TakeOrdered")
+    assert(lpP.contains("LeftAnti"), "existing edges must leave via an anti-join")
+    // ann_refine: candidate fetch joins stay equi/broadcast, no cartesian
+    val ar = SparkEntry.queries("ann_refine")(spark, sfDir)
+    ar.collect()
+    assert(!ar.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "ann_refine planned a cartesian")
+    // train_shuffle / anomaly_mad / volume_trend: every window is
+    // key-partitioned (pid / event_type) — no global-order window
+    for (q <- Seq("train_shuffle", "anomaly_mad", "volume_trend")) {
+      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+      val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q: expected window functions")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q: global window funnels the table through one task: $w"))
+    }
+    // pca_project: the served projection is a pure map over the scan —
+    // no join, no window, no shuffle beyond the final order
+    val pp = SparkEntry.queries("pca_project")(spark, sfDir)
+    val ppP = pp.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!ppP.contains("Join") && !ppP.contains("Window"),
+      "pca_project projection must stay a join-free, window-free map")
+    // wordpiece_encode: per-doc re-attach is a broadcast word join, no window
+    val wp = planOf("wordpiece_encode")
+    assert(!wp.contains("Window"), "wordpiece_encode must not plan any window")
+    assert(wp.contains("BroadcastHashJoin"),
+      "the word->pieces table must broadcast back to the token stream")
+    // anova_f: one scan, no join in the aggregation pipeline
+    val an = planOf("anova_f")
+    assert(!an.contains("Join"), "anova_f must be a pure aggregation pipeline")
+  }
 }
