@@ -291,6 +291,20 @@ object ShingleMath {
     ArrayData.toArrayData(out)
   }
 
+  /** adjacent word trigrams WITH multiplicity (empty tokens dropped
+    * before grouping) — the map-side kernel of trigram LM counting. */
+  def wordTrigramsAll(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1).filter(_.nonEmpty)
+    if (toks.length < 3) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[UTF8String](toks.length - 2)
+    var i   = 0
+    while (i < toks.length - 2) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** adjacent symbol pairs (WITH multiplicity) of a bracket-wrapped BPE
     * symbol string: "<h><e><ll><o>" yields ("h e", "e ll", "ll o") — the
     * map-side kernel of BPE pair counting. The wrapped form is what the
@@ -520,6 +534,17 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** adjacent word trigrams with multiplicity (empty tokens dropped),
+  * codegen'd — the map-side kernel of trigram LM counting. */
+case class WordTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleMath.wordTrigramsAll(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.wordTrigramsAll($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** adjacent symbol pairs of a bracket-wrapped BPE symbol string (see
   * ShingleMath.symbolPairs), codegen'd — BPE pair counting's map side. */
 case class SymbolPairs(child: Expression) extends UnaryExpression {
@@ -746,6 +771,9 @@ object TextFunctions {
     * dropped pre-pairing) — collocation counting's map-side kernel. */
   def wordBigramsCol(text: Column): Column =
     ColumnBridge.column(WordBigrams(ColumnBridge.expression(text)))
+
+  def wordTrigramsCol(text: Column): Column =
+    ColumnBridge.column(WordTrigrams(ColumnBridge.expression(text)))
 
   /** adjacent symbol pairs of a bracket-wrapped BPE symbol string —
     * single codegen'd pass, BPE pair counting's map-side kernel. */

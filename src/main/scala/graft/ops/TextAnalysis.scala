@@ -685,6 +685,131 @@ object TextAnalysis {
       |FROM documents doc LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc.doc_id""".stripMargin
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007 — THE
+    * web-scale n-gram LM, built precisely because Kneser-Ney smoothing
+    * doesn't distribute cheaply while count ratios do): the model is
+    * the raw trigram/bigram/unigram count tables from the TRAINING half
+    * of the corpus (doc_id even), and the SCORING half (doc_id odd) is
+    * held out, so unseen trigrams genuinely back off —
+    * S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂), else 0.4·c(w₂w₃)/c(w₂), else
+    * 0.4²·c(w₃)/N, else 0 (OOV). Scoring one's own training set would
+    * never exercise a backoff branch; held-out scoring is also the
+    * methodologically right perplexity-filter shape.
+    *
+    * Determinism: each branch is ONE exact integral division to micros
+    * (c·10⁶ div c', c·400000 div c', c·160000 div N — DECIMAL(38)/
+    * HUGEINT dividends, non-negative so floor = truncate), the per-doc
+    * aggregate sums exact longs. The log form is cross-engine unstable
+    * (lm_bigram_score note); the rational core is not.
+    *
+    * Scale shape: count tables are vocabulary-sized (map-side partials
+    * off the codegen'd `WordTrigrams`/`WordBigrams` kernels); per-doc
+    * occurrences collapse to (doc, trigram, k) BEFORE the model joins,
+    * so the enrichment equi-joins carry distinct-per-doc grams; N rides
+    * along as a broadcast 1-row aggregate. */
+  def stupidBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val held  = docs.filter(col("doc_id") % 2 === 1)
+    val uni = unigramCounts(train).localCheckpoint() // feeds N + the w3 join
+    val nT  = uni.agg(sum("c").as("n"))
+    val big = bigramCounts(train).localCheckpoint() // feeds prefix + suffix joins
+    val tri = train
+      .select(explode(TextFunctions.wordTrigramsCol(col("text"))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cg"))
+    val docg = held
+      .select(col("doc_id"), explode(TextFunctions.wordTrigramsCol(col("text"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("k"))
+      .withColumn("pre", substring_index(col("g"), " ", 2))
+      .withColumn("suf", expr("substr(g, instr(g, ' ') + 1)"))
+      .withColumn("w2", substring_index(col("suf"), " ", 1))
+      .withColumn("w3", substring_index(col("g"), " ", -1))
+    val scored = docg
+      .join(tri, Seq("g"), "left")
+      .join(big.select(col("b").as("pre"), col("cb").as("c_pre")), Seq("pre"), "left")
+      .join(big.select(col("b").as("suf"), col("cb").as("c_suf")), Seq("suf"), "left")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .join(uni.select(col("t").as("w3"), col("c").as("c3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nT))
+      .select(col("doc_id"), col("k"), expr(
+        """CASE
+          |  WHEN cg IS NOT NULL AND c_pre IS NOT NULL THEN
+          |    CAST((CAST(cg AS DECIMAL(38,0)) * 1000000) div c_pre AS BIGINT)
+          |  WHEN c_suf IS NOT NULL AND c2 IS NOT NULL THEN
+          |    CAST((CAST(c_suf AS DECIMAL(38,0)) * 400000) div c2 AS BIGINT)
+          |  WHEN c3 IS NOT NULL THEN
+          |    CAST((CAST(c3 AS DECIMAL(38,0)) * 160000) div n AS BIGINT)
+          |  ELSE CAST(0 AS BIGINT)
+          |END""".stripMargin).as("sm"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_trigrams"), sum(col("k") * col("sm")).as("sum_micros"))
+    held.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("sum_micros"), lit(0L)).as("sum_micros"),
+        when(coalesce(col("n_trigrams"), lit(0L)) > 0L,
+          expr("sum_micros div n_trigrams")).otherwise(lit(0L)).as("avg_micros"))
+      .orderBy("doc_id")
+  }
+
+  private val stupidBackoffSql: String =
+    """WITH train AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id % 2 = 0
+      |), held AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id % 2 = 1
+      |), uni AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(w) AS t FROM train) GROUP BY t
+      |), nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni
+      |), big AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS cb FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+      |    FROM train WHERE len(w) >= 2) GROUP BY b
+      |), tri AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS cg FROM (
+      |    SELECT unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |    FROM train WHERE len(w) >= 3) GROUP BY g
+      |), docg AS (
+      |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS k FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |    FROM held WHERE len(w) >= 3) GROUP BY doc_id, g
+      |), scored AS (
+      |  SELECT d.doc_id, d.k,
+      |    CASE
+      |      WHEN tri.cg IS NOT NULL AND p.cb IS NOT NULL THEN
+      |        CAST((CAST(tri.cg AS HUGEINT) * 1000000) // p.cb AS BIGINT)
+      |      WHEN s.cb IS NOT NULL AND u2.c IS NOT NULL THEN
+      |        CAST((CAST(s.cb AS HUGEINT) * 400000) // u2.c AS BIGINT)
+      |      WHEN u3.c IS NOT NULL THEN
+      |        CAST((CAST(u3.c AS HUGEINT) * 160000) // nt.n AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT)
+      |    END AS sm
+      |  FROM docg d
+      |  LEFT JOIN tri ON tri.g = d.g
+      |  LEFT JOIN big p ON p.b = string_split(d.g, ' ')[1] || ' ' || string_split(d.g, ' ')[2]
+      |  LEFT JOIN big s ON s.b = string_split(d.g, ' ')[2] || ' ' || string_split(d.g, ' ')[3]
+      |  LEFT JOIN uni u2 ON u2.t = string_split(d.g, ' ')[2]
+      |  LEFT JOIN uni u3 ON u3.t = string_split(d.g, ' ')[3]
+      |  CROSS JOIN nt
+      |), agg AS (
+      |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+      |         CAST(sum(k * sm) AS BIGINT) AS sum_micros
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT h.doc_id,
+      |       CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+      |       CAST(coalesce(a.sum_micros, 0) AS BIGINT) AS sum_micros,
+      |       CASE WHEN coalesce(a.n_trigrams, 0) > 0
+      |            THEN coalesce(a.sum_micros, 0) // a.n_trigrams
+      |            ELSE CAST(0 AS BIGINT) END AS avg_micros
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) h
+      |LEFT JOIN agg a ON a.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin
+
   /** BPE tokenizer-training primitive: corpus-wide adjacent-symbol-pair
     * frequencies plus three unrolled merge rounds (the Sennrich
     * byte-pair-encoding training loop; same unrolled-iteration
@@ -1198,6 +1323,7 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin)(fingerprint),
     QueryDef.sql("unigram_score", unigramScoreSql)(unigramScore),
     QueryDef.sql("wordpiece_encode", wordpieceSql)(wordpieceEncode),
+    QueryDef.sql("stupid_backoff", stupidBackoffSql)(stupidBackoff),
     QueryDef.sql("feature_hash",
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t

@@ -88,6 +88,46 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSet == expected, "greedy replay diverged")
   }
 
+  test("stupid_backoff: held-out scoring replays, all three backoff branches fire") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.stupidBackoff(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    // rebuild the split-corpus model on the driver
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).filter(_.nonEmpty)))
+    def grams(ts: Array[String], n: Int): Seq[String] =
+      if (ts.length < n) Nil else ts.sliding(n).map(_.mkString(" ")).toSeq
+    val train = docs.filter(_._1 % 2 == 0)
+    val uni = train.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTot = uni.values.sum
+    val big = train.flatMap(d => grams(d._2, 2)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tri = train.flatMap(d => grams(d._2, 3)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var (b1, b2, b3, b0) = (0, 0, 0, 0)
+    def score(g: String): Long = {
+      val p = g.split(" ")
+      if (tri.contains(g) && big.contains(p(0) + " " + p(1))) {
+        b1 += 1; BigInt(tri(g)) .toLong * 1000000 / big(p(0) + " " + p(1))
+      } else if (big.contains(p(1) + " " + p(2)) && uni.contains(p(1))) {
+        b2 += 1; big(p(1) + " " + p(2)) * 400000 / uni(p(1))
+      } else if (uni.contains(p(2))) {
+        b3 += 1; uni(p(2)) * 160000 / nTot
+      } else { b0 += 1; 0L }
+    }
+    docs.filter(_._1 % 2 == 1).foreach { case (id, ts) =>
+      val gs = grams(ts, 3)
+      val sum = gs.map(score).sum
+      val n = gs.size.toLong
+      val avg = if (n > 0) sum / n else 0L
+      assert(out(id) == ((n, sum, avg)), s"doc $id")
+    }
+    info(s"branch counts: tri=$b1 bigram-backoff=$b2 unigram-backoff=$b3 oov=$b0")
+    // the held-out split must exercise every branch or the operator is
+    // indistinguishable from a plain ratio
+    assert(b1 > 0 && b2 > 0 && b3 > 0, s"backoff branches unexercised: $b1/$b2/$b3")
+  }
+
   test("bm25 top-k matches a driver-side reference ranking") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
