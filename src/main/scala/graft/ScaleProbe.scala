@@ -159,8 +159,9 @@ object ScaleProbe {
     // second-session scale-sensitive additions (measured passes 3-4 in
     // PERF.md; kept in the default sweep so regressions surface)
     "incremental_dedup", "market_basket", "ann_ivf_pq", "debounce_events",
-    // round-15 scale-sensitive additions (pass 7 in PERF.md)
-    "link_predict", "ann_refine", "wordpiece_encode")
+    // round-15 scale-sensitive additions (passes 7-8 in PERF.md)
+    "link_predict", "ann_refine", "wordpiece_encode", "stupid_backoff",
+    "train_shuffle")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
