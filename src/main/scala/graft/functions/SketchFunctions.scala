@@ -124,6 +124,34 @@ object SketchFunctions {
     buf
   }
 
+  /** Set-operation estimates from two serialized KMV sketches — the
+    * join-planning primitive: (estA, estB, estUnion, estIntersection).
+    * Union = the merged sketch's estimate. Intersection uses the
+    * standard K-min-values ρ-estimator (Beyer et al. 2007): over the k
+    * smallest hashes of the UNION, ρ = the fraction present in BOTH
+    * input sketches, and |A∩B| ≈ ρ·|A∪B| — lower variance than
+    * inclusion-exclusion of three noisy estimates. When the union
+    * carries fewer than k hashes the sketches ARE the exact hash sets
+    * and the counts are exact. Deterministic: a pure function of the
+    * two byte arrays. */
+  def kmvSetEstimates(a: Array[Byte], b: Array[Byte], k: Int): (Long, Long, Long, Long) = {
+    val bufA = kmvFromBytes(a, k)
+    val bufB = kmvFromBytes(b, k)
+    val u    = kmvFromBytes(a, k)
+    u.mergeIn(bufB)
+    val estU = u.estimate
+    var inBoth = 0
+    val it = u.heap.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (bufA.heap.contains(h) && bufB.heap.contains(h)) inBoth += 1
+    }
+    val estI =
+      if (u.heap.size() < k) inBoth.toLong // exact regime
+      else math.round(inBoth.toDouble / u.heap.size() * estU)
+    (bufA.estimate, bufB.estimate, estU, estI)
+  }
+
   /** `kmv_sketch(col, k)` — the PERSISTABLE form of [[KMVDistinct]]:
     * same buffer, same update/merge, but eval returns the serialized
     * sketch (BINARY) instead of collapsing it to an estimate. This is

@@ -55,6 +55,29 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("kmv set estimates: exact below k, rho-estimator within bounds above") {
+    val k = 256
+    def sketchOf(vals: Seq[Long]): Array[Byte] =
+      vals.toDF("v").agg(SketchFunctions.kmvSketch(col("v"), k)).head().getAs[Array[Byte]](0)
+    // exact regime: union fits in one sketch
+    val a = sketchOf(1L to 100L)
+    val b = sketchOf(51L to 150L)
+    assert(SketchFunctions.kmvSetEstimates(a, b, k) == ((100L, 100L, 150L, 50L)))
+    // disjoint sets: intersection exactly zero
+    val c = sketchOf(1000L to 1099L)
+    assert(SketchFunctions.kmvSetEstimates(a, c, k)._4 == 0L)
+    // estimation regime: 10k-element sets with 5k overlap; rho-estimator
+    // standard error ~ 1/sqrt(k) = 6.25%, assert a 4-sigma envelope
+    val bigA = sketchOf(1L to 10000L)
+    val bigB = sketchOf(5001L to 15000L)
+    val (ea, eb, eu, ei) = SketchFunctions.kmvSetEstimates(bigA, bigB, k)
+    assert(math.abs(ea - 10000L) <= 2500 && math.abs(eb - 10000L) <= 2500)
+    assert(math.abs(eu - 15000L) <= 3750, s"union est $eu")
+    assert(math.abs(ei - 5000L) <= 2000, s"intersection est $ei")
+    // pure function of the byte arrays: replay is identical
+    assert(SketchFunctions.kmvSetEstimates(bigA, bigB, k) == ((ea, eb, eu, ei)))
+  }
+
   test("kmv merge tolerates sketches built with mixed fill levels") {
     // one nearly-empty cell + one saturated cell: merge must keep the
     // k unsigned-smallest of the union, same as one pass over the union
