@@ -790,7 +790,9 @@ object Graph {
     * per round, keep the labels attaining the per-node max count, then
     * take the smallest — provably the same label the lexicographic
     * struct max selects. */
-  private val lpaSql: String = {
+  /** lpa_communities' CTE chain through l{LpaIters} — shared by the
+    * graph_modularity oracle, which scores the same labels. */
+  private val lpaChainCtes: String = {
     val base =
       s"""WITH raw AS (
          |  SELECT (o_custkey % $TriMod) AS src, (o_orderkey % $TriMod) AS dst FROM orders
@@ -810,12 +812,95 @@ object Graph {
          |  GROUP BY c.node)""".stripMargin
     }.mkString(",\n")
     s"""$base,
-       |$steps
+       |$steps"""
+  }
+
+  private val lpaSql: String =
+    s"""$lpaChainCtes
        |SELECT l.node, l.label AS community, CAST(s.sz AS BIGINT) AS community_size
        |FROM l$LpaIters l JOIN (SELECT label, count(*) AS sz FROM l$LpaIters GROUP BY label) s
        |  USING (label)
        |ORDER BY l.node""".stripMargin
+
+  def graphModularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOn(rawEdges(spark, dir, TriMod.toLong, TriMod.toLong), LpaIters)
+
+  /** Newman modularity of the LPA partition — the SCORE for
+    * [[lpaCommunities]]' output (communities without a quality number
+    * are unfalsifiable; every community-detection pipeline reports Q):
+    * Q = Σ_c [e_c/m − (d_c/2m)²] over the undirected simple graph,
+    * where e_c = intra-community edges, d_c = community degree sum,
+    * m = total edges. Exactness: the whole sum collapses to ONE
+    * rational — Q = Σ_c (4·m·e_c − d_c²) / 4m² — of exact integer
+    * aggregates, emitted as integral micros via DECIMAL(38)/HUGEINT
+    * with sign-after-abs (Q CAN be negative for adversarial
+    * partitions). Coverage Σe_c/m ships the same way. Scale shape:
+    * labels are the LPA walk's own (checkpointed) output; the two
+    * scoring joins attach labels to the canonical edge list by node id
+    * — label tables are node-sized, edges shuffle once per endpoint —
+    * and everything after is O(communities) cells. */
+  private[graft] def modularityOn(edgesDf: DataFrame, iters: Int): DataFrame = {
+    val labels = lpaCommunitiesOn(edgesDf, iters)
+      .select(col("node"), col("community").as("label"))
+      .localCheckpoint() // feeds deg attach + both edge-endpoint joins
+    val sym = symmetrize(edgesDf).localCheckpoint()
+    val und = sym.filter(col("src") < col("dst"))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val ic = und
+      .join(labels.withColumnRenamed("node", "src"), "src")
+      .join(labels.select(col("node").as("dst"), col("label").as("lb")), "dst")
+      .filter(col("label") === col("lb"))
+      .groupBy("label").agg(count(lit(1)).as("ec"))
+    val dc = labels.join(deg, "node")
+      .groupBy("label").agg(sum("d").as("dsum"))
+    val cells = dc.join(ic, Seq("label"), "left")
+      .select(col("label"), coalesce(col("ec"), lit(0L)).as("ec"), col("dsum"))
+    cells.crossJoin(broadcast(mRow))
+      .agg(
+        count(lit(1)).as("n_communities"), max("m").as("m"),
+        sum(expr("CAST(4 AS DECIMAL(38,0)) * m * ec - CAST(dsum AS DECIMAL(38,0)) * dsum"))
+          .as("num"),
+        sum("ec").as("ec_tot"))
+      .select(
+        col("n_communities"), col("m"),
+        expr("""CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+               |  ((abs(num) * 1000000) div (CAST(4 AS DECIMAL(38,0)) * m * m))
+               |  AS BIGINT)""".stripMargin).as("q_micros"),
+        expr("CAST((CAST(ec_tot AS DECIMAL(38,0)) * 1000000) div m AS BIGINT)")
+          .as("coverage_micros"))
   }
+
+  private val modularitySql: String =
+    s"""$lpaChainCtes,
+       |und AS (SELECT src, dst FROM e WHERE src < dst),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+       |lab AS (SELECT node, label FROM l$LpaIters),
+       |ic AS (
+       |  SELECT la.label, CAST(count(*) AS BIGINT) AS ec
+       |  FROM und JOIN lab la ON la.node = und.src
+       |           JOIN lab lb ON lb.node = und.dst AND lb.label = la.label
+       |  GROUP BY la.label
+       |), dc AS (
+       |  SELECT la.label, CAST(sum(d.d) AS BIGINT) AS dsum
+       |  FROM lab la JOIN deg d ON d.node = la.node GROUP BY la.label
+       |), cells AS (
+       |  SELECT dc.label, coalesce(ic.ec, 0) AS ec, dc.dsum
+       |  FROM dc LEFT JOIN ic ON ic.label = dc.label
+       |), s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_communities, max(mm.m) AS m,
+       |         CAST(sum(CAST(4 AS HUGEINT) * mm.m * ec
+       |                   - CAST(dsum AS HUGEINT) * dsum) AS HUGEINT) AS num,
+       |         CAST(sum(ec) AS BIGINT) AS ec_tot
+       |  FROM cells CROSS JOIN mm
+       |)
+       |SELECT n_communities, m,
+       |       CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+       |            ((abs(num) * 1000000) // (CAST(4 AS HUGEINT) * m * m)) AS BIGINT)
+       |         AS q_micros,
+       |       CAST((CAST(ec_tot AS HUGEINT) * 1000000) // m AS BIGINT) AS coverage_micros
+       |FROM s""".stripMargin
 
   // k = 2 (the cycle core): on the sparse mod-prime fixture graph the
   // peel genuinely bites at sf0.001 (three shrinking rounds, 62-node
@@ -1178,5 +1263,6 @@ object Graph {
     QueryDef.sql("link_predict", linkPredictSql)(linkPredict),
     QueryDef.sql("personalized_pagerank", pprSql)(personalizedPagerank),
     QueryDef.sql("hits_scores", hitsSql)(hitsScores),
+    QueryDef.sql("graph_modularity", modularitySql)(graphModularity),
   )
 }

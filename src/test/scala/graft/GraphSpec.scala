@@ -109,6 +109,22 @@ class GraphSpec extends SparkSpec {
     assert(got(50L) == ((1L, 0.0)) && got(51L) == ((0L, 0.0)))
   }
 
+  test("graph modularity: two disjoint triangles score exactly Q = 0.5") {
+    // LPA resolves each triangle to its min label; m = 6, per community
+    // e_c = 3 and d_c = 6, so Q = 2*(4*6*3 - 36) / (4*36) = 0.5 and
+    // coverage = 6/6 = 1 — all exact micros
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val row = Graph.modularityOn(e.toDF("src", "dst"), 3).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((2L, 6L, 500000L, 1000000L)))
+    // adding a bridge between the triangles keeps the partition but
+    // lowers Q: one inter-community edge now exists (coverage 6/7)
+    val bridged = e :+ (3L, 10L)
+    val row2 = Graph.modularityOn(bridged.toDF("src", "dst"), 3).collect().head
+    assert(row2.getLong(0) == 2L && row2.getLong(2) < 500000L
+      && row2.getLong(3) < 1000000L)
+  }
+
   test("hits separates hubs from authorities on a directed star, hand-proved") {
     // 1 -> {10, 11}, 2 -> {10}: node 10 is the strong authority (two
     // hubs point at it), 1 the strong hub (it points at everything)
