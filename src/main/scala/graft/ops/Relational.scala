@@ -138,9 +138,15 @@ object Relational {
       .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
       .orderBy("nk")
 
+  /** EXCEPT over the customer/supplier KEY spaces (not nation keys):
+    * custkeys outnumber suppkeys ~15× at every TPC-H SF, so the
+    * difference is guaranteed non-empty at any scale. The original
+    * nation-key form collapsed to 0 rows at sf0.01 (suppliers cover all
+    * 25 nations there) — a 0-row result hashes equal under many wrong
+    * plans, the fixture_audit.py failure class. */
   def setExcept(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
-      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
+    Tables.customer(spark, dir).select(col("c_custkey").as("nk"))
+      .except(Tables.supplier(spark, dir).select(col("s_suppkey").as("nk")))
       .orderBy("nk")
 
   /** multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL preserve
@@ -1264,7 +1270,7 @@ object Relational {
     QueryDef.sql("set_intersect",
       "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk")(setIntersect),
     QueryDef.sql("set_except",
-      "SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk")(setExcept),
+      "SELECT c_custkey AS nk FROM customer EXCEPT SELECT s_suppkey FROM supplier ORDER BY nk")(setExcept),
     QueryDef.sql("set_intersect_all",
       "SELECT o_custkey AS k FROM orders INTERSECT ALL SELECT c_custkey FROM customer ORDER BY k")(
       setIntersectAll),
