@@ -856,7 +856,7 @@ object Graph {
       .groupBy("label").agg(sum("d").as("dsum"))
     val cells = dc.join(ic, Seq("label"), "left")
       .select(col("label"), coalesce(col("ec"), lit(0L)).as("ec"), col("dsum"))
-    cells.crossJoin(broadcast(mRow))
+    val out = cells.crossJoin(broadcast(mRow))
       .agg(
         count(lit(1)).as("n_communities"), max("m").as("m"),
         sum(expr("CAST(4 AS DECIMAL(38,0)) * m * ec - CAST(dsum AS DECIMAL(38,0)) * dsum"))
@@ -869,6 +869,13 @@ object Graph {
                |  AS BIGINT)""".stripMargin).as("q_micros"),
         expr("CAST((CAST(ec_tot AS DECIMAL(38,0)) * 1000000) div m AS BIGINT)")
           .as("coverage_micros"))
+      // the result is ONE row; materialize it so the node-sized label
+      // and edge checkpoints can be freed instead of riding its lineage
+      // (probe-caught: 736 MB retained heap at 32× without this)
+      .localCheckpoint()
+    Checkpoints.free(labels)
+    Checkpoints.free(sym)
+    out
   }
 
   private val modularitySql: String =
