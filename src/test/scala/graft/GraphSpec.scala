@@ -383,6 +383,7 @@ class GraphSpec extends SparkSpec {
       ("walks", 1, () => { Graph.randomWalksOn(e, 3).collect(); () }),
       ("ppr", 2, () => { Graph.pprOn(e, 3).collect(); () }),
       ("hits", 1, () => { Graph.hitsOn(e, 2).collect(); () }),
+      ("modularity", 1, () => { Graph.modularityOn(e, 2).collect(); () }),
       ("link_predict", 2, () => { Graph.linkPredictOn(k4Pendant.toDF("u", "v")).collect(); () }))
     walks.foreach { case (name, allowance, run) =>
       val rddsBefore = spark.sparkContext.getPersistentRDDs.size
