@@ -495,6 +495,21 @@ object Curation {
         s"mixture_sample: quota $q for lang $l exceeds available ${counts.getOrElse(l, 0L)}")
     }
 
+    perLangRank(docs)
+      .filter(col("rank") <= element_at(typedLit(quotas.toMap), col("lang")))
+      .select(col("doc_id"), col("lang"), col("rank"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Per-language rank of (doc_id, lang, h) rows in (h, doc_id) order —
+    * the range-partition + per-partition-offset prefix-scan idiom: the
+    * local rank windows run per (pid, lang) in parallel, the only
+    * driver state is one count per (partition, lang), and no coarse
+    * per-lang window ever serializes a dominant language into one task.
+    * Shared by [[mixtureSample]] (quota cut) and [[epochMixture]]
+    * (repetition threshold). */
+  private def perLangRank(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val parted = docs
       .repartitionByRange(ScanPartitions, col("lang"), col("h"), col("doc_id"))
       .sortWithinPartitions("lang", "h", "doc_id")
@@ -513,10 +528,59 @@ object Curation {
       .withColumn("rk_local", count(lit(1)).over(w))
       .join(broadcast(offDf), Seq("pid", "lang"))
       .withColumn("rank", col("off") + col("rk_local"))
-      .filter(col("rank") <= element_at(typedLit(quotas.toMap), col("lang")))
-      .select(col("doc_id"), col("lang"), col("rank"))
-      .orderBy("lang", "rank")
   }
+
+  /** Balanced multi-epoch mixture — the UPSAMPLING complement of
+    * [[mixtureSample]]'s downsampling quotas, and the shape every
+    * data-mixing recipe with "rare sources repeat for >1 epoch" uses:
+    * every language is brought to exactly T = max language count by
+    * REPEATING documents — each doc of language l appears
+    * base = ⌊T/avail_l⌋ times, and the first T mod avail_l docs in the
+    * deterministic (hash, doc_id) order appear once more (Hamilton
+    * exactness: Σ reps = T per language, no randomness). The dominant
+    * language repeats 1×; a 10×-rarer one ~10×. Output is the emitted
+    * training stream (doc_id, lang, copy).
+    *
+    * Scale shape: reps need each doc's per-language RANK, which comes
+    * from the shared [[perLangRank]] prefix scan (no per-lang window);
+    * T and the per-language avail counts are an O(langs) broadcast;
+    * the explode is map-side. */
+  def epochMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        knuthBucket(col("doc_id"), 1000003L).as("h"))
+    val avail = docs.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val t = avail.values.max
+    val base  = avail.map { case (l, a) => l -> t / a }
+    val extra = avail.map { case (l, a) => l -> t % a }
+    perLangRank(docs)
+      .withColumn("reps",
+        element_at(typedLit(base), col("lang")) +
+          when(col("rank") <= element_at(typedLit(extra), col("lang")), 1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("reps"))).as("copy"))
+      .orderBy("lang", "doc_id", "copy")
+  }
+
+  private val epochMixtureSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, ((doc_id % 1000003) * 2654435761) % 1000003 AS h
+      |  FROM documents
+      |), avail AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS a FROM docs GROUP BY lang
+      |), t AS (SELECT max(a) AS t FROM avail
+      |), ranked AS (
+      |  SELECT doc_id, lang,
+      |         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rank
+      |  FROM docs
+      |), reps AS (
+      |  SELECT r.doc_id, r.lang,
+      |         (t.t // av.a) + CASE WHEN r.rank <= t.t % av.a THEN 1 ELSE 0 END AS reps
+      |  FROM ranked r JOIN avail av USING (lang) CROSS JOIN t
+      |)
+      |SELECT doc_id, lang, CAST(unnest(generate_series(1, reps)) AS BIGINT) AS copy
+      |FROM reps ORDER BY lang, doc_id, copy""".stripMargin
 
   private val mixtureSampleSql: String = {
     val weightCase = MixtureWeights
@@ -1166,6 +1230,7 @@ object Curation {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(stratifiedSample),
     QueryDef.sql("mixture_sample", mixtureSampleSql)(mixtureSample),
     QueryDef.sql("train_shuffle", trainShuffleSql)(trainShuffle),
+    QueryDef.sql("epoch_mixture", epochMixtureSql)(epochMixture),
     QueryDef.sql("cms_watchlist",
       """SELECT CAST(l_partkey AS BIGINT) AS partkey, count(*) AS n_exact,
         |  TRUE AS lower_ok, TRUE AS upper_ok

@@ -330,6 +330,33 @@ class CurationSpec extends SparkSpec {
     assert(meanJump > n / 10.0, s"order barely mixed: mean id jump $meanJump over $n docs")
   }
 
+  test("epoch_mixture balances every language to exactly T with floor/floor+1 repeats") {
+    val rows = Curation.epochMixture(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val avail = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val t = avail.values.max
+    val byLang = rows.groupBy(_._2)
+    assert(byLang.keySet == avail.keySet)
+    byLang.foreach { case (lang, rs) =>
+      // every language lands on exactly T emitted rows …
+      assert(rs.length.toLong == t, s"$lang emitted ${rs.length}, want $t")
+      // … with per-doc repeats only floor or floor+1 of T/avail
+      val perDoc = rs.groupBy(_._1).values.map(_.length.toLong)
+      val base = t / avail(lang)
+      assert(perDoc.forall(r => r == base || r == base + 1), s"$lang repeats $perDoc")
+      // copies are 1..reps per doc (a complete epoch stream, no gaps)
+      rs.groupBy(_._1).foreach { case (id, copies) =>
+        assert(copies.map(_._3).sorted.toSeq == (1L to copies.length.toLong), s"doc $id")
+      }
+    }
+    // the dominant language repeats exactly once per doc
+    val maxLang = avail.maxBy(_._2)._1
+    assert(byLang(maxLang).groupBy(_._1).values.forall(_.length == 1))
+  }
+
   test("largestRemainder apportions the full total within floor/floor+1 of ideal") {
     val cases = Seq(
       (225L, Seq("de" -> 0.20, "en" -> 0.35, "es" -> 0.17, "fr" -> 0.15, "zh" -> 0.13)),
