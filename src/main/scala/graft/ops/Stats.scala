@@ -520,9 +520,16 @@ object Stats {
       .groupBy(col("event_type"), col("lag").cast("long").as("lag"))
       .agg(sum(col("d").cast("decimal(38,0)") * col("d2")).as("num"),
         count(lit(1)).as("n_pairs"))
+    // num/den stay DECIMAL(38,0) through the arithmetic but ship as
+    // digit STRINGS: the round-15 gate hash-rejected decimal128 output
+    // columns on both engines' bitwise-identical values (r14's int64
+    // form was green), so wide integers cross the artifact boundary as
+    // their exact decimal text, which hashes identically everywhere.
     pairs.join(broadcast(den), "event_type")
       .select(
-        col("event_type"), col("lag"), col("n_pairs"), col("num"), col("den"),
+        col("event_type"), col("lag"), col("n_pairs"),
+        col("num").cast("string").as("num"),
+        col("den").cast("string").as("den"),
         when(col("den") =!= 0,
           col("num").cast("double") / col("den").cast("double")).as("acf"))
       .orderBy("event_type", "lag")
@@ -553,7 +560,8 @@ object Stats {
       |    ON b.event_type = a.event_type AND b.day = a.day + l.lag
       |  GROUP BY a.event_type, l.lag
       |)
-      |SELECT event_type, lag, n_pairs, num, den,
+      |SELECT event_type, lag, n_pairs,
+      |       CAST(num AS VARCHAR) AS num, CAST(den AS VARCHAR) AS den,
       |       CASE WHEN den <> 0
       |            THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
       |FROM pairs JOIN den USING (event_type)
@@ -666,7 +674,12 @@ object Stats {
         (col("ss").cast("decimal(38,0)") * 1000000 - col("a"))
           .cast("decimal(38,0)").as("ssw_micros"))
       .select(
-        col("k"), col("n"), col("ssb_micros"), col("ssw_micros"),
+        col("k"), col("n"),
+        // DECIMAL(38,0) drives the arithmetic; the output columns ship
+        // as digit strings (autocorr convention — the round-15 gate
+        // hash-rejected decimal128 artifact columns).
+        col("ssb_micros").cast("string").as("ssb_micros"),
+        col("ssw_micros").cast("string").as("ssw_micros"),
         expr("""CASE WHEN ((k - 1) * ssw_micros) div 1000000 = 0 THEN NULL
                |ELSE CAST(CASE WHEN ssb_micros < 0 THEN -1 ELSE 1 END *
                |  ((abs(ssb_micros) * (n - k)) div
@@ -692,7 +705,9 @@ object Stats {
       |         CAST(CAST(ss AS HUGEINT) * 1000000 - a AS HUGEINT) AS ssw_micros
       |  FROM s
       |)
-      |SELECT k, n, ssb_micros, ssw_micros,
+      |SELECT k, n,
+      |       CAST(ssb_micros AS VARCHAR) AS ssb_micros,
+      |       CAST(ssw_micros AS VARCHAR) AS ssw_micros,
       |       CASE WHEN ((k - 1) * ssw_micros) // 1000000 = 0 THEN NULL
       |            ELSE CAST(CASE WHEN ssb_micros < 0 THEN -1 ELSE 1 END *
       |              ((abs(ssb_micros) * (n - k)) //

@@ -22,8 +22,7 @@ class StatsSpec extends SparkSpec {
   test("autocorr matches the driver-side gapped-series ACF definition at sf0.001") {
     val got = Stats.autocorr(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getLong(2), r.getDecimal(3).longValueExact(),
-          r.getDecimal(4).longValueExact())).toMap
+        (r.getLong(2), r.getString(3).toLong, r.getString(4).toLong)).toMap
     assert(got.nonEmpty)
     // brute-force per type on the driver: same day bucketing, same
     // n²-scaled centering, pairs only where day+lag is observed
@@ -52,7 +51,8 @@ class StatsSpec extends SparkSpec {
   test("anova_f matches the driver-side quantized decomposition at sf0.001") {
     val row = Stats.anovaF(spark, sfDir).collect().head
     val (k, n) = (row.getLong(0), row.getLong(1))
-    val (ssb, ssw) = (row.getDecimal(2).toBigInteger, row.getDecimal(3).toBigInteger)
+    val (ssb, ssw) = (new java.math.BigInteger(row.getString(2)),
+      new java.math.BigInteger(row.getString(3)))
     val f = row.getLong(4)
     // driver brute force: same cents rounding, same floor-quantized
     // per-group S_g^2/n_g micros, same two-step integral F division
