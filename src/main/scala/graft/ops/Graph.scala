@@ -764,8 +764,19 @@ object Graph {
     * 1's shuffle O(2^rounds) times AND grows the logical plan Catalyst
     * must re-analyze each round. */
   def lpaCommunitiesOn(edgesDf: DataFrame, iters: Int): DataFrame = {
-    val e = symmetrize(edgesDf)
-      .cache() // feeds every round's propagation join
+    val labels = lpaLabelsOn(symmetrize(edgesDf), iters)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select(col("node"), col("label").as("community"), col("community_size"))
+      .orderBy("node")
+  }
+
+  /** Label-propagation core over ALREADY-symmetrized edges. Returns the
+    * final (node, label) table as a DIRECT `localCheckpoint` handle —
+    * the caller owns its storage (`Checkpoints.free` once consumed;
+    * `lpaCommunitiesOn` instead lets its result ride the handle). */
+  private[graft] def lpaLabelsOn(sym: DataFrame, iters: Int): DataFrame = {
+    val e = sym.cache() // feeds every round's propagation join
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
     for (_ <- 1 to iters) {
@@ -780,10 +791,7 @@ object Graph {
       Checkpoints.free(prev) // new labels materialized; old round is dead
     }
     e.unpersist() // final labels are materialized with truncated lineage
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, "label")
-      .select(col("node"), col("label").as("community"), col("community_size"))
-      .orderBy("node")
+    labels
   }
 
   /** Oracle mirrors the argmax RESULT, not the struct-max mechanism:
@@ -840,10 +848,11 @@ object Graph {
     * — label tables are node-sized, edges shuffle once per endpoint —
     * and everything after is O(communities) cells. */
   private[graft] def modularityOn(edgesDf: DataFrame, iters: Int): DataFrame = {
-    val labels = lpaCommunitiesOn(edgesDf, iters)
-      .select(col("node"), col("community").as("label"))
-      .localCheckpoint() // feeds deg attach + both edge-endpoint joins
     val sym = symmetrize(edgesDf).localCheckpoint()
+    // direct checkpoint handle (deterministically freed below) — re-
+    // checkpointing lpaCommunitiesOn's output left its backing RDD to
+    // async ContextCleaner GC, which the storage-hygiene pin flaked on
+    val labels = lpaLabelsOn(sym, iters)
     val und = sym.filter(col("src") < col("dst"))
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val mRow = und.agg(count(lit(1)).as("m"))
