@@ -555,7 +555,65 @@ object Events {
        |SELECT user_id, event_id, ms, keep_seq FROM step WHERE kept
        |ORDER BY user_id, keep_seq""".stripMargin
 
+  private val GapBuckets = 211 // prime user hash keeps real gaps at every SF
+
+  /** Calendar gap-fill: densify each (event_type, user-bucket) daily
+    * series to its full min..max day range, zero-filling event counts
+    * and carrying the last observed daily value total forward (LOCF) —
+    * the regularization step before any rolling-window or trend
+    * operator that assumes an unbroken time axis ([[anomalyMad]],
+    * [[volumeTrend]]).
+    *
+    * Scale shape: the spine is `explode(sequence(min_day, max_day))`
+    * per group — row growth bounded by groups × CALENDAR SPAN, not by
+    * event count — and the LOCF window is partitioned by the same fine
+    * (type, bucket) key, so per-window state is one span of days. Each
+    * group's range starts at its own first observed day, so LOCF never
+    * sees a leading null. */
+  def calendarGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"user_id % $GapBuckets").as("bucket"),
+        expr("unix_millis(ts) div 86400000").as("day"), cents(col("value")).as("c"))
+      .groupBy("event_type", "bucket", "day")
+      .agg(count(lit(1)).as("cnt"), sum("c").as("daycents"))
+    val spine = daily.groupBy("event_type", "bucket")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"), col("bucket"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy("event_type", "bucket").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("event_type", "bucket", "day"), "left")
+      .withColumn("filled_cents", last(col("daycents"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("bucket"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("n_events"),
+        coalesce(col("daycents"), lit(0L)).as("day_cents"),
+        col("filled_cents"))
+      .orderBy("event_type", "bucket", "day")
+  }
+
+  private val gapFillSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, user_id % $GapBuckets AS bucket,
+       |         epoch_ms(ts) // 86400000 AS day,
+       |         CAST(count(*) AS BIGINT) AS cnt,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS daycents
+       |  FROM events GROUP BY 1, 2, 3
+       |), spine AS (
+       |  SELECT event_type, bucket, unnest(generate_series(min(day), max(day))) AS day
+       |  FROM daily GROUP BY event_type, bucket
+       |)
+       |SELECT s.event_type, s.bucket, s.day,
+       |       CAST(coalesce(d.cnt, 0) AS BIGINT) AS n_events,
+       |       CAST(coalesce(d.daycents, 0) AS BIGINT) AS day_cents,
+       |       CAST(last_value(d.daycents IGNORE NULLS) OVER (
+       |         PARTITION BY s.event_type, s.bucket ORDER BY s.day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents
+       |FROM spine s LEFT JOIN daily d
+       |  ON d.event_type = s.event_type AND d.bucket = s.bucket AND d.day = s.day
+       |ORDER BY s.event_type, s.bucket, s.day""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("calendar_gap_fill", gapFillSql)(calendarGapFill),
     QueryDef.sql("debounce_events", debounceSql)(debounceEvents),
     // stateful streaming twin, same oracle (the stream_ewma convention)
     QueryDef.sql("stream_debounce", debounceSql)(

@@ -918,6 +918,92 @@ object Graph {
        |       CAST((CAST(ec_tot AS HUGEINT) * 1000000) // m AS BIGINT) AS coverage_micros
        |FROM s""".stripMargin
 
+  /** One synchronous Louvain move sweep (Blondel et al. 2008, phase-1
+    * step) refining the [[lpaCommunities]] partition: every node
+    * simultaneously evaluates moving to each NEIGHBOR community and
+    * reports the best strictly-positive modularity gain, all gains
+    * evaluated against the fixed starting partition (the deterministic
+    * synchronous variant — sequential Louvain's visit-order dependence
+    * is irreproducible, the `lpa_communities` argument again).
+    *
+    * Exactness: ΔQ for moving i from D to C scales by 2m² to the
+    * INTEGER g = 2m·(k_i→C − k_i→D) − k_i·(Σtot(C) − Σtot(D) + k_i);
+    * composites ride DECIMAL(38,0)/HUGEINT, no floats anywhere
+    * (barbell hand-proof pinned in GraphSpec). Argmax is
+    * max(struct(g, −C)) — highest gain, then lowest target label.
+    *
+    * Scale shape: Σtot is community-sized, k_i→C is one partial-agg
+    * count over the edge⋈label join (≤ |E| rows of three longs), and
+    * every join is an equi-join on node or label — the same key
+    * pattern as each LPA round, nothing quadratic. Output: the moved
+    * nodes (node, old/new label, scaled gain). */
+  def louvainMove(spark: SparkSession, dir: String): DataFrame =
+    louvainMoveOn(rawEdges(spark, dir, TriMod.toLong, TriMod.toLong), LpaIters)
+
+  private[graft] def louvainMoveOn(edgesDf: DataFrame, iters: Int): DataFrame = {
+    val sym = symmetrize(edgesDf).localCheckpoint()
+    val labels = lpaLabelsOn(sym, iters) // direct handle, freed below
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("ki"))
+    val mT = sym.filter(col("src") < col("dst")).agg(count(lit(1)).as("m"))
+    val sig = labels.join(deg, "node")
+      .groupBy("label").agg(sum("ki").as("sigma"))
+    val kic = sym
+      .join(labels.select(col("node").as("dst"), col("label").as("c")), "dst")
+      .groupBy(col("src").as("node"), col("c")).agg(count(lit(1)).as("kic"))
+    val self = labels.select(col("node"), col("label").as("d"))
+    val kid = kic.join(self, Seq("node")).filter(col("c") === col("d"))
+      .select(col("node"), col("kic").as("kid"))
+    val base = self.join(deg, "node")
+      .join(sig.select(col("label").as("d"), col("sigma").as("sigd")), "d")
+      .join(kid, Seq("node"), "left").na.fill(0L, Seq("kid"))
+    val out = kic.join(base, "node").filter(col("c") =!= col("d"))
+      .join(sig.select(col("label").as("c"), col("sigma").as("sigc")), "c")
+      .crossJoin(broadcast(mT))
+      .withColumn("g",
+        expr("""CAST(2 AS DECIMAL(38,0)) * m * (kic - kid)
+               |  - CAST(ki AS DECIMAL(38,0)) * (sigc - sigd + ki)""".stripMargin))
+      .groupBy("node", "d")
+      .agg(max(struct(col("g").as("g"), (-col("c")).as("nc"))).as("b"))
+      .filter(col("b.g") > 0)
+      .select(col("node"), col("d").as("old_label"),
+        (-col("b.nc")).as("new_label"), col("b.g").cast("long").as("gain_x2m2"))
+      .orderBy("node")
+      .localCheckpoint()
+    Checkpoints.free(labels)
+    Checkpoints.free(sym)
+    out
+  }
+
+  private val louvainSql: String =
+    s"""$lpaChainCtes,
+       |und AS (SELECT src, dst FROM e WHERE src < dst),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS ki FROM e GROUP BY src),
+       |lab AS (SELECT node, label FROM l$LpaIters),
+       |sig AS (
+       |  SELECT la.label, CAST(sum(d.ki) AS BIGINT) AS sigma
+       |  FROM lab la JOIN deg d ON d.node = la.node GROUP BY la.label
+       |), kic AS (
+       |  SELECT e.src AS node, lb.label AS c, CAST(count(*) AS BIGINT) AS kic
+       |  FROM e JOIN lab lb ON lb.node = e.dst GROUP BY 1, 2
+       |), base AS (
+       |  SELECT la.node, la.label AS d, deg.ki, sd.sigma AS sigd,
+       |         coalesce(k2.kic, 0) AS kid
+       |  FROM lab la JOIN deg ON deg.node = la.node
+       |  JOIN sig sd ON sd.label = la.label
+       |  LEFT JOIN kic k2 ON k2.node = la.node AND k2.c = la.label
+       |), cand AS (
+       |  SELECT b.node, b.d, k.c,
+       |         CAST(2 AS HUGEINT) * mm.m * (k.kic - b.kid)
+       |           - CAST(b.ki AS HUGEINT) * (sc.sigma - b.sigd + b.ki) AS g
+       |  FROM kic k JOIN base b ON b.node = k.node AND k.c <> b.d
+       |  JOIN sig sc ON sc.label = k.c CROSS JOIN mm
+       |)
+       |SELECT node, d AS old_label, c AS new_label, CAST(g AS BIGINT) AS gain_x2m2
+       |FROM cand
+       |QUALIFY row_number() OVER (PARTITION BY node ORDER BY g DESC, c) = 1 AND g > 0
+       |ORDER BY node""".stripMargin
+
   // k = 2 (the cycle core): on the sparse mod-prime fixture graph the
   // peel genuinely bites at sf0.001 (three shrinking rounds, 62-node
   // core) while larger SFs densify and converge on the first check —
@@ -1280,5 +1366,6 @@ object Graph {
     QueryDef.sql("personalized_pagerank", pprSql)(personalizedPagerank),
     QueryDef.sql("hits_scores", hitsSql)(hitsScores),
     QueryDef.sql("graph_modularity", modularitySql)(graphModularity),
+    QueryDef.sql("louvain_move", louvainSql)(louvainMove),
   )
 }

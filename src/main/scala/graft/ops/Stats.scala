@@ -858,6 +858,143 @@ object Stats {
       |            ELSE 'flat' END AS trend
       |FROM c ORDER BY event_type""".stripMargin
 
+  /** Benford first-digit conformance test over order totals — the
+    * classic synthetic-data / fraud screen: a naturally-grown money
+    * column follows P(d) = log10(1 + 1/d), a generated or tampered one
+    * usually doesn't. Emits all nine digits (spine join, so empty
+    * digits still report) with observed count, observed frequency, the
+    * Benford expectation, and the chi-square contribution.
+    *
+    * Exactness: the nine expected probabilities are pre-quantized
+    * micro literals that sum to exactly 1,000,000 (same constants in
+    * both engines — no runtime log10, which is not hash-gateable), and
+    * the chi-square contribution (obs·10⁶ − n·exp)² div (n·exp) is one
+    * integral division over DECIMAL(38,0)/HUGEINT composites.
+    *
+    * Scale shape: one map-side-combined count per leading digit (nine
+    * groups), one broadcast 1-row total; the digit of an exact cents
+    * BIGINT comes from its decimal string, identical on both engines. */
+  def benfordTest(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(spark, dir).select(cents(col("o_totalprice")).as("v"))
+    val obs = v
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val nT = v.agg(count(lit(1)).as("n"))
+    val spine = spark.range(1L, 10L).select(col("id").as("digit"))
+      .withColumn("exp_micros", expr(BenfordCase))
+    spine.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(nT))
+      .select(
+        col("digit"),
+        coalesce(col("obs"), lit(0L)).as("obs"),
+        col("exp_micros"),
+        expr("coalesce(obs, 0) * 1000000 div n").as("obs_micros"),
+        expr("""CAST(((CAST(coalesce(obs, 0) AS DECIMAL(38,0)) * 1000000
+               |       - CAST(n AS DECIMAL(38,0)) * exp_micros)
+               |      * (CAST(coalesce(obs, 0) AS DECIMAL(38,0)) * 1000000
+               |       - CAST(n AS DECIMAL(38,0)) * exp_micros))
+               |     div (CAST(n AS DECIMAL(38,0)) * exp_micros) AS BIGINT)""".stripMargin)
+          .as("chi2_micros"))
+      .orderBy("digit")
+  }
+
+  /** log10(1+1/d) in micros; the nine constants sum to exactly 10⁶. */
+  private val BenfordCase: String =
+    """CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+      |     WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+      |     WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS BIGINT)""".stripMargin
+
+  private val benfordSql: String =
+    s"""WITH cent AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+       |), obs AS (
+       |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |         CAST(count(*) AS BIGINT) AS obs
+       |  FROM cent GROUP BY 1
+       |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cent
+       |), spine AS (
+       |  SELECT CAST(range AS BIGINT) AS digit,
+       |         ${BenfordCase.replace("\n", " ")} AS exp_micros
+       |  FROM range(1, 10)
+       |), d AS (
+       |  SELECT s.digit, CAST(coalesce(o.obs, 0) AS BIGINT) AS obs, s.exp_micros, nt.n,
+       |         CAST(coalesce(o.obs, 0) AS HUGEINT) * 1000000
+       |           - CAST(nt.n AS HUGEINT) * s.exp_micros AS delta
+       |  FROM spine s LEFT JOIN obs o ON o.digit = s.digit CROSS JOIN nt
+       |)
+       |SELECT digit, obs, exp_micros,
+       |       CAST(obs * 1000000 // n AS BIGINT) AS obs_micros,
+       |       CAST((delta * delta) // (CAST(n AS HUGEINT) * exp_micros) AS BIGINT)
+       |         AS chi2_micros
+       |FROM d ORDER BY digit""".stripMargin
+
+  /** Gini concentration coefficient of order revenue per priority class
+    * — the inequality diagnostic behind source-mixing decisions ("does
+    * 1% of the orders carry 50% of the spend?"). Standard rank formula
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted values.
+    *
+    * Scale shape: values are quantized to whole dollars BEFORE any
+    * ordered operation, so the per-class window runs over (class,
+    * dollar, count) cells whose cardinality is bounded by the VALUE
+    * DOMAIN (max order total in dollars), never by row count — the
+    * cells-before-windows discipline from `quantile_normalize`. The
+    * rank sum of a run of `cnt` equal values starting after `cumb`
+    * predecessors is cnt·(2·cumb + cnt + 1)/2, always an even product,
+    * so every composite stays an exact DECIMAL(38,0)/HUGEINT integer
+    * and the coefficient ships as one integral division to micros. */
+  def giniCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("pri"),
+        cents(col("o_totalprice")).as("c"))
+      .select(col("pri"), expr("c div 100").as("v"))
+      .groupBy("pri", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("pri").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("cumb", coalesce(sum("cnt").over(w), lit(0L)))
+      .select(col("pri"), col("v"), col("cnt"),
+        expr("""CAST(cnt AS DECIMAL(38,0)) *
+               |  (2 * CAST(cumb AS DECIMAL(38,0)) + cnt + 1) div 2""".stripMargin)
+          .as("ranksum"))
+    ranked.groupBy("pri")
+      .agg(
+        sum("cnt").as("n"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * cnt")).as("s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * ranksum")).as("s1"))
+      .select(
+        col("pri").as("o_orderpriority"), col("n").cast("long").as("n"),
+        col("s").cast("long").as("sum_dollars"),
+        expr("CAST((2 * s1 - (CAST(n AS DECIMAL(38,0)) + 1) * s) * 1000000 div (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)")
+          .as("gini_micros"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val giniSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS pri,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY pri, v
+      |), ranked AS (
+      |  SELECT pri, v, cnt,
+      |         CAST(coalesce(sum(cnt) OVER (PARTITION BY pri ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+      |  FROM cells
+      |), rs AS (
+      |  SELECT pri, v, cnt,
+      |         (CAST(cnt AS HUGEINT) * (2 * CAST(cumb AS HUGEINT) + cnt + 1)) // 2 AS ranksum
+      |  FROM ranked
+      |), agg AS (
+      |  SELECT pri, CAST(sum(cnt) AS BIGINT) AS n,
+      |         CAST(sum(CAST(v AS HUGEINT) * cnt) AS HUGEINT) AS s,
+      |         CAST(sum(CAST(v AS HUGEINT) * ranksum) AS HUGEINT) AS s1
+      |  FROM rs GROUP BY pri
+      |)
+      |SELECT pri AS o_orderpriority, n, CAST(s AS BIGINT) AS sum_dollars,
+      |       CAST((2 * s1 - (CAST(n AS HUGEINT) + 1) * s) * 1000000
+      |            // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_micros
+      |FROM agg ORDER BY o_orderpriority""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
     QueryDef.sql("anova_f", anovaFSql)(anovaF),
@@ -882,5 +1019,7 @@ object Stats {
     QueryDef.sql("robust_outliers", robustOutliersSql)(robustOutliers),
     QueryDef.sql("key_skew_profile", keySkewProfileSql)(keySkewProfile),
     QueryDef.sql("group_quantiles", groupQuantilesSql)(groupQuantiles),
+    QueryDef.sql("benford_test", benfordSql)(benfordTest),
+    QueryDef.sql("gini_coefficient", giniSql)(giniCoefficient),
   )
 }

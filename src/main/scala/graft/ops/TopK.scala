@@ -62,7 +62,63 @@ object TopK {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** 2-D skyline (Pareto frontier) of parts: maximize size AND retail
+    * price — a part is on the frontier iff no other part is ≥ in both
+    * dimensions and > in one. The textbook formulation is an all-pairs
+    * anti-join; this is the sort-free cells form: reduce to one
+    * (size, max-price, count) cell per size (map-side combined), then
+    * one descending-size prefix-max over cells bounded by the SIZE
+    * DOMAIN (|distinct sizes|, ~50), never by row count. A frontier
+    * point also reports the lexicographically first brand attaining the
+    * maximum — the argmax attach is a broadcast of the ≤domain-sized
+    * cell table back onto the scan.
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .select(col("p_size").cast("long").as("size"), col("p_brand"),
+        graft.functions.TextFunctions.cents(col("p_retailprice")).as("c"))
+    val cells = parts.groupBy("size")
+      .agg(max("c").as("best_cents"), count(lit(1)).as("n_parts"))
+    val branded = parts
+      .join(broadcast(cells.select(col("size").as("bsize"), col("best_cents").as("bc"))),
+        col("size") === col("bsize") && col("c") === col("bc"))
+      .groupBy("size").agg(min("p_brand").as("best_brand"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("hi", max("best_cents").over(w))
+      .filter(col("hi").isNull || col("best_cents") > col("hi"))
+      .join(broadcast(branded), "size")
+      .select("size", "best_cents", "n_parts", "best_brand")
+      .orderBy("size")
+  }
+
+  private val skylineSql: String =
+    """WITH parts AS (
+      |  SELECT CAST(p_size AS BIGINT) AS size, p_brand,
+      |         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+      |  FROM part
+      |), cells AS (
+      |  SELECT size, max(c) AS best_cents, CAST(count(*) AS BIGINT) AS n_parts
+      |  FROM parts GROUP BY size
+      |), branded AS (
+      |  SELECT p.size, min(p.p_brand) AS best_brand
+      |  FROM parts p JOIN cells ce ON ce.size = p.size AND p.c = ce.best_cents
+      |  GROUP BY p.size
+      |), f AS (
+      |  SELECT size, best_cents, n_parts,
+      |         max(best_cents) OVER (ORDER BY size DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+      |  FROM cells
+      |)
+      |SELECT f.size, f.best_cents, f.n_parts, b.best_brand
+      |FROM f JOIN branded b ON b.size = f.size
+      |WHERE f.hi IS NULL OR f.best_cents > f.hi
+      |ORDER BY f.size""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("skyline", skylineSql)(skyline),
     QueryDef.sql("group_topk_agg",
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -354,6 +354,23 @@ class GraphSpec extends SparkSpec {
     assert(run().toSet == w.toSet, "walks must be reproducible")
   }
 
+  test("louvain move sweep matches hand-derived gains on the barbell graph") {
+    // K3 {1,2,3} — bridge 3–4 — K3 {4,5,6}; m = 7, 2m = 14.
+    // One LPA round from singleton labels (most frequent neighbor
+    // label, ties to smallest): 1→2, 2→1, 3→1, 4→3, 5→4, 6→4, i.e.
+    // communities {1}, {2,3}, {4}, {5,6} with Σtot 2, 5, 3, 4.
+    // Synchronous gains g = 2m·(k_iC − k_iD) − k_i·(ΣC − ΣD + k_i):
+    //   node 1 → label 1: 14·(2−0) − 2·(5−2+2) = 18   (moves)
+    //   node 2 → label 2: 14·(1−1) − 2·(2−5+2) = 2    (moves)
+    //   node 3 → label 2: 0 − 3·(2−5+3) = 0           (not > 0, stays)
+    //   node 4 → label 4: 14·(2−0) − 3·(4−3+3) = 16   (moves)
+    //   node 5 → label 3: 0 − 2·(3−4+2) = −2          (stays)
+    val barbell = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = Graph.louvainMoveOn(barbell.toDF("src", "dst"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 18L), (2L, 1L, 2L, 2L), (4L, 3L, 4L, 16L)))
+  }
+
   test("no graph walk leaves CacheManager entries behind (storage hygiene)") {
     // Round-13 verdict #1: pageRankOn/triangleCountOn leaked their
     // .cache()s into the rest of the bench run. The family convention is
@@ -384,6 +401,7 @@ class GraphSpec extends SparkSpec {
       ("ppr", 2, () => { Graph.pprOn(e, 3).collect(); () }),
       ("hits", 1, () => { Graph.hitsOn(e, 2).collect(); () }),
       ("modularity", 1, () => { Graph.modularityOn(e, 2).collect(); () }),
+      ("louvain", 1, () => { Graph.louvainMoveOn(e, 2).collect(); () }),
       ("link_predict", 2, () => { Graph.linkPredictOn(k4Pendant.toDF("u", "v")).collect(); () }))
     walks.foreach { case (name, allowance, run) =>
       val rddsBefore = spark.sparkContext.getPersistentRDDs.size
