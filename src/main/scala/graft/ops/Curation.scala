@@ -1111,7 +1111,61 @@ object Curation {
        |FROM lvl1 WHERE n1 < $KAnon
        |ORDER BY c_custkey""".stripMargin
 
+  /** CCNet-style perplexity banding (Wenzek et al. 2020): score every
+    * document with the corpus bigram LM
+    * ([[TextAnalysis.lmBigramScore]]'s exact-micros predictability
+    * score — low ≈ high perplexity) and label head / middle / tail by
+    * the empirical terciles, the split CCNet uses to keep "head+middle"
+    * and drop the gibberish tail. Thresholds are VALUES, not ranks:
+    * every document with the same score lands in the same band, so the
+    * labeling is reproducible under any partitioning.
+    *
+    * Scale shape: the tercile scan runs over (score, count) cells whose
+    * cardinality is bounded by the score DOMAIN (micros in [0, 10⁶]),
+    * never by corpus size — cells-before-windows again — and the two
+    * thresholds return to the documents as a broadcast 1-row join. */
+  def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.lmBigramScore(spark, dir)
+      .select("doc_id", "avg_micros")
+    val cells = scored.groupBy("avg_micros").agg(count(lit(1)).as("cnt"))
+    val cum = cells.withColumn("cum",
+      sum("cnt").over(Window.orderBy("avg_micros")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val nT = scored.agg(count(lit(1)).as("n"))
+    val th = cum.crossJoin(broadcast(nT)).agg(
+      min(when(col("cum") * 3 >= col("n"), col("avg_micros"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("avg_micros"))).as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("avg_micros"),
+        when(col("avg_micros") < col("t1"), lit("tail"))
+          .when(col("avg_micros") < col("t2"), lit("middle"))
+          .otherwise(lit("head")).as("band"))
+      .orderBy("doc_id")
+  }
+
+  private val perplexityFilterSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, avg_micros FROM (${TextAnalysis.lmBigramSql}) s
+       |), cells AS (
+       |  SELECT avg_micros, CAST(count(*) AS BIGINT) AS cnt FROM scored GROUP BY 1
+       |), cum AS (
+       |  SELECT avg_micros, sum(cnt) OVER (ORDER BY avg_micros
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cells
+       |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored
+       |), th AS (
+       |  SELECT min(CASE WHEN cum * 3 >= nt.n THEN avg_micros END) AS t1,
+       |         min(CASE WHEN cum * 3 >= 2 * nt.n THEN avg_micros END) AS t2
+       |  FROM cum CROSS JOIN nt
+       |)
+       |SELECT s.doc_id, s.avg_micros,
+       |       CASE WHEN s.avg_micros < th.t1 THEN 'tail'
+       |            WHEN s.avg_micros < th.t2 THEN 'middle'
+       |            ELSE 'head' END AS band
+       |FROM scored s CROSS JOIN th ORDER BY s.doc_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("perplexity_filter", perplexityFilterSql)(perplexityFilter),
     QueryDef.sql("html_extract", htmlExtractSql)(htmlExtract),
     QueryDef.sql("k_anonymity", kAnonymitySql)(kAnonymity),
     QueryDef.sql("shard_assign", shardAssignSql)(shardAssign),

@@ -653,7 +653,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private val lmBigramSql: String =
+  private[ops] val lmBigramSql: String =
     """WITH toksed AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
       |), uni AS (
