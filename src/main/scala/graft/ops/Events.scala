@@ -460,7 +460,7 @@ object Events {
        |ORDER BY user_id, ms, event_id""".stripMargin
   }
 
-  private val RateCap = 3
+  private[graft] val RateCap = 3 // shared with the streaming twin
 
   /** Per-user daily event cap — the rate limiter an event-ingest
     * curation applies before training on interaction data (a runaway
@@ -620,6 +620,20 @@ object Events {
       (s, d) => graft.streaming.Streams.runBoundedDebounce(s, d)),
     QueryDef.sql("ewma_smooth", ewmaSql)(ewmaSmooth),
     QueryDef.sql("rate_cap", rateCapSql)(rateCap),
+    // stateful streaming twin, same oracle (the stream_ewma convention)
+    QueryDef.sql("stream_rate_cap", rateCapSql)(
+      (s, d) => graft.streaming.Streams.runBoundedRateCap(s, d)),
+    // bounded-heap top-k in the state store; the window row_number SQL
+    // is the oracle (same ordering contract as group_topk_agg)
+    QueryDef.sql("stream_topk",
+      """SELECT event_type, rn, event_id, cents FROM (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS BIGINT) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedTopk(s, d)),
     // the stateful streaming twin shares the batch oracle: the bounded
     // run must reproduce the lag-chain result row-for-row
     QueryDef.sql("stream_ewma", ewmaSql)(

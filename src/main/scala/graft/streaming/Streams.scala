@@ -309,6 +309,96 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class RateCapOut(user_id: Long, day: Long, rn: Long, event_id: Long, ms: Long)
+  final case class RateCapState(kept: Long)
+
+  /** Stateful streaming twin of [[graft.ops.Events.rateCap]]: admit the
+    * first RateCap events per (user, day), then drop — the ingest-side
+    * rate limiter, enforced AT ARRIVAL instead of by a daily batch
+    * window. State is ONE long per user-day (events kept so far); a
+    * day key stops growing state the moment its cap fills, and
+    * production would add an event-time timeout to retire closed days
+    * (bounded verification runs don't need eviction). In-order contract
+    * as [[debounceStream]]: per-key event-time order across
+    * micro-batches (an admitted event is not revocable). Shares the
+    * batch query's oracle row-for-row. */
+  def rateCapStream(events: Dataset[Event]): Dataset[RateCapOut] = {
+    import events.sparkSession.implicits._
+    val cap = graft.ops.Events.RateCap
+    def update(key: (Long, Long), batch: Iterator[Event],
+        state: GroupState[RateCapState]): Iterator[RateCapOut] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var kept = state.getOption.map(_.kept).getOrElse(0L)
+      val out = sorted.flatMap { e =>
+        if (kept < cap) {
+          kept += 1L
+          Some(RateCapOut(key._1, key._2, kept, e.event_id, e.ts.getTime))
+        } else None
+      }
+      state.update(RateCapState(kept))
+      out.iterator
+    }
+    events.groupByKey(e => (e.user_id, e.ts.getTime / 86400000L))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  def runBoundedRateCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.tables.Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    runBounded(spark, "stream_rate_cap", rateCapStream(ev).toDF(),
+      OutputMode.Append(), Seq("user_id", "day", "rn"))
+  }
+
+  final case class TopkOut(event_type: String, rn: Long, event_id: Long, cents: Long)
+  final case class TopkState(items: List[(Long, Long)])
+
+  /** Stateful streaming top-k: per event type the state store carries
+    * the current k best (cents desc, event_id asc) events — the
+    * bounded-heap discipline of [[graft.ops.TopK.TopKAgg]] moved into
+    * `flatMapGroupsWithState`, O(k) state per key forever. Each batch
+    * folds its events into the heap and emits the refreshed ranking
+    * (per-batch replacement; on the bounded single-micro-batch
+    * verification runs that is exactly the final batch top-k, so the
+    * window row_number SQL gates it). Cents round with the same
+    * BigDecimal HALF_UP rule as [[ewmaStream]]. */
+  def topkStream(events: Dataset[Event], k: Int): Dataset[TopkOut] = {
+    import events.sparkSession.implicits._
+    def better(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def insert(items: List[(Long, Long)], v: (Long, Long)): List[(Long, Long)] =
+      if (items.sizeIs >= k && !better(v, items.last)) items
+      else {
+        val (hi, lo) = items.span(better(_, v))
+        (hi ::: v :: lo).take(k)
+      }
+    def update(key: String, batch: Iterator[Event],
+        state: GroupState[TopkState]): Iterator[TopkOut] = {
+      var items = state.getOption.map(_.items).getOrElse(Nil)
+      batch.foreach { e =>
+        val c = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        items = insert(items, (c, e.event_id))
+      }
+      state.update(TopkState(items))
+      items.iterator.zipWithIndex.map { case ((c, id), i) =>
+        TopkOut(key, i + 1L, id, c)
+      }
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  def runBoundedTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.tables.Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    runBounded(spark, "stream_topk", topkStream(ev, 3).toDF(),
+      OutputMode.Append(), Seq("event_type", "rn"))
+  }
+
   /** [[ewmaStream]] through the real engine over the bounded fixture —
     * oracle = the batch lag-chain SQL, which the stream must match
     * row-for-row. */

@@ -331,6 +331,58 @@ class StreamingSpec extends SparkSpec {
     } finally { query.stop(); spark.catalog.dropTempView("debounce_out"); () }
   }
 
+  test("rate-cap state counts kept events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.rateCapStream(input.toDS())
+      .writeStream.format("memory").queryName("ratecap_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def at(ms: Long) = new java.sql.Timestamp(ms)
+      // batch 1: two events on user 7's day 0 → rn 1, 2
+      input.addData(Event(1L, at(100L), 7L, "click", 1.0),
+        Event(2L, at(200L), 7L, "click", 1.0))
+      query.processAllAvailable()
+      // batch 2: two more same-day events. With carried state only ONE
+      // admits (rn 3 caps the day); a lost counter would admit both.
+      // A next-day event starts a fresh key at rn 1.
+      input.addData(Event(3L, at(300L), 7L, "click", 1.0),
+        Event(4L, at(400L), 7L, "click", 1.0),
+        Event(5L, at(86400000L + 1L), 7L, "click", 1.0))
+      query.processAllAvailable()
+      val got = spark.table("ratecap_out")
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("day"),
+          r.getAs[Long]("rn"))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 3L), (5L, 1L, 1L)),
+        s"expected the day-0 cap to close at event 3, got $got")
+    } finally { query.stop(); spark.catalog.dropTempView("ratecap_out"); () }
+  }
+
+  test("top-k heap state merges new batches and re-emits the refreshed ranking") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.topkStream(input.toDS(), 2)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def at(ms: Long) = new java.sql.Timestamp(ms)
+      input.addData(Event(1L, at(0L), 7L, "click", 5.0),
+        Event(2L, at(1L), 8L, "click", 3.0))
+      query.processAllAvailable()
+      // batch 2: a 4.0 displaces the 3.0 ONLY if the heap survived;
+      // batch 2's emission must be (5.0 rn1, 4.0 rn2)
+      input.addData(Event(3L, at(2L), 9L, "click", 4.0))
+      query.processAllAvailable()
+      val got = spark.table("topk_out")
+        .collect().map(r => (r.getAs[Long]("rn"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("cents"))).toSeq
+      val batch2 = got.drop(2)
+      assert(got.take(2) == Seq((1L, 1L, 500L), (2L, 2L, 300L)))
+      assert(batch2 == Seq((1L, 1L, 500L), (2L, 3L, 400L)),
+        s"expected the carried heap to rank 500 then 400 after batch 2, got $batch2")
+    } finally { query.stop(); spark.catalog.dropTempView("topk_out"); () }
+  }
+
   test("anomaly state: day ring + open day survive micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
