@@ -161,7 +161,10 @@ object ScaleProbe {
     "incremental_dedup", "market_basket", "ann_ivf_pq", "debounce_events",
     // round-15 scale-sensitive additions (passes 7-8 in PERF.md)
     "link_predict", "ann_refine", "wordpiece_encode", "stupid_backoff",
-    "train_shuffle")
+    "train_shuffle",
+    // round-16 scale-sensitive additions (pass 10 in PERF.md)
+    "louvain_move", "perplexity_filter", "calendar_gap_fill",
+    "gini_coefficient")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
