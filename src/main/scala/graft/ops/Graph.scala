@@ -918,6 +918,147 @@ object Graph {
        |       CAST((CAST(ec_tot AS HUGEINT) * 1000000) // m AS BIGINT) AS coverage_micros
        |FROM s""".stripMargin
 
+  /** orders subsample for the MST graph: the full mod-graph has ~11k
+    * distinct edges at sf0.01, which the oracle's one-edge-per-step
+    * Kruskal replay cannot afford; every 16th order keeps ~900 edges
+    * over ~370 nodes — several components, so the FOREST semantics are
+    * exercised too. */
+  private val MstMod = 16
+
+  /** Minimum spanning forest via distributed Borůvka (the classic
+    * parallel MST — Borůvka 1926 is the textbook distributed choice
+    * precisely because every component acts simultaneously, unlike
+    * Kruskal/Prim's sequential greedy): each round every component
+    * selects its minimum outgoing edge under the TOTAL order (w, u, v)
+    * — weight ties broken by endpoints, which makes the forest UNIQUE
+    * and therefore oracle-gateable — then components linked by chosen
+    * edges contract to one label. Deterministic integer weights 1..9,
+    * the [[ssspWeighted]] convention.
+    *
+    * Scale shape per round: edge⋈label equi-joins (node key, reused
+    * partitioning), one min-struct partial aggregate per component for
+    * the edge election, and the contraction runs min-label propagation
+    * on the COMPONENT graph — one row per component, never per node or
+    * edge; rounds are O(log n) because components at least halve.
+    * Per-round `localCheckpoint` + inline `Checkpoints.free` of every
+    * superseded table (the [[ssspOn]] discipline).
+    *
+    * The oracle replays Kruskal exactly (same total order, same unique
+    * forest) as a one-edge-per-step recursive CTE — result-definition
+    * mirroring, not algorithm mirroring: Borůvka and Kruskal provably
+    * agree on the unique MSF under a total edge order. */
+  def mstForest(spark: SparkSession, dir: String): DataFrame =
+    mstForestOn(Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % MstMod === 0)
+      .select((col("o_custkey") % 211L).as("src"), (col("o_orderkey") % 197L).as("dst"))
+      .filter(col("src") =!= col("dst")))
+
+  private[graft] def mstForestOn(edgesDf: DataFrame): DataFrame = {
+    val sym = symmetrize(edgesDf)
+    val und = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .withColumn("w", lit(1L) + (col("u") * 31L + col("v")) % 9L)
+      .localCheckpoint()
+    var comp = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    var forest: DataFrame = null
+    var round = 1
+    val maxRounds = 16 // components at least halve per round; 2^16 ≫ any fixture
+    var done = false
+    while (round <= maxRounds && !done) {
+      val lab = und
+        .join(comp.select(col("node").as("u"), col("label").as("cu")), "u")
+        .join(comp.select(col("node").as("v"), col("label").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint()
+      if (lab.isEmpty) { done = true; Checkpoints.free(lab) }
+      else {
+        // every component elects its min outgoing edge (total order)
+        val cand = lab.select(col("cu").as("c"),
+            struct(col("w"), col("u"), col("v")).as("k"))
+          .union(lab.select(col("cv").as("c"),
+            struct(col("w"), col("u"), col("v")).as("k")))
+        val chosen = cand.groupBy("c").agg(min("k").as("k"))
+          .select(col("k.u").as("u"), col("k.v").as("v"), col("k.w").as("w"))
+          .distinct()
+          .localCheckpoint()
+        val newForest = (if (forest == null) chosen
+          else forest.union(chosen)).distinct().localCheckpoint()
+        // contraction: min-label propagation on the component graph
+        // (≤ one row per component) until fixpoint — exact merge, so
+        // a stale label can never re-elect a cycle-closing edge
+        val pb = chosen.join(lab, Seq("u", "v", "w"))
+        val pairs = pb.select(col("cu").as("a"), col("cv").as("b"))
+          .union(pb.select(col("cv").as("a"), col("cu").as("b")))
+          .distinct()
+          .localCheckpoint()
+        var lm = comp.select(col("label")).distinct()
+          .select(col("label"), col("label").as("ml")).localCheckpoint()
+        var changed = true
+        while (changed) {
+          val nb = pairs.join(lm.select(col("label").as("b"), col("ml").as("mlb")), "b")
+            .groupBy(col("a").as("label")).agg(min("mlb").as("nbml"))
+          val next = lm.join(nb, Seq("label"), "left")
+            .select(col("label"),
+              least(col("ml"), coalesce(col("nbml"), col("ml"))).as("ml"))
+            .localCheckpoint()
+          changed = !next.join(lm.withColumnRenamed("ml", "old"), "label")
+            .filter(col("ml") =!= col("old")).isEmpty
+          Checkpoints.free(lm)
+          lm = next
+        }
+        val newComp = comp.join(lm, "label")
+          .select(col("node"), col("ml").as("label")).localCheckpoint()
+        Checkpoints.free(lm)
+        Checkpoints.free(pairs)
+        Checkpoints.free(lab)
+        Checkpoints.free(chosen)
+        if (forest != null) Checkpoints.free(forest)
+        Checkpoints.free(comp)
+        forest = newForest
+        comp = newComp
+      }
+      round += 1
+    }
+    Checkpoints.free(comp)
+    val res = if (forest == null) und.limit(0).select("u", "v", "w")
+      else forest.select("u", "v", "w").orderBy("w", "u", "v").localCheckpoint()
+    if (forest != null) Checkpoints.free(forest)
+    Checkpoints.free(und)
+    res
+  }
+
+  private val mstSql: String =
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst FROM orders
+       |  WHERE (o_custkey % 211) <> (o_orderkey % 197)
+       |    AND o_orderkey % $MstMod = 0
+       |), e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+       |ranked AS MATERIALIZED (
+       |  SELECT u, v, w, row_number() OVER (ORDER BY w, u, v) AS r FROM (
+       |    SELECT u, v, 1 + (u * 31 + v) % 9 AS w FROM (
+       |      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e))
+       |), ne AS MATERIALIZED (SELECT count(*) AS n FROM ranked),
+       |kr AS (
+       |  SELECT 0 AS step, src AS node, src AS label FROM (SELECT DISTINCT src FROM e)
+       |  UNION ALL
+       |  SELECT step + 1, node,
+       |         CASE WHEN lu <> lv AND label = lv THEN lu ELSE label END AS label
+       |  FROM (
+       |    SELECT k.step, k.node, k.label,
+       |           max(CASE WHEN k.node = e2.u THEN k.label END) OVER () AS lu,
+       |           max(CASE WHEN k.node = e2.v THEN k.label END) OVER () AS lv
+       |    FROM kr k JOIN ranked e2 ON e2.r = k.step + 1
+       |  ) WHERE step < (SELECT n FROM ne)
+       |)
+       |SELECT CAST(e3.u AS BIGINT) AS u, CAST(e3.v AS BIGINT) AS v,
+       |       CAST(e3.w AS BIGINT) AS w
+       |FROM ranked e3
+       |JOIN kr ku ON ku.step = e3.r - 1 AND ku.node = e3.u
+       |JOIN kr kv ON kv.step = e3.r - 1 AND kv.node = e3.v
+       |WHERE ku.label <> kv.label
+       |ORDER BY w, u, v""".stripMargin
+
   /** One synchronous Louvain move sweep (Blondel et al. 2008, phase-1
     * step) refining the [[lpaCommunities]] partition: every node
     * simultaneously evaluates moving to each NEIGHBOR community and
@@ -1367,5 +1508,6 @@ object Graph {
     QueryDef.sql("hits_scores", hitsSql)(hitsScores),
     QueryDef.sql("graph_modularity", modularitySql)(graphModularity),
     QueryDef.sql("louvain_move", louvainSql)(louvainMove),
+    QueryDef.sql("mst_forest", mstSql)(mstForest),
   )
 }

@@ -371,6 +371,38 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1L, 18L), (2L, 1L, 2L, 2L), (4L, 3L, 4L, 16L)))
   }
 
+  /** driver-side Kruskal with the operator's weight function and total
+    * order — the textbook union-find form Borůvka must agree with
+    * (unique MSF under a total edge order). */
+  private def mstReference(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    val wt = edges.filter(e => e._1 != e._2)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      .map { case (u, v) => (u, v, 1L + (u * 31L + v) % 9L) }
+      .sortBy(t => (t._3, t._1, t._2))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    wt.flatMap { case (u, v, w) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+    }.sortBy(t => (t._3, t._1, t._2))
+  }
+
+  test("boruvka forest equals driver-side kruskal on toy graphs, incl. disconnected") {
+    // two components: a triangle-with-tail and a separate square →
+    // forest size must be n_nodes − n_components = 8 − 2 = 6
+    val twoComp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    for (g <- Seq(toyEdges, k4Pendant, twoComp)) {
+      val got = Graph.mstForestOn(g.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == mstReference(g), s"forest mismatch on $g")
+    }
+    assert(mstReference(twoComp).size == 6)
+  }
+
   test("no graph walk leaves CacheManager entries behind (storage hygiene)") {
     // Round-13 verdict #1: pageRankOn/triangleCountOn leaked their
     // .cache()s into the rest of the bench run. The family convention is
@@ -402,6 +434,7 @@ class GraphSpec extends SparkSpec {
       ("hits", 1, () => { Graph.hitsOn(e, 2).collect(); () }),
       ("modularity", 1, () => { Graph.modularityOn(e, 2).collect(); () }),
       ("louvain", 1, () => { Graph.louvainMoveOn(e, 2).collect(); () }),
+      ("mst", 1, () => { Graph.mstForestOn(e).collect(); () }),
       ("link_predict", 2, () => { Graph.linkPredictOn(k4Pendant.toDF("u", "v")).collect(); () }))
     walks.foreach { case (name, allowance, run) =>
       val rddsBefore = spark.sparkContext.getPersistentRDDs.size
