@@ -653,6 +653,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Zipf rank-frequency profile of the corpus vocabulary — the
+    * diagnostic behind "is this corpus natural text or template spam?"
+    * (natural language follows freq ∝ 1/rank; machine-generated or
+    * boilerplate-heavy corpora visibly don't): terms ranked by
+    * (count desc, term) and bucketed by power-of-two rank octave, one
+    * row per octave with term count, frequency mass, and the exact
+    * Σ count·rank composite (constant per octave under perfect Zipf).
+    *
+    * Exactness: the octave is the BIT LENGTH of the rank
+    * (length(bin(rank)) − 1) — floor(log2(x)) via libm is not
+    * hash-gateable (log(x)/log(2) misrounds at exact powers of two;
+    * the token_diversity lesson again); the binary-string length is
+    * integer-exact on both engines.
+    *
+    * Scale shape: cells-before-windows — the global rank runs over
+    * (term, count) VOCABULARY-sized cells (the inverted_index/
+    * vocab_coverage posture), never over tokens; buckets then partial-
+    * aggregate ~30 octave rows. */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val uni = unigramCounts(Tables.documents(spark, dir))
+    uni
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("t"))).cast("long"))
+      .withColumn("bucket", (length(bin(col("rank"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum("c").as("sum_cnt"),
+        min("c").as("min_cnt"),
+        max("c").as("max_cnt"),
+        expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * rank) AS BIGINT)").as("rank_weighted"))
+      .orderBy("bucket")
+  }
+
+  private val zipfSql: String =
+    """WITH toksed AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
+      |), uni AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(w) AS t FROM toksed) GROUP BY t
+      |), ranked AS (
+      |  SELECT t, c, CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS rank
+      |  FROM uni
+      |), b AS (
+      |  SELECT c, rank, CAST(length(bin(rank)) - 1 AS BIGINT) AS bucket FROM ranked
+      |)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_terms,
+      |       CAST(sum(c) AS BIGINT) AS sum_cnt,
+      |       CAST(min(c) AS BIGINT) AS min_cnt,
+      |       CAST(max(c) AS BIGINT) AS max_cnt,
+      |       CAST(sum(CAST(c AS HUGEINT) * rank) AS BIGINT) AS rank_weighted
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   private[ops] val lmBigramSql: String =
     """WITH toksed AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
@@ -1242,6 +1296,7 @@ object TextAnalysis {
     QueryDef.sql("bpe_encode", bpeEncodeSql)(bpeEncode),
     QueryDef.sql("bpe_train", bpeTrainSql)(bpeTrain),
     QueryDef.sql("vocab_coverage", vocabCoverageSql)(vocabCoverage),
+    QueryDef.sql("zipf_profile", zipfSql)(zipfProfile),
     QueryDef.sql("inverted_index", invertedIndexSql)(invertedIndex),
     QueryDef.sql("bigram_lift", bigramLiftSql)(bigramLift),
     QueryDef.sql("lm_bigram_score", lmBigramSql)(lmBigramScore),
