@@ -719,6 +719,85 @@ object Similarity {
          |  FROM terms GROUP BY query_id, neighbor_id
          |)""".stripMargin
 
+  /** RRF constant from Cormack et al.'s original formulation — large
+    * enough that a rank-1 hit in one retriever cannot be outvoted by a
+    * mid-list hit in the other. */
+  private val RrfK = 60L
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the SPARSE ranking
+    * ([[TextAnalysis.bm25Search]]'s top-10 over the fixed query terms)
+    * with a DENSE ranking (cosine of vec 0's embedding against the rest
+    * of the corpus, top-10) — the standard two-retriever merge that
+    * needs no score calibration because it consumes only RANKS:
+    * rrf(d) = Σ_r 1/(k + rank_r(d)), k = 60, summed over the
+    * retrievers that returned d.
+    *
+    * Scale shape: each retriever already ends in a bounded top-N
+    * (TakeOrderedAndProject / per-query heaps), so the fusion joins two
+    * ≤N-row frames — a full-outer join of constants, independent of
+    * corpus size; the single-partition rank windows run over those ≤N
+    * rows, never the corpus. In the multi-query form the windows and
+    * join gain a query_id partition key and nothing else changes.
+    *
+    * Determinism: ranks are exact row_numbers with doc_id tiebreaks
+    * (both retrievers' score columns are already 6dp-rounded), each
+    * reciprocal ships as integral MICROS 10⁶ div (60 + rank), and the
+    * fused sum orders with a doc_id tiebreak before the final cut. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val topN = TextAnalysis.Bm25TopN
+    val sw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val sparse = TextAnalysis.bm25Search(spark, dir)
+      .withColumn("bm25_rank", row_number().over(sw).cast("long"))
+      .select("doc_id", "bm25_rank")
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = base.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val dw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("doc_id"))
+    val dense = base.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
+      .withColumn("dense_rank", row_number().over(dw).cast("long"))
+      .filter(col("dense_rank") <= topN)
+      .select("doc_id", "dense_rank")
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("dense_rank"),
+        (coalesce(expr(s"1000000 div ($RrfK + bm25_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + dense_rank)"), lit(0L))).as("rrf_micros"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  private val rrfSql: String = {
+    val topN = TextAnalysis.Bm25TopN
+    s"""WITH sparse AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |           AS bm25_rank
+       |  FROM (${TextAnalysis.bm25Sql}) s
+       |), q AS (
+       |  SELECT embedding FROM embeddings WHERE vec_id = 0
+       |), dense0 AS (
+       |  SELECT b.vec_id AS doc_id, $cosineSql AS sim
+       |  FROM embeddings b CROSS JOIN q
+       |  WHERE b.vec_id <> 0
+       |), dense AS (
+       |  SELECT doc_id, dense_rank FROM (
+       |    SELECT doc_id,
+       |           CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+       |             AS dense_rank
+       |    FROM dense0)
+       |  WHERE dense_rank <= $topN
+       |)
+       |SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, s.bm25_rank, d.dense_rank,
+       |       coalesce(1000000 // ($RrfK + s.bm25_rank), 0) +
+       |       coalesce(1000000 // ($RrfK + d.dense_rank), 0) AS rrf_micros
+       |FROM sparse s FULL OUTER JOIN dense d ON d.doc_id = s.doc_id
+       |ORDER BY rrf_micros DESC, doc_id
+       |LIMIT $topN""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("ann_bruteforce",
       s"""WITH pairs AS (
@@ -928,5 +1007,6 @@ object Similarity {
          |SELECT c.vec_id, (d.vec_id IS NOT NULL) AS pruned
          |FROM corpus c LEFT JOIN dups d USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin)(knnDiversityPrune),
+    QueryDef.sql("rrf_fusion", rrfSql)(rrfFusion),
   )
 }

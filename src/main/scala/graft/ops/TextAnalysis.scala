@@ -417,7 +417,7 @@ object TextAnalysis {
   private val B         = 0.75
   private val K1p1      = K1 + 1.0
   private val OneMinusB = 1.0 - B
-  private val Bm25TopN  = 10
+  private[ops] val Bm25TopN  = 10
 
   private def dec(d: Double): String = new java.math.BigDecimal(d).toPlainString
 
@@ -458,7 +458,7 @@ object TextAnalysis {
       .limit(Bm25TopN)
   }
 
-  private val bm25Sql: String = {
+  private[ops] val bm25Sql: String = {
     val tfExprs = Bm25Terms.indices.map(i =>
       s"CAST(len(list_filter(string_split(text, ' '), t -> t = '${Bm25Terms(i)}')) AS BIGINT) AS tf_$i")
       .mkString(",\n    ")

@@ -286,4 +286,35 @@ class SimilaritySpec extends SparkSpec {
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     assert(Similarity.knnGraph(spark, sfDir).select("query_id").distinct().count() == nVecs)
   }
+
+  test("rrf_fusion: fused micros replay exactly from the two retrievers' ranks") {
+    import graft.ops.TextAnalysis
+    val rows = Similarity.rrfFusion(spark, sfDir).collect()
+    // the fused cut matches the retrievers' top-N (Bm25TopN, pkg-private)
+    val bm25Rows = TextAnalysis.bm25Search(spark, sfDir).collect()
+    assert(rows.length == bm25Rows.length)
+
+    // 1. each row's score is the literal RRF formula over its own ranks
+    def contrib(rank: Any): Long = rank match {
+      case null    => 0L
+      case r: Long => 1000000L / (60L + r)
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) == contrib(r.get(1)) + contrib(r.get(2)),
+        s"row $r is not 1e6 div (60+rank) summed over present ranks")
+      assert(r.get(1) != null || r.get(2) != null, s"row $r in neither retriever")
+    }
+
+    // 2. ordering is (rrf desc, doc_id asc) — no hidden reshuffle
+    val scores = rows.map(r => (-r.getLong(3), r.getLong(0))).toSeq
+    assert(scores == scores.sorted, "fusion output not in (rrf desc, doc_id) order")
+
+    // 3. the sparse ranks replay the actual bm25 top-N ordering
+    val bm25 = bm25Rows
+      .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    rows.filter(_.get(1) != null).foreach { r =>
+      assert(bm25.get(r.getLong(0)).contains(r.getLong(1)),
+        s"doc ${r.getLong(0)}: fused bm25_rank ${r.get(1)} != retriever's ${bm25.get(r.getLong(0))}")
+    }
+  }
 }
