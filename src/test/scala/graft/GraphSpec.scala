@@ -403,6 +403,33 @@ class GraphSpec extends SparkSpec {
     assert(mstReference(twoComp).size == 6)
   }
 
+  test("double-sweep pseudo-diameter recovers the true diameter of a path from a central start") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    // start mid-path: sweep 1's eccentricity is only 2, but its argmax
+    // (node 1 — dist ties at {1, 5}, min-node tiebreak) seeds sweep 2,
+    // which finds the true diameter 4. The heuristic's whole point.
+    val rows = Graph.graphDiameterOn(spark, path, 3L, 4).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 3L, 1L, 2L), (2L, 1L, 5L, 4L)))
+  }
+
+  test("assortativity is exactly -1 on a star, NULL on the degree-regular K4") {
+    // star K1,3 around node 9: every edge pairs the deg-3 hub with a
+    // deg-1 leaf -> perfect disassortativity. Hand sums over the 6
+    // directed pairs: m=6, sx=12, sxx=30, sxy=18 ->
+    // num = 6*18 - 144 = -36, den = 6*30 - 144 = 36, r = -1.
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    val s = Graph.assortativityOn(star).collect().head
+    assert(s.getLong(0) == 6L && s.getLong(1) == 12L)
+    assert(s.getString(2) == "30" && s.getString(3) == "18")
+    assert(s.getString(4) == "-36" && s.getString(5) == "36")
+    assert(s.getLong(6) == -1000000L)
+
+    // K4 is 3-regular: zero degree variance, r undefined -> NULL
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.assortativityOn(k4).collect().head.isNullAt(6))
+  }
+
   test("no graph walk leaves CacheManager entries behind (storage hygiene)") {
     // Round-13 verdict #1: pageRankOn/triangleCountOn leaked their
     // .cache()s into the rest of the bench run. The family convention is
@@ -435,6 +462,8 @@ class GraphSpec extends SparkSpec {
       ("modularity", 1, () => { Graph.modularityOn(e, 2).collect(); () }),
       ("louvain", 1, () => { Graph.louvainMoveOn(e, 2).collect(); () }),
       ("mst", 1, () => { Graph.mstForestOn(e).collect(); () }),
+      ("diameter", 0, () => { Graph.graphDiameterOn(spark, e, 1L, 3).collect(); () }),
+      ("assortativity", 1, () => { Graph.assortativityOn(e).collect(); () }),
       ("link_predict", 2, () => { Graph.linkPredictOn(k4Pendant.toDF("u", "v")).collect(); () }))
     walks.foreach { case (name, allowance, run) =>
       val rddsBefore = spark.sparkContext.getPersistentRDDs.size
