@@ -111,12 +111,15 @@ object Graph {
       .orderBy("node")
   }
 
-  private val pageRankSql: String = {
-    val base =
-      """WITH edges AS (
-        |  SELECT DISTINCT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst
-        |  FROM orders WHERE (o_custkey % 211) <> (o_orderkey % 197)
-        |), nodes AS (
+  /** `nodes`/`nn`/`deg`/`r0` prep + `r1..r{Iters}` chained PageRank CTE
+    * rounds over a caller-supplied `edges` CTE — shared by the pagerank
+    * oracle and `textrank_keywords` (whose node keys are WORDS, not
+    * ids: the iteration arithmetic never touches the key type, only
+    * joins on it). Replays [[pageRankOn]]'s exact-nanos contribution
+    * sums and 9dp per-round re-round. */
+  private[ops] val pageRankIterCtes: String = {
+    val prep =
+      """nodes AS (
         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
         |), nn AS (SELECT count(*) AS n FROM nodes),
         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
@@ -133,12 +136,21 @@ object Graph {
          |    JOIN deg ON e.src = deg.src GROUP BY e.dst
          |  ) c ON x.node = c.node)""".stripMargin
     }.mkString(",\n")
-    s"""$base,
-       |$iters
-       |SELECT f.node, CAST(coalesce(deg.d, 0) AS BIGINT) AS out_deg, f.r AS rank
-       |FROM r$Iters f LEFT JOIN deg ON f.node = deg.src
-       |ORDER BY f.node""".stripMargin
+    s"$prep,\n$iters"
   }
+
+  /** name of the final PageRank round CTE in [[pageRankIterCtes]]. */
+  private[ops] val pageRankFinalCte: String = s"r$Iters"
+
+  private val pageRankSql: String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst
+       |  FROM orders WHERE (o_custkey % 211) <> (o_orderkey % 197)
+       |),
+       |$pageRankIterCtes
+       |SELECT f.node, CAST(coalesce(deg.d, 0) AS BIGINT) AS out_deg, f.r AS rank
+       |FROM $pageRankFinalCte f LEFT JOIN deg ON f.node = deg.src
+       |ORDER BY f.node""".stripMargin
 
   /** seed-set cutoff for [[personalizedPagerank]]: nodes below this id
     * form the trusted seed set. */

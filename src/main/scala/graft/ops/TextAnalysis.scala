@@ -707,6 +707,54 @@ object TextAnalysis {
       |       CAST(sum(CAST(c AS HUGEINT) * rank) AS BIGINT) AS rank_weighted
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** TextRank keyword extraction (Mihalcea–Tarau 2004): PageRank over
+    * the word co-occurrence graph — nodes are corpus terms, an
+    * undirected edge connects each ADJACENT token pair — and the top-20
+    * terms by rank are the corpus keywords. The graph centrality form
+    * of "important term", complementing tf-idf's frequency form.
+    *
+    * Scale shape: the corpus collapses to DISTINCT bigram pairs
+    * (vocabulary-bounded, never corpus-sized) before any iteration;
+    * [[Graph.pageRankOn]] then runs wholly on that dictionary graph —
+    * the corpus is scanned exactly once, every iterative join is
+    * vocabulary-sized. Node keys stay the word STRINGS (the iteration
+    * only ever joins on the key, never does arithmetic with it), so no
+    * string-indexing window is needed. Determinism is pageRankOn's
+    * contract (exact-nanos contribution sums, 9dp re-round per round);
+    * the final cut is a TakeOrdered (rank desc, term). */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.wordBigramsCol(col("text"))).as("b"))
+      .distinct()
+      .select(substring_index(col("b"), " ", 1).as("src"),
+        substring_index(col("b"), " ", -1).as("dst"))
+    // undirected co-occurrence: feed both directions; pageRankOn's
+    // simple-graph normalization drops self-loops and re-dedups
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRankOn(edges)
+      .orderBy(desc("rank"), col("node"))
+      .limit(20)
+      .select(col("node").as("term"), col("out_deg"), col("rank"))
+  }
+
+  private val textrankSql: String =
+    s"""WITH toksed AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
+       |), bg AS (
+       |  SELECT DISTINCT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+       |  FROM toksed WHERE len(w) >= 2
+       |), p0 AS (
+       |  SELECT string_split(b, ' ')[1] AS src, string_split(b, ' ')[2] AS dst FROM bg
+       |), edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM p0 UNION ALL SELECT dst, src FROM p0)
+       |  WHERE src <> dst
+       |),
+       |${Graph.pageRankIterCtes}
+       |SELECT f.node AS term, CAST(coalesce(deg.d, 0) AS BIGINT) AS out_deg, f.r AS rank
+       |FROM ${Graph.pageRankFinalCte} f LEFT JOIN deg ON f.node = deg.src
+       |ORDER BY rank DESC, term LIMIT 20""".stripMargin
+
   private[ops] val lmBigramSql: String =
     """WITH toksed AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
@@ -1379,6 +1427,7 @@ object TextAnalysis {
     QueryDef.sql("unigram_score", unigramScoreSql)(unigramScore),
     QueryDef.sql("wordpiece_encode", wordpieceSql)(wordpieceEncode),
     QueryDef.sql("stupid_backoff", stupidBackoffSql)(stupidBackoff),
+    QueryDef.sql("textrank_keywords", textrankSql)(textrankKeywords),
     QueryDef.sql("feature_hash",
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t

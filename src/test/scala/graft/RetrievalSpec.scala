@@ -184,4 +184,27 @@ class RetrievalSpec extends SparkSpec {
       .agg(new TextAnalysis.PostingsAgg(10).toColumn.name("p"))
       .collect().head._2 == Seq(3L, 9L))
   }
+
+  test("textrank is exactly pagerank over the driver-replayed co-occurrence edges") {
+    import graft.ops.Graph
+    import org.apache.spark.sql.functions.{col, desc}
+    import spark.implicits._
+    // the op's only new logic is edge construction: rebuild the distinct
+    // symmetric adjacent-pair set driver-side from the raw fixture text
+    // and assert the op equals pageRankOn fed those edges
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val pairs = texts.flatMap { t =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.zip(w.drop(1))
+    }.distinct
+    val edges = (pairs ++ pairs.map(_.swap)).distinct.toSeq.toDF("src", "dst")
+    val expect = Graph.pageRankOn(edges)
+      .orderBy(desc("rank"), col("node")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = TextAnalysis.textrankKeywords(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+    assert(got.size == 20 && got.map(_._1).distinct.size == 20)
+  }
 }
