@@ -51,6 +51,13 @@ object Stats {
     val cells = ev.groupBy("v").agg(
       sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
       sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"))
+    cumulateCells(cells)
+  }
+
+  /** The distributed two-sample cumulation behind [[pooledCum]], over
+    * ANY (v, na, nb) cell table — also feeds [[rocAuc]], whose cells
+    * come from per-doc scores instead of event values. */
+  private def cumulateCells(cells: DataFrame): (DataFrame, Long, Long) = {
     val parted = cells
       .repartitionByRange(ScanPartitions, col("v"))
       .sortWithinPartitions("v")
@@ -715,6 +722,162 @@ object Stats {
       |       END AS f_micros
       |FROM c""".stripMargin
 
+  /** ROC AUC of the cheap bigram-LM quality score
+    * ([[TextAnalysis.lmBigramScore]]'s per-doc `avg_micros`) as a
+    * predictor of the rule-based keep label
+    * ([[Curation.qualityClassifier]]) — the model-evaluation op a
+    * pipeline runs before swapping a trained filter in for a heuristic
+    * one. AUC is the Mann–Whitney U statistic normalized by n·m, so it
+    * rides the [[mannWhitney]] doubled-U identity for exact tie
+    * half-credits: 2·U = Σ_cells n_pos(s)·(2·cum_neg(s) − n_neg(s)),
+    * and AUC ships as exact integral micros (2U·10⁶) div (2·n·m).
+    *
+    * Scale shape: both inputs are per-doc maps (the LM score's only
+    * corpus pass is its own word scan); the label attach is one
+    * doc-keyed equi-join; everything after is (distinct score)-sized
+    * cells cumulated with the per-range-partition offset scan
+    * ([[cumulateCells]]) — no global-order window ever touches rows. */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextAnalysis.lmBigramScore(spark, dir).select("doc_id", "avg_micros")
+    val label = Curation.qualityClassifier(spark, dir).select("doc_id", "keep")
+    val (cum, n, m) = cumulateCells(aucCells(score.join(label, "doc_id")))
+    cum
+      .agg(sum(col("na").cast("decimal(38,0)") *
+        (lit(2L) * col("cb").cast("decimal(38,0)") - col("nb"))).as("u2_dec"))
+      .select(
+        lit(n).as("n_pos"), lit(m).as("n_neg"),
+        toLongChecked(col("u2_dec"), "roc_auc u2").as("u2"),
+        expr(s"CAST((u2_dec * 1000000) div (CAST($n AS DECIMAL(38,0)) * 2 * $m) AS BIGINT)")
+          .as("auc_micros"))
+  }
+
+  /** (score, n_pos, n_neg) cells from a joined (avg_micros, keep)
+    * frame — shared by [[rocAuc]] and [[isotonicCalibrate]]. */
+  private def aucCells(joined: DataFrame): DataFrame =
+    joined
+      .groupBy(col("avg_micros").as("v"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("nb"))
+
+  /** shared oracle CTEs: the lm score subquery joined to the replayed
+    * quality-classifier margin, reduced to (v, na, nb) score cells. */
+  private val aucCellsSql: String =
+    s"""f AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS na_,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |         t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS ns
+       |  FROM documents
+       |), j AS (
+       |  SELECT s.avg_micros AS v,
+       |         (8 * f.na_ - 6 * (f.nc - f.na_) + 40 * f.ns + 2 * f.nt - 1200) > 0 AS keep
+       |  FROM (${TextAnalysis.lmBigramSql}) s JOIN f USING (doc_id)
+       |), cells AS (
+       |  SELECT v, sum(CASE WHEN keep THEN 1 ELSE 0 END) AS na,
+       |            sum(CASE WHEN keep THEN 0 ELSE 1 END) AS nb
+       |  FROM j GROUP BY v
+       |)""".stripMargin
+
+  private val rocAucSql: String =
+    s"""WITH $aucCellsSql,
+       |cum AS (
+       |  SELECT na, nb, sum(nb) OVER (ORDER BY v) AS cb FROM cells
+       |), tot AS (
+       |  SELECT sum(na) AS n, sum(nb) AS m FROM cells
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_pos, CAST(m AS BIGINT) AS n_neg,
+       |       CAST(sum(na * (2 * cb - nb)) AS BIGINT) AS u2,
+       |       CAST((CAST(sum(na * (2 * cb - nb)) AS HUGEINT) * 1000000)
+       |            // (CAST(2 * n AS HUGEINT) * m) AS BIGINT) AS auc_micros
+       |FROM cum CROSS JOIN tot GROUP BY n, m""".stripMargin
+
+  /** calibration bin count for [[isotonicCalibrate]]: the observed
+    * score range splits into this many equal-width integer bins, so the
+    * grid is ALWAYS ≤32 cells no matter how the corpus's score
+    * distribution concentrates (a fixed absolute width left every
+    * fixture score in one bin — LM mean-probability micros cluster in a
+    * ~10⁴-wide band of the 10⁶ range). */
+  private val IsoBins = 32L
+
+  /** Isotonic calibration (pool-adjacent-violators) of the bigram-LM
+    * quality score against the keep label — the calibration step that
+    * turns a raw ranking score into a monotone P(keep | score) curve
+    * before it gates a corpus. Scores land in ≤[[IsoBins]] equal-width
+    * integer bins over the observed score range (range endpoints are
+    * exact integer aggregates, so the binning is deterministic);
+    * the isotonic fit is computed via the MINIMAX characterization
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} avg(pos over bins j..k)
+    * with every interval average quantized to integral micros. Because
+    * floor-to-micros is monotone and min/max commute with monotone
+    * maps EXACTLY, this equals PAV's exact-rational fit quantized to
+    * micros — bit-stable on both engines with no sequential pooling
+    * loop anywhere (`StatsSpec` proves equality against a driver-side
+    * rational PAV).
+    *
+    * Scale shape: the corpus-sized work is the score+label join it
+    * shares with [[rocAuc]]; after the bin collapse EVERYTHING is
+    * bounded by the fixed 21-bin grid (≤231 intervals, ≤4.6k minimax
+    * terms) regardless of corpus size. */
+  def isotonicCalibrate(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextAnalysis.lmBigramScore(spark, dir).select("doc_id", "avg_micros")
+    val label = Curation.qualityClassifier(spark, dir).select("doc_id", "keep")
+    val joined = score.join(label, "doc_id")
+    val range = joined.agg(min("avg_micros").as("lo"), max("avg_micros").as("hi"))
+    val cells = joined.crossJoin(broadcast(range))
+      .groupBy(expr(s"((avg_micros - lo) * $IsoBins) div (hi - lo + 1)").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("pos"))
+      .localCheckpoint() // bin-grid-sized; feeds intervals, minimax, and the output attach
+    val ivals = cells.select(col("bucket").as("j"))
+      .crossJoin(cells.select(col("bucket").as("k")))
+      .filter(col("j") <= col("k"))
+      .join(cells, col("bucket").between(col("j"), col("k")))
+      .groupBy("j", "k")
+      .agg(expr("CAST((CAST(sum(pos) AS DECIMAL(38,0)) * 1000000) div sum(n) AS BIGINT)")
+        .as("avgq"))
+    val iso = ivals
+      .join(cells.select(col("bucket").as("i")),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("i", "j").agg(min("avgq").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso_micros"))
+    cells.join(iso, cells("bucket") === iso("i"))
+      .select(col("bucket"), col("n"), col("pos"),
+        expr("CAST((CAST(pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)").as("raw_micros"),
+        col("iso_micros"))
+      .orderBy("bucket")
+  }
+
+  private val isotonicSql: String =
+    s"""WITH $aucCellsSql,
+       |rng AS (
+       |  SELECT min(v) AS lo, max(v) AS hi FROM cells
+       |), bins AS (
+       |  SELECT ((v - lo) * $IsoBins) // (hi - lo + 1) AS bucket,
+       |         CAST(sum(na + nb) AS BIGINT) AS n,
+       |         CAST(sum(na) AS BIGINT) AS pos
+       |  FROM cells CROSS JOIN rng GROUP BY bucket
+       |), ivals AS (
+       |  SELECT b1.bucket AS j, b2.bucket AS k,
+       |         CAST((CAST(sum(c.pos) AS HUGEINT) * 1000000) // sum(c.n) AS BIGINT) AS avgq
+       |  FROM bins b1 JOIN bins b2 ON b1.bucket <= b2.bucket
+       |  JOIN bins c ON c.bucket BETWEEN b1.bucket AND b2.bucket
+       |  GROUP BY j, k
+       |), mink AS (
+       |  SELECT i.bucket AS i, v.j, min(avgq) AS mn
+       |  FROM ivals v JOIN bins i ON v.j <= i.bucket AND i.bucket <= v.k
+       |  GROUP BY i.bucket, v.j
+       |), iso AS (
+       |  SELECT i, CAST(max(mn) AS BIGINT) AS iso_micros FROM mink GROUP BY i
+       |)
+       |SELECT b.bucket, b.n, b.pos,
+       |       CAST((CAST(b.pos AS HUGEINT) * 1000000) // b.n AS BIGINT) AS raw_micros,
+       |       iso.iso_micros
+       |FROM bins b JOIN iso ON iso.i = b.bucket
+       |ORDER BY b.bucket""".stripMargin
+
   /** Rolling robust anomaly detection over each event type's daily
     * volume series — the day-granular alarm beside [[changepointCusum]]
     * (which finds ONE level shift; this flags individual outlier days
@@ -998,6 +1161,8 @@ object Stats {
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
     QueryDef.sql("anova_f", anovaFSql)(anovaF),
+    QueryDef.sql("roc_auc", rocAucSql)(rocAuc),
+    QueryDef.sql("isotonic_calibrate", isotonicSql)(isotonicCalibrate),
     QueryDef.sql("volume_trend", volumeTrendSql)(volumeTrend),
     QueryDef.sql("anomaly_mad", anomalyMadSql)(anomalyMad),
     // stateful streaming twin: emits one verdict per CLOSED day, i.e.

@@ -356,4 +356,77 @@ class StatsSpec extends SparkSpec {
     // rational is symmetric under (a,b) exchange up to D's sign
     assert(got.getAs[Long]("t2_micros") >= 0L)
   }
+
+  /** (score, keep) per doc at sf0.001, rebuilt driver-side from the two
+    * feeding operators — the ground truth for roc_auc/isotonic. */
+  private def scoredLabels(): Seq[(Long, Boolean)] = {
+    val score = graft.ops.TextAnalysis.lmBigramScore(spark, sfDir)
+      .select("doc_id", "avg_micros").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.Curation.qualityClassifier(spark, sfDir)
+      .select("doc_id", "keep").collect()
+      .map(r => (score(r.getLong(0)), r.getBoolean(1))).toSeq
+  }
+
+  test("roc_auc equals the brute-force all-pairs AUC with half-credit ties") {
+    val data = scoredLabels()
+    val pos  = data.filter(_._2).map(_._1)
+    val neg  = data.filterNot(_._2).map(_._1)
+    // 2·U = Σ over (p,n) pairs of 2·[p>n] + 1·[p=n]
+    val u2 = pos.iterator.map { p =>
+      neg.iterator.map { n => if (p > n) 2L else if (p == n) 1L else 0L }.sum
+    }.sum
+    val row = Stats.rocAuc(spark, sfDir).collect().head
+    assert(row.getLong(0) == pos.size.toLong && row.getLong(1) == neg.size.toLong)
+    assert(row.getLong(2) == u2, s"doubled U ${row.getLong(2)} vs brute-force $u2")
+    assert(row.getLong(3) ==
+      (BigInt(u2) * 1000000 / (BigInt(2) * pos.size * neg.size)).toLong)
+  }
+
+  test("isotonic_calibrate equals exact-rational PAV quantized to micros, and is monotone") {
+    val data = scoredLabels()
+    val lo   = data.map(_._1).min
+    val hi   = data.map(_._1).max
+    val byBin = data.groupBy { case (s, _) => (s - lo) * 32 / (hi - lo + 1) }
+    val buckets = byBin.keys.toSeq.sorted
+    // classic driver-side PAV over (n, pos) rationals
+    case class Block(n: BigInt, p: BigInt)
+    var blocks = List.empty[Block] // reversed order
+    for (b <- buckets) {
+      val rows = byBin(b)
+      var cur = Block(rows.size, rows.count(_._2))
+      // pool while the previous block's average is >= the current's
+      while (blocks.nonEmpty && blocks.head.p * cur.n >= cur.p * blocks.head.n) {
+        cur = Block(blocks.head.n + cur.n, blocks.head.p + cur.p)
+        blocks = blocks.tail
+      }
+      blocks = cur :: blocks
+    }
+    val pav: Map[Long, BigInt] = {
+      val ordered = blocks.reverse
+      // expand each block over the buckets it pooled: replay by sizes
+      var remaining = buckets.toList
+      ordered.flatMap { blk =>
+        var n = blk.n
+        val mine = scala.collection.mutable.ListBuffer.empty[Long]
+        while (n > 0 && remaining.nonEmpty) {
+          val b = remaining.head
+          mine += b
+          n -= byBin(b).size
+          remaining = remaining.tail
+        }
+        assert(n == 0, "PAV block boundary must align with bucket boundaries")
+        mine.map(_ -> blk.p * 1000000 / blk.n)
+      }.toMap
+    }
+    val got = Stats.isotonicCalibrate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    assert(got.map(_._1) == buckets, "bucket grid mismatch")
+    got.foreach { case (b, n, p, iso) =>
+      assert(n == byBin(b).size.toLong && p == byBin(b).count(_._2).toLong)
+      assert(iso == pav(b).toLong,
+        s"bucket $b: minimax-micros $iso vs rational-PAV ${pav(b)}")
+    }
+    assert(got.map(_._4) == got.map(_._4).sorted, "isotonic fit must be non-decreasing")
+  }
 }
