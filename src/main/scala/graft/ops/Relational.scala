@@ -1050,6 +1050,84 @@ object Relational {
       .limit(50)
   }
 
+  /** Apriori support threshold shared by [[frequentItemsets]]' pruning
+    * levels. */
+  private val FiMinSup = 10L
+
+  /** Frequent 3-itemsets over the same order-basket relation as
+    * [[marketBasket]] — the Apriori LEVEL-3 pass that generalizes the
+    * pair pass (market_basket stops at L2 rules): brand triples bought
+    * together in ≥ [[FiMinSup]] orders, with per-triple support share.
+    * The Apriori property prunes before enumeration: baskets are first
+    * restricted to FREQUENT SINGLES (a broadcast semi-join — an
+    * infrequent item can never appear in a frequent triple), so the
+    * cubic per-basket fan-out C(|basket|,3) only runs over surviving
+    * items. Counting is partial-aggregated on (a,b,c); the final cut is
+    * a TakeOrdered top-50.
+    *
+    * Scale shape: fan-out is bounded by basket size cubed — basket
+    * size is a DOMAIN constant (how many brands one order touches),
+    * not a corpus-growth axis — and the candidate space by the brand
+    * dictionary cubed; the corpus-sized tables only ever see the
+    * distinct-reduce and the semi-join. Support shares are exact
+    * integral micros (the bigram_lift rational convention). */
+  def frequentItemsets(spark: SparkSession, dir: String): DataFrame =
+    frequentItemsets(spark, dir, materialize = true)
+
+  /** `materialize = false` keeps the pipeline lazy so `PlanSpec` can
+    * assert the Apriori semi-join shape (checkpoints truncate the
+    * logical plan — the pageRankOn convention). */
+  private[graft] def frequentItemsets(
+      spark: SparkSession, dir: String, materialize: Boolean): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    val dim = Tables.part(spark, dir).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val baskets = ckpt(Tables.lineitem(spark, dir)
+      .join(broadcast(dim), "l_partkey")
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("b"))
+      .distinct()) // feeds the total, the singles pass, and the pruned triple join
+    val nT = baskets.select("okey").distinct().agg(count(lit(1)).as("n"))
+    val freq1 = baskets.groupBy("b").agg(count(lit(1)).as("cs"))
+      .filter(col("cs") >= FiMinSup)
+      .select("b")
+    val pruned = ckpt(baskets.join(broadcast(freq1), Seq("b"), "left_semi"))
+      // feeds all three sides of the triple join
+    pruned.as("x")
+      .join(pruned.as("y"), col("x.okey") === col("y.okey") && col("x.b") < col("y.b"))
+      .join(pruned.as("z"), col("y.okey") === col("z.okey") && col("y.b") < col("z.b"))
+      .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"), col("z.b").as("brand_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= FiMinSup)
+      .crossJoin(broadcast(nT))
+      .select(col("brand_a"), col("brand_b"), col("brand_c"), col("support"),
+        expr("CAST((CAST(support AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")
+          .as("supp_micros"))
+      .orderBy(desc("support"), col("brand_a"), col("brand_b"), col("brand_c"))
+      .limit(50)
+  }
+
+  private val frequentItemsetsSql: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey AS okey, p_brand AS b
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |), tot AS (SELECT count(DISTINCT okey) AS n FROM baskets),
+       |freq1 AS (
+       |  SELECT b FROM baskets GROUP BY b HAVING count(*) >= $FiMinSup
+       |), pruned AS (
+       |  SELECT okey, b FROM baskets WHERE b IN (SELECT b FROM freq1)
+       |), triples AS (
+       |  SELECT x.b AS brand_a, y.b AS brand_b, z.b AS brand_c, count(*) AS support
+       |  FROM pruned x
+       |  JOIN pruned y ON x.okey = y.okey AND x.b < y.b
+       |  JOIN pruned z ON y.okey = z.okey AND y.b < z.b
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT brand_a, brand_b, brand_c, CAST(support AS BIGINT) AS support,
+       |       CAST((CAST(support AS HUGEINT) * 1000000) // n AS BIGINT) AS supp_micros
+       |FROM triples CROSS JOIN tot
+       |WHERE support >= $FiMinSup
+       |ORDER BY support DESC, brand_a, brand_b, brand_c
+       |LIMIT 50""".stripMargin
+
   /** Frequency-ordered categorical dictionary — the StringIndexer fit
     * step of ML feature prep: each distinct category gets a dense code
     * 0..V-1, most-frequent first (ties by value, so the coding is a
@@ -1511,6 +1589,7 @@ object Relational {
         |WHERE cab >= 20
         |ORDER BY lift_micros DESC, brand_a, brand_b
         |LIMIT 50""".stripMargin)(marketBasket),
+    QueryDef.sql("frequent_itemsets", frequentItemsetsSql)(frequentItemsets),
     QueryDef.sql("string_index",
       """SELECT p_brand AS category, CAST(count(*) AS BIGINT) AS freq,
         |       CAST(row_number() OVER (ORDER BY count(*) DESC, p_brand) - 1 AS BIGINT) AS code

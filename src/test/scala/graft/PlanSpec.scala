@@ -460,6 +460,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-50 cut planned as a global sort")
   }
 
+  test("frequent_itemsets prunes via the Apriori semi-join and honors the support property") {
+    // lazy variant: the served path's checkpoints truncate the plan, so
+    // pin the shape on the un-materialized pipeline (pageRankOn convention)
+    val p = graft.ops.Relational.frequentItemsets(spark, sfDir, materialize = false)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // level-1 pruning must plan as a broadcast SEMI join, triple
+    // generation as okey equi-joins (never cartesian), final cut bounded
+    assert(p.contains("LeftSemi"), "frequent-singles Apriori pruning not planned as semi-join")
+    assert(!p.contains("CartesianProduct"), "triple generation must ride the okey equi-join")
+    assert(p.contains("TakeOrderedAndProject"), "top-50 cut planned as a global sort")
+
+    // Apriori property (semantic): a triple's support never exceeds the
+    // support of any contained pair — checked against a driver replay
+    val rows = graft.ops.Relational.frequentItemsets(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val baskets = graft.tables.Tables.lineitem(spark, sfDir)
+      .join(graft.tables.Tables.part(spark, sfDir),
+        org.apache.spark.sql.functions.col("p_partkey") ===
+          org.apache.spark.sql.functions.col("l_partkey"))
+      .select("l_orderkey", "p_brand").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def pairSup(a: String, b: String) = byOrder.valuesIterator.count(s => s(a) && s(b))
+    rows.foreach { r =>
+      val (a, b, c, sup) = (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))
+      val tripleTrue = byOrder.valuesIterator.count(s => s(a) && s(b) && s(c))
+      assert(sup == tripleTrue, s"($a,$b,$c) support $sup vs replay $tripleTrue")
+      assert(sup <= pairSup(a, b) && sup <= pairSup(b, c) && sup <= pairSup(a, c))
+      assert(a < b && b < c, "itemset not in canonical brand order")
+    }
+  }
+
   test("kmeans_train assignment rounds stay join-free pure maps (flat plan in rounds)") {
     // the returned curve is a local DF; pin the ROUND plan instead:
     // an assignment against literal centroids must plan no join
