@@ -794,6 +794,92 @@ object Stats {
        |            // (CAST(2 * n AS HUGEINT) * m) AS BIGINT) AS auc_micros
        |FROM cum CROSS JOIN tot GROUP BY n, m""".stripMargin
 
+  /** resample count for [[bootstrapCi]]. */
+  private val BootB = 32
+
+  /** Poisson(1) CDF in integral micros — the inverse-CDF table that
+    * turns a uniform hash into a bootstrap multiplicity 0..6 (mass
+    * beyond 6 is < 10⁻⁴ and folds into the last bucket). */
+  private val PoissonCdfMicros = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+
+  /** Bootstrap confidence interval for the mean purchase value via the
+    * POISSON bootstrap (Chamandy et al. 2012) — the only bootstrap that
+    * works on data too large to index: instead of drawing n rows with
+    * replacement (which needs global coordination), each row enters
+    * resample b with multiplicity ~ Poisson(1), independently — one
+    * scan, no shuffle of raw rows, embarrassingly partition-parallel.
+    * Derandomized: the multiplicity comes from a Knuth-hash of
+    * (event_id, b) through the exact integral-micros Poisson CDF table,
+    * so both engines draw identical "randomness" (the random_walks
+    * derandomization convention). All [[BootB]] resample sums ride ONE
+    * partial-aggregated pass as 2·B aggregate columns — the map side
+    * never replicates rows. The 5%/95% CI bounds are type-1 order
+    * statistics over the B=32 resample means (a CONSTANT 32-cell set;
+    * the vocab_coverage window convention). Means are exact integral
+    * micros of cents. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), cents(col("value")).as("x"))
+    def mult(b: Int): Column = {
+      val u = expr(s"((((event_id % 999983) * 31 + $b) % 999983) * 2654435761) % 1000000")
+      PoissonCdfMicros.zipWithIndex.foldRight(lit(6L)) { case ((thr, i), acc) =>
+        when(u < thr, lit(i.toLong)).otherwise(acc)
+      }
+    }
+    val aggs = (0 until BootB).flatMap { b =>
+      val m = mult(b)
+      Seq(sum(m).as(s"n_$b"), sum(m * col("x")).as(s"s_$b"))
+    }
+    val one = ev.agg(aggs.head, aggs.tail: _*)
+    val means = one
+      .select(expr("stack(" + BootB + ", " +
+        (0 until BootB).map(b => s"CAST($b AS BIGINT), n_$b, s_$b").mkString(", ") +
+        ") AS (b, n, sum_cents)"))
+      .select(col("b"), col("n"), col("sum_cents"),
+        when(col("n") > 0,
+          expr("CAST((CAST(sum_cents AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)"))
+          .as("mean_micros"))
+      .localCheckpoint() // 32 cells; feeds the rank window and the output
+    val w = Window.orderBy(col("mean_micros"), col("b"))
+    val ranked = means.withColumn("rk", row_number().over(w))
+    val lo = ranked.filter(col("rk") === 2).select(col("mean_micros").as("lo_micros"))
+    val hi = ranked.filter(col("rk") === BootB - 1).select(col("mean_micros").as("hi_micros"))
+    means.crossJoin(broadcast(lo)).crossJoin(broadcast(hi)).orderBy("b")
+  }
+
+  private val bootstrapSql: String = {
+    val caseExpr = PoissonCdfMicros.zipWithIndex
+      .map { case (thr, i) => s"WHEN u < $thr THEN $i" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH ev AS (
+       |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase'
+       |), bs AS (SELECT unnest(generate_series(0, ${BootB - 1})) AS b),
+       |m AS (
+       |  SELECT b, x, $caseExpr AS mm FROM (
+       |    SELECT b, x,
+       |           ((((event_id % 999983) * 31 + b) % 999983) * 2654435761) % 1000000 AS u
+       |    FROM ev CROSS JOIN bs)
+       |), cells AS (
+       |  SELECT CAST(b AS BIGINT) AS b, CAST(sum(mm) AS BIGINT) AS n,
+       |         CAST(sum(mm * x) AS BIGINT) AS sum_cents
+       |  FROM m GROUP BY b
+       |), means AS (
+       |  SELECT b, n, sum_cents,
+       |         CASE WHEN n > 0
+       |              THEN CAST((CAST(sum_cents AS HUGEINT) * 1000000) // n AS BIGINT)
+       |         END AS mean_micros
+       |  FROM cells
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY mean_micros NULLS FIRST, b) AS rk FROM means
+       |)
+       |SELECT means.b, means.n, means.sum_cents, means.mean_micros,
+       |       (SELECT mean_micros FROM ranked WHERE rk = 2) AS lo_micros,
+       |       (SELECT mean_micros FROM ranked WHERE rk = ${BootB - 1}) AS hi_micros
+       |FROM means ORDER BY b""".stripMargin
+  }
+
   /** calibration bin count for [[isotonicCalibrate]]: the observed
     * score range splits into this many equal-width integer bins, so the
     * grid is ALWAYS ≤32 cells no matter how the corpus's score
@@ -1163,6 +1249,7 @@ object Stats {
     QueryDef.sql("anova_f", anovaFSql)(anovaF),
     QueryDef.sql("roc_auc", rocAucSql)(rocAuc),
     QueryDef.sql("isotonic_calibrate", isotonicSql)(isotonicCalibrate),
+    QueryDef.sql("bootstrap_ci", bootstrapSql)(bootstrapCi),
     QueryDef.sql("volume_trend", volumeTrendSql)(volumeTrend),
     QueryDef.sql("anomaly_mad", anomalyMadSql)(anomalyMad),
     // stateful streaming twin: emits one verdict per CLOSED day, i.e.

@@ -357,6 +357,39 @@ class StatsSpec extends SparkSpec {
     assert(got.getAs[Long]("t2_micros") >= 0L)
   }
 
+  test("bootstrap_ci resamples replay exactly from the derandomized Poisson hash") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), (round(col("value") * 100)).cast("long").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+    def mult(id: Long, b: Int): Long = {
+      val u = ((((id % 999983) * 31 + b) % 999983) * 2654435761L) % 1000000
+      cdf.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
+    }
+    val expect = (0 until 32).map { b =>
+      val n = rows.map { case (id, _) => mult(id, b) }.sum
+      val s = rows.map { case (id, x) => mult(id, b) * x }.sum
+      (b.toLong, n, s, BigInt(s) * 1000000 / n)
+    }
+    val got = Stats.bootstrapCi(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    got.zip(expect).foreach { case ((b, n, s, m, _, _), (eb, en, es, em)) =>
+      assert(b == eb && n == en && s == es && m == em.toLong, s"resample $b mismatch")
+    }
+    // resample sizes concentrate around N (Poisson(1) multiplicities)
+    val nTrue = rows.length.toLong
+    got.foreach { case (b, n, _, _, _, _) =>
+      assert(math.abs(n - nTrue) < nTrue / 2, s"resample $b size $n wildly off $nTrue")
+    }
+    // the CI bounds are the 2nd and 31st order statistics of the means
+    val sortedMeans = got.map(r => (r._4, r._1)).sorted.map(_._1)
+    val (lo, hi) = (got.head._5, got.head._6)
+    assert(lo == sortedMeans(1) && hi == sortedMeans(30))
+    assert(got.forall(r => r._5 == lo && r._6 == hi))
+    assert(lo <= hi)
+  }
+
   /** (score, keep) per doc at sf0.001, rebuilt driver-side from the two
     * feeding operators — the ground truth for roc_auc/isotonic. */
   private def scoredLabels(): Seq[(Long, Boolean)] = {
