@@ -352,6 +352,55 @@ object Events {
       |FROM cnt c JOIN tot ON c.from_type = tot.from_type
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  /** Frequent 3-event SEQUENCES per user — the order-sensitive sibling
+    * of the basket miner (frequent_itemsets counts co-presence;
+    * sequential pattern mining counts "click THEN view THEN purchase"
+    * in that order) and the L3 generalization of [[eventTransitions]]'
+    * bigram matrix: consecutive event-type trigrams within each user's
+    * timeline, counted corpus-wide, with each trigram's share of all
+    * trigrams in exact integral micros; top-20 by support.
+    *
+    * Scale shape: the trigram extraction is the SAME user-partitioned
+    * ordered window the whole events family rides (two `lead`s on one
+    * window — one shuffle on user_id, same as sessionize/streaks); the
+    * count collapse is ≤|types|³ cells, the total is a broadcast 1-row,
+    * and the cut is a TakeOrdered top-20, never a global sort. */
+  def frequentSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤|types|³ cells; feeds the total and the cut
+    val tot = tri.agg(sum("n").as("tot"))
+    tri.crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)")
+          .as("supp_micros"))
+      .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  private val frequentSequencesSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS t1,
+      |         lead(event_type, 1) OVER w AS t2,
+      |         lead(event_type, 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), tri AS (
+      |  SELECT t1, t2, t3, count(*) AS n FROM seq
+      |  WHERE t3 IS NOT NULL GROUP BY t1, t2, t3
+      |), tot AS (SELECT sum(n) AS tot FROM tri)
+      |SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+      |       CAST((CAST(n AS HUGEINT) * 1000000) // tot AS BIGINT) AS supp_micros
+      |FROM tri CROSS JOIN tot
+      |ORDER BY n DESC, t1, t2, t3
+      |LIMIT 20""".stripMargin
+
   private val rollingDistinctSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
@@ -644,6 +693,7 @@ object Events {
     QueryDef.sql("attribution", attributionSql)(attribution),
     QueryDef.sql("rolling_distinct", rollingDistinctSql)(rollingDistinct),
     QueryDef.sql("event_transitions", transitionsSql)(eventTransitions),
+    QueryDef.sql("frequent_sequences", frequentSequencesSql)(frequentSequences),
     QueryDef.sql("map_funcs",
       """SELECT event_id,
         |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,

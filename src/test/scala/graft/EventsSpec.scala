@@ -46,4 +46,32 @@ class EventsSpec extends SparkSpec {
     // something was actually debounced at this threshold
     assert(got.length < raw.length, "threshold dropped nothing — test is vacuous")
   }
+
+  test("frequent_sequences trigram counts equal the per-user sequential replay") {
+    val byUser = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2), r.getString(3))))
+      .groupBy(_._1)
+    val counts = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    byUser.values.foreach { rows =>
+      val seq = rows.map(_._2).sortBy { case (t, id, _) => (t, id) }.map(_._3)
+      seq.sliding(3).filter(_.length == 3).foreach { w =>
+        val k = (w(0), w(1), w(2)); counts(k) = counts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val total = counts.values.sum
+    val got = Events.frequentSequences(spark, sfDir).collect()
+    assert(got.length == math.min(20, counts.size))
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1), r.getString(2))
+      assert(r.getLong(3) == counts(k), s"trigram $k: ${r.getLong(3)} vs replay ${counts(k)}")
+      assert(r.getLong(4) == (BigInt(counts(k)) * 1000000 / total).toLong)
+    }
+    // the cut really is the top-20: every reported n >= every omitted n
+    val reported = got.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val minKept  = got.map(_.getLong(3)).min
+    counts.foreach { case (k, n) =>
+      if (!reported(k)) assert(n <= minKept, s"omitted $k has support $n > kept min $minKept")
+    }
+  }
 }
