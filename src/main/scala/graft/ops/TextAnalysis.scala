@@ -500,6 +500,45 @@ object TextAnalysis {
     s"SELECT doc_id, lang AS labeled_lang, CAST($accL AS VARCHAR) AS predicted_lang, CAST($accS AS BIGINT) AS score FROM documents ORDER BY doc_id"
   }
 
+  /** Confusion matrix + per-class recall for the [[langId]] n-gram
+    * heuristic against the fixture's labeled `lang` column — the
+    * evaluation table a pipeline reads before trusting a language
+    * filter (the classifier-eval sibling of roc_auc, for the
+    * multi-class case). One row per (labeled, predicted) pair with the
+    * count and the labeled class's exact-micros recall share
+    * (count div class total); diagonal rows are the per-class recall.
+    *
+    * Scale shape: langId is a per-row codegen'd argmax (zero shuffle);
+    * the matrix collapse is a ≤|langs|² partial-aggregated groupBy and
+    * the class totals re-attach via a broadcast-able equi-join on the
+    * ≤|langs|-row margin. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤|langs|² cells; feeds the margin and the output
+    val margin = cells.groupBy("labeled_lang").agg(sum("n").as("class_n"))
+    cells.join(broadcast(margin), "labeled_lang")
+      .select(col("labeled_lang"), col("predicted_lang"), col("n"), col("class_n"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div class_n AS BIGINT)")
+          .as("share_micros"))
+      .orderBy("labeled_lang", "predicted_lang")
+  }
+
+  private val langConfusionSql: String =
+    s"""WITH pred AS ($langCaseSql),
+       |cells AS (
+       |  SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY labeled_lang, predicted_lang
+       |), margin AS (
+       |  SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS class_n
+       |  FROM cells GROUP BY labeled_lang
+       |)
+       |SELECT c.labeled_lang, c.predicted_lang, c.n, m.class_n,
+       |       CAST((CAST(c.n AS HUGEINT) * 1000000) // m.class_n AS BIGINT) AS share_micros
+       |FROM cells c JOIN margin m USING (labeled_lang)
+       |ORDER BY labeled_lang, predicted_lang""".stripMargin
+
   /** Token-diversity metrics per document: token count, vocabulary size,
     * type-token ratio, and Gini–Simpson diversity. The frequency core
     * (n_tokens, n_distinct, Σ c·(c−1)) is ONE codegen'd pass per row
@@ -1391,6 +1430,7 @@ object TextAnalysis {
         |            / len(list_filter(string_split(text, ' '), t -> t <> '')) END AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin)(textQuality),
     QueryDef.sql("lang_id", langCaseSql)(langId),
+    QueryDef.sql("lang_confusion", langConfusionSql)(langConfusion),
     QueryDef.sql("tfidf",
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term

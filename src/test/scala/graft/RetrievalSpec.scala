@@ -185,6 +185,24 @@ class RetrievalSpec extends SparkSpec {
       .collect().head._2 == Seq(3L, 9L))
   }
 
+  test("lang_confusion cells replay from lang_id and partition the corpus") {
+    import org.apache.spark.sql.functions.col
+    val preds = TextAnalysis.langId(spark, sfDir)
+      .select("labeled_lang", "predicted_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val classN = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = TextAnalysis.langConfusion(spark, sfDir).collect()
+    assert(got.map(_.getLong(2)).sum == preds.length.toLong, "cells must partition the corpus")
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == expect(k) && r.getLong(3) == classN(k._1))
+      assert(r.getLong(4) == BigInt(expect(k)) * 1000000 / classN(k._1))
+    }
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(preds.length.toLong == nDocs)
+  }
+
   test("textrank is exactly pagerank over the driver-replayed co-occurrence edges") {
     import graft.ops.Graph
     import org.apache.spark.sql.functions.{col, desc}
