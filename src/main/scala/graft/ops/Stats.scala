@@ -880,6 +880,80 @@ object Stats {
        |FROM means ORDER BY b""".stripMargin
   }
 
+  /** Split-conformal filter gate (Vovk's split-conformal recipe): pick
+    * the LM-score threshold that keeps ≥90% of good documents with a
+    * finite-sample guarantee, then audit it on held-out data. Even
+    * doc_ids are the CALIBRATION split (the stupid_backoff held-out
+    * convention): among calibration docs labeled keep, the threshold is
+    * the exact type-1 10th-percentile score (rank ⌈0.1·n⌉ — integer
+    * rank selection over (score, count) cells, no interpolation, the
+    * group_quantiles convention); odd doc_ids are the TEST split, where
+    * the empirical coverage (share of keep-labeled docs scoring ≥ t) is
+    * reported in exact micros. One summary row: calibration size,
+    * threshold, test-side counts and coverage.
+    *
+    * Scale shape: the corpus-sized work is the shared score+label join;
+    * the quantile runs over (distinct score)-sized cells with a single
+    * bounded cumulative window, and the audit is one conditional
+    * aggregate — no row-level sort anywhere. */
+  def conformalFilter(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextAnalysis.lmBigramScore(spark, dir).select("doc_id", "avg_micros")
+    val label = Curation.qualityClassifier(spark, dir).select("doc_id", "keep")
+    val joined = score.join(label, "doc_id")
+      .localCheckpoint() // feeds the calibration quantile and the test audit
+    val cal = joined.filter(col("doc_id") % 2 === 0 && col("keep"))
+    val cells = cal.groupBy(col("avg_micros").as("v")).agg(count(lit(1)).as("f"))
+    val nCal = cal.count() // 1-scalar driver metadata (kmeans convention)
+    val rank = (nCal + 9L) / 10L // ceil(0.1 * n)
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = cells
+      .withColumn("cum", sum("f").over(w))
+      .filter(col("cum") >= rank)
+      .agg(min("v").as("threshold_micros"))
+    joined.filter(col("doc_id") % 2 === 1)
+      .crossJoin(broadcast(thr))
+      .agg(
+        lit(nCal).as("n_cal"),
+        min("threshold_micros").as("threshold_micros"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_test_keep"),
+        sum(when(col("keep") && col("avg_micros") >= col("threshold_micros"), 1L)
+          .otherwise(0L)).as("n_test_keep_passed"))
+      .select(col("n_cal"), col("threshold_micros"), col("n_test"),
+        col("n_test_keep"), col("n_test_keep_passed"),
+        expr("""CAST((CAST(n_test_keep_passed AS DECIMAL(38,0)) * 1000000)
+               |     div n_test_keep AS BIGINT)""".stripMargin).as("coverage_micros"))
+  }
+
+  private val conformalSql: String =
+    s"""WITH $aucCellsSql,
+       |j2 AS (
+       |  SELECT f.doc_id, s.avg_micros AS v,
+       |         (8 * f.na_ - 6 * (f.nc - f.na_) + 40 * f.ns + 2 * f.nt - 1200) > 0 AS keep
+       |  FROM (${TextAnalysis.lmBigramSql}) s JOIN f USING (doc_id)
+       |), cal AS (
+       |  SELECT v FROM j2 WHERE doc_id % 2 = 0 AND keep
+       |), nc AS (SELECT count(*) AS n_cal FROM cal),
+       |ccells AS (
+       |  SELECT v, count(*) AS f FROM cal GROUP BY v
+       |), thr AS (
+       |  SELECT min(v) AS threshold_micros FROM (
+       |    SELECT v, sum(f) OVER (ORDER BY v) AS cum FROM ccells
+       |  ) CROSS JOIN nc WHERE cum >= (n_cal + 9) // 10
+       |)
+       |SELECT CAST(n_cal AS BIGINT) AS n_cal,
+       |       CAST(threshold_micros AS BIGINT) AS threshold_micros,
+       |       CAST(count(*) AS BIGINT) AS n_test,
+       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_test_keep,
+       |       CAST(sum(CASE WHEN keep AND v >= threshold_micros THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_test_keep_passed,
+       |       CAST((CAST(sum(CASE WHEN keep AND v >= threshold_micros THEN 1 ELSE 0 END)
+       |                  AS HUGEINT) * 1000000)
+       |            // sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS coverage_micros
+       |FROM j2 CROSS JOIN thr CROSS JOIN nc
+       |WHERE doc_id % 2 = 1
+       |GROUP BY n_cal, threshold_micros""".stripMargin
+
   /** calibration bin count for [[isotonicCalibrate]]: the observed
     * score range splits into this many equal-width integer bins, so the
     * grid is ALWAYS ≤32 cells no matter how the corpus's score
@@ -1250,6 +1324,7 @@ object Stats {
     QueryDef.sql("roc_auc", rocAucSql)(rocAuc),
     QueryDef.sql("isotonic_calibrate", isotonicSql)(isotonicCalibrate),
     QueryDef.sql("bootstrap_ci", bootstrapSql)(bootstrapCi),
+    QueryDef.sql("conformal_filter", conformalSql)(conformalFilter),
     QueryDef.sql("volume_trend", volumeTrendSql)(volumeTrend),
     QueryDef.sql("anomaly_mad", anomalyMadSql)(anomalyMad),
     // stateful streaming twin: emits one verdict per CLOSED day, i.e.

@@ -401,6 +401,29 @@ class StatsSpec extends SparkSpec {
       .map(r => (score(r.getLong(0)), r.getBoolean(1))).toSeq
   }
 
+  test("conformal_filter threshold and coverage replay from the split order statistics") {
+    val score = graft.ops.TextAnalysis.lmBigramScore(spark, sfDir)
+      .select("doc_id", "avg_micros").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep = graft.ops.Curation.qualityClassifier(spark, sfDir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val calScores = score.keys.toSeq.filter(d => d % 2 == 0 && keep(d)).map(score).sorted
+    val rank = (calScores.size + 9) / 10
+    val thr = calScores(rank - 1) // type-1 order statistic at ceil(0.1 n)
+    val test = score.keys.toSeq.filter(_ % 2 == 1)
+    val testKeep = test.filter(keep)
+    val passed = testKeep.count(d => score(d) >= thr)
+    val row = Stats.conformalFilter(spark, sfDir).collect().head
+    assert(row.getLong(0) == calScores.size.toLong)
+    assert(row.getLong(1) == thr, s"threshold ${row.getLong(1)} vs replay $thr")
+    assert(row.getLong(2) == test.size.toLong && row.getLong(3) == testKeep.size.toLong)
+    assert(row.getLong(4) == passed.toLong)
+    assert(row.getLong(5) == BigInt(passed) * 1000000 / testKeep.size)
+    // held-out coverage should sit near the 90% design target
+    assert(row.getLong(5) >= 800000L, s"coverage ${row.getLong(5)} collapsed")
+  }
+
   test("roc_auc equals the brute-force all-pairs AUC with half-credit ties") {
     val data = scoredLabels()
     val pos  = data.filter(_._2).map(_._1)
