@@ -817,7 +817,14 @@ object Stats {
     * statistics over the B=32 resample means (a CONSTANT 32-cell set;
     * the vocab_coverage window convention). Means are exact integral
     * micros of cents. */
-  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCi(spark, dir, materialize = true)
+
+  /** `materialize = false` keeps the pipeline lazy so `PlanSpec` can
+    * assert the one-pass no-explode shape through what the served
+    * path's checkpoint would truncate. */
+  private[graft] def bootstrapCi(
+      spark: SparkSession, dir: String, materialize: Boolean): DataFrame = {
     val ev = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), cents(col("value")).as("x"))
@@ -840,12 +847,13 @@ object Stats {
         when(col("n") > 0,
           expr("CAST((CAST(sum_cents AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)"))
           .as("mean_micros"))
-      .localCheckpoint() // 32 cells; feeds the rank window and the output
+    val meansM = // 32 cells; feed the rank window and the output
+      if (materialize) means.localCheckpoint() else means
     val w = Window.orderBy(col("mean_micros"), col("b"))
-    val ranked = means.withColumn("rk", row_number().over(w))
+    val ranked = meansM.withColumn("rk", row_number().over(w))
     val lo = ranked.filter(col("rk") === 2).select(col("mean_micros").as("lo_micros"))
     val hi = ranked.filter(col("rk") === BootB - 1).select(col("mean_micros").as("hi_micros"))
-    means.crossJoin(broadcast(lo)).crossJoin(broadcast(hi)).orderBy("b")
+    meansM.crossJoin(broadcast(lo)).crossJoin(broadcast(hi)).orderBy("b")
   }
 
   private val bootstrapSql: String = {

@@ -460,6 +460,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-50 cut planned as a global sort")
   }
 
+  test("bootstrap_ci rides one corpus pass: no row replication, one aggregate pair") {
+    // lazy variant: the served path's 32-cell checkpoint truncates the
+    // plan above the corpus scan (pageRankOn convention)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LogicalPlan}
+    val df = graft.ops.Stats.bootstrapCi(spark, sfDir, materialize = false)
+    val lp = df.queryExecution.optimizedPlan
+    // the Poisson bootstrap's whole point: 32 resamples WITHOUT a 32x
+    // row explode. `stack` does plan a Generate, but it must sit ABOVE
+    // an aggregate (unpivoting the ONE 64-column row) — a Generate
+    // whose subtree reaches the events relation with no intervening
+    // Aggregate means rows were replicated before reduction.
+    def scanWithoutAgg(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case leaf if leaf.children.isEmpty => leaf.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.LogicalRelation]
+      case other => other.children.exists(scanWithoutAgg)
+    }
+    val bad = lp.collect { case g: Generate if scanWithoutAgg(g.child) => g }
+    assert(bad.isEmpty, s"Generate over un-aggregated corpus rows:\n${bad.mkString("\n")}")
+    assert(lp.collect { case g: Generate => g }.nonEmpty, "stack unpivot missing entirely")
+    val aggs = lp.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "no aggregate planned over the events scan")
+  }
+
   test("frequent_itemsets prunes via the Apriori semi-join and honors the support property") {
     // lazy variant: the served path's checkpoints truncate the plan, so
     // pin the shape on the un-materialized pipeline (pageRankOn convention)
