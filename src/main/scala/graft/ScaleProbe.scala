@@ -165,8 +165,9 @@ object ScaleProbe {
     // round-16 scale-sensitive additions (pass 10 in PERF.md)
     "louvain_move", "perplexity_filter", "calendar_gap_fill",
     "gini_coefficient",
-    // round-16 second batch (pass 11 in PERF.md)
-    "textrank_keywords", "roc_auc", "graph_diameter")
+    // round-16 second batch (passes 11-12 in PERF.md)
+    "textrank_keywords", "roc_auc", "graph_diameter",
+    "frequent_itemsets", "prefix_jaccard_join")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

@@ -300,6 +300,94 @@ object Dedup {
     lshCandidatesVerified(corpus, "doc_id", wordGrams = false, n = 5, 0.7)
   }
 
+  /** [[prefixJaccardJoin]] threshold, as the rational 9/10 so both the
+    * prefix lengths and the final test are pure integer arithmetic.
+    * 9/10 and not ngram_jaccard's 0.7: word SETS of the synthetic
+    * corpus overlap far more than char-5 shingle sets (probe at 0.7:
+    * 32% of ALL pairs qualified — a result set quadratic in the corpus
+    * is the operator answering a badly-posed question, not a plan
+    * defect; the tight threshold also keeps the prefixes short, which
+    * is where the algorithm's selectivity lives). */
+  private val PjNum = 9L
+  private val PjDen = 10L
+
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. 2007 / Xiao et al. 2008) — the
+    * deterministic-recall complement to [[ngramJaccard]]'s LSH path:
+    * instead of probabilistic banding, each doc's DISTINCT word set is
+    * globally ordered rarest-token-first and only its first
+    * |x| − ⌈t·|x|⌉ + 1 tokens are indexed; the prefix-filter theorem
+    * guarantees two sets with jaccard ≥ t share at least one PREFIX
+    * token under any consistent global order, so candidate generation
+    * is a plain equi-join on prefix tokens with recall EXACTLY 1 — the
+    * brute-force oracle proves it, not an ε-bound. Verified pairs test
+    * 10·|∩| ≥ 7·|∪| in pure integers; jaccard ships as exact micros.
+    *
+    * Scale shape: the rarest-first rank is a vocabulary-sized window
+    * (string_index convention); prefix rows are ≈30% of tokens and
+    * rare by construction, so the equi-join fan-out is the prefix
+    * index's collision mass, not n² (rarest-first is the ordering that
+    * minimizes it); verification re-attaches the two rank arrays to
+    * the candidate set only. Same corpus/subset as ngram_jaccard. */
+  def prefixJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    val toksed = nearDupCorpus(spark, dir).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        array_distinct(filter(split(col("text"), " "), x => x =!= "")).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val rank = toksed.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("r",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c"), col("tok"))).cast("long"))
+      .select("tok", "r")
+    val ranked = toksed.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .join(rank, "tok")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("r"))).as("rs"))
+      .localCheckpoint() // feeds the prefix explode and both verify sides
+    val pref = ranked.select(col("doc_id"),
+      explode(expr(
+        s"slice(rs, 1, CAST(size(rs) - (($PjNum * size(rs) + ${PjDen - 1}) div $PjDen) + 1 AS INT))"))
+        .as("p"))
+    val candidates = pref.as("l")
+      .join(pref.as("r"),
+        col("l.p") === col("r.p") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+      // same AQE small-bytes/heavy-cpu note as lshCandidatesVerified
+      .repartition(spark0.sparkContext.defaultParallelism, col("id_a"))
+    candidates
+      .join(ranked.select(col("doc_id").as("id_a"), col("rs").as("ra")), "id_a")
+      .join(ranked.select(col("doc_id").as("id_b"), col("rs").as("rb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ra"), col("rb"))).cast("long").as("inter"),
+        (size(col("ra")) + size(col("rb"))).cast("long").as("szsum"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("szsum") - col("inter")).as("uni"))
+      .filter(col("inter") * PjDen >= col("uni") * PjNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("CAST((CAST(inter AS DECIMAL(38,0)) * 1000000) div uni AS BIGINT)")
+          .as("jac_micros"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // lazy: corpusSql is declared further down the object body
+  private lazy val prefixJaccardSql: String =
+    s"""WITH $corpusSql, toksed AS (
+       |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ts
+       |  FROM corpus WHERE doc_id % 5 = 0
+       |), t2 AS (SELECT doc_id, ts FROM toksed WHERE len(ts) > 0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+       |       CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni,
+       |       CAST((CAST(len(list_intersect(a.ts, b.ts)) AS HUGEINT) * 1000000)
+       |            // (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS BIGINT)
+       |         AS jac_micros
+       |FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.ts, b.ts)) * $PjDen >=
+       |      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) * $PjNum
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** embedding-cosine near-dup: corpus = embeddings ∪ exact copies
     * (id + 1,000,000); pairs with cosine ≥ 0.99 (random pairs max ≈0.4
     * in the fixtures, copies are exactly 1 — wide safety margin).
@@ -1113,6 +1201,7 @@ object Dedup {
          |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin)(ngramJaccard),
+    QueryDef.sql("prefix_jaccard_join", prefixJaccardSql)(prefixJaccardJoin),
     QueryDef.sql("embedding_neardup",
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -1089,12 +1089,39 @@ object Relational {
     val freq1 = baskets.groupBy("b").agg(count(lit(1)).as("cs"))
       .filter(col("cs") >= FiMinSup)
       .select("b")
-    val pruned = ckpt(baskets.join(broadcast(freq1), Seq("b"), "left_semi"))
-      // feeds all three sides of the triple join
-    pruned.as("x")
-      .join(pruned.as("y"), col("x.okey") === col("y.okey") && col("x.b") < col("y.b"))
-      .join(pruned.as("z"), col("y.okey") === col("z.okey") && col("y.b") < col("z.b"))
-      .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"), col("z.b").as("brand_c"))
+    // single consumer since the generation rewrite — no checkpoint
+    // (probe: materializing 19M pruned rows was most of the heap water)
+    val pruned = baskets.join(broadcast(freq1), Seq("b"), "left_semi")
+    // Triple GENERATION, not a 3-way self-join: the join form shuffles
+    // every basket row three times and materializes all Σ C(|basket|,3)
+    // triple rows through sort-merge buffers (probe-measured: 3.2 GB
+    // heap and 69 s at 32×, linear but with a huge constant). Collapsing
+    // each basket to its sorted brand array first and emitting the
+    // C(n,3) combinations in a compiled per-row loop keeps the triples
+    // inside the map stage — the partial aggregate reduces them to
+    // ≤|brands|³ cells per partition before the only remaining shuffle.
+    import spark.implicits._
+    val triples = pruned
+      .groupBy("okey").agg(sort_array(collect_set(col("b"))).as("bs"))
+      .select(col("bs")).as[Seq[String]]
+      .flatMap { bs =>
+        val n   = bs.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+        var i = 0
+        while (i < n - 2) {
+          var j = i + 1
+          while (j < n - 1) {
+            var k = j + 1
+            while (k < n) { out += ((bs(i), bs(j), bs(k))); k += 1 }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("brand_a", "brand_b", "brand_c")
+    triples
+      .groupBy("brand_a", "brand_b", "brand_c")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= FiMinSup)
       .crossJoin(broadcast(nT))

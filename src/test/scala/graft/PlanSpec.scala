@@ -460,6 +460,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-50 cut planned as a global sort")
   }
 
+  test("prefix_jaccard_join candidates ride a prefix-token equi-join — no cartesian") {
+    val p = planOf("prefix_jaccard_join")
+    // the whole point of prefix filtering: candidate generation is an
+    // equi-join on indexed prefix tokens, never an all-pairs product
+    // (the all-pairs form lives only in the brute-force oracle, whose
+    // hash match PROVES the filter's recall is exactly 1)
+    assert(!p.contains("CartesianProduct"), "candidate generation planned as cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate generation degenerated to BNLJ")
+  }
+
   test("bootstrap_ci rides one corpus pass: no row replication, one aggregate pair") {
     // lazy variant: the served path's 32-cell checkpoint truncates the
     // plan above the corpus scan (pageRankOn convention)
