@@ -1135,6 +1135,136 @@ object Stats {
     * with the sign applied after dividing absolute values. Days are
     * centered per type so a 100 TB epoch-day (~20k) cannot inflate the
     * composites. */
+  /** Theil–Sen robust trend of each event type's daily volumes — the
+    * median of all pairwise slopes, the estimator that shrugs off the
+    * outlier days that drag [[volumeTrend]]'s least-squares line (up to
+    * ~29% contamination). Slopes are quantized to exact integral micros
+    * ((Δy·10⁶) div Δx with sign-after-abs) BEFORE the median, so the
+    * order statistic is over plain integers — no cross-engine rational
+    * comparison; the median is the type-1 lower median (rank ⌈n/2⌉,
+    * deterministic, the group_quantiles convention).
+    *
+    * Scale shape: the stream collapses to (type, day, count) cells
+    * first; the pair set is C(days, 2) per type — CALENDAR-bounded
+    * (years of 100 TB stream ≈ 10³ days → ≤10⁶ pairs per type), never
+    * stream-sized; the median selection runs on a type-partitioned
+    * cumulative window over (type, slope, freq) cells. */
+  def theilsenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // calendar-bounded; feeds both pair sides
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("""CAST(CASE WHEN b.y < a.y THEN -1 ELSE 1 END *
+               |  ((abs(CAST(b.y AS DECIMAL(38,0)) - a.y) * 1000000)
+               |   div (b.day - a.day)) AS BIGINT)""".stripMargin).as("s"))
+    val cells = pairs.groupBy("event_type", "s").agg(count(lit(1)).as("f"))
+    val tot = cells.groupBy("event_type").agg(sum("f").as("n"))
+    val w = Window.partitionBy("event_type").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum", sum("f").over(w))
+      .join(broadcast(tot), "event_type")
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("event_type"), col("n").as("n_pairs"))
+      .agg(min("s").as("slope_micros"))
+      .select(col("event_type"), col("n_pairs"), col("slope_micros"),
+        when(col("slope_micros") < 0, "falling")
+          .when(col("slope_micros") > 0, "rising").otherwise("flat").as("trend"))
+      .orderBy("event_type")
+  }
+
+  private val theilsenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, day
+      |), pairs AS (
+      |  SELECT a.event_type,
+      |         CAST((CASE WHEN b.y < a.y THEN -1 ELSE 1 END) *
+      |           ((abs(CAST(b.y AS HUGEINT) - a.y) * 1000000)
+      |            // (b.day - a.day)) AS BIGINT) AS s
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |), cells AS (
+      |  SELECT event_type, s, CAST(count(*) AS BIGINT) AS f
+      |  FROM pairs GROUP BY event_type, s
+      |), cum AS (
+      |  SELECT event_type, s, f,
+      |         sum(f) OVER (PARTITION BY event_type ORDER BY s) AS cum
+      |  FROM cells
+      |), tot AS (
+      |  SELECT event_type, CAST(sum(f) AS BIGINT) AS n FROM cells GROUP BY event_type
+      |)
+      |SELECT c.event_type, t.n AS n_pairs, CAST(min(c.s) AS BIGINT) AS slope_micros,
+      |       CASE WHEN min(c.s) < 0 THEN 'falling'
+      |            WHEN min(c.s) > 0 THEN 'rising' ELSE 'flat' END AS trend
+      |FROM cum c JOIN tot t USING (event_type)
+      |WHERE c.cum >= (t.n + 1) // 2
+      |GROUP BY c.event_type, t.n
+      |ORDER BY c.event_type""".stripMargin
+
+  /** Winsorized per-type aggregates: values clamped at the exact type-1
+    * 5th/95th percentiles before summation — the standard outlier
+    * treatment a feature pipeline applies before a mean is trusted
+    * (complements [[robustOutliers]], which only COUNTS outliers).
+    * Percentile bounds are integer rank selections (rank ⌈q·n⌉) over
+    * (type, cents, freq) cells on a type-partitioned cumulative window
+    * — no interpolation, no global sort; bounds broadcast back and the
+    * clamp + re-aggregate is one partial-aggregated pass over cells. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type").as("t"), cents(col("value")).as("v"))
+      .groupBy("t", "v").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // feeds the bound selection and the clamp pass
+    val tot = cells.groupBy("t").agg(sum("f").as("n"))
+    val w = Window.partitionBy("t").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum("f").over(w)).join(broadcast(tot), "t")
+    def bound(q: Int, name: String) = cum
+      .filter(col("cum") * 100 >= col("n") * q)
+      .groupBy("t").agg(min("v").as(name))
+    val bounds = bound(5, "lo").join(bound(95, "hi"), "t")
+    cells.join(broadcast(bounds), "t")
+      .select(col("t"), col("f"), col("v"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("v"))).as("vw"))
+      .groupBy(col("t").as("event_type"), col("lo").as("p5_cents"), col("hi").as("p95_cents"))
+      .agg(
+        sum("f").as("n"),
+        sum(col("f") * col("v")).as("sum_cents"),
+        sum(col("f") * col("vw")).as("winsorized_cents"),
+        sum(when(col("v") < col("lo"), col("f")).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("v") > col("hi"), col("f")).otherwise(0L)).as("n_clamped_hi"))
+      .orderBy("event_type")
+  }
+
+  private val winsorizeSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v FROM events
+      |), cells AS (
+      |  SELECT t, v, CAST(count(*) AS BIGINT) AS f FROM ev GROUP BY t, v
+      |), tot AS (SELECT t, CAST(sum(f) AS BIGINT) AS n FROM cells GROUP BY t),
+      |cum AS (
+      |  SELECT c.t, c.v, c.f, sum(c.f) OVER (PARTITION BY c.t ORDER BY c.v) AS cum, tot.n
+      |  FROM cells c JOIN tot USING (t)
+      |), lo AS (
+      |  SELECT t, CAST(min(v) AS BIGINT) AS lo FROM cum WHERE cum * 100 >= n * 5 GROUP BY t
+      |), hi AS (
+      |  SELECT t, CAST(min(v) AS BIGINT) AS hi FROM cum WHERE cum * 100 >= n * 95 GROUP BY t
+      |)
+      |SELECT c.t AS event_type, lo.lo AS p5_cents, hi.hi AS p95_cents,
+      |       CAST(sum(c.f) AS BIGINT) AS n,
+      |       CAST(sum(c.f * c.v) AS BIGINT) AS sum_cents,
+      |       CAST(sum(c.f * greatest(lo.lo, least(hi.hi, c.v))) AS BIGINT) AS winsorized_cents,
+      |       CAST(sum(CASE WHEN c.v < lo.lo THEN c.f ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+      |       CAST(sum(CASE WHEN c.v > hi.hi THEN c.f ELSE 0 END) AS BIGINT) AS n_clamped_hi
+      |FROM cells c JOIN lo USING (t) JOIN hi USING (t)
+      |GROUP BY c.t, lo.lo, hi.hi
+      |ORDER BY event_type""".stripMargin
+
   def volumeTrend(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
@@ -1333,6 +1463,8 @@ object Stats {
     QueryDef.sql("isotonic_calibrate", isotonicSql)(isotonicCalibrate),
     QueryDef.sql("bootstrap_ci", bootstrapSql)(bootstrapCi),
     QueryDef.sql("conformal_filter", conformalSql)(conformalFilter),
+    QueryDef.sql("theilsen_trend", theilsenSql)(theilsenTrend),
+    QueryDef.sql("winsorize", winsorizeSql)(winsorize),
     QueryDef.sql("volume_trend", volumeTrendSql)(volumeTrend),
     QueryDef.sql("anomaly_mad", anomalyMadSql)(anomalyMad),
     // stateful streaming twin: emits one verdict per CLOSED day, i.e.

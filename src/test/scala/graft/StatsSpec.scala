@@ -357,6 +357,53 @@ class StatsSpec extends SparkSpec {
     assert(got.getAs[Long]("t2_micros") >= 0L)
   }
 
+  test("theilsen_trend is the lower median of the quantized pairwise slopes") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = Stats.theilsenTrend(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    daily.foreach { case (t, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+      } yield {
+        val dy = BigInt(pts(j)._2) - pts(i)._2
+        val dx = BigInt(pts(j)._1 - pts(i)._1)
+        (dy.sign * ((dy.abs * 1000000) / dx)).toLong
+      }).sorted
+      val median = slopes((slopes.size + 1) / 2 - 1) // type-1 lower median
+      val (nPairs, slope, trend) = got(t)
+      assert(nPairs == slopes.size.toLong, s"$t pair count")
+      assert(slope == median, s"$t: slope $slope vs replay $median")
+      assert(trend == (if (slope < 0) "falling" else if (slope > 0) "rising" else "flat"))
+    }
+  }
+
+  test("winsorize bounds are exact type-1 rank selections and clamped sums replay") {
+    val vals = Tables.events(spark, sfDir)
+      .select(col("event_type"), (round(col("value") * 100)).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val got = Stats.winsorize(spark, sfDir).collect()
+    got.foreach { r =>
+      val vs = vals(r.getString(0)).map(_._2).sorted
+      val n  = vs.length
+      def typ1(q: Int): Long = vs(((n.toLong * q + 99) / 100).toInt - 1) // min v: cum*100 >= n*q
+      val (lo, hi) = (typ1(5), typ1(95))
+      assert(r.getLong(1) == lo && r.getLong(2) == hi,
+        s"${r.getString(0)} bounds (${r.getLong(1)}, ${r.getLong(2)}) vs ($lo, $hi)")
+      assert(r.getLong(3) == n.toLong)
+      assert(r.getLong(4) == vs.sum)
+      assert(r.getLong(5) == vs.map(v => math.max(lo, math.min(hi, v))).sum)
+      assert(r.getLong(6) == vs.count(_ < lo).toLong)
+      assert(r.getLong(7) == vs.count(_ > hi).toLong)
+      // the winsorized mean actually moved (tails exist at sf0.001)
+      assert(r.getLong(6) + r.getLong(7) > 0, "no tails clamped — vacuous fixture")
+    }
+  }
+
   test("bootstrap_ci resamples replay exactly from the derandomized Poisson hash") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
