@@ -1292,7 +1292,87 @@ object Relational {
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Dataset card (Datasheets for Datasets, Gebru et al. 2021) — the
+    * one-table summary a data release ships beside its parquet: per
+    * table row counts plus the headline composition stats of each
+    * modality (corpus tokens/vocabulary/languages, event stream user
+    * and calendar extent, embedding count/dimensionality, fact-table
+    * money totals), every value an exact integer rendered as a digit
+    * string so heterogeneous metrics share one hash-stable column.
+    *
+    * Scale shape: one partial-aggregated scan per table (row counts
+    * fold into each table's stat scan — nothing is scanned twice); the
+    * token/vocab stats ride the same one-pass explode→agg the text
+    * family uses. All UNION branches are 1-row frames. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    def row(section: String, metric: String,
+        v: org.apache.spark.sql.Column): DataFrame => DataFrame =
+      df => df.select(lit(section).as("section"), lit(metric).as("metric"),
+        v.cast("string").as("value"))
+    val docs = Tables.documents(spark, dir)
+    val toks = explode(filter(split(col("text"), " "), x => x =!= "")).as("t")
+    val parts: Seq[DataFrame] = Seq(
+      row("documents", "n_rows", col("c"))(docs.agg(count(lit(1)).as("c"))),
+      row("documents", "n_langs", col("c"))(docs.agg(countDistinct(col("lang")).as("c"))),
+      row("documents", "n_tokens", col("c"))(
+        docs.select(toks).agg(count(lit(1)).as("c"))),
+      row("documents", "vocabulary", col("c"))(
+        docs.select(toks).agg(countDistinct(col("t")).as("c"))),
+      row("documents", "sum_chars", col("c"))(
+        docs.agg(sum(length(col("text"))).as("c"))),
+      row("events", "n_rows", col("c"))(
+        Tables.events(spark, dir).agg(count(lit(1)).as("c"))),
+      row("events", "n_users", col("c"))(
+        Tables.events(spark, dir).agg(countDistinct(col("user_id")).as("c"))),
+      row("events", "n_days", col("c"))(
+        Tables.events(spark, dir)
+          .agg(countDistinct(expr("unix_millis(ts) div 86400000")).as("c"))),
+      row("events", "n_types", col("c"))(
+        Tables.events(spark, dir).agg(countDistinct(col("event_type")).as("c"))),
+      row("embeddings", "n_rows", col("c"))(
+        Tables.embeddings(spark, dir).agg(count(lit(1)).as("c"))),
+      row("embeddings", "dim", col("c"))(
+        Tables.embeddings(spark, dir).agg(max(size(col("embedding"))).cast("long").as("c"))),
+      row("lineitem", "n_rows", col("c"))(
+        Tables.lineitem(spark, dir).agg(count(lit(1)).as("c"))),
+      row("lineitem", "sum_price_cents", col("c"))(
+        Tables.lineitem(spark, dir)
+          .agg(sum(cents(col("l_extendedprice"))).as("c"))),
+      row("orders", "n_rows", col("c"))(
+        Tables.orders(spark, dir).agg(count(lit(1)).as("c"))),
+      row("customer", "n_rows", col("c"))(
+        Tables.customer(spark, dir).agg(count(lit(1)).as("c"))))
+    parts.reduce(_ unionAll _).orderBy("section", "metric")
+  }
+
+  private val datasetCardSql: String = {
+    val branches = Seq(
+      ("documents", "n_rows", "SELECT count(*) AS c FROM documents"),
+      ("documents", "n_langs", "SELECT count(DISTINCT lang) AS c FROM documents"),
+      ("documents", "n_tokens",
+        "SELECT count(*) AS c FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) FROM documents)"),
+      ("documents", "vocabulary",
+        "SELECT count(DISTINCT t) AS c FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents)"),
+      ("documents", "sum_chars", "SELECT sum(length(text)) AS c FROM documents"),
+      ("events", "n_rows", "SELECT count(*) AS c FROM events"),
+      ("events", "n_users", "SELECT count(DISTINCT user_id) AS c FROM events"),
+      ("events", "n_days",
+        "SELECT count(DISTINCT epoch_ms(ts) // 86400000) AS c FROM events"),
+      ("events", "n_types", "SELECT count(DISTINCT event_type) AS c FROM events"),
+      ("embeddings", "n_rows", "SELECT count(*) AS c FROM embeddings"),
+      ("embeddings", "dim", "SELECT max(len(embedding)) AS c FROM embeddings"),
+      ("lineitem", "n_rows", "SELECT count(*) AS c FROM lineitem"),
+      ("lineitem", "sum_price_cents",
+        "SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c FROM lineitem"),
+      ("orders", "n_rows", "SELECT count(*) AS c FROM orders"),
+      ("customer", "n_rows", "SELECT count(*) AS c FROM customer"))
+    branches.map { case (s, m, q) =>
+      s"SELECT '$s' AS section, '$m' AS metric, CAST(($q) AS VARCHAR) AS value"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY section, metric")
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("dataset_card", datasetCardSql)(datasetCard),
     QueryDef.sql("join_outer",
       """SELECT coalesce(c.c_custkey, o.custkey) AS custkey, c.c_name,
         |  CAST(round(c.c_acctbal * 100) AS BIGINT) AS acct_cents,
