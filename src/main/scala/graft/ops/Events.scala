@@ -544,6 +544,50 @@ object Events {
        |SELECT user_id, day, rn, event_id, ms FROM ranked
        |WHERE rn <= $RateCap ORDER BY user_id, day, rn""".stripMargin
 
+  /** level quantum for [[changelogCompact]]: cents div 5000 = $50
+    * gauge levels, shared with the streaming twin. */
+  private[graft] val ChangelogQuantum = 5000L
+
+  /** CDC-style changelog compaction: per user, keep an event only when
+    * its $50 value LEVEL differs from the user's previous event — the
+    * consecutive-duplicate squash a change-data-capture pipeline runs
+    * so a sensor/heartbeat stream stores changes, not readings
+    * (complements [[debounceEvents]], which collapses by TIME gap, and
+    * dedup, which collapses identical rows globally; raw cents almost
+    * never repeat, which would make the squash vacuous — the LEVEL is
+    * what a monitoring CDC stores). One lag + one row_number on the
+    * family's user-partitioned order; kept rows get their ordinal
+    * among kept. */
+  def changelogCompact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+        expr(s"CAST(round(value * 100) AS BIGINT) div $ChangelogQuantum").as("level"))
+      .withColumn("prev", lag(col("level"), 1).over(w))
+      .filter(col("prev").isNull || col("level") =!= col("prev"))
+    ev.withColumn("rn", row_number().over(w).cast("long"))
+      .select("user_id", "rn", "event_id", "ms", "level")
+      .orderBy("user_id", "rn")
+  }
+
+  private val changelogSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+       |         CAST(round(value * 100) AS BIGINT) // $ChangelogQuantum AS level
+       |  FROM events
+       |), lagged AS (
+       |  SELECT user_id, event_id, ms, level,
+       |         lag(level) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+       |  FROM ev
+       |), kept AS (
+       |  SELECT user_id, event_id, ms, level FROM lagged
+       |  WHERE prev IS NULL OR level <> prev
+       |)
+       |SELECT user_id,
+       |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS rn,
+       |       event_id, ms, level
+       |FROM kept ORDER BY user_id, rn""".stripMargin
+
   private[graft] val DebounceMs = 21600000L // 6 h; shared with the streaming twin
 
   /** Per-user debounce: keep an event only if ≥ [[DebounceMs]] has
@@ -669,6 +713,10 @@ object Events {
       (s, d) => graft.streaming.Streams.runBoundedDebounce(s, d)),
     QueryDef.sql("ewma_smooth", ewmaSql)(ewmaSmooth),
     QueryDef.sql("rate_cap", rateCapSql)(rateCap),
+    QueryDef.sql("changelog_compact", changelogSql)(changelogCompact),
+    // stateful streaming twin, same oracle (the stream_ewma convention)
+    QueryDef.sql("stream_changelog", changelogSql)(
+      (s, d) => graft.streaming.Streams.runBoundedChangelog(s, d)),
     // stateful streaming twin, same oracle (the stream_ewma convention)
     QueryDef.sql("stream_rate_cap", rateCapSql)(
       (s, d) => graft.streaming.Streams.runBoundedRateCap(s, d)),

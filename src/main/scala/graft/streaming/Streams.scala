@@ -351,6 +351,46 @@ object Streams {
       OutputMode.Append(), Seq("user_id", "day", "rn"))
   }
 
+  final case class ChangelogOut(user_id: Long, rn: Long, event_id: Long, ms: Long, level: Long)
+  final case class ChangelogState(prev: Long, hasPrev: Boolean, kept: Long)
+
+  /** Stateful streaming twin of [[graft.ops.Events.changelogCompact]]:
+    * the CDC level-change squash enforced AT ARRIVAL — state is
+    * (last level, kept ordinal) per user, O(2 longs)/key forever; a
+    * reading equal to the stored value emits nothing and touches no
+    * state. In-order contract as [[debounceStream]] (an emitted change
+    * is not revocable). Shares the batch query's oracle row-for-row. */
+  def changelogStream(events: Dataset[Event]): Dataset[ChangelogOut] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[ChangelogState]): Iterator[ChangelogOut] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(ChangelogState(0L, hasPrev = false, 0L))
+      val out = sorted.flatMap { e =>
+        val cents = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        val level = Math.floorDiv(cents, graft.ops.Events.ChangelogQuantum)
+        if (!st.hasPrev || level != st.prev) {
+          st = ChangelogState(level, hasPrev = true, st.kept + 1L)
+          Some(ChangelogOut(userId, st.kept, e.event_id, e.ts.getTime, level))
+        } else None
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  def runBoundedChangelog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.tables.Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    runBounded(spark, "stream_changelog", changelogStream(ev).toDF(),
+      OutputMode.Append(), Seq("user_id", "rn"))
+  }
+
   final case class TopkOut(event_type: String, rn: Long, event_id: Long, cents: Long)
   final case class TopkState(items: List[(Long, Long)])
 

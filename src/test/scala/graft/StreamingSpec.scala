@@ -450,4 +450,30 @@ class StreamingSpec extends SparkSpec {
       assert(got == expect)
     } finally { query.stop(); spark.catalog.dropTempView("ewma_out"); () }
   }
+
+  test("changelog state squashes same-level readings across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streams.changelogStream(input.toDS())
+      .writeStream.format("memory").queryName("changelog_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // levels are value div 50 (dollars): 10,10 | 10,120,120 | 120,10
+      // — the two batch-boundary repeats (events 3 and 6) must be
+      // squashed, which only happens if the last level survives the
+      // boundary in state
+      val vals = Seq(10.0, 10.0, 10.0, 120.0, 120.0, 120.0, 10.0)
+      val events = vals.zipWithIndex.map { case (v, i) =>
+        Event(i + 1L, ts(i + 1L), 9L, "click", v)
+      }
+      input.addData(events.take(2): _*); query.processAllAvailable()
+      input.addData(events.slice(2, 5): _*); query.processAllAvailable()
+      input.addData(events.drop(5): _*); query.processAllAvailable()
+      val got = spark.table("changelog_out")
+        .collect().map(r => (r.getAs[Long]("rn"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("level"))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, 1L, 0L), (2L, 4L, 2L), (3L, 7L, 0L)),
+        s"changelog emitted $got")
+    } finally { query.stop(); spark.catalog.dropTempView("changelog_out"); () }
+  }
 }
