@@ -794,6 +794,142 @@ object Stats {
        |            // (CAST(2 * n AS HUGEINT) * m) AS BIGINT) AS auc_micros
        |FROM cum CROSS JOIN tot GROUP BY n, m""".stripMargin
 
+  /** numerator order statistics for [[hillTailIndex]]. */
+  private val HillK = 64
+
+  /** Hill estimator of the heavy-tail exponent of order totals — the
+    * diagnostic behind "is this value distribution power-law enough to
+    * need salting/capping?" (complements [[Stats]]' key_skew_profile,
+    * which asks the same of GROUP SIZES): over the top k+1 order
+    * statistics, H = (1/k)·Σ ln(x_i / x_(k+1)) and the tail exponent is
+    * α = 1/H. Each log ratio is micros-quantized BEFORE the integer sum
+    * (the tfidf/Adamic-Adar ln convention — the double division and ln
+    * are computed in one association-free expression per row, so the
+    * 6dp round absorbs libm ULP drift); α ships as the integral
+    * division 10¹² div H_micros.
+    *
+    * Scale shape: the only corpus-sized step is a TakeOrderedAndProject
+    * top-65 cut (per-partition bounded heaps); everything after runs on
+    * a CONSTANT 65-row frame — the vocab_coverage convention. */
+  def hillTailIndex(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
+      .orderBy(col("v").desc, col("o_orderkey"))
+      .limit(HillK + 1)
+      .localCheckpoint() // constant 65-row frame; feeds rank + threshold
+    val w = Window.orderBy(col("v").desc, col("o_orderkey"))
+    val ranked = top.withColumn("rn", row_number().over(w).cast("long"))
+    val thr = ranked.filter(col("rn") === (HillK + 1).toLong)
+      .select(col("v").as("x_thr"))
+    ranked.filter(col("rn") <= HillK.toLong)
+      .crossJoin(broadcast(thr))
+      .select(expr("CAST(round(ln(CAST(v AS DOUBLE) / x_thr) * 1000000) AS BIGINT)")
+        .as("t"), col("x_thr"))
+      .groupBy("x_thr")
+      .agg(count(lit(1)).as("k"), sum("t").as("sum_ln_micros"))
+      .select(col("k"), col("x_thr"),
+        expr(s"sum_ln_micros div $HillK").as("hill_micros"),
+        expr(s"""CASE WHEN sum_ln_micros div $HillK = 0 THEN NULL
+                |ELSE 1000000000000 div (sum_ln_micros div $HillK) END""".stripMargin)
+          .as("alpha_micros"))
+  }
+
+  private val hillSql: String =
+    s"""WITH top AS (
+       |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders ORDER BY v DESC, o_orderkey LIMIT ${HillK + 1}
+       |), ranked AS (
+       |  SELECT v, CAST(row_number() OVER (ORDER BY v DESC, o_orderkey) AS BIGINT) AS rn
+       |  FROM top
+       |), thr AS (SELECT v AS x_thr FROM ranked WHERE rn = ${HillK + 1}),
+       |terms AS (
+       |  SELECT CAST(round(ln(CAST(v AS DOUBLE) / x_thr) * 1000000) AS BIGINT) AS t, x_thr
+       |  FROM ranked CROSS JOIN thr WHERE rn <= $HillK
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS k, x_thr,
+       |       CAST(sum(t) // $HillK AS BIGINT) AS hill_micros,
+       |       CASE WHEN sum(t) // $HillK = 0 THEN NULL
+       |            ELSE CAST(1000000000000 // (sum(t) // $HillK) AS BIGINT) END AS alpha_micros
+       |FROM terms GROUP BY x_thr""".stripMargin
+
+  /** value-bin width for [[psiDrift]] ($50 levels — value-domain
+    * bounded, so the bin set never grows with the corpus). */
+  private val PsiBin = 5000L
+
+  /** Population stability index between the stream's first and second
+    * calendar halves — THE production drift monitor for a model input:
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), flagged at 0.1/0.25. Event
+    * values land in $50 bins; each half's bin shares are Laplace-
+    * smoothed exact micros ((n+1)·10⁶ div (N+B) — empty bins must not
+    * produce ln 0); the log ratio is micros-quantized per bin (the
+    * tfidf/hill ln convention) and each term ships as the exact
+    * pico-scaled product (Δshare_micros · ln_micros), with the total
+    * repeated per row (the bootstrap lo/hi convention).
+    *
+    * Scale shape: the stream collapses to (half, bin, count) cells in
+    * one partial-aggregated pass; everything after is bin-set-sized.
+    * The half split needs the calendar extent — one 1-row min/max
+    * aggregate broadcast back (bounded driver-free metadata). */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        expr(s"CAST(round(value * 100) AS BIGINT) div $PsiBin").as("bin"))
+    val ext = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    val cells = ev.crossJoin(broadcast(ext))
+      .select(col("bin"), (col("day") * 2 < col("lo") + col("hi")).as("first_half"))
+      .groupBy("bin")
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("nb"))
+      .localCheckpoint() // bin-set-sized; feeds totals and terms
+    val tot = cells.agg(sum("na").as("ta"), sum("nb").as("tb"),
+      count(lit(1)).as("bcnt"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("na"), col("nb"),
+        expr("CAST(((na + 1) * 1000000) div (ta + bcnt) AS BIGINT)").as("p_micros"),
+        expr("CAST(((nb + 1) * 1000000) div (tb + bcnt) AS BIGINT)").as("q_micros"))
+      .select(col("bin"), col("na"), col("nb"), col("p_micros"), col("q_micros"),
+        expr("""(p_micros - q_micros) *
+               |CAST(round(ln(CAST(p_micros AS DOUBLE) / q_micros) * 1000000) AS BIGINT)"""
+          .stripMargin).as("term_pico"))
+      .localCheckpoint() // feeds the total and the per-bin output
+    val total = terms.agg(sum("term_pico").as("psi_pico"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("na"), col("nb"), col("p_micros"), col("q_micros"),
+        col("term_pico"), col("psi_pico"))
+      .orderBy("bin")
+  }
+
+  private val psiSql: String =
+    s"""WITH ev AS (
+       |  SELECT epoch_ms(ts) // 86400000 AS day,
+       |         CAST(round(value * 100) AS BIGINT) // $PsiBin AS bin
+       |  FROM events
+       |), ext AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+       |cells AS (
+       |  SELECT bin,
+       |         CAST(sum(CASE WHEN day * 2 < lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |         CAST(sum(CASE WHEN day * 2 < lo + hi THEN 0 ELSE 1 END) AS BIGINT) AS nb
+       |  FROM ev CROSS JOIN ext GROUP BY bin
+       |), tot AS (
+       |  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb,
+       |         CAST(count(*) AS BIGINT) AS bcnt
+       |  FROM cells
+       |), terms AS (
+       |  SELECT bin, na, nb,
+       |         CAST(((na + 1) * 1000000) // (ta + bcnt) AS BIGINT) AS p_micros,
+       |         CAST(((nb + 1) * 1000000) // (tb + bcnt) AS BIGINT) AS q_micros
+       |  FROM cells CROSS JOIN tot
+       |), scored AS (
+       |  SELECT bin, na, nb, p_micros, q_micros,
+       |         (p_micros - q_micros) *
+       |           CAST(round(ln(CAST(p_micros AS DOUBLE) / q_micros) * 1000000) AS BIGINT)
+       |           AS term_pico
+       |  FROM terms
+       |)
+       |SELECT s.bin, s.na, s.nb, s.p_micros, s.q_micros, s.term_pico, t.psi_pico
+       |FROM scored s CROSS JOIN (SELECT CAST(sum(term_pico) AS BIGINT) AS psi_pico FROM scored) t
+       |ORDER BY s.bin""".stripMargin
+
   /** resample count for [[bootstrapCi]]. */
   private val BootB = 32
 
@@ -1465,6 +1601,8 @@ object Stats {
     QueryDef.sql("conformal_filter", conformalSql)(conformalFilter),
     QueryDef.sql("theilsen_trend", theilsenSql)(theilsenTrend),
     QueryDef.sql("winsorize", winsorizeSql)(winsorize),
+    QueryDef.sql("hill_tail_index", hillSql)(hillTailIndex),
+    QueryDef.sql("psi_drift", psiSql)(psiDrift),
     QueryDef.sql("volume_trend", volumeTrendSql)(volumeTrend),
     QueryDef.sql("anomaly_mad", anomalyMadSql)(anomalyMad),
     // stateful streaming twin: emits one verdict per CLOSED day, i.e.

@@ -357,6 +357,49 @@ class StatsSpec extends SparkSpec {
     assert(got.getAs[Long]("t2_micros") >= 0L)
   }
 
+  test("hill_tail_index replays from the driver-side top-65 order statistics") {
+    val vs = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), (round(col("o_totalprice") * 100)).cast("long").as("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy { case (v, k) => (-v, k) }.take(65).map(_._1)
+    val thr = vs(64)
+    val terms = vs.take(64).map(v => math.round(math.log(v.toDouble / thr) * 1e6))
+    val hill = terms.sum / 64L
+    val row = Stats.hillTailIndex(spark, sfDir).collect().head
+    assert(row.getLong(0) == 64L && row.getLong(1) == thr)
+    assert(row.getLong(2) == hill, s"hill ${row.getLong(2)} vs replay $hill")
+    assert(row.getLong(3) == 1000000000000L / hill)
+    assert(hill > 0, "top orders are not above the threshold — vacuous")
+  }
+
+  test("psi_drift terms replay and the total is their sum") {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT) div 5000").as("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (ev.map(_._1).min, ev.map(_._1).max)
+    val byBin = ev.groupBy(_._2)
+    val bins  = byBin.keys.toSeq.sorted
+    val na = byBin.view.mapValues(_.count { case (d, _) => d * 2 < lo + hi }.toLong).toMap
+    val nb = byBin.view.mapValues(_.count { case (d, _) => d * 2 >= lo + hi }.toLong).toMap
+    val (ta, tb, bc) = (na.values.sum, nb.values.sum, bins.size.toLong)
+    val expect = bins.map { b =>
+      val p = ((na(b) + 1) * 1000000L) / (ta + bc)
+      val q = ((nb(b) + 1) * 1000000L) / (tb + bc)
+      b -> ((p - q) * math.round(math.log(p.toDouble / q) * 1e6), p, q)
+    }.toMap
+    val got = Stats.psiDrift(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSeq == bins)
+    got.foreach { r =>
+      val (term, p, q) = expect(r.getLong(0))
+      assert(r.getLong(3) == p && r.getLong(4) == q)
+      assert(r.getLong(5) == term, s"bin ${r.getLong(0)}: ${r.getLong(5)} vs $term")
+      assert(r.getLong(6) == expect.values.map(_._1).sum)
+    }
+    // both halves are populated — the drift question is non-vacuous
+    assert(ta > 0 && tb > 0)
+  }
+
   test("theilsen_trend is the lower median of the quantized pairwise slopes") {
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
