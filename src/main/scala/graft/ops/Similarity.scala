@@ -719,6 +719,109 @@ object Similarity {
          |  FROM terms GROUP BY query_id, neighbor_id
          |)""".stripMargin
 
+  /** the corpus-wide kNN pair CTEs (IVF coarse assignment → probed
+    * list equi-join → cosine pairs) — shared by the knn_graph oracle
+    * and label_noise_detect's consensus audit. */
+  private lazy val knnGraphCtes: String =
+    s"""cents AS (
+       |  SELECT label, list(avg_val ORDER BY d) AS c FROM (
+       |    SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
+       |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+       |    GROUP BY label, d) t
+       |  GROUP BY label
+       |), ranked_assign AS (
+       |  SELECT e.vec_id, e.embedding, c.label AS ivf_list,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list_transform(generate_series(1, $Dim), d ->
+       |               (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
+       |             (a, v) -> a + v) ASC, c.label ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn <= $NProbe
+       |), pairs AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
+       |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
+       |)""".stripMargin
+
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * BM25-negative upgrade every dense-retriever recipe ships): for
+    * each query vector, the top-K most similar corpus vectors whose
+    * LABEL DIFFERS — maximally confusing non-matches, the examples a
+    * bi-encoder learns the most from. Same shape as [[annBruteforce]]
+    * (broadcast query block, bounded [[TopNeighborsAgg]] heaps) with
+    * the label-disagreement predicate pushed into the pair join, so
+    * negatives never materialize as a post-filter. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val pairs = base.join(broadcast(queries),
+        col("query_id") =!= col("vec_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
+    rankedTopK(spark, pairs)
+  }
+
+  private val hardNegativesSql: String =
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
+       |  FROM embeddings q JOIN embeddings b
+       |    ON q.vec_id <> b.vec_id AND q.label <> b.label
+       |  WHERE q.vec_id < $NumQueries
+       |), ${rankSql("pairs")}""".stripMargin
+
+  /** kNN label-consensus noise detection (the confident-learning-lite
+    * pass a labeled corpus gets before training): a vector whose
+    * [[knnGraph]] neighborhood mostly DISAGREES with its own label is
+    * flagged as suspect — mislabeled points sit inside the wrong
+    * cluster, so their neighbors outvote them. Output: per vector its
+    * label, neighbor count, same-label count, and the majority-vote
+    * verdict (2·n_same < n_neighbors).
+    *
+    * Scale shape: rides the corpus kNN graph (list-id equi-join, never
+    * n²) plus two broadcastable label attaches and one partial-
+    * aggregated consensus count per node. */
+  def labelNoiseDetect(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(spark, dir).select("query_id", "neighbor_id")
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    edges
+      .join(lab.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .groupBy(col("query_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("ql") === col("nl"), 1L).otherwise(0L)).as("n_same"))
+      .join(lab, "vec_id")
+      .select(col("vec_id"), col("label"), col("n_neighbors"), col("n_same"),
+        (lit(2L) * col("n_same") < col("n_neighbors")).as("suspect"))
+      .orderBy("vec_id")
+  }
+
+  private lazy val labelNoiseSql: String =
+    s"""WITH $knnGraphCtes,
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM pairs
+       |), edges AS (
+       |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= $K
+       |), lab AS (SELECT vec_id, label FROM embeddings),
+       |agg AS (
+       |  SELECT e.query_id AS vec_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+       |         CAST(sum(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+       |  FROM edges e
+       |  JOIN lab lq ON lq.vec_id = e.query_id
+       |  JOIN lab ln ON ln.vec_id = e.neighbor_id
+       |  GROUP BY e.query_id
+       |)
+       |SELECT a.vec_id, l.label, a.n_neighbors, a.n_same,
+       |       (2 * a.n_same < a.n_neighbors) AS suspect
+       |FROM agg a JOIN lab l USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+
   /** RRF constant from Cormack et al.'s original formulation — large
     * enough that a rank-1 hit in one retriever cannot be outvoted by a
     * mid-list hit in the other. */
@@ -960,28 +1063,7 @@ object Similarity {
          |               JOIN embeddings b ON b.vec_id = c.neighbor_id
          |), ${rankSql("exact")}""".stripMargin)(annRefine),
     QueryDef.sql("knn_graph",
-      s"""WITH cents AS (
-         |  SELECT label, list(avg_val ORDER BY d) AS c FROM (
-         |    SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
-         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
-         |    GROUP BY label, d) t
-         |  GROUP BY label
-         |), ranked_assign AS (
-         |  SELECT e.vec_id, e.embedding, c.label AS ivf_list,
-         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |             list_transform(generate_series(1, $Dim), d ->
-         |               (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
-         |             (a, v) -> a + v) ASC, c.label ASC) AS rn
-         |  FROM embeddings e CROSS JOIN cents c
-         |), assigned AS (
-         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn = 1
-         |), probes AS (
-         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn <= $NProbe
-         |), pairs AS (
-         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
-         |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
-         |), ${rankSql("pairs")}""".stripMargin)(knnGraph),
+      s"""WITH $knnGraphCtes, ${rankSql("pairs")}""".stripMargin)(knnGraph),
     QueryDef.sql("knn_graph_scaled",
       s"""WITH ${knnScaledPairsCtes("embeddings")}, ${rankSql("pairs")}""")(knnGraphScaled),
     QueryDef.sql("knn_diversity_prune",
@@ -1008,5 +1090,7 @@ object Similarity {
          |FROM corpus c LEFT JOIN dups d USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin)(knnDiversityPrune),
     QueryDef.sql("rrf_fusion", rrfSql)(rrfFusion),
+    QueryDef.sql("hard_negatives", hardNegativesSql)(hardNegatives),
+    QueryDef.sql("label_noise_detect", labelNoiseSql)(labelNoiseDetect),
   )
 }

@@ -287,6 +287,55 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.knnGraph(spark, sfDir).select("query_id").distinct().count() == nVecs)
   }
 
+  test("hard_negatives never share the query's label and rank contiguously") {
+    import org.apache.spark.sql.functions.col
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val rows = Similarity.hardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getLong(1)) != labels(r.getLong(0)),
+        s"negative ${r.getLong(1)} shares query ${r.getLong(0)}'s label")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length.toLong), s"query $q ranks")
+    }
+    // mining bites: for some query the best same-label neighbor outranks
+    // the best negative (otherwise the label predicate filtered nothing)
+    val bruteTop = pairs(Similarity.annBruteforce(spark, sfDir))
+    val negTop   = pairs(Similarity.hardNegatives(spark, sfDir))
+    assert((bruteTop -- negTop).nonEmpty, "label filter excluded nothing — vacuous")
+  }
+
+  test("label_noise_detect consensus replays from the knn graph and labels") {
+    import org.apache.spark.sql.functions.col
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val edges = Similarity.knnGraph(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = edges.groupBy(_._1).view.mapValues { es =>
+      (es.length.toLong, es.count { case (q, n) => labels(q) == labels(n) }.toLong)
+    }.toMap
+    val got = Similarity.labelNoiseDetect(spark, sfDir).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (nn, ns) = expect(r.getLong(0))
+      assert(r.getAs[Number](1).longValue == labels(r.getLong(0)))
+      assert(r.getLong(2) == nn && r.getLong(3) == ns)
+      assert(r.getBoolean(4) == (2 * ns < nn))
+    }
+    // the fixture's label clusters are WEAK (natural cosines top out
+    // ~0.47), so the audit flags most vectors — the honest verdict on
+    // near-random labels. Pin that both verdicts occur: the minority of
+    // genuinely-clustered vectors must clear the vote
+    val suspects = got.count(_.getBoolean(4))
+    assert(suspects > 0 && suspects < got.length,
+      s"$suspects of ${got.length} suspect — a one-sided audit is vacuous")
+  }
+
   test("rrf_fusion: fused micros replay exactly from the two retrievers' ranks") {
     import graft.ops.TextAnalysis
     val rows = Similarity.rrfFusion(spark, sfDir).collect()
