@@ -453,6 +453,28 @@ object Dedup {
       .select(col("rep").as("cluster_rep"), col("cluster_size"))
       .orderBy("cluster_rep")
 
+  /** Duplicate-cluster size profile — the operational report a dedup
+    * run ships: one row per power-of-two cluster-size octave
+    * (octave = bit length of size − 1, the zipf_profile exact-integer
+    * bucketing; octave 0 = singletons) with cluster and document
+    * counts. Answers "is duplication a few huge template families or
+    * many small pairs?" — which decides whether keep-best needs a
+    * skew treatment. Rides the memoized [[clusterLabels]] (no second
+    * CC run); singletons are the corpus remainder, one count each. */
+  def dupClusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = clusterLabels(spark, dir)
+      .groupBy("rep").agg(count(lit(1)).as("sz"))
+    val prof = sizes
+      .groupBy((length(bin(col("sz"))) - 1).cast("long").as("octave"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+    val total = nearDupCorpus(spark, dir).agg(count(lit(1)).as("n"))
+    val inClusters = sizes.agg(coalesce(sum("sz"), lit(0L)).as("s"))
+    val singletons = total.crossJoin(inClusters)
+      .select(lit(0L).as("octave"), (col("n") - col("s")).as("n_clusters"),
+        (col("n") - col("s")).as("n_docs"))
+    prof.unionAll(singletons).orderBy("octave")
+  }
+
   /** Converged connected-component labels (id → rep = component min id)
     * over the MinHash near-dup pair graph — the shared core of
     * [[dedupClusters]] (cluster census) and [[dedupClusterKeepBest]]
@@ -1161,6 +1183,43 @@ object Dedup {
          |SELECT rep AS cluster_rep, count(*) AS cluster_size FROM (
          |  SELECT src AS id, least(src, min(dst)) AS rep FROM reach GROUP BY src
          |) t GROUP BY rep ORDER BY cluster_rep""".stripMargin)(dedupClusters),
+    QueryDef.sql("dup_cluster_profile",
+      s"""WITH RECURSIVE $corpusSql, $shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |),
+         |sizes AS (
+         |  SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM (
+         |    SELECT src AS id, least(src, min(dst)) AS rep FROM reach GROUP BY src
+         |  ) t GROUP BY rep
+         |),
+         |prof AS (
+         |  SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS octave,
+         |         CAST(count(*) AS BIGINT) AS n_clusters,
+         |         CAST(sum(sz) AS BIGINT) AS n_docs
+         |  FROM sizes GROUP BY octave
+         |),
+         |tot AS (SELECT count(*) AS n FROM corpus),
+         |incl AS (SELECT coalesce(sum(sz), 0) AS s FROM sizes)
+         |SELECT * FROM (
+         |  SELECT octave, n_clusters, n_docs FROM prof
+         |  UNION ALL
+         |  SELECT CAST(0 AS BIGINT), CAST(n - s AS BIGINT), CAST(n - s AS BIGINT)
+         |  FROM tot CROSS JOIN incl
+         |) ORDER BY octave""".stripMargin)(dupClusterProfile),
     QueryDef.sql("dedup_cluster_keep_best",
       s"""WITH RECURSIVE $corpusSql, $shingleSql,
          |pairs AS (

@@ -746,6 +746,60 @@ object TextAnalysis {
       |       CAST(sum(CAST(c AS HUGEINT) * rank) AS BIGINT) AS rank_weighted
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Heaps'-law vocabulary growth curve — the tokenizer-sizing
+    * diagnostic beside [[zipfProfile]]'s rank-frequency view: how fast
+    * does the vocabulary grow as the corpus grows? One row per doc-id
+    * octave (bit length of doc_id+1 — zipf_profile's exact integer
+    * octave): cumulative token count and cumulative DISTINCT token
+    * count up to each octave boundary, both exact.
+    *
+    * Scale shape: no per-prefix rescan — each token reduces to its
+    * FIRST-OCCURRENCE doc (one min aggregate over the exploded stream,
+    * vocabulary-sized result) and each octave's vocab is a cumulative
+    * sum over ≤64 bit-length cells; token totals come from the same
+    * per-doc collapse. Nothing is quadratic in prefixes. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(filter(split(col("text"), " "), x => x =!= "")).as("t"))
+    // octave of a doc id: bit length of doc_id + 1 (octave k holds ids < 2^k)
+    val octave = (c: Column) => length(bin(c + 1)).cast("long")
+    val firstSeen = toks.groupBy("t").agg(min("doc_id").as("d0"))
+      .groupBy(octave(col("d0")).as("octave")).agg(count(lit(1)).as("new_vocab"))
+    val tokCnt = toks.groupBy(octave(col("doc_id")).as("octave"))
+      .agg(count(lit(1)).as("toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("octave")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tokCnt.join(firstSeen, Seq("octave"), "full_outer")
+      .select(col("octave"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("new_vocab"), lit(0L)).as("new_vocab"))
+      .withColumn("cum_tokens", sum("toks").over(w))
+      .withColumn("cum_vocab", sum("new_vocab").over(w))
+      .orderBy("octave")
+  }
+
+  private val heapsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents
+      |), fs AS (
+      |  SELECT length(bin(d0 + 1)) AS octave, CAST(count(*) AS BIGINT) AS new_vocab
+      |  FROM (SELECT t, min(doc_id) AS d0 FROM toks GROUP BY t) GROUP BY octave
+      |), tc AS (
+      |  SELECT length(bin(doc_id + 1)) AS octave, CAST(count(*) AS BIGINT) AS toks
+      |  FROM toks GROUP BY octave
+      |), j AS (
+      |  SELECT coalesce(tc.octave, fs.octave) AS octave,
+      |         coalesce(tc.toks, 0) AS toks, coalesce(fs.new_vocab, 0) AS new_vocab
+      |  FROM tc FULL OUTER JOIN fs ON tc.octave = fs.octave
+      |)
+      |SELECT CAST(octave AS BIGINT) AS octave, toks, new_vocab,
+      |       CAST(sum(toks) OVER (ORDER BY octave) AS BIGINT) AS cum_tokens,
+      |       CAST(sum(new_vocab) OVER (ORDER BY octave) AS BIGINT) AS cum_vocab
+      |FROM j ORDER BY octave""".stripMargin
+
   /** TextRank keyword extraction (Mihalcea–Tarau 2004): PageRank over
     * the word co-occurrence graph — nodes are corpus terms, an
     * undirected edge connects each ADJACENT token pair — and the top-20
@@ -1468,6 +1522,7 @@ object TextAnalysis {
     QueryDef.sql("wordpiece_encode", wordpieceSql)(wordpieceEncode),
     QueryDef.sql("stupid_backoff", stupidBackoffSql)(stupidBackoff),
     QueryDef.sql("textrank_keywords", textrankSql)(textrankKeywords),
+    QueryDef.sql("heaps_law", heapsSql)(heapsLaw),
     QueryDef.sql("feature_hash",
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t

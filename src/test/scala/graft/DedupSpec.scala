@@ -296,4 +296,48 @@ class DedupSpec extends SparkSpec {
     assert(maxLit.max <= s,
       s"centroid literal of ${maxLit.max} rows exceeds sqrt-k bound $s — flat assignment leaked back in")
   }
+
+  test("dup_cluster_profile partitions the corpus and replays from the cluster census") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.col
+    val sizes = Dedup.dedupClusters(spark, sfDir).collect().map(_.getLong(1))
+    val expect = sizes.groupBy(s => 63 - java.lang.Long.numberOfLeadingZeros(s))
+      .map { case (o, ss) => o.toLong -> (ss.length.toLong, ss.sum) }
+    val corpusN = Dedup.nearDupCorpus(spark, sfDir).count()
+    val got = Dedup.dupClusterProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.filter(_._1 > 0).foreach { case (o, nc, nd) =>
+      assert(expect(o) == ((nc, nd)), s"octave $o: ($nc, $nd) vs ${expect(o)}")
+    }
+    val singles = got.find(_._1 == 0L).get
+    assert(singles._2 == corpusN - sizes.sum && singles._2 == singles._3)
+    assert(got.map(_._3).sum == corpusN, "profile does not partition the corpus")
+    // near-dup fixture guarantees: clusters of >= 2 exist AND singletons exist
+    assert(got.exists(r => r._1 >= 1 && r._2 > 0) && singles._2 > 0)
+  }
+
+  test("heaps_law cumulative curve replays and vocabulary growth is concave-ish") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    def octave(id: Long): Long = 64 - java.lang.Long.numberOfLeadingZeros(id + 1) - 1 + 1
+    val tokCnt = docs.groupBy { case (id, _) => octave(id) }
+      .view.mapValues(_.map(_._2.length.toLong).sum).toMap
+    val firstSeen = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val newVocab = firstSeen.values.groupBy(octave)
+      .view.mapValues(_.size.toLong).toMap
+    val got = graft.ops.TextAnalysis.heapsLaw(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    var (ct, cv) = (0L, 0L)
+    got.foreach { case (o, t, v, cumT, cumV) =>
+      assert(t == tokCnt.getOrElse(o, 0L), s"octave $o tokens")
+      assert(v == newVocab.getOrElse(o, 0L), s"octave $o new vocab")
+      ct += t; cv += v
+      assert(cumT == ct && cumV == cv, s"octave $o cumulative drift")
+      assert(cumV <= cumT)
+    }
+    assert(got.last._5 == firstSeen.size.toLong, "final vocab != corpus vocabulary")
+  }
 }
