@@ -1645,6 +1645,153 @@ object Graph {
        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.x AND e.v = s.y)
        |ORDER BY aa_micros DESC, x, y LIMIT $LpTopN""".stripMargin
 
+  /** Strongly connected components of the DIRECTED orders graph —
+    * the missing directed-graph sibling of the undirected connected
+    * components in `Dedup.clusterLabels` (a crawl's link graph, a
+    * citation graph, a dependency graph all need SCC, not CC). Uses the
+    * Multistep structure (Slota et al., IPDPS 2014; FW-BW of Fleischer
+    * et al. 2000): alternate a TRIM fixpoint (peel nodes with zero
+    * in- or out-degree in the induced subgraph — each is a singleton
+    * SCC; this collapses the acyclic periphery in whole-frontier steps,
+    * the known cure for the coloring algorithm's chain-of-SCCs worst
+    * case) with a COLORING round (forward min-label propagation to
+    * fixpoint, then a backward sweep inside each color class from its
+    * root — the nodes that reach their root within the class are
+    * exactly the root's SCC; every color class retires ≥1 whole SCC
+    * per round, all classes in parallel).
+    *
+    * Correctness note pinned by `GraphSpec`: the naive "(fwd-min,
+    * bwd-min) label pair" shortcut is WRONG (two singleton SCCs can
+    * share both labels); the backward sweep restricted to the color
+    * class is what makes this exact.
+    *
+    * Scale shape: every step is an equi-join on the node key against
+    * the (src, dst) long-pair edge table plus a partial-aggregated min
+    * — the sssp/lpa family shape, same reused hash partitioning every
+    * round. Per-round `localCheckpoint` + `Checkpoints.free` keeps the
+    * plan and storage constant; the only driver state is loop-control
+    * booleans/counts (bounded metadata). Output: node, scc_id (= min
+    * node id in the component), scc_size. */
+  def sccComponents(spark: SparkSession, dir: String): DataFrame =
+    sccComponentsOn(rawEdges(spark, dir, 211L, 197L))
+
+  /** SCC over an arbitrary directed (src, dst) edge list — split out so
+    * specs can drive it with hand-checkable graphs (incl. the
+    * label-pair counterexample). */
+  private[graft] def sccComponentsOn(edgesDf: DataFrame): DataFrame = {
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    var e = edgesDf.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    var done = Seq.empty[(Long, Long)].toDF("node", "scc_id").localCheckpoint()
+    var active = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    while (!active.isEmpty) {
+      // ---- trim fixpoint: nodes missing an in- OR out-edge in the
+      // induced subgraph are singleton SCCs
+      var trimming = true
+      while (trimming && !active.isEmpty) {
+        val keep = active
+          .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
+          .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi")
+          .localCheckpoint()
+        val peel = active.join(keep, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("scc_id"))
+        val nPeel = peel.count()
+        if (nPeel == 0L) {
+          Checkpoints.free(keep)
+          trimming = false
+        } else {
+          val prevDone = done; val prevActive = active; val prevE = e
+          done = done.union(peel).localCheckpoint()
+          active = keep
+          e = e.join(active.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .join(active.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")).localCheckpoint()
+          Checkpoints.free(prevDone); Checkpoints.free(prevActive); Checkpoints.free(prevE)
+        }
+      }
+      if (!active.isEmpty) {
+        // ---- forward min-label coloring to fixpoint
+        var colors = active.select(col("node"), col("node").as("color")).localCheckpoint()
+        var coloring = true
+        while (coloring) {
+          val offers = colors.join(e, col("node") === col("src"))
+            .select(col("dst").as("node"), col("color").as("c2"))
+            .groupBy("node").agg(min("c2").as("c2"))
+          val next = colors.join(offers, Seq("node"), "left")
+            .select(col("node"),
+              least(col("color"), coalesce(col("c2"), col("color"))).as("color"))
+            .localCheckpoint()
+          val changed = next.join(colors.withColumnRenamed("color", "old"), Seq("node"))
+            .filter(col("color") < col("old")).count()
+          Checkpoints.free(colors)
+          colors = next
+          coloring = changed > 0L
+        }
+        // ---- backward sweep inside each color class from its root
+        var reached = colors.filter(col("node") === col("color")).localCheckpoint()
+        var frontier = reached
+        var sweeping = true
+        while (sweeping) {
+          val preds = frontier.join(e, col("node") === col("dst"))
+            .select(col("src").as("node"), col("color").as("fc")).distinct()
+          val sameColor = preds.join(colors, Seq("node"))
+            .filter(col("fc") === col("color")).select(col("node"), col("color"))
+          val fresh = sameColor.join(reached, Seq("node"), "left_anti").localCheckpoint()
+          if (fresh.isEmpty) {
+            Checkpoints.free(fresh)
+            sweeping = false
+          } else {
+            val prevReached = reached; val prevFrontier = frontier
+            reached = reached.union(fresh).localCheckpoint()
+            frontier = fresh
+            Checkpoints.free(prevReached)
+            if (prevFrontier ne prevReached) Checkpoints.free(prevFrontier)
+          }
+        }
+        if (frontier ne reached) Checkpoints.free(frontier)
+        val prevDone = done; val prevActive = active; val prevE = e
+        done = done.union(reached.select(col("node"), col("color").as("scc_id")))
+          .localCheckpoint()
+        active = active.join(reached, Seq("node"), "left_anti").localCheckpoint()
+        e = e.join(active.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(active.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).localCheckpoint()
+        Checkpoints.free(reached); Checkpoints.free(colors)
+        Checkpoints.free(prevDone); Checkpoints.free(prevActive); Checkpoints.free(prevE)
+      }
+    }
+    Checkpoints.free(active); Checkpoints.free(e)
+    val sizes = done.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    done.join(sizes, Seq("scc_id"))
+      .select(col("node"), col("scc_id"), col("scc_size"))
+      .orderBy("node")
+  }
+
+  /** DuckDB mirrors SCC by brute transitive closure (fine at the gate
+    * SF: ≤408 nodes in the mod-211/197 space): scc_id(u) = min over
+    * {u} ∪ {v : u→*v ∧ v→*u}. */
+  private val sccSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst FROM orders
+      |  WHERE (o_custkey % 211) <> (o_orderkey % 197)
+      |), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+      |), reach(a, b) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+      |), mutual AS (
+      |  SELECT r1.a AS u, r1.b AS v FROM reach r1
+      |  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+      |), scc AS (
+      |  SELECT n.node, LEAST(n.node, coalesce(min(m.v), n.node)) AS scc_id
+      |  FROM nodes n LEFT JOIN mutual m ON m.u = n.node GROUP BY n.node
+      |), sz AS (SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY scc_id)
+      |SELECT CAST(s.node AS BIGINT) AS node, CAST(s.scc_id AS BIGINT) AS scc_id,
+      |       CAST(z.scc_size AS BIGINT) AS scc_size
+      |FROM scc s JOIN sz z USING (scc_id) ORDER BY s.node""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("pagerank", pageRankSql)(pageRank),
     QueryDef.sql("triangle_count", triangleSql)(triangleCount),
@@ -1663,5 +1810,6 @@ object Graph {
     QueryDef.sql("mst_forest", mstSql)(mstForest),
     QueryDef.sql("graph_diameter", diameterSql)(graphDiameter),
     QueryDef.sql("degree_assortativity", assortativitySql)(degreeAssortativity),
+    QueryDef.sql("scc_components", sccSql)(sccComponents),
   )
 }

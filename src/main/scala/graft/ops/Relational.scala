@@ -1050,6 +1050,81 @@ object Relational {
       .limit(50)
   }
 
+  /** [[itemCf]] neighbor-list depth and co-occurrence support floor. */
+  private val CfTopK   = 5
+  private val CfMinSup = 2L
+
+  /** Item-item collaborative filtering (the Amazon "customers who
+    * bought X also bought Y" recommender core, Linden et al. 2003;
+    * the co-occurrence-cosine sibling of [[marketBasket]]'s lift
+    * rules): items co-purchased within an order score
+    * cos(i,j) = c(i,j)/√(c(i)·c(j)), and each item keeps its top-
+    * [[CfTopK]] neighbors. Items are part-key groups in the graph
+    * family's mod-211 space (densifies co-occurrence on the synthetic
+    * fixture exactly as the graph operators do). The square root is
+    * irrational, so the shipped score is COSINE² in exact micros —
+    * rank-equivalent (x² is monotone on non-negatives) and hash-exact:
+    * (c(i,j)²·10⁶) div (c(i)·c(j)) in DECIMAL(38)/HUGEINT.
+    *
+    * Scale shape: the pair fan-out is the basket self-equi-join on the
+    * order key (bounded basket sizes; the same shape market_basket
+    * ships) with map-side partial counts; the [[CfMinSup]] support
+    * floor is the standard prune that keeps the candidate matrix
+    * sparse at corpus scale; the top-k cut is a PER-ITEM-keyed window
+    * (never global). Counts re-attach via broadcast-able equi-joins on
+    * the item-group margin. */
+  def itemCf(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), (col("l_partkey") % 211).as("item"))
+      .distinct()
+      .localCheckpoint() // feeds the margin and both pair sides
+    val cnt = baskets.groupBy("item").agg(count(lit(1)).as("ci"))
+    val pairs = baskets.as("x")
+      .join(baskets.as("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("i"), col("y.item").as("j"))
+      .agg(count(lit(1)).as("cij"))
+      .filter(col("cij") >= CfMinSup)
+    val nbrs = pairs.select(col("i"), col("j"), col("cij"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cij")))
+    val scored = nbrs
+      .join(cnt.select(col("item").as("i"), col("ci").as("ni")), Seq("i"))
+      .join(cnt.select(col("item").as("j"), col("ci").as("nj")), Seq("j"))
+      .select(col("i").as("item"), col("j").as("nbr"), col("cij").as("n_both"),
+        col("ni").as("n_item"), col("nj").as("n_nbr"),
+        expr("""CAST((CAST(cij AS DECIMAL(38,0)) * cij * 1000000)
+               |     div (CAST(ni AS DECIMAL(38,0)) * nj) AS BIGINT)""".stripMargin)
+          .as("cos2_micros"))
+    val w = Window.partitionBy("item")
+      .orderBy(desc("cos2_micros"), desc("n_both"), col("nbr"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= CfTopK.toLong)
+      .orderBy(col("item"), col("rn"))
+  }
+
+  private val itemCfSql: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey AS okey, (l_partkey % 211) AS item FROM lineitem
+       |), cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS ci FROM baskets GROUP BY item),
+       |pairs AS (
+       |  SELECT x.item AS i, y.item AS j, CAST(count(*) AS BIGINT) AS cij
+       |  FROM baskets x JOIN baskets y ON x.okey = y.okey AND x.item < y.item
+       |  GROUP BY x.item, y.item HAVING count(*) >= $CfMinSup
+       |), nbrs AS (
+       |  SELECT i, j, cij FROM pairs UNION ALL SELECT j, i, cij FROM pairs
+       |), scored AS (
+       |  SELECT n.i AS item, n.j AS nbr, n.cij AS n_both,
+       |         a.ci AS n_item, b.ci AS n_nbr,
+       |         CAST((CAST(n.cij AS HUGEINT) * n.cij * 1000000)
+       |              // (CAST(a.ci AS HUGEINT) * b.ci) AS BIGINT) AS cos2_micros
+       |  FROM nbrs n JOIN cnt a ON a.item = n.i JOIN cnt b ON b.item = n.j
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+       |    ORDER BY cos2_micros DESC, n_both DESC, nbr) AS BIGINT) AS rn
+       |  FROM scored
+       |)
+       |SELECT item, nbr, n_both, n_item, n_nbr, cos2_micros, rn
+       |FROM ranked WHERE rn <= $CfTopK ORDER BY item, rn""".stripMargin
+
   /** Apriori support threshold shared by [[frequentItemsets]]' pruning
     * levels. */
   private val FiMinSup = 10L
@@ -1697,6 +1772,7 @@ object Relational {
         |ORDER BY lift_micros DESC, brand_a, brand_b
         |LIMIT 50""".stripMargin)(marketBasket),
     QueryDef.sql("frequent_itemsets", frequentItemsetsSql)(frequentItemsets),
+    QueryDef.sql("item_cf", itemCfSql)(itemCf),
     QueryDef.sql("string_index",
       """SELECT p_brand AS category, CAST(count(*) AS BIGINT) AS freq,
         |       CAST(row_number() OVER (ORDER BY count(*) DESC, p_brand) - 1 AS BIGINT) AS code

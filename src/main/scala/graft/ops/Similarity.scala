@@ -783,11 +783,16 @@ object Similarity {
     * label, neighbor count, same-label count, and the majority-vote
     * verdict (2·n_same < n_neighbors).
     *
-    * Scale shape: rides the corpus kNN graph (list-id equi-join, never
-    * n²) plus two broadcastable label attaches and one partial-
-    * aggregated consensus count per node. */
+    * Scale shape: rides the corpus-SCALED kNN graph ([[knnEdgesOn]]:
+    * list count ∝ n, Σ|list|² ≈ n·B — linear) plus two broadcastable
+    * label attaches and one partial-aggregated consensus count per
+    * node. Riding the fixed-nlist [[knnGraph]] instead was this
+    * round's probe-caught knee: its n²/nlist candidate join ran >12
+    * minutes into a 24 g heap at 64× before the probe was cut —
+    * exactly the round-14 knn_graph curve, inherited transitively.
+    * The consumer of a graph artifact must consume the SCALED one. */
   def labelNoiseDetect(spark: SparkSession, dir: String): DataFrame = {
-    val edges = knnGraph(spark, dir).select("query_id", "neighbor_id")
+    val edges = knnGraphScaled(spark, dir).select("query_id", "neighbor_id")
     val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     edges
       .join(lab.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
@@ -802,7 +807,7 @@ object Similarity {
   }
 
   private lazy val labelNoiseSql: String =
-    s"""WITH $knnGraphCtes,
+    s"""WITH ${knnScaledPairsCtes("embeddings")},
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM pairs

@@ -539,6 +539,79 @@ object TextAnalysis {
        |FROM cells c JOIN margin m USING (labeled_lang)
        |ORDER BY labeled_lang, predicted_lang""".stripMargin
 
+  /** Cohen's kappa between the fixture's labeled `lang` and the
+    * [[langId]] heuristic — the chance-corrected single-number
+    * agreement score behind [[langConfusion]]'s matrix (and THE
+    * inter-annotator-agreement statistic when two labeling passes —
+    * human raters, two classifier versions, model-vs-heuristic — must
+    * be compared before trusting either as training labels):
+    * κ = (p₀−p_e)/(1−p_e) = (A·N − S)/(N² − S) with A = agreement
+    * count, S = Σ_class row_margin·col_margin — an EXACT integer
+    * rational. κ can be negative (below-chance agreement), so the
+    * micros division extracts sign and divides non-negative operands
+    * (truncation toward zero on both engines; bare `div`/`//` disagree
+    * on negatives). N·A and N² ride in DECIMAL(38,0)/HUGEINT and the
+    * wide intermediates ship as digit strings (autocorr convention).
+    *
+    * Scale shape: one per-row codegen'd argmax pass collapses to
+    * ≤|langs|² (labeled, predicted, n) cells with map-side partials;
+    * everything after runs on that constant-size frame. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤|langs|² cells; feeds margins, totals, agree
+    val rowm = cells.groupBy(col("labeled_lang").as("cls")).agg(sum("n").as("ra"))
+    val colm = cells.groupBy(col("predicted_lang").as("cls")).agg(sum("n").as("cp"))
+    val chance = rowm.join(colm, Seq("cls"))
+      .agg(coalesce(sum(col("ra").cast("decimal(38,0)") * col("cp")), lit(0L).cast("decimal(38,0)"))
+        .as("s"))
+    val totals = cells.agg(
+      sum("n").as("n_total"),
+      coalesce(sum(when(col("labeled_lang") === col("predicted_lang"), col("n"))), lit(0L))
+        .as("n_agree"))
+    totals.crossJoin(chance)
+      .select(col("n_total"), col("n_agree"),
+        (col("n_agree").cast("decimal(38,0)") * col("n_total") - col("s"))
+          .cast("decimal(38,0)").as("num"),
+        (col("n_total").cast("decimal(38,0)") * col("n_total") - col("s"))
+          .cast("decimal(38,0)").as("den"))
+      .select(col("n_total"), col("n_agree"),
+        col("num").cast("string").as("num"),
+        col("den").cast("string").as("den"),
+        expr("""CASE WHEN den = 0 THEN NULL
+               |ELSE CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+               |  ((abs(num) * 1000000) div den) AS BIGINT) END""".stripMargin)
+          .as("kappa_micros"))
+  }
+
+  private val cohensKappaSql: String =
+    s"""WITH pred AS ($langCaseSql),
+       |cells AS (
+       |  SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY labeled_lang, predicted_lang
+       |), rowm AS (SELECT labeled_lang AS cls, sum(n) AS ra FROM cells GROUP BY labeled_lang
+       |), colm AS (SELECT predicted_lang AS cls, sum(n) AS cp FROM cells GROUP BY predicted_lang
+       |), chance AS (
+       |  SELECT coalesce(sum(CAST(ra AS HUGEINT) * cp), 0) AS s
+       |  FROM rowm JOIN colm USING (cls)
+       |), totals AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       |         CAST(coalesce(sum(CASE WHEN labeled_lang = predicted_lang THEN n END), 0)
+       |              AS BIGINT) AS n_agree
+       |  FROM cells
+       |)
+       |SELECT n_total, n_agree,
+       |       CAST(CAST(n_agree AS HUGEINT) * n_total - s AS VARCHAR) AS num,
+       |       CAST(CAST(n_total AS HUGEINT) * n_total - s AS VARCHAR) AS den,
+       |       CASE WHEN CAST(n_total AS HUGEINT) * n_total - s = 0 THEN NULL
+       |            ELSE CAST((CASE WHEN CAST(n_agree AS HUGEINT) * n_total - s < 0
+       |                            THEN -1 ELSE 1 END) *
+       |              ((abs(CAST(n_agree AS HUGEINT) * n_total - s) * 1000000)
+       |               // (CAST(n_total AS HUGEINT) * n_total - s)) AS BIGINT) END
+       |         AS kappa_micros
+       |FROM totals CROSS JOIN chance""".stripMargin
+
   /** Token-diversity metrics per document: token count, vocabulary size,
     * type-token ratio, and Gini–Simpson diversity. The frequency core
     * (n_tokens, n_distinct, Σ c·(c−1)) is ONE codegen'd pass per row
@@ -1000,6 +1073,133 @@ object TextAnalysis {
       |       CAST(coalesce(a.sum_micros, 0) AS BIGINT) AS sum_micros,
       |       CASE WHEN coalesce(a.n_trigrams, 0) > 0
       |            THEN coalesce(a.sum_micros, 0) // a.n_trigrams
+      |            ELSE CAST(0 AS BIGINT) END AS avg_micros
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) h
+      |LEFT JOIN agg a ON a.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form) — [[stupidBackoff]]'s docstring
+    * notes KN was historically skipped at web scale, but the BIGRAM
+    * interpolated form distributes exactly as cheaply as count ratios:
+    * every model quantity is one aggregate over the bigram-TYPE table
+    * (continuation count N₁₊(·w) = distinct left contexts, fertility
+    * N₁₊(w·) = distinct right contexts, context total c(w₁·) = Σ c),
+    * so the "hard" part of KN is two extra vocabulary-sized frames.
+    * Train/held split and output shape mirror [[stupidBackoff]]:
+    *   P(w₂|w₁) = max(c₁₂−D,0)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/B
+    * with D = 3/4 (exact rational) and B = total bigram types. An
+    * unseen context w₁ falls back to the continuation distribution
+    * N₁₊(·w₂)/B alone; a fully-OOV w₂ scores 0 — both documented
+    * conventions mirrored by the oracle.
+    *
+    * Determinism: D = 3/4 keeps every term one exact integral division
+    * to micros (DECIMAL(38)/HUGEINT dividends, all non-negative so
+    * floor = truncate); per-doc sums are exact longs — the
+    * stupid_backoff convention, no doubles anywhere.
+    *
+    * Scale shape: the model tables are vocabulary-sized with map-side
+    * partial aggregation; held-doc occurrences collapse to (doc,
+    * bigram, k) BEFORE the model equi-joins; B rides along as a
+    * broadcast 1-row aggregate. */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val held  = docs.filter(col("doc_id") % 2 === 1)
+    val big = bigramCounts(train).localCheckpoint() // feeds split + B + the g join
+    val bs = big.select(col("b"), col("cb"),
+      substring_index(col("b"), " ", 1).as("w1"),
+      substring_index(col("b"), " ", -1).as("w2"))
+    val ctx = bs.groupBy("w1")
+      .agg(sum("cb").as("ctx"), count(lit(1)).as("nfwd"))
+    val nbw = bs.groupBy("w2").agg(count(lit(1)).as("nbw"))
+    val bT  = big.agg(count(lit(1)).as("bt"))
+    val docg = held
+      .select(col("doc_id"), explode(TextFunctions.wordBigramsCol(col("text"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("k"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    val scored = docg
+      .join(big.select(col("b").as("g"), col("cb")), Seq("g"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(nbw, Seq("w2"), "left")
+      .crossJoin(broadcast(bT))
+      .select(col("doc_id"), col("k"), expr(
+        """CASE
+          |  WHEN ctx IS NOT NULL THEN
+          |    (CASE WHEN cb IS NOT NULL
+          |          THEN CAST((CAST(cb AS DECIMAL(38,0)) * 4000000 - 3000000)
+          |                    div (4 * ctx) AS BIGINT)
+          |          ELSE CAST(0 AS BIGINT) END)
+          |    + CAST((CAST(nfwd AS DECIMAL(38,0)) * coalesce(nbw, 0) * 3000000)
+          |           div (CAST(ctx AS DECIMAL(38,0)) * 4 * bt) AS BIGINT)
+          |  WHEN nbw IS NOT NULL THEN
+          |    CAST((CAST(nbw AS DECIMAL(38,0)) * 1000000) div bt AS BIGINT)
+          |  ELSE CAST(0 AS BIGINT)
+          |END""".stripMargin).as("sm"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"), sum(col("k") * col("sm")).as("sum_micros"))
+    held.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_micros"), lit(0L)).as("sum_micros"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0L,
+          expr("sum_micros div n_bigrams")).otherwise(lit(0L)).as("avg_micros"))
+      .orderBy("doc_id")
+  }
+
+  private val kneserNeySql: String =
+    """WITH train AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id % 2 = 0
+      |), held AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id % 2 = 1
+      |), big AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS cb FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+      |    FROM train WHERE len(w) >= 2) GROUP BY b
+      |), bs AS (
+      |  SELECT b, cb, string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2 FROM big
+      |), ctx AS (
+      |  SELECT w1, CAST(sum(cb) AS BIGINT) AS ctx, CAST(count(*) AS BIGINT) AS nfwd
+      |  FROM bs GROUP BY w1
+      |), nb AS (
+      |  SELECT w2, CAST(count(*) AS BIGINT) AS nbw FROM bs GROUP BY w2
+      |), bt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM big
+      |), docg AS (
+      |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS k FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      |    FROM held WHERE len(w) >= 2) GROUP BY doc_id, g
+      |), scored AS (
+      |  SELECT d.doc_id, d.k,
+      |    CASE
+      |      WHEN c.ctx IS NOT NULL THEN
+      |        (CASE WHEN bg.cb IS NOT NULL
+      |              THEN CAST((CAST(bg.cb AS HUGEINT) * 4000000 - 3000000)
+      |                        // (4 * c.ctx) AS BIGINT)
+      |              ELSE CAST(0 AS BIGINT) END)
+      |        + CAST((CAST(c.nfwd AS HUGEINT) * coalesce(n.nbw, 0) * 3000000)
+      |               // (CAST(c.ctx AS HUGEINT) * 4 * bt.bt) AS BIGINT)
+      |      WHEN n.nbw IS NOT NULL THEN
+      |        CAST((CAST(n.nbw AS HUGEINT) * 1000000) // bt.bt AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT)
+      |    END AS sm
+      |  FROM docg d
+      |  LEFT JOIN big bg ON bg.b = d.g
+      |  LEFT JOIN ctx c ON c.w1 = string_split(d.g, ' ')[1]
+      |  LEFT JOIN nb n ON n.w2 = string_split(d.g, ' ')[2]
+      |  CROSS JOIN bt
+      |), agg AS (
+      |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |         CAST(sum(k * sm) AS BIGINT) AS sum_micros
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT h.doc_id,
+      |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(coalesce(a.sum_micros, 0) AS BIGINT) AS sum_micros,
+      |       CASE WHEN coalesce(a.n_bigrams, 0) > 0
+      |            THEN coalesce(a.sum_micros, 0) // a.n_bigrams
       |            ELSE CAST(0 AS BIGINT) END AS avg_micros
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) h
       |LEFT JOIN agg a ON a.doc_id = h.doc_id
@@ -1485,6 +1685,7 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin)(textQuality),
     QueryDef.sql("lang_id", langCaseSql)(langId),
     QueryDef.sql("lang_confusion", langConfusionSql)(langConfusion),
+    QueryDef.sql("cohens_kappa", cohensKappaSql)(cohensKappa),
     QueryDef.sql("tfidf",
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
@@ -1521,6 +1722,7 @@ object TextAnalysis {
     QueryDef.sql("unigram_score", unigramScoreSql)(unigramScore),
     QueryDef.sql("wordpiece_encode", wordpieceSql)(wordpieceEncode),
     QueryDef.sql("stupid_backoff", stupidBackoffSql)(stupidBackoff),
+    QueryDef.sql("kneser_ney", kneserNeySql)(kneserNey),
     QueryDef.sql("textrank_keywords", textrankSql)(textrankKeywords),
     QueryDef.sql("heaps_law", heapsSql)(heapsLaw),
     QueryDef.sql("feature_hash",

@@ -430,6 +430,49 @@ class GraphSpec extends SparkSpec {
     assert(Graph.assortativityOn(k4).collect().head.isNullAt(6))
   }
 
+  /** driver-side SCC reference: mutual reachability by BFS (graphs are
+    * hand-sized), scc_id = min member. */
+  private def refScc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val simple = edges.distinct.filter { case (a, b) => a != b }
+    val nodes  = simple.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val adj    = simple.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reach(s: Long): Set[Long] = {
+      var seen     = Set(s)
+      var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(u => adj.getOrElse(u, Set.empty[Long])) -- seen
+        seen ++= nxt; frontier = nxt
+      }
+      seen
+    }
+    val r = nodes.map(n => n -> reach(n)).toMap
+    nodes.map { u =>
+      val comp = nodes.filter(v => r(u).contains(v) && r(v).contains(u)).toSet
+      u -> (comp.min, comp.size.toLong)
+    }.toMap
+  }
+
+  test("scc matches mutual-reachability reference on hand graphs incl. the label-pair counterexample") {
+    val graphs = Seq(
+      // two 2-cycles bridged by a DAG edge, plus a pendant feeder
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L), (5L, 1L)),
+      // the (fwd-min, bwd-min) label-pair COUNTEREXAMPLE: 10 and 11
+      // share both labels (reach min 1, reached-by min 2) but are NOT
+      // mutually reachable — all four nodes are singleton SCCs. A
+      // label-pair shortcut merges 10/11; the backward sweep must not.
+      Seq((10L, 1L), (11L, 1L), (2L, 10L), (2L, 11L)),
+      // chain of three SCCs — trim can't peel cycles, so the coloring +
+      // sweep rounds must retire them front-to-back
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L), (4L, 5L), (5L, 6L), (6L, 5L)),
+      // self-loops and duplicate edges are dropped on entry
+      Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L)))
+    graphs.foreach { g =>
+      val got = Graph.sccComponentsOn(g.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == refScc(g), s"scc mismatch on $g")
+    }
+  }
+
   test("no graph walk leaves CacheManager entries behind (storage hygiene)") {
     // Round-13 verdict #1: pageRankOn/triangleCountOn leaked their
     // .cache()s into the rest of the bench run. The family convention is
@@ -464,7 +507,8 @@ class GraphSpec extends SparkSpec {
       ("mst", 1, () => { Graph.mstForestOn(e).collect(); () }),
       ("diameter", 0, () => { Graph.graphDiameterOn(spark, e, 1L, 3).collect(); () }),
       ("assortativity", 1, () => { Graph.assortativityOn(e).collect(); () }),
-      ("link_predict", 2, () => { Graph.linkPredictOn(k4Pendant.toDF("u", "v")).collect(); () }))
+      ("link_predict", 2, () => { Graph.linkPredictOn(k4Pendant.toDF("u", "v")).collect(); () }),
+      ("scc", 1, () => { Graph.sccComponentsOn(e).collect(); () }))
     walks.foreach { case (name, allowance, run) =>
       val rddsBefore = spark.sparkContext.getPersistentRDDs.size
       run()

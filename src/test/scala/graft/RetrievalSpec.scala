@@ -128,6 +128,71 @@ class RetrievalSpec extends SparkSpec {
     assert(b1 > 0 && b2 > 0 && b3 > 0, s"backoff branches unexercised: $b1/$b2/$b3")
   }
 
+  test("kneser_ney: held-out interpolated-KN scoring replays, all branches fire") {
+    val out = TextAnalysis.kneserNey(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).filter(_.nonEmpty)))
+    def bigrams(ts: Array[String]): Seq[String] =
+      if (ts.length < 2) Nil else ts.sliding(2).map(_.mkString(" ")).toSeq
+    val train = docs.filter(_._1 % 2 == 0)
+    val big = train.flatMap(d => bigrams(d._2)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctx  = big.toSeq.groupBy(_._1.split(" ")(0)).view.mapValues(_.map(_._2).sum).toMap
+    val nfwd: Map[String, Long] =
+      big.keysIterator.toSeq.groupBy(_.split(" ")(0)).view.mapValues(_.size.toLong).toMap
+    val nbw: Map[String, Long] =
+      big.keysIterator.toSeq.groupBy(_.split(" ")(1)).view.mapValues(_.size.toLong).toMap
+    val bT   = big.size.toLong
+    var (seen, disc, cont, oov) = (0, 0, 0, 0)
+    def score(g: String): Long = {
+      val p = g.split(" ")
+      if (ctx.contains(p(0))) {
+        val t1 =
+          if (big.contains(g)) { seen += 1; (BigInt(big(g)) * 4000000 - 3000000) / (4 * ctx(p(0))) }
+          else { disc += 1; BigInt(0) }
+        val t2 = BigInt(nfwd(p(0))) * BigInt(nbw.getOrElse(p(1), 0L)) * 3000000 /
+          (BigInt(ctx(p(0))) * 4 * bT)
+        (t1 + t2).toLong
+      } else if (nbw.contains(p(1))) { cont += 1; nbw(p(1)) * 1000000L / bT }
+      else { oov += 1; 0L }
+    }
+    docs.filter(_._1 % 2 == 1).foreach { case (id, ts) =>
+      val gs  = bigrams(ts)
+      val sum = gs.map(score).sum
+      val n   = gs.size.toLong
+      val avg = if (n > 0) sum / n else 0L
+      assert(out(id) == ((n, sum, avg)), s"doc $id")
+    }
+    info(s"branch counts: seen=$seen discount-only=$disc continuation=$cont oov=$oov")
+    assert(seen > 0 && disc > 0, s"KN branches unexercised: $seen/$disc/$cont/$oov")
+  }
+
+  test("cohens_kappa replays from lang_id and stays within [-1, 1] micros") {
+    val rows = TextAnalysis.cohensKappa(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (nTotal, nAgree) = (r.getLong(0), r.getLong(1))
+    val kappa = Option(r.get(4)).map(_.asInstanceOf[Long])
+    kappa.foreach(k => assert(k >= -1000000L && k <= 1000000L))
+    val pred = TextAnalysis.langId(spark, sfDir).collect()
+      .map(x => (x.getString(1), x.getString(2)))
+    assert(nTotal == pred.length.toLong)
+    assert(nAgree == pred.count { case (a, p) => a == p }.toLong)
+    val rowm = pred.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val colm = pred.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val s    = rowm.keySet.intersect(colm.keySet).toSeq
+      .map(c => BigInt(rowm(c)) * colm(c)).sum
+    val num = BigInt(nAgree) * nTotal - s
+    val den = BigInt(nTotal) * nTotal - s
+    val expected =
+      if (den == 0) None
+      else Some((num.sign * ((num.abs * 1000000) / den)).toLong)
+    assert(r.getString(2) == num.toString && r.getString(3) == den.toString)
+    assert(kappa == expected)
+  }
+
   test("bm25 top-k matches a driver-side reference ranking") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()

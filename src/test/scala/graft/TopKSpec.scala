@@ -42,4 +42,31 @@ class TopKSpec extends SparkSpec {
     val counts = out.groupBy("o_orderpriority").count().collect()
     assert(counts.forall(_.getLong(1) <= 3))
   }
+
+  test("item_cf neighbor lists replay a driver-side cosine^2 ranking") {
+    val got = graft.ops.Relational.itemCf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(6)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.nonEmpty)
+    val baskets = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("okey"), (col("l_partkey") % 211).as("item"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = baskets.groupBy(_._1).values.flatMap { b =>
+      val items = b.map(_._2).sorted
+      for (i <- items.indices; j <- i + 1 until items.length) yield (items(i), items(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2L).toMap
+    val nbrs = pairs.toSeq.flatMap { case ((i, j), c) => Seq((i, j, c), (j, i, c)) }
+    val expected = nbrs.groupBy(_._1).flatMap { case (i, ns) =>
+      val scored = ns.map { case (_, j, c) =>
+        val cos2 = BigInt(c) * c * 1000000 / (BigInt(cnt(i)) * cnt(j))
+        (j, c, cos2.toLong)
+      }.sortBy { case (j, c, s) => (-s, -c, j) }
+      scored.take(5).zipWithIndex.map { case ((j, c, s), idx) =>
+        (i, idx + 1L) -> (j, c, cnt(i), cnt(j), s)
+      }
+    }
+    assert(got == expected)
+  }
 }
