@@ -751,6 +751,173 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The Gopher quality-rule pack (Rae et al. 2021, App. A1.1 — the
+    * published heuristic filter every web-scale LLM corpus cites,
+    * alongside C4's): per document, each WORD-level rule evaluated
+    * exactly plus the conjunction. Rules are integer-exact
+    * (cross-multiplied, never a double ratio): word count ∈ [50, 10⁵];
+    * mean word length ∈ [3, 10] (3·n_words ≤ total_word_chars ≤
+    * 10·n_words); symbol-to-word ratio ≤ 0.1 (symbols = '#' and '…'
+    * as '...'); ≥80 % of words contain an alphabetic char; ≥2 DISTINCT
+    * members of Gopher's 8-stopword set present. Gopher's two
+    * LINE-level rules (bullet starts, ellipsis line ends) need line
+    * structure the single-line fixture docs don't have and are
+    * deliberately out of scope — documented, not silently faked.
+    *
+    * Scale shape: pure per-row codegen'd string/array arithmetic —
+    * zero shuffle, streams at scan speed; the total-word-chars count
+    * is `length(replace(text, ' ', ''))`, not a token aggregate.
+    *
+    * On the synthetic fixture the stop-word rule rejects every doc
+    * (the generator vocabulary carries only 'the' from Gopher's set) —
+    * the PUBLISHED thresholds are kept rather than bent to the
+    * fixture; `CurationSpec` proves each rule flips both ways on
+    * constructed docs. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(Tables.documents(spark, dir))
+
+  /** [[gopherRules]] over an arbitrary (doc_id, text) frame — split out
+    * so specs can flip every rule on hand-built docs. */
+  private[graft] def gopherRulesOn(docs: DataFrame): DataFrame = {
+    val t   = filter(split(col("text"), " "), x => x =!= "")
+    val nw  = size(t).cast("long")
+    val twc = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val nAlpha = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("long")
+    val nHash  = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val nEll = expr("CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = stops.map(w => when(array_contains(t, w), 1L).otherwise(0L)).reduce(_ + _)
+    docs
+      .select(col("doc_id"),
+        nw.as("n_words"), twc.as("n_word_chars"), nAlpha.as("n_alpha_words"),
+        (nHash + nEll).as("n_symbols"), nStop.as("n_stop_distinct"))
+      .select(col("doc_id"), col("n_words"), col("n_word_chars"),
+        col("n_alpha_words"), col("n_symbols"), col("n_stop_distinct"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L).as("r_wordcount"),
+        (lit(3L) * col("n_words") <= col("n_word_chars") &&
+          col("n_word_chars") <= lit(10L) * col("n_words")).as("r_wordlen"),
+        (lit(10L) * col("n_symbols") <= col("n_words")).as("r_symbol"),
+        (lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words")).as("r_alpha"),
+        (col("n_stop_distinct") >= 2L).as("r_stop"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_wordlen") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+      .orderBy("doc_id")
+  }
+
+  private val gopherRulesSql: String = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopSum = stops
+      .map(w => s"(CASE WHEN list_contains(w, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w,
+       |         CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_word_chars,
+       |         CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT)
+       |           + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+       |           AS n_symbols
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, n_word_chars,
+       |         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+       |           AS n_alpha_words,
+       |         n_symbols, CAST($stopSum AS BIGINT) AS n_stop_distinct
+       |  FROM f
+       |)
+       |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols, n_stop_distinct,
+       |       (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+       |       (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words) AS r_wordlen,
+       |       (10 * n_symbols <= n_words) AS r_symbol,
+       |       (5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+       |       (n_stop_distinct >= 2) AS r_stop,
+       |       ((n_words >= 50 AND n_words <= 100000)
+       |        AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+       |        AND (10 * n_symbols <= n_words)
+       |        AND (5 * n_alpha_words >= 4 * n_words)
+       |        AND (n_stop_distinct >= 2)) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — data selection
+    * via importance resampling, THE published method for tilting a raw
+    * corpus toward a target domain): each document scores
+    * w(d) = Σ_t k_d(t)·ln(p_target(t)/p_raw(t)) under Laplace-smoothed
+    * unigram LMs — here target = the `src0` slice, raw = the whole
+    * corpus — and selection keeps positive-weight (more-target-like-
+    * than-background) documents. Per-type log ratio is ONE double ln of
+    * an exact integer ratio ((c_T+1)·(N_B+V)) / ((c_B+1)·(N_T+V)),
+    * micros-quantized before the exact per-doc integer sum (the
+    * tfidf/hill ln convention); products stay < 2⁵³ at fixture scales —
+    * the true-100 TB form shifts to per-factor quantized logs, noted
+    * not faked.
+    *
+    * Scale shape: both LM tables are vocabulary-sized with map-side
+    * partials; documents collapse to (doc, type, k) cells BEFORE the
+    * model equi-join (the tfidf shape); N_T/N_B/V ride along as one
+    * broadcast 1-row aggregate. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val toks  = docs.select(col("doc_id"), col("source"),
+      explode(filter(split(col("text"), " "), x => x =!= "")).as("t"))
+    val cells = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("k"))
+    val uniB = toks.groupBy("t").agg(count(lit(1)).as("cb"))
+    val uniT = toks.filter(col("source") === "src0")
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    val model = uniB.join(uniT, Seq("t"), "left")
+      .select(col("t"), col("cb"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .localCheckpoint() // vocab-sized; feeds the totals and the score join
+    val tot = model.agg(sum("cb").as("nb"), sum("ct").as("nt"),
+      count(lit(1)).as("v"))
+    val scoredModel = model.crossJoin(broadcast(tot))
+      .select(col("t"), expr(
+        """CAST(round(ln(CAST((ct + 1) * (nb + v) AS DOUBLE) /
+          |              CAST((cb + 1) * (nt + v) AS DOUBLE)) * 1000000) AS BIGINT)"""
+          .stripMargin).as("lr_micros"))
+    val w = cells.join(scoredModel, Seq("t"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_tokens"),
+        sum(col("k") * col("lr_micros")).as("weight_micros"))
+    docs.select("doc_id", "source").join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("weight_micros"), lit(0L)).as("weight_micros"),
+        (coalesce(col("weight_micros"), lit(0L)) > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val dsirWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents
+      |), cells AS (
+      |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS k FROM toks GROUP BY doc_id, t
+      |), unib AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS cb FROM toks GROUP BY t
+      |), unit AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS ct FROM toks WHERE source = 'src0' GROUP BY t
+      |), model AS (
+      |  SELECT b.t, b.cb, coalesce(u.ct, 0) AS ct FROM unib b LEFT JOIN unit u ON u.t = b.t
+      |), tot AS (
+      |  SELECT CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(ct) AS BIGINT) AS nt,
+      |         CAST(count(*) AS BIGINT) AS v
+      |  FROM model
+      |), scored AS (
+      |  SELECT t, CAST(round(ln(CAST((ct + 1) * (nb + v) AS DOUBLE) /
+      |                          CAST((cb + 1) * (nt + v) AS DOUBLE)) * 1000000) AS BIGINT)
+      |           AS lr_micros
+      |  FROM model CROSS JOIN tot
+      |), w AS (
+      |  SELECT c.doc_id, CAST(sum(c.k) AS BIGINT) AS n_tokens,
+      |         CAST(sum(c.k * s.lr_micros) AS BIGINT) AS weight_micros
+      |  FROM cells c JOIN scored s ON s.t = c.t GROUP BY c.doc_id
+      |)
+      |SELECT d.doc_id, d.source,
+      |       CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(w.weight_micros, 0) AS BIGINT) AS weight_micros,
+      |       (coalesce(w.weight_micros, 0) > 0) AS keep
+      |FROM documents d LEFT JOIN w USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   /** Number of shards for [[shardAssign]] — small so the per-row
     * argmax stays a handful of codegen'd integer ops. */
   private[graft] val NumShards = 8
@@ -1185,6 +1352,8 @@ object Curation {
         |       (8 * na - 6 * (nc - na) + 40 * ns + 2 * nt - 1200) > 0 AS keep
         |FROM f ORDER BY doc_id""".stripMargin)(qualityClassifier),
     QueryDef.sql("curation_pipeline", pipelineSql)(curationPipeline),
+    QueryDef.sql("gopher_rules", gopherRulesSql)(gopherRules),
+    QueryDef.sql("dsir_weights", dsirWeightsSql)(dsirWeights),
     QueryDef.sql("pii_redact",
       """WITH synth AS (
         |  SELECT doc_id,

@@ -861,10 +861,19 @@ object Stats {
     * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), flagged at 0.1/0.25. Event
     * values land in $50 bins; each half's bin shares are Laplace-
     * smoothed exact micros ((n+1)·10⁶ div (N+B) — empty bins must not
-    * produce ln 0); the log ratio is micros-quantized per bin (the
-    * tfidf/hill ln convention) and each term ships as the exact
-    * pico-scaled product (Δshare_micros · ln_micros), with the total
-    * repeated per row (the bootstrap lo/hi convention).
+    * produce ln 0); each term ships as the exact pico-scaled product
+    * (Δshare_micros · ln_micros), with the total repeated per row (the
+    * bootstrap lo/hi convention).
+    *
+    * The ln ratio is computed from the EXACT INTEGER cross-products
+    * ((n_a+1)·(N_b+B)) / ((n_b+1)·(N_a+B)) — never from the quantized
+    * shares: once a half exceeds 10⁶ events the micros share of a rare
+    * bin floors to 0 and share-based ln(p/q) hits ±∞ / ANSI
+    * DIVIDE_BY_ZERO (probe-caught at 64×, where halves are ~3.2 M
+    * events). The cross-products ride DECIMAL(38,0)/HUGEINT and meet
+    * the one double ln at full precision (the dsir_weights ratio
+    * convention); a both-floored bin contributes Δshare 0 · ln = 0
+    * exactly as its true term rounds to.
     *
     * Scale shape: the stream collapses to (half, bin, count) cells in
     * one partial-aggregated pass; everything after is bin-set-sized.
@@ -884,13 +893,14 @@ object Stats {
     val tot = cells.agg(sum("na").as("ta"), sum("nb").as("tb"),
       count(lit(1)).as("bcnt"))
     val terms = cells.crossJoin(broadcast(tot))
-      .select(col("bin"), col("na"), col("nb"),
+      .select(col("bin"), col("na"), col("nb"), col("ta"), col("tb"), col("bcnt"),
         expr("CAST(((na + 1) * 1000000) div (ta + bcnt) AS BIGINT)").as("p_micros"),
         expr("CAST(((nb + 1) * 1000000) div (tb + bcnt) AS BIGINT)").as("q_micros"))
       .select(col("bin"), col("na"), col("nb"), col("p_micros"), col("q_micros"),
         expr("""(p_micros - q_micros) *
-               |CAST(round(ln(CAST(p_micros AS DOUBLE) / q_micros) * 1000000) AS BIGINT)"""
-          .stripMargin).as("term_pico"))
+               |CAST(round(ln(CAST((CAST(na AS DECIMAL(38,0)) + 1) * (tb + bcnt) AS DOUBLE) /
+               |              CAST((CAST(nb AS DECIMAL(38,0)) + 1) * (ta + bcnt) AS DOUBLE))
+               |     * 1000000) AS BIGINT)""".stripMargin).as("term_pico"))
       .localCheckpoint() // feeds the total and the per-bin output
     val total = terms.agg(sum("term_pico").as("psi_pico"))
     terms.crossJoin(broadcast(total))
@@ -915,15 +925,16 @@ object Stats {
        |         CAST(count(*) AS BIGINT) AS bcnt
        |  FROM cells
        |), terms AS (
-       |  SELECT bin, na, nb,
+       |  SELECT bin, na, nb, ta, tb, bcnt,
        |         CAST(((na + 1) * 1000000) // (ta + bcnt) AS BIGINT) AS p_micros,
        |         CAST(((nb + 1) * 1000000) // (tb + bcnt) AS BIGINT) AS q_micros
        |  FROM cells CROSS JOIN tot
        |), scored AS (
        |  SELECT bin, na, nb, p_micros, q_micros,
        |         (p_micros - q_micros) *
-       |           CAST(round(ln(CAST(p_micros AS DOUBLE) / q_micros) * 1000000) AS BIGINT)
-       |           AS term_pico
+       |           CAST(round(ln(CAST((CAST(na AS HUGEINT) + 1) * (tb + bcnt) AS DOUBLE) /
+       |                         CAST((CAST(nb AS HUGEINT) + 1) * (ta + bcnt) AS DOUBLE))
+       |                * 1000000) AS BIGINT) AS term_pico
        |  FROM terms
        |)
        |SELECT s.bin, s.na, s.nb, s.p_micros, s.q_micros, s.term_pico, t.psi_pico

@@ -504,4 +504,55 @@ class CurationSpec extends SparkSpec {
     val tail = baseFps.dropWhile(fp => !editedFps.contains(fp))
     assert(editedFps.containsSlice(tail), "surviving chunks lost their order")
   }
+
+  test("gopher_rules: every rule flips both ways on constructed docs") {
+    import spark.implicits._
+    // a passing doc: 60 ~4-char alpha words incl. two Gopher stopwords
+    val good = (Seq("the", "of") ++ Seq.fill(58)("word")).mkString(" ")
+    val docs = Seq(
+      (0L, good),                                             // all rules pass
+      (1L, (Seq("the", "of") ++ Seq.fill(8)("word")).mkString(" ")),   // word count < 50
+      (2L, (Seq("the", "of") ++ Seq.fill(58)("a")).mkString(" ")),     // mean word len < 3
+      (3L, (Seq("the", "of") ++ Seq.fill(48)("word") ++ Seq.fill(10)("#")).mkString(" ")), // symbols > 10%
+      (4L, (Seq("the", "of") ++ Seq.fill(40)("word") ++ Seq.fill(18)("1234")).mkString(" ")), // alpha < 80%
+      (5L, Seq.fill(60)("word").mkString(" ")))               // < 2 distinct stopwords
+      .toDF("doc_id", "text")
+    val got = Curation.gopherRulesOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))).toMap
+    assert(got(0L) == ((true, true, true, true, true, true)))
+    assert(!got(1L)._1 && got(1L)._2 && got(1L)._3 && got(1L)._4 && got(1L)._5)
+    assert(got(2L)._1 && !got(2L)._2)
+    assert(got(3L)._1 && !got(3L)._3)
+    assert(got(4L)._1 && !got(4L)._4)
+    assert(got(5L)._1 && got(5L)._2 && got(5L)._3 && got(5L)._4 && !got(5L)._5)
+    assert(got.forall { case (id, t) => t._6 == (id == 0L) })
+  }
+
+  test("dsir_weights: src0 docs skew positive, weights replay exactly") {
+    val rows = Curation.dsirWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_._2).view.mapValues(g => g.map(_._4.toDouble).sum / g.size).toMap
+    val others = bySrc.collect { case (s, m) if s != "src0" => m }
+    assert(bySrc("src0") > 0.0, s"target slice mean not positive: ${bySrc("src0")}")
+    assert(others.forall(_ < bySrc("src0")), "a background source outranks the target slice")
+    // exact replay of a handful of docs
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).filter(_.nonEmpty)))
+    val all    = docs.flatMap(_._3)
+    val cb     = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ct     = docs.filter(_._2 == "src0").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (nb, nt, v) = (cb.values.sum, ct.values.sum, cb.size.toLong)
+    def lr(t: String): Long =
+      math.round(math.log(((ct.getOrElse(t, 0L) + 1).toDouble * (nb + v)) /
+        ((cb(t) + 1).toDouble * (nt + v))) * 1e6)
+    val gotW = rows.map(r => r._1 -> (r._3, r._4)).toMap
+    docs.take(25).foreach { case (id, _, ts) =>
+      val w = ts.groupBy(identity).map { case (t, g) => g.length * lr(t) }.sum
+      assert(gotW(id) == ((ts.length.toLong, w)), s"doc $id")
+    }
+  }
 }

@@ -386,7 +386,11 @@ class StatsSpec extends SparkSpec {
     val expect = bins.map { b =>
       val p = ((na(b) + 1) * 1000000L) / (ta + bc)
       val q = ((nb(b) + 1) * 1000000L) / (tb + bc)
-      b -> ((p - q) * math.round(math.log(p.toDouble / q) * 1e6), p, q)
+      // ln from the EXACT integer cross-products, never the quantized
+      // shares (which floor to 0 once a half tops 10⁶ events)
+      val ln = math.log(((na(b) + 1).toDouble * (tb + bc)) /
+        ((nb(b) + 1).toDouble * (ta + bc)))
+      b -> ((p - q) * math.round(ln * 1e6), p, q)
     }.toMap
     val got = Stats.psiDrift(spark, sfDir).collect()
     assert(got.map(_.getLong(0)).toSeq == bins)
