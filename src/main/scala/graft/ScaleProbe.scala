@@ -167,7 +167,11 @@ object ScaleProbe {
     "gini_coefficient",
     // round-16 second batch (passes 11-12 in PERF.md)
     "textrank_keywords", "roc_auc", "graph_diameter",
-    "frequent_itemsets", "prefix_jaccard_join")
+    "frequent_itemsets", "prefix_jaccard_join",
+    // round-16 third batch (passes 13-14 in PERF.md): the fixed
+    // label_noise_detect + psi_drift, and the new fan-out-bearing ops
+    "label_noise_detect", "psi_drift", "scc_components", "item_cf",
+    "kneser_ney", "dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

@@ -918,6 +918,72 @@ object Curation {
       |       (coalesce(w.weight_micros, 0) > 0) AS keep
       |FROM documents d LEFT JOIN w USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Luhn-checksum PAN validation (ISO/IEC 7812 — the mod-10 checksum
+    * every real PII scrubber runs AFTER the 16-digit regex, because
+    * half of all random digit runs would otherwise false-positive as
+    * card numbers; [[piiRedact]]'s regex pass is the stage before
+    * this): the fixture plants one synthetic PAN per doc — valid
+    * check digit on even doc_ids, corrupted (+5 mod 10, never equal)
+    * on odd — and the generic validator (double every second digit
+    * from the right, subtract 9 past 9, sum ≡ 0 mod 10) must recover
+    * exactly the planted parity. Output carries the PAN, the
+    * validator's verdict, the planted expectation, and their match.
+    *
+    * Scale shape: pure per-row codegen'd digit arithmetic over a
+    * 16-element `sequence` fold — zero shuffle, scan speed. */
+  def luhnFilter(spark: SparkSession, dir: String): DataFrame = {
+    def digit(src: String, i: String) = s"(ascii(substr($src, $i, 1)) - 48)"
+    def luhnTerm(src: String) =
+      s"""CAST(CASE WHEN i % 2 = 1
+         |  THEN CASE WHEN 2 * ${digit(src, "i")} > 9
+         |            THEN 2 * ${digit(src, "i")} - 9 ELSE 2 * ${digit(src, "i")} END
+         |  ELSE ${digit(src, "i")} END AS BIGINT)""".stripMargin
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("pan15",
+        expr("concat('4', lpad(CAST(doc_id % 100000000000000 AS STRING), 14, '0'))"))
+      .withColumn("s15", expr(
+        s"aggregate(sequence(1, 15), CAST(0 AS BIGINT), (acc, i) -> acc + ${luhnTerm("pan15")})"))
+      .withColumn("check_digit", expr("CAST((10 - s15 % 10) % 10 AS BIGINT)"))
+      .withColumn("pan", expr(
+        """concat(pan15, CAST(CASE WHEN doc_id % 2 = 0 THEN check_digit
+          |                        ELSE (check_digit + 5) % 10 END AS STRING))""".stripMargin))
+      .withColumn("luhn_valid", expr(
+        s"""aggregate(sequence(1, 16), CAST(0 AS BIGINT),
+           |          (acc, i) -> acc + ${luhnTerm("pan")}) % 10 = 0""".stripMargin))
+      .select(col("doc_id"), col("pan"), col("luhn_valid"),
+        (col("doc_id") % 2 === 0).as("expected_valid"),
+        (col("luhn_valid") === (col("doc_id") % 2 === 0)).as("verdict_match"))
+      .orderBy("doc_id")
+  }
+
+  private val luhnFilterSql: String = {
+    def digit(src: String) = s"(ascii(substr($src, CAST(i AS INT), 1)) - 48)"
+    def luhnSum(src: String, n: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(generate_series(1, $n), i ->
+         |    CAST(CASE WHEN i % 2 = 1
+         |      THEN CASE WHEN 2 * ${digit(src)} > 9
+         |                THEN 2 * ${digit(src)} - 9 ELSE 2 * ${digit(src)} END
+         |      ELSE ${digit(src)} END AS BIGINT))), (a, b) -> a + b)""".stripMargin
+    s"""WITH p15 AS (
+       |  SELECT doc_id,
+       |         '4' || lpad(CAST(doc_id % 100000000000000 AS VARCHAR), 14, '0') AS pan15
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, pan15, ${luhnSum("pan15", 15)} AS s15 FROM p15
+       |), planted AS (
+       |  SELECT doc_id,
+       |         pan15 || CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - s15 % 10) % 10
+       |                            ELSE ((10 - s15 % 10) % 10 + 5) % 10 END AS VARCHAR) AS pan
+       |  FROM s
+       |)
+       |SELECT doc_id, pan,
+       |       (${luhnSum("pan", 16)} % 10 = 0) AS luhn_valid,
+       |       (doc_id % 2 = 0) AS expected_valid,
+       |       ((${luhnSum("pan", 16)} % 10 = 0) = (doc_id % 2 = 0)) AS verdict_match
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
   /** Number of shards for [[shardAssign]] — small so the per-row
     * argmax stays a handful of codegen'd integer ops. */
   private[graft] val NumShards = 8
@@ -1354,6 +1420,7 @@ object Curation {
     QueryDef.sql("curation_pipeline", pipelineSql)(curationPipeline),
     QueryDef.sql("gopher_rules", gopherRulesSql)(gopherRules),
     QueryDef.sql("dsir_weights", dsirWeightsSql)(dsirWeights),
+    QueryDef.sql("luhn_filter", luhnFilterSql)(luhnFilter),
     QueryDef.sql("pii_redact",
       """WITH synth AS (
         |  SELECT doc_id,

@@ -311,6 +311,47 @@ object TextAnalysis {
        |FROM toks t JOIN greedy g ON g.w = t.w
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Per-language fertility of the WordPiece tokenizer — THE table a
+    * multilingual tokenizer review reads before fixing a vocabulary
+    * (high-fertility languages pay more sequence length per word and
+    * train worse; cf. the fertility analyses in the mBERT/XLM-R
+    * literature): rolls [[wordpieceEncode]]'s per-doc stats up by the
+    * fixture's `lang` label. Fertility = pieces per word and the
+    * whole-word share, both as exact integral micros of the grouped
+    * sums (never an average of per-doc ratios — that would weight docs,
+    * not words).
+    *
+    * Scale shape: inherits wordpiece_encode's (corpus scan + vocab-
+    * sized model + broadcast re-attach); the rollup adds one ≤|langs|-
+    * row aggregate and a broadcast lang attach. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = wordpieceEncode(spark, dir)
+    val langs  = Tables.documents(spark, dir).select("doc_id", "lang")
+    perDoc.join(langs, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_pieces").as("n_pieces"), sum("n_whole").as("n_whole"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"), col("n_whole"),
+        expr("CAST((CAST(n_pieces AS DECIMAL(38,0)) * 1000000) div n_words AS BIGINT)")
+          .as("fertility_micros"),
+        expr("CAST((CAST(n_whole AS DECIMAL(38,0)) * 1000000) div n_words AS BIGINT)")
+          .as("whole_ratio_micros"))
+      .orderBy("lang")
+  }
+
+  private val tokenizerFertilitySql: String =
+    s"""WITH wp AS ($wordpieceSql)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(wp.n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(wp.n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(sum(wp.n_whole) AS BIGINT) AS n_whole,
+       |       CAST((CAST(sum(wp.n_pieces) AS HUGEINT) * 1000000)
+       |            // sum(wp.n_words) AS BIGINT) AS fertility_micros,
+       |       CAST((CAST(sum(wp.n_whole) AS HUGEINT) * 1000000)
+       |            // sum(wp.n_words) AS BIGINT) AS whole_ratio_micros
+       |FROM wp JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   private val unigramScoreSql: String =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
@@ -1721,6 +1762,7 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin)(fingerprint),
     QueryDef.sql("unigram_score", unigramScoreSql)(unigramScore),
     QueryDef.sql("wordpiece_encode", wordpieceSql)(wordpieceEncode),
+    QueryDef.sql("tokenizer_fertility", tokenizerFertilitySql)(tokenizerFertility),
     QueryDef.sql("stupid_backoff", stupidBackoffSql)(stupidBackoff),
     QueryDef.sql("kneser_ney", kneserNeySql)(kneserNey),
     QueryDef.sql("textrank_keywords", textrankSql)(textrankKeywords),

@@ -529,6 +529,25 @@ class CurationSpec extends SparkSpec {
     assert(got.forall { case (id, t) => t._6 == (id == 0L) })
   }
 
+  test("luhn_filter: verdicts match an independent driver-side Luhn reference") {
+    val rows = Curation.luhnFilter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // textbook right-to-left formulation — independent of the operator's
+    // left-indexed fold, so a shared planter/validator bug cannot cancel
+    def luhnOk(pan: String): Boolean = {
+      val s = pan.map(_ - '0').reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val t = 2 * d; if (t > 9) t - 9 else t } else d
+      }.sum
+      s % 10 == 0
+    }
+    rows.foreach { case (id, pan, valid, expected, matches) =>
+      assert(pan.length == 16 && pan.forall(_.isDigit), s"doc $id: $pan")
+      assert(luhnOk(pan) == valid, s"doc $id validator vs reference")
+      assert(valid == expected && matches, s"doc $id parity")
+    }
+  }
+
   test("dsir_weights: src0 docs skew positive, weights replay exactly") {
     val rows = Curation.dsirWeights(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
