@@ -1603,10 +1603,243 @@ object Stats {
       |            // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_micros
       |FROM agg ORDER BY o_orderpriority""".stripMargin
 
+  /** Mutual information between two categorical columns (the feature-
+    * relevance / redundancy screen run before keeping a column in a
+    * training table): I(X;Y) = Σ_xy (n_xy/N)·ln(n_xy·N / (n_x·n_y))
+    * over the lineitem returnflag × linestatus contingency table. Each
+    * cell's ln reads the EXACT integer cross-products through one
+    * double division (the psi_drift/dsir convention — never quantized
+    * shares), micros-quantized once; the MI total is the exact integer
+    * Σ n_xy·ln_micros div N. Output: every cell with its margins, ln
+    * and term, plus the MI total repeated per row (the psi convention).
+    *
+    * Scale shape: the corpus collapses to |X|·|Y| cells in one partial-
+    * aggregated pass; margins and N re-attach via broadcastable joins
+    * on the ≤|X|+|Y|-row frames. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("x"), col("l_linestatus").as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .localCheckpoint() // ≤|X|·|Y| cells; feeds margins, N, and the output
+    val mx = cells.groupBy("x").agg(sum("nxy").as("nx"))
+    val my = cells.groupBy("y").agg(sum("nxy").as("ny"))
+    val nT = cells.agg(sum("nxy").as("n"))
+    val terms = cells
+      .join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(nT))
+      .select(col("x"), col("y"), col("nxy"), col("nx"), col("ny"), col("n"),
+        expr("""CAST(round(ln(CAST(CAST(nxy AS DECIMAL(38,0)) * n AS DOUBLE) /
+               |              CAST(CAST(nx AS DECIMAL(38,0)) * ny AS DOUBLE))
+               |     * 1000000) AS BIGINT)""".stripMargin).as("ln_micros"))
+      .withColumn("term", col("nxy") * col("ln_micros"))
+      .localCheckpoint() // feeds the total and the per-cell output
+    val tot = terms.agg(expr("CAST(sum(term) div max(n) AS BIGINT)").as("mi_micros"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("nxy"), col("nx"), col("ny"),
+        col("ln_micros"), col("term"), col("mi_micros"))
+      .orderBy("x", "y")
+  }
+
+  private val mutualInfoSql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS x, l_linestatus AS y, CAST(count(*) AS BIGINT) AS nxy
+      |  FROM lineitem GROUP BY x, y
+      |), mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY x
+      |), my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY y
+      |), nt AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells
+      |), terms AS (
+      |  SELECT c.x, c.y, c.nxy, mx.nx, my.ny, nt.n,
+      |         CAST(round(ln(CAST(CAST(c.nxy AS HUGEINT) * nt.n AS DOUBLE) /
+      |                       CAST(CAST(mx.nx AS HUGEINT) * my.ny AS DOUBLE))
+      |              * 1000000) AS BIGINT) AS ln_micros
+      |  FROM cells c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nt
+      |), scored AS (SELECT *, nxy * ln_micros AS term FROM terms
+      |), tot AS (SELECT CAST(sum(term) // max(n) AS BIGINT) AS mi_micros FROM scored)
+      |SELECT s.x, s.y, s.nxy, s.nx, s.ny, s.ln_micros, s.term, t.mi_micros
+      |FROM scored s CROSS JOIN tot t ORDER BY s.x, s.y""".stripMargin
+
+  /** Expected calibration error of the bigram-LM quality score against
+    * the rule-based keep label (Naeini et al. 2015; the reliability-
+    * diagram summary every model-as-filter pipeline reads next to
+    * [[rocAuc]] — AUC measures RANKING, ECE measures whether the score
+    * MEANS what it claims): scores min-max-normalize to [0,1] micros
+    * (exact integral division against the broadcast corpus extent),
+    * land in 10 equal-width bins, and each bin contributes
+    * n_b·|confidence_b − accuracy_b|; ECE = Σ div N. Everything is
+    * exact integer arithmetic (per-bin means are single integral
+    * divisions of exact sums).
+    *
+    * Scale shape: per-row score (the lm_bigram machinery) → 10-bin
+    * cells with map-side partials; the extent is one broadcast 1-row
+    * min/max. */
+  def calibrationEce(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.lmBigramScore(spark, dir).select("doc_id", "avg_micros")
+      .join(Curation.qualityClassifier(spark, dir).select("doc_id", "keep"), "doc_id")
+    val ext = scored.agg(min("avg_micros").as("lo"), max("avg_micros").as("hi"))
+    val cells = scored.crossJoin(broadcast(ext))
+      .select(expr("""CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                     |ELSE least(CAST(9 AS BIGINT),
+                     |  (((avg_micros - lo) * 1000000) div (hi - lo)) div 100000) END"""
+        .stripMargin).as("bin"),
+        expr("""CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+               |ELSE ((avg_micros - lo) * 1000000) div (hi - lo) END""".stripMargin)
+          .as("norm_micros"),
+        col("keep"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_b"),
+        sum(col("norm_micros").cast("decimal(38,0)")).as("conf_sum"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n_b"),
+        expr("CAST(conf_sum div n_b AS BIGINT)").as("conf_micros"),
+        expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n_b AS BIGINT)")
+          .as("acc_micros"),
+        col("n_pos"))
+      .withColumn("gap_micros", abs(col("conf_micros") - col("acc_micros")))
+      .localCheckpoint() // ≤10 cells; feeds the total and the output
+    val tot = cells.agg(
+      expr("CAST(sum(n_b * gap_micros) div sum(n_b) AS BIGINT)").as("ece_micros"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_b"), col("n_pos"), col("conf_micros"),
+        col("acc_micros"), col("gap_micros"), col("ece_micros"))
+      .orderBy("bin")
+  }
+
+  private val calibrationEceSql: String =
+    s"""WITH ${"f"} AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS na_,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |         t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS ns
+       |  FROM documents
+       |), j AS (
+       |  SELECT s.avg_micros AS v,
+       |         (8 * f.na_ - 6 * (f.nc - f.na_) + 40 * f.ns + 2 * f.nt - 1200) > 0 AS keep
+       |  FROM (${TextAnalysis.lmBigramSql}) s JOIN f USING (doc_id)
+       |), ext AS (SELECT min(v) AS lo, max(v) AS hi FROM j
+       |), binned AS (
+       |  SELECT CAST(CASE WHEN hi = lo THEN 0
+       |              ELSE least(9, (((v - lo) * 1000000) // (hi - lo)) // 100000) END
+       |         AS BIGINT) AS bin,
+       |         CAST(CASE WHEN hi = lo THEN 0
+       |              ELSE ((v - lo) * 1000000) // (hi - lo) END AS BIGINT) AS norm_micros,
+       |         keep
+       |  FROM j CROSS JOIN ext
+       |), cells AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+       |         CAST(sum(norm_micros) AS BIGINT) AS conf_sum,
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM binned GROUP BY bin
+       |), m AS (
+       |  SELECT bin, n_b, n_pos,
+       |         CAST(CAST(conf_sum AS HUGEINT) // n_b AS BIGINT) AS conf_micros,
+       |         CAST((CAST(n_pos AS HUGEINT) * 1000000) // n_b AS BIGINT) AS acc_micros
+       |  FROM cells
+       |), g AS (
+       |  SELECT *, abs(conf_micros - acc_micros) AS gap_micros FROM m
+       |), tot AS (
+       |  SELECT CAST(sum(n_b * gap_micros) // sum(n_b) AS BIGINT) AS ece_micros FROM g
+       |)
+       |SELECT g.bin, g.n_b, g.n_pos, g.conf_micros, g.acc_micros, g.gap_micros,
+       |       t.ece_micros
+       |FROM g CROSS JOIN tot t ORDER BY g.bin""".stripMargin
+
+  /** [[corrMatrix]] column names in output order (alphabetical, cents-
+    * quantized lineitem measures). */
+  private val CorrCols = Seq("disc", "price", "qty", "tax")
+
+  /** Pairwise Pearson correlation matrix over the lineitem numeric
+    * measures — the profiling table read before feature selection
+    * (collinear inputs, leakage screens), the continuous sibling of
+    * [[mutualInfo]]'s categorical screen. ONE pass computes every
+    * Σv/Σv²/Σvw as exact DECIMAL(38) cents sums (map-side partials,
+    * 1-row result); each of the 6 pairs then forms cov = n·Σxy−ΣxΣy
+    * and the variances exactly, and ships corr² in SIGNED PICOS
+    * (Pearson r is a square root away — rank- and threshold-equivalent,
+    * hash-exact; pico resolution because near-independent columns like
+    * TPC-H's floor micros-scale corr² to 0) via two floor divisions:
+    * (|cov|·10⁶ div vx)·(|cov|·10⁶ div vy), sign extracted first
+    * (div/`//` disagree on negatives). Wide intermediates ship as digit strings (autocorr
+    * convention). |cov|·10⁶ tops DECIMAL(38) around ~10³¹-cents² scale
+    * — beyond that a production deployment coarsens the quantization
+    * unit (the documented e1c8c28 bounded-product convention), noted
+    * not faked.
+    *
+    * Scale shape: one scan → one 1-row aggregate; the pair explosion
+    * runs on that single row. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.lineitem(spark, dir).select(
+      cents(col("l_discount")).as("disc"), cents(col("l_extendedprice")).as("price"),
+      cents(col("l_quantity")).as("qty"), cents(col("l_tax")).as("tax"))
+    val aggCols: Seq[Column] =
+      count(lit(1)).as("n") +: (
+        CorrCols.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c")) ++
+        (for (x <- CorrCols; y <- CorrCols if x <= y)
+          yield sum(col(x).cast("decimal(38,0)") * col(y)).as(s"ss_${x}_$y")))
+    val sums = src.agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint() // 1 row; feeds all six pair rows
+    val pairStructs = for (Seq(x, y) <- CorrCols.combinations(2).toSeq) yield
+      s"""named_struct(
+         |  'col_x', '$x', 'col_y', '$y',
+         |  'cov', CAST(CAST(n AS DECIMAL(38,0)) * ss_${x}_$y - s_$x * s_$y AS DECIMAL(38,0)),
+         |  'vx',  CAST(CAST(n AS DECIMAL(38,0)) * ss_${x}_$x - s_$x * s_$x AS DECIMAL(38,0)),
+         |  'vy',  CAST(CAST(n AS DECIMAL(38,0)) * ss_${y}_$y - s_$y * s_$y AS DECIMAL(38,0)))"""
+        .stripMargin
+    sums
+      .select(col("n"), explode(expr(s"array(${pairStructs.mkString(", ")})")).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"), col("n"),
+        col("p.cov").cast("string").as("cov"),
+        col("p.vx").cast("string").as("vx"), col("p.vy").cast("string").as("vy"),
+        expr("""CASE WHEN p.vx = 0 OR p.vy = 0 THEN NULL
+               |ELSE CAST(CASE WHEN p.cov < 0 THEN -1 ELSE 1 END *
+               |  (((abs(p.cov) * 1000000) div p.vx) * ((abs(p.cov) * 1000000) div p.vy))
+               |  AS BIGINT) END""".stripMargin).as("corr2_pico"))
+      .orderBy("col_x", "col_y")
+  }
+
+  private val corrMatrixSql: String = {
+    val sumCols = (
+      CorrCols.map(c => s"CAST(sum(CAST($c AS HUGEINT)) AS HUGEINT) AS s_$c") ++
+      (for (x <- CorrCols; y <- CorrCols if x <= y)
+        yield s"CAST(sum(CAST($x AS HUGEINT) * $y) AS HUGEINT) AS ss_${x}_$y")).mkString(",\n|         ")
+    val pairRows = CorrCols.combinations(2).toSeq.map { case Seq(x, y) =>
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+         |       CAST(n AS HUGEINT) * ss_${x}_$y - s_$x * s_$y AS cov,
+         |       CAST(n AS HUGEINT) * ss_${x}_$x - s_$x * s_$x AS vx,
+         |       CAST(n AS HUGEINT) * ss_${y}_$y - s_$y * s_$y AS vy
+         |FROM sums""".stripMargin
+    }.mkString("\n|  UNION ALL\n|  ")
+    s"""WITH src AS (
+       |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+       |         CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+       |         CAST(round(l_tax * 100) AS BIGINT) AS tax
+       |  FROM lineitem
+       |), sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         $sumCols
+       |  FROM src
+       |), pairs AS (
+       |  $pairRows
+       |)
+       |SELECT col_x, col_y, n,
+       |       CAST(cov AS VARCHAR) AS cov, CAST(vx AS VARCHAR) AS vx,
+       |       CAST(vy AS VARCHAR) AS vy,
+       |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
+       |            ELSE CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END) *
+       |              (((abs(cov) * 1000000) // vx) * ((abs(cov) * 1000000) // vy))
+       |              AS BIGINT) END AS corr2_pico
+       |FROM pairs ORDER BY col_x, col_y""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
     QueryDef.sql("anova_f", anovaFSql)(anovaF),
     QueryDef.sql("roc_auc", rocAucSql)(rocAuc),
+    QueryDef.sql("mutual_info", mutualInfoSql)(mutualInfo),
+    QueryDef.sql("calibration_ece", calibrationEceSql)(calibrationEce),
+    QueryDef.sql("corr_matrix", corrMatrixSql)(corrMatrix),
     QueryDef.sql("isotonic_calibrate", isotonicSql)(isotonicCalibrate),
     QueryDef.sql("bootstrap_ci", bootstrapSql)(bootstrapCi),
     QueryDef.sql("conformal_filter", conformalSql)(conformalFilter),

@@ -579,4 +579,85 @@ class StatsSpec extends SparkSpec {
     }
     assert(got.map(_._4) == got.map(_._4).sorted, "isotonic fit must be non-decreasing")
   }
+
+  test("mutual_info cells replay and MI is the exact term-sum over N") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = li.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nx = li.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ny = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n  = li.length.toLong
+    val got = Stats.mutualInfo(spark, sfDir).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == cells.keySet)
+    var termSum = 0L
+    got.foreach { r =>
+      val (x, y) = (r.getString(0), r.getString(1))
+      val nxy = cells((x, y))
+      val ln = math.round(math.log(nxy.toDouble * n / (nx(x).toDouble * ny(y))) * 1e6)
+      assert(r.getLong(2) == nxy && r.getLong(3) == nx(x) && r.getLong(4) == ny(y))
+      assert(r.getLong(5) == ln, s"cell ($x,$y) ln")
+      assert(r.getLong(6) == nxy * ln)
+      termSum += nxy * ln
+    }
+    got.foreach(r => assert(r.getLong(7) == termSum / n))
+  }
+
+  test("calibration_ece bins replay from the score/label frames") {
+    val score = graft.ops.TextAnalysis.lmBigramScore(spark, sfDir)
+      .select("doc_id", "avg_micros").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = graft.ops.Curation.qualityClassifier(spark, sfDir)
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val vs = score.keys.toSeq.sorted.map(id => (score(id), label(id)))
+    val (lo, hi) = (vs.map(_._1).min, vs.map(_._1).max)
+    assert(hi > lo)
+    val binned = vs.map { case (v, k) =>
+      val norm = (v - lo) * 1000000L / (hi - lo)
+      (math.min(9L, norm / 100000L), norm, k)
+    }
+    val expect = binned.groupBy(_._1).view.mapValues { g =>
+      val nB = g.size.toLong
+      val conf = g.map(_._2).sum / nB
+      val acc = g.count(_._3).toLong * 1000000L / nB
+      (nB, conf, acc, math.abs(conf - acc))
+    }.toMap
+    val ece = expect.values.map { case (nB, _, _, gap) => nB * gap }.sum /
+      expect.values.map(_._1).sum
+    val got = Stats.calibrationEce(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (nB, conf, acc, gap) = expect(r.getLong(0))
+      assert(r.getLong(1) == nB && r.getLong(3) == conf &&
+        r.getLong(4) == acc && r.getLong(5) == gap, s"bin ${r.getLong(0)}")
+      assert(r.getLong(6) == ece)
+    }
+  }
+
+  test("corr_matrix pairs replay in exact BigInt arithmetic; self-consistency bounds hold") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(expr("CAST(round(l_discount * 100) AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)")).collect()
+      .map(r => Map("disc" -> r.getLong(0), "price" -> r.getLong(1),
+        "qty" -> r.getLong(2), "tax" -> r.getLong(3)))
+    val n = BigInt(rows.length)
+    def s(c: String)  = rows.map(r => BigInt(r(c))).sum
+    def ss(x: String, y: String) = rows.map(r => BigInt(r(x)) * r(y)).sum
+    val got = Stats.corrMatrix(spark, sfDir).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      val (x, y) = (r.getString(0), r.getString(1))
+      val cov = n * ss(x, y) - s(x) * s(y)
+      val vx  = n * ss(x, x) - s(x) * s(x)
+      val vy  = n * ss(y, y) - s(y) * s(y)
+      assert(r.getLong(2) == rows.length.toLong)
+      assert(r.getString(3) == cov.toString && r.getString(4) == vx.toString &&
+        r.getString(5) == vy.toString, s"pair ($x,$y) sums")
+      val expect = (cov.sign * ((cov.abs * 1000000 / vx) * (cov.abs * 1000000 / vy))).toLong
+      assert(r.getLong(6) == expect, s"pair ($x,$y) corr2")
+      // Cauchy-Schwarz: corr^2 <= 1 => pico magnitude <= 1e12
+      assert(math.abs(r.getLong(6)) <= 1000000000000L)
+    }
+  }
 }
