@@ -593,4 +593,44 @@ class PlanSpec extends SparkSpec {
     val an = planOf("anova_f")
     assert(!an.contains("Join"), "anova_f must be a pure aggregation pipeline")
   }
+
+  test("round-16 late ops: no cartesians, keyed windows, scan-pure rule packs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // item_cf: basket pair generation must be an equi-join on the order
+    // key (never cartesian) and the top-k window keyed per item
+    val ic = SparkEntry.queries("item_cf")(spark, sfDir)
+    val icP = ic.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!icP.contains("CartesianProduct"), "item_cf planned cartesian pairs")
+    val icW = ic.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(icW.nonEmpty && icW.forall(_.partitionSpec.nonEmpty),
+      "item_cf top-k window must partition by item")
+    // kneser_ney / dsir_weights: model tables attach via equi-joins;
+    // the only nested-loop is the broadcast 1-row totals frame
+    for (q <- Seq("kneser_ney", "dsir_weights")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+      assert(!p.contains("Window"), s"$q must not plan any window")
+    }
+    // gopher_rules / luhn_filter: pure per-row rule packs — no join, no
+    // window, nothing between scan and the output sort
+    for (q <- Seq("gopher_rules", "luhn_filter")) {
+      val p = planOf(q)
+      assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+        s"$q must stay a scan-pure per-row map")
+    }
+    // corr_matrix: ONE aggregation pipeline, no join anywhere (the six
+    // pairs explode from the single 1-row sums frame)
+    val cm = SparkEntry.queries("corr_matrix")(spark, sfDir)
+    assert(!cm.queryExecution.executedPlan.toString.contains("Join"),
+      "corr_matrix must be a single-scan aggregate, not a join tree")
+    // mutual_info / calibration_ece: margins and extents re-attach via
+    // broadcast, and no global-order window sneaks in
+    for (q <- Seq("mutual_info", "calibration_ece")) {
+      val qdf = SparkEntry.queries(q)(spark, sfDir)
+      val p = qdf.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+      val ws = qdf.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.isEmpty, s"$q must not plan window functions")
+    }
+  }
 }
