@@ -732,6 +732,57 @@ object Relational {
           .as("fp_ok"))
   }
 
+  /** Apache DataSketches HLL rollup via Spark's NATIVE sketch functions
+    * (`hll_sketch_agg` / `hll_union` / `hll_sketch_estimate`, Spark
+    * 3.5+) — the industry-standard mergeable distinct-count sketch
+    * (the binary format interops with Druid/Hive/Presto DataSketches),
+    * sitting beside the hand-rolled KMV family (`kmv_distinct`,
+    * `sketch_rollup`) as the library-native path: per-nation customer
+    * sketches built with map-side partial aggregation, then OR-merged
+    * into a corpus-wide sketch WITHOUT rescanning — the re-aggregation
+    * property that makes sketch cells storable per partition/day at
+    * 100 TB and rollable to any grain later.
+    *
+    * Verification contract (bloom_membership convention): the sketch
+    * ESTIMATE is not bit-replayable in the oracle engine, so the
+    * driver-checked columns are the exact cardinalities plus the
+    * deterministic error verdict |est − exact| ≤ max(16, 5 % · exact)
+    * (~3× the lgK=12 standard error) which the oracle states as
+    * literal TRUE; `SketchSpec` additionally pins the union-merge
+    * estimate equal to the direct whole-corpus estimate. */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("g"), col("c_custkey").as("k"))
+    val per = cust.groupBy("g")
+      .agg(hll_sketch_agg(col("k"), lit(12)).as("sk"),
+        countDistinct(col("k")).as("n_exact"))
+      .localCheckpoint() // |nations| rows; feeds the per-group and union rows
+    val perRows = per.select(col("g"), col("n_exact"),
+      hll_sketch_estimate(col("sk")).as("est"))
+    val global = per
+      .agg(hll_union_agg(col("sk")).as("sk"), sum("n_exact").as("n_exact"))
+      .select(lit(-1L).as("g"), col("n_exact"), hll_sketch_estimate(col("sk")).as("est"))
+    perRows.union(global)
+      .select(col("g").cast("long").as("group_key"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          greatest(lit(16L), expr("n_exact div 20"))).as("est_ok"))
+      .orderBy("group_key")
+  }
+
+  private val hllRollupSql: String =
+    """WITH per AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS group_key,
+      |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact
+      |  FROM customer GROUP BY c_nationkey
+      |), allg AS (
+      |  SELECT CAST(-1 AS BIGINT) AS group_key,
+      |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact
+      |  FROM customer
+      |)
+      |SELECT group_key, n_exact, TRUE AS est_ok
+      |FROM (SELECT * FROM per UNION ALL SELECT * FROM allg)
+      |ORDER BY group_key""".stripMargin
+
   /** hot-key aggregation via two-phase salting (`Skew.saltedSumCount`):
     * 3 distinct return flags over the whole of lineitem is the canonical
     * one-hot-group shape — an unsalted groupBy funnels ~1/3 of all rows
@@ -1672,6 +1723,7 @@ object Relational {
         |SELECT (SELECT count(*) FROM customer) AS n_probe,
         |       (SELECT count(*) FROM customer c JOIN keys ON c.c_custkey = keys.k) AS n_member,
         |       TRUE AS no_false_negative, TRUE AS fp_ok""".stripMargin)(bloomMembership),
+    QueryDef.sql("hll_rollup", hllRollupSql)(hllRollup),
     QueryDef.sql("skew_salted_sum",
       """SELECT l_returnflag AS k,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total,

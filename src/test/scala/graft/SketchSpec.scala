@@ -206,4 +206,21 @@ class SketchSpec extends SparkSpec {
     assert(graft.functions.BloomMath.contains(merged.bits, 12345L, BloomK) &&
       graft.functions.BloomMath.contains(merged.bits, 67890L, BloomK))
   }
+
+  test("hll_rollup: union-of-parts estimate equals the direct whole-corpus estimate") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_nationkey").as("g"), col("c_custkey").as("k"))
+    val direct = cust.agg(hll_sketch_estimate(hll_sketch_agg(col("k"), lit(12))))
+      .collect().head.getLong(0)
+    val viaUnion = cust.groupBy("g").agg(hll_sketch_agg(col("k"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .collect().head.getLong(0)
+    assert(direct == viaUnion,
+      s"HLL union-merge must be lossless vs one-shot build: $viaUnion vs $direct")
+    // and the operator's verdict columns hold with real margins
+    val rows = graft.ops.Relational.hllRollup(spark, sfDir).collect()
+    assert(rows.length > 1 && rows.forall(_.getBoolean(2)))
+    val exactGlobal = cust.select("k").distinct().count()
+    assert(rows.find(_.getLong(0) == -1L).get.getLong(1) == exactGlobal)
+  }
 }
