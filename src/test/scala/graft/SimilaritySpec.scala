@@ -313,7 +313,9 @@ class SimilaritySpec extends SparkSpec {
     val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
-    val edges = Similarity.knnGraph(spark, sfDir)
+    // the audit rides the corpus-SCALED graph (the round-16 fix for the
+    // inherited fixed-nlist knee) — replay from the same edge source
+    val edges = Similarity.knnGraphScaled(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val expect = edges.groupBy(_._1).view.mapValues { es =>
