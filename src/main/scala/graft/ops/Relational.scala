@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1217,10 +1217,15 @@ object Relational {
     * sparse at corpus scale; the top-k cut is a PER-ITEM-keyed window
     * (never global). Counts re-attach via broadcast-able equi-joins on
     * the item-group margin. */
-  def itemCf(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
+  def itemCf(spark: SparkSession, dir: String): DataFrame =
+    itemCfOn(Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), (col("l_partkey") % 211).as("item"))
-      .distinct()
+      .distinct())
+
+  /** [[itemCf]] over an arbitrary (okey, item) basket relation — split
+    * out so [[ndcgEval]] can train on the temporal-train half. */
+  private[graft] def itemCfOn(baskets0: DataFrame): DataFrame = {
+    val baskets = baskets0
       .localCheckpoint() // feeds the margin and both pair sides
     val cnt = baskets.groupBy("item").agg(count(lit(1)).as("ci"))
     val pairs = baskets.as("x")
@@ -1268,6 +1273,133 @@ object Relational {
        |)
        |SELECT item, nbr, n_both, n_item, n_nbr, cos2_micros, rn
        |FROM ranked WHERE rn <= $CfTopK ORDER BY item, rn""".stripMargin
+
+  /** NDCG@5 per-rank discount micros (10⁶/log₂(r+1), r = 1..5) and the
+    * ideal-DCG cumulative sums — fixed integer constants shared by the
+    * Spark side and the oracle, so the ranking metric is exact. */
+  private val NdcgDisc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+
+  /** Offline recommender evaluation of [[itemCf]] under a TEMPORAL
+    * split (train on the first calendar half of orders, score the
+    * second — the leakage-free protocol; a random split would let the
+    * model see the future): for every test-basket item, the model's
+    * top-5 neighbors are scored against the OTHER items actually
+    * co-purchased in that basket — hit-rate@5 and NDCG@5 (Järvelin &
+    * Kekäläinen 2002), the two numbers every recsys review reads
+    * first. The eval closes the loop the stats family started:
+    * roc_auc ranks a classifier, calibration_ece checks its
+    * probabilities, ndcg_eval ranks a retriever.
+    *
+    * Determinism: rank discounts are fixed micros constants
+    * ([[NdcgDisc]]); per-query NDCG is one integral division (exact
+    * DCG sum · 10⁶ div exact IDCG cumsum); the corpus means floor
+    * once. Cold items (unseen in train) score DCG 0 and stay in the
+    * denominator — honest cold-start accounting.
+    *
+    * Scale shape: training inherits [[itemCfOn]]'s; the model is a
+    * ≤211·5-row checkpoint re-attached by equi-join; relevance pairs
+    * come from the test-basket self-equi-join (bounded basket sizes);
+    * every aggregate partial-aggregates; the calendar split rides one
+    * broadcast 1-row extent (the psi_drift convention). */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit(java.sql.Date.valueOf("1990-01-01")))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey").as("okey"), day.as("day"))
+    val ext = ord.agg(min("day").as("lo"), max("day").as("hi"))
+    val split = ord.crossJoin(broadcast(ext))
+      .select(col("okey"), (col("day") * 2 <= col("lo") + col("hi")).as("is_train"))
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), (col("l_partkey") % 211).as("item"))
+      .distinct()
+      .join(split, "okey")
+      .localCheckpoint() // feeds the train and test halves
+    val recs = itemCfOn(baskets.filter(col("is_train")).select("okey", "item"))
+      .select(col("item"), col("nbr"), col("rn"))
+      .localCheckpoint() // the trained model: ≤211·5 rows
+    val test = baskets.filter(!col("is_train")).select("okey", "item")
+    val rel = test.as("a")
+      .join(test.as("b"), col("a.okey") === col("b.okey") && col("a.item") =!= col("b.item"))
+      .select(col("a.okey").as("okey"), col("a.item").as("qi"), col("b.item").as("rj"))
+    val nrel = rel.groupBy("okey", "qi").agg(count(lit(1)).as("n_rel"))
+    val discount = NdcgDisc.zipWithIndex.foldRight(lit(NdcgDisc.last): Column) {
+      case ((d, i), acc) => when(col("rn") === (i + 1).toLong, d).otherwise(acc)
+    }
+    val hits = rel
+      .join(recs, col("qi") === col("item") && col("rj") === col("nbr"))
+      .groupBy("okey", "qi").agg(sum(discount).as("dcg"))
+    val idcgCum = NdcgDisc.scanLeft(0L)(_ + _).tail // 1e6, 1630930, ...
+    val idcg = idcgCum.init.zipWithIndex.foldRight(lit(idcgCum.last): Column) {
+      case ((c, i), acc) => when(col("n_rel") === (i + 1).toLong, c).otherwise(acc)
+    }
+    nrel.join(hits, Seq("okey", "qi"), "left")
+      .select(coalesce(col("dcg"), lit(0L)).as("dcg"), idcg.as("idcg"))
+      .select(col("dcg"),
+        expr("CAST((CAST(dcg AS DECIMAL(38,0)) * 1000000) div idcg AS BIGINT)").as("ndcg"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("dcg") > 0L, 1L).otherwise(0L)).as("n_hit"),
+        expr("""CAST((CAST(sum(CASE WHEN dcg > 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0))
+               |      * 1000000) div count(1) AS BIGINT)""".stripMargin)
+          .as("hit_rate_micros"),
+        expr("CAST(sum(ndcg) div count(1) AS BIGINT)").as("mean_ndcg_micros"))
+  }
+
+  private val ndcgEvalSql: String = {
+    val disc = s"""CASE rc.rn WHEN 1 THEN ${NdcgDisc(0)} WHEN 2 THEN ${NdcgDisc(1)}
+                  |WHEN 3 THEN ${NdcgDisc(2)} WHEN 4 THEN ${NdcgDisc(3)}
+                  |ELSE ${NdcgDisc(4)} END""".stripMargin
+    val cum = NdcgDisc.scanLeft(0L)(_ + _).tail
+    s"""WITH ord AS (
+       |  SELECT o_orderkey AS okey,
+       |         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day
+       |  FROM orders
+       |), ext AS (SELECT min(day) AS lo, max(day) AS hi FROM ord
+       |), split AS (
+       |  SELECT okey, (day * 2 <= lo + hi) AS is_train FROM ord CROSS JOIN ext
+       |), baskets AS (SELECT DISTINCT l_orderkey AS okey, (l_partkey % 211) AS item FROM lineitem
+       |), bt AS (SELECT b.okey, b.item, s.is_train FROM baskets b JOIN split s USING (okey)
+       |), train AS (SELECT okey, item FROM bt WHERE is_train
+       |), cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS ci FROM train GROUP BY item
+       |), pairs AS (
+       |  SELECT x.item AS i, y.item AS j, CAST(count(*) AS BIGINT) AS cij
+       |  FROM train x JOIN train y ON x.okey = y.okey AND x.item < y.item
+       |  GROUP BY x.item, y.item HAVING count(*) >= $CfMinSup
+       |), nbrs AS (SELECT i, j, cij FROM pairs UNION ALL SELECT j, i, cij FROM pairs
+       |), scored AS (
+       |  SELECT n.i AS item, n.j AS nbr, n.cij AS n_both,
+       |         CAST((CAST(n.cij AS HUGEINT) * n.cij * 1000000)
+       |              // (CAST(a.ci AS HUGEINT) * b.ci) AS BIGINT) AS cos2
+       |  FROM nbrs n JOIN cnt a ON a.item = n.i JOIN cnt b ON b.item = n.j
+       |), recs AS (
+       |  SELECT item, nbr, rn FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY item
+       |      ORDER BY cos2 DESC, n_both DESC, nbr) AS BIGINT) AS rn
+       |    FROM scored) WHERE rn <= $CfTopK
+       |), test AS (SELECT okey, item FROM bt WHERE NOT is_train
+       |), rel AS (
+       |  SELECT a.okey, a.item AS qi, b.item AS rj
+       |  FROM test a JOIN test b ON a.okey = b.okey AND a.item <> b.item
+       |), nrel AS (SELECT okey, qi, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY okey, qi
+       |), hits AS (
+       |  SELECT r.okey, r.qi, CAST(sum($disc) AS BIGINT) AS dcg
+       |  FROM rel r JOIN recs rc ON rc.item = r.qi AND rc.nbr = r.rj
+       |  GROUP BY r.okey, r.qi
+       |), perq AS (
+       |  SELECT coalesce(h.dcg, 0) AS dcg,
+       |         CASE WHEN n.n_rel >= 5 THEN ${cum(4)} WHEN n.n_rel = 4 THEN ${cum(3)}
+       |              WHEN n.n_rel = 3 THEN ${cum(2)} WHEN n.n_rel = 2 THEN ${cum(1)}
+       |              ELSE ${cum(0)} END AS idcg
+       |  FROM nrel n LEFT JOIN hits h ON h.okey = n.okey AND h.qi = n.qi
+       |), sq AS (
+       |  SELECT dcg, CAST((CAST(dcg AS HUGEINT) * 1000000) // idcg AS BIGINT) AS ndcg
+       |  FROM perq
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(sum(CASE WHEN dcg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       CAST((CAST(sum(CASE WHEN dcg > 0 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000)
+       |            // count(*) AS BIGINT) AS hit_rate_micros,
+       |       CAST(sum(ndcg) // count(*) AS BIGINT) AS mean_ndcg_micros
+       |FROM sq""".stripMargin
+  }
 
   /** Apriori support threshold shared by [[frequentItemsets]]' pruning
     * levels. */
@@ -1919,6 +2051,7 @@ object Relational {
         |LIMIT 50""".stripMargin)(marketBasket),
     QueryDef.sql("frequent_itemsets", frequentItemsetsSql)(frequentItemsets),
     QueryDef.sql("item_cf", itemCfSql)(itemCf),
+    QueryDef.sql("ndcg_eval", ndcgEvalSql)(ndcgEval),
     QueryDef.sql("string_index",
       """SELECT p_brand AS category, CAST(count(*) AS BIGINT) AS freq,
         |       CAST(row_number() OVER (ORDER BY count(*) DESC, p_brand) - 1 AS BIGINT) AS code

@@ -69,4 +69,14 @@ class TopKSpec extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("ndcg_eval: metrics are internally consistent and bounded") {
+    val r = graft.ops.Relational.ndcgEval(spark, sfDir).collect().head
+    val (nq, nh, hr, nd) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nq > 0 && nh >= 0 && nh <= nq)
+    assert(hr == nh * 1000000L / nq, "hit rate must replay from the counts")
+    // per-query NDCG is in [0, 1e6] and positive exactly when the query
+    // hit, so the floored means obey mean_ndcg <= hit_rate
+    assert(nd >= 0L && nd <= 1000000L && nd <= hr)
+  }
 }
