@@ -1435,7 +1435,89 @@ object Curation {
        |            ELSE 'head' END AS band
        |FROM scored s CROSS JOIN th ORDER BY s.doc_id""".stripMargin
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 — the
+    * third rung of the release-privacy ladder after [[kAnonymity]] and
+    * [[lDiversity]]: a group can be k-anonymous AND l-diverse yet
+    * still leak if its sensitive-value DISTRIBUTION deviates from the
+    * table's): per (nation, segment) quasi-identifier group, t = the
+    * ordered-domain Earth Mover's Distance between the group's
+    * account-balance band distribution and the global one,
+    * EMD = Σᵢ|Σ_{j≤i}(p_j − q_j)| / (m−1) over the m bands. Computed
+    * as an exact integer rational over the common denominator
+    * n_g·N — bands are SHIFTED non-negative before the $1000
+    * division because cents go negative in the fixture and
+    * Spark `div` truncates while DuckDB `//` floors (they agree only
+    * above zero). Groups pass at t ≤ 0.2.
+    *
+    * Scale shape: one customer scan → (group, band) cells; the grid
+    * is groups × the broadcast ≤O(bands) global band table (never
+    * customers × bands); the cumulative EMD window runs per group
+    * over ≤m cells. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000").as("band"))
+    val global = banded.groupBy("band").agg(count(lit(1)).as("tcnt"))
+      .crossJoin(broadcast(banded.agg(
+        count(lit(1)).as("nn"), countDistinct("band").as("m"))))
+    val groups = banded.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_g"))
+    val cells = banded.groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("gcnt"))
+    val grid = groups.crossJoin(broadcast(global))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .na.fill(0L, Seq("gcnt"))
+    val wCum = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum", sum(col("gcnt") * col("nn") - col("tcnt") * col("n_g")).over(wCum))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(max("n_g").as("group_n"),
+        expr("CAST((1000000 * sum(abs(cum))) div (max(n_g) * max(nn) * (max(m) - 1)) AS BIGINT)")
+          .as("t_micros"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("group_n"),
+        col("t_micros"), (col("t_micros") <= 200000L).as("close_ok"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  private val tClosenessSql: String =
+    """WITH banded AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS band
+      |  FROM customer
+      |), tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nn,
+      |         CAST(count(DISTINCT band) AS BIGINT) AS m
+      |  FROM banded
+      |), global_bands AS (
+      |  SELECT band, CAST(count(*) AS BIGINT) AS tcnt FROM banded GROUP BY band
+      |), groups AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_g
+      |  FROM banded GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT c_nationkey, c_mktsegment, band, CAST(count(*) AS BIGINT) AS gcnt
+      |  FROM banded GROUP BY 1, 2, 3
+      |), grid AS (
+      |  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band, b.tcnt, t.nn, t.m,
+      |         coalesce(c.gcnt, 0) AS gcnt
+      |  FROM groups g CROSS JOIN global_bands b CROSS JOIN tot t
+      |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+      |    AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band
+      |), cum AS (
+      |  SELECT c_nationkey, c_mktsegment, n_g, nn, m,
+      |         CAST(sum(gcnt * nn - tcnt * n_g) OVER w AS BIGINT) AS cum
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT c_nationkey, c_mktsegment, CAST(max(n_g) AS BIGINT) AS group_n,
+      |       CAST((1000000 * sum(abs(cum))) // (max(n_g) * max(nn) * (max(m) - 1)) AS BIGINT) AS t_micros,
+      |       ((1000000 * sum(abs(cum))) // (max(n_g) * max(nn) * (max(m) - 1)) <= 200000) AS close_ok
+      |FROM cum GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("t_closeness", tClosenessSql)(tCloseness),
     QueryDef.sql("perplexity_filter", perplexityFilterSql)(perplexityFilter),
     QueryDef.sql("html_extract", htmlExtractSql)(htmlExtract),
     QueryDef.sql("k_anonymity", kAnonymitySql)(kAnonymity),

@@ -1722,7 +1722,152 @@ object Relational {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY section, metric")
   }
 
+  /** RFM (recency / frequency / monetary) quintile segmentation (Hughes
+    * 1994 — the classic CRM customer scoring, still the first
+    * segmentation every commerce warehouse ships): per ordering
+    * customer, recency = whole days from their last order to the
+    * fixture's as-of date (global max order date), frequency = order
+    * count, monetary = lifetime spend in cents; each metric is cut
+    * into quintiles by `ntile(5)` with the metric ordered best-first
+    * (recency ASC, frequency DESC, monetary DESC — so quintile 1 is
+    * always the best fifth) and custkey as the deterministic tiebreak
+    * (ntile's bucket-boundary assignment is total-order-dependent).
+    * Output: the (r_q, f_q, m_q) segment census with customer counts
+    * and total spend.
+    *
+    * Scale shape: orders partial-aggregate to one row per customer
+    * (the only corpus-sized shuffle); the three ntile windows run over
+    * per-customer cells, not orders. The windows are global-order by
+    * construction (quintile boundaries are global statistics) — at
+    * petabyte customer counts the same census comes from
+    * `tileByRange`-style pre-partitioned rank stitching (the
+    * documented `zorder_layout` pattern) or approximate boundaries
+    * via [[Stats.groupQuantiles]]'s equidepth cuts. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1990-01-01"))).cast("long").as("oday"),
+      cents(col("o_totalprice")).as("pc"))
+    val asof = o.agg(max("oday").as("asof_day"))
+    val perCust = o.crossJoin(broadcast(asof))
+      .groupBy("o_custkey")
+      .agg((max("asof_day") - max("oday")).as("recency_days"),
+        count(lit(1)).as("frequency"), sum("pc").as("monetary_cents"))
+    val rq = Window.orderBy(col("recency_days").asc, col("o_custkey").asc)
+    val fq = Window.orderBy(col("frequency").desc, col("o_custkey").asc)
+    val mq = Window.orderBy(col("monetary_cents").desc, col("o_custkey").asc)
+    perCust
+      .withColumn("r_q", ntile(5).over(rq).cast("long"))
+      .withColumn("f_q", ntile(5).over(fq).cast("long"))
+      .withColumn("m_q", ntile(5).over(mq).cast("long"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"), sum("monetary_cents").as("segment_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  private val rfmSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |         CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS oday,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders
+      |), asof_t AS (SELECT max(oday) AS asof_day FROM o
+      |), per_cust AS (
+      |  SELECT o_custkey,
+      |         max(asof_day) - max(oday) AS recency_days,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(pc) AS BIGINT) AS monetary_cents
+      |  FROM o CROSS JOIN asof_t GROUP BY o_custkey
+      |), scored AS (
+      |  SELECT ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+      |         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+      |         ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_q,
+      |         monetary_cents
+      |  FROM per_cust
+      |)
+      |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Canonical per-table row serializations shared by [[tableChecksum]]
+    * and its oracle: every column is rendered engine-neutrally (ints as
+    * decimal strings, money/value as exact cents/millis integers, the
+    * events timestamp as epoch millis, date-valued NTZ timestamps as
+    * ISO dates) and joined with the 0x1F unit separator, which no
+    * fixture string contains. */
+  private val ChecksumCols: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey",
+      "CAST(round(c_acctbal * 100) AS BIGINT)", "c_mktsegment"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "events" -> Seq("event_id", "EPOCHMS", "user_id", "event_type",
+      "CAST(round(value * 1000) AS BIGINT)", "props"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "CAST(round(l_quantity * 100) AS BIGINT)",
+      "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "CAST(round(l_discount * 100) AS BIGINT)",
+      "CAST(round(l_tax * 100) AS BIGINT)",
+      "l_returnflag", "l_linestatus", "SHIPMS"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "CAST(round(o_totalprice * 100) AS BIGINT)", "ORDERMS", "o_orderpriority"))
+
+  /** Order-independent cross-engine table fingerprints — the
+    * anti-entropy check a 100 TB deployment runs after every copy,
+    * migration, or engine swap (compare per-table checksums, not
+    * rows): each row is canonicalized ([[ChecksumCols]]), md5-hashed,
+    * its first 15 hex digits (60 bits — safely inside BIGINT through
+    * Spark's unsigned `conv`) parsed as an integer, and XOR-folded per
+    * table. XOR is the right fold: commutative/associative (partial
+    * aggregation in any partition order), overflow-free at any row
+    * count, and any single-row difference flips the digest. md5 and
+    * hex parsing are byte-identical across Spark and DuckDB, which is
+    * the entire point — an engine-portable digest, unlike xxhash64 /
+    * `hash()` whose seeds and algorithms differ per engine.
+    *
+    * Scale shape: five independent scans, each a map-only hash +
+    * 1-row XOR aggregate — zero shuffle beyond the final partial
+    * merge; no column survives past its hash. */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val perTable = ChecksumCols.map { case (t, cols) =>
+      val df = t match {
+        case "customer"  => Tables.customer(spark, dir)
+        case "documents" => Tables.documents(spark, dir)
+        case "events"    => Tables.events(spark, dir)
+        case "lineitem"  => Tables.lineitem(spark, dir)
+        case "orders"    => Tables.orders(spark, dir)
+      }
+      val rendered = cols.map {
+        case "EPOCHMS"  => "CAST(unix_millis(ts) AS STRING)"
+        case "SHIPMS"   => "CAST(CAST(l_shipdate AS DATE) AS STRING)"
+        case "ORDERMS"  => "CAST(CAST(o_orderdate AS DATE) AS STRING)"
+        case c          => s"CAST($c AS STRING)"
+      }
+      df.select(expr(
+          s"""CAST(conv(substr(md5(concat_ws(chr(31), ${rendered.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)""")
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .select(lit(t).as("table_name"), col("n_rows"), col("checksum"))
+    }
+    perTable.reduce(_ unionAll _).orderBy("table_name")
+  }
+
+  private val tableChecksumSql: String = {
+    val sep = "chr(31)"
+    ChecksumCols.map { case (t, cols) =>
+      val rendered = cols.map {
+        case "EPOCHMS"  => "CAST(epoch_ms(ts) AS VARCHAR)"
+        case "SHIPMS"   => "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"
+        case "ORDERMS"  => "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"
+        case c          => s"CAST($c AS VARCHAR)"
+      }
+      s"""SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(bit_xor(CAST('0x' || substr(md5(concat_ws($sep, ${rendered.mkString(", ")})), 1, 15) AS BIGINT)) AS BIGINT) AS checksum
+         |FROM $t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("rfm_segments", rfmSql)(rfmSegments),
+    QueryDef.sql("table_checksum", tableChecksumSql)(tableChecksum),
     QueryDef.sql("dataset_card", datasetCardSql)(datasetCard),
     QueryDef.sql("join_outer",
       """SELECT coalesce(c.c_custkey, o.custkey) AS custkey, c.c_name,

@@ -1833,7 +1833,204 @@ object Stats {
        |FROM pairs ORDER BY col_x, col_y""".stripMargin
   }
 
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over order
+    * time-to-ship: per order, t = whole days from `o_orderdate` to its
+    * last `l_shipdate`; "death" = the order reached final status `'F'`,
+    * right-censored otherwise (`'O'`/`'P'` — still open, the real
+    * censoring semantics survival analysis exists for). Both dates are
+    * day numbers (datediff from a fixed epoch — the NTZ-date house
+    * convention), so t is a plain subtraction with no `div`/`//`
+    * floor-vs-trunc exposure; negative latencies (ship before order —
+    * fixture noise a real pipeline would quarantine) are excluded by
+    * the day comparison identically in both engines. Output: one row
+    * per distinct t with deaths d, censored c, the at-risk count
+    * n = Σ_{t'≥t}(d+c), and S(t) = Π_{t'≤t}(1 − d/n) in micros.
+    *
+    * Scale shape: the only corpus-sized passes are the orders⋈lineitem
+    * shuffle join keyed on orderkey and the per-order aggregate; the
+    * KM product is a single window over O(distinct days) cells
+    * (cells-before-windows). The terminal d = n cell would put ln(0)
+    * in the product — Spark `ln(0)` is NULL (silently dropped from the
+    * window sum) while DuckDB returns -inf, so that factor is CASE-
+    * guarded out in BOTH engines and the row forced to S = 0 via the
+    * prefix max of the extinction flag. */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(max(datediff(col("l_shipdate").cast("date"),
+          lit(java.sql.Date.valueOf("1990-01-01"))).cast("long")).as("ship_day"),
+        max(datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1990-01-01"))).cast("long")).as("order_day"),
+        max("o_orderstatus").as("st"))
+      .filter(col("ship_day") >= col("order_day"))
+      .select((col("ship_day") - col("order_day")).as("t_day"),
+        expr("CAST(CASE WHEN st = 'F' THEN 1 ELSE 0 END AS BIGINT)").as("ev"))
+    val cells = perOrder.groupBy("t_day")
+      .agg(sum("ev").as("d"), sum(expr("1 - ev")).as("c"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = wAll.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(wAll)
+          - sum(col("d") + col("c")).over(wCum) + col("d") + col("c"))
+      .withColumn("ln_sum",
+        sum(expr("CASE WHEN d < n_risk THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) ELSE 0.0d END"))
+          .over(wCum))
+      .withColumn("extinct", max(expr("CASE WHEN d >= n_risk THEN 1 ELSE 0 END")).over(wCum))
+      .select(col("t_day"), col("d").as("d_events"), col("c").as("c_censored"),
+        col("n_risk"),
+        expr("CASE WHEN extinct = 1 THEN CAST(0 AS BIGINT) ELSE CAST(round(exp(ln_sum) * 1000000) AS BIGINT) END")
+          .as("surv_micros"))
+      .orderBy("t_day")
+  }
+
+  private val survivalKmSql: String =
+    """WITH per_order AS (
+      |  SELECT o.o_orderkey,
+      |         CAST(max(datediff('day', DATE '1990-01-01', CAST(l.l_shipdate AS DATE))) AS BIGINT) AS ship_day,
+      |         CAST(max(datediff('day', DATE '1990-01-01', CAST(o.o_orderdate AS DATE))) AS BIGINT) AS order_day,
+      |         max(o.o_orderstatus) AS st
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY o.o_orderkey
+      |), durations AS (
+      |  SELECT ship_day - order_day AS t_day,
+      |         CAST(CASE WHEN st = 'F' THEN 1 ELSE 0 END AS BIGINT) AS ev
+      |  FROM per_order WHERE ship_day >= order_day
+      |), cells AS (
+      |  SELECT t_day, CAST(sum(ev) AS BIGINT) AS d,
+      |         CAST(sum(1 - ev) AS BIGINT) AS c
+      |  FROM durations GROUP BY t_day
+      |), scored AS (
+      |  SELECT t_day, d, c,
+      |         CAST(sum(d + c) OVER () - sum(d + c) OVER w + d + c AS BIGINT) AS n_risk
+      |  FROM cells
+      |  WINDOW w AS (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), km AS (
+      |  SELECT t_day, d, c, n_risk,
+      |         sum(CASE WHEN d < n_risk
+      |                  THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) ELSE 0.0 END) OVER w AS ln_sum,
+      |         max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w AS extinct
+      |  FROM scored
+      |  WINDOW w AS (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT t_day, d AS d_events, c AS c_censored, n_risk,
+      |       CASE WHEN extinct = 1 THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(round(exp(ln_sum) * 1000000) AS BIGINT) END AS surv_micros
+      |FROM km ORDER BY t_day""".stripMargin
+
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013 — the pre-experiment-covariate adjustment every large
+    * experimentation platform applies before reading a metric): the
+    * events window is split at its temporal midpoint into a
+    * pre-period (the covariate X: per-user sum of `value` millis
+    * before the midpoint) and a post-period (the metric Y); variant =
+    * user_id parity. θ = Sxy/Sxx is fitted POOLED across variants
+    * (the standard choice — assignment-independent under
+    * randomization), and each variant reports its raw mean, its
+    * adjusted mean Ȳᵥ − θ(X̄ᵥ − X̄), and the achieved variance-
+    * reduction ratio ρ² = Sxy²/(SxxSyy). All moments are exact
+    * DECIMAL(38)/HUGEINT sums of millis; every division is a floor
+    * division with the sign extracted first (`div`/`//` disagree on
+    * negatives), so the readout is hash-exact across engines.
+    *
+    * Scale shape: one events scan → per-user (x, y) cells (the only
+    * shuffle, keyed on user) → one 1-row pooled-moment aggregate +
+    * one 2-row per-variant aggregate, broadcast-joined. No window, no
+    * driver state beyond the scalar moments. */
+  def cupedAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts)").as("ms"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+    val bounds = ev.agg(min("ms").as("lo_ms"), max("ms").as("hi_ms"))
+    val users = ev.crossJoin(broadcast(bounds))
+      .withColumn("mid_ms", expr("lo_ms + (hi_ms - lo_ms) div 2"))
+      .groupBy("user_id")
+      .agg(sum(expr("CASE WHEN ms < mid_ms THEN v ELSE 0 END")).as("x"),
+        sum(expr("CASE WHEN ms >= mid_ms THEN v ELSE 0 END")).as("y"))
+    val pooled = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(col("n"), col("sx"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DECIMAL(38,0))").as("vxx"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DECIMAL(38,0))").as("vxy"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DECIMAL(38,0))").as("vyy"))
+      .localCheckpoint() // 1 row; feeds both variant rows
+    val byVariant = users
+      .groupBy(expr("user_id % 2").as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast("decimal(38,0)")).as("xv"),
+        sum(col("y").cast("decimal(38,0)")).as("yv"))
+    byVariant.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n_users"),
+        expr("CAST((yv * 1000) div n_users AS BIGINT)").as("mean_y_micros"),
+        expr("""CAST(CASE WHEN vxx = 0 THEN NULL ELSE
+               |  CASE WHEN vxy < 0 THEN -1 ELSE 1 END *
+               |    ((abs(vxy) * 1000000) div vxx) END AS BIGINT)""".stripMargin)
+          .as("theta_micros"),
+        expr("""CAST(CASE WHEN vxx = 0 THEN NULL ELSE
+               |  CASE WHEN 1000 * (yv * vxx * n - vxy * (xv * n - sx * n_users)) < 0
+               |       THEN -1 ELSE 1 END *
+               |  (abs(1000 * (yv * vxx * n - vxy * (xv * n - sx * n_users)))
+               |    div (vxx * n_users * n)) END AS BIGINT)""".stripMargin)
+          .as("mean_adj_micros"),
+        expr("""CAST(CASE WHEN vxx = 0 OR vyy = 0 THEN NULL ELSE
+               |  ((abs(vxy) * 1000) div vxx) * ((abs(vxy) * 1000) div vyy)
+               |  END AS BIGINT)""".stripMargin)
+          .as("rho2_ppm"))
+      .orderBy("variant")
+  }
+
+  private val cupedSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |         CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |), bounds AS (
+      |  SELECT min(ms) AS lo_ms, max(ms) AS hi_ms FROM ev
+      |), users AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN ms < lo_ms + (hi_ms - lo_ms) // 2 THEN v ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN ms >= lo_ms + (hi_ms - lo_ms) // 2 THEN v ELSE 0 END) AS BIGINT) AS y
+      |  FROM ev CROSS JOIN bounds GROUP BY user_id
+      |), pooled AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |         CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+      |           - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)) AS vxx,
+      |         CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+      |           - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS vxy,
+      |         CAST(count(*) AS HUGEINT) * sum(CAST(y AS HUGEINT) * y)
+      |           - sum(CAST(y AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS vyy
+      |  FROM users
+      |), by_variant AS (
+      |  SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n_users,
+      |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS xv,
+      |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS yv
+      |  FROM users GROUP BY 1
+      |)
+      |SELECT variant, n_users,
+      |       CAST((yv * 1000) // n_users AS BIGINT) AS mean_y_micros,
+      |       CAST(CASE WHEN vxx = 0 THEN NULL ELSE
+      |         (CASE WHEN vxy < 0 THEN -1 ELSE 1 END) *
+      |           ((abs(vxy) * 1000000) // vxx) END AS BIGINT) AS theta_micros,
+      |       CAST(CASE WHEN vxx = 0 THEN NULL ELSE
+      |         (CASE WHEN 1000 * (yv * vxx * n - vxy * (xv * n - sx * n_users)) < 0
+      |               THEN -1 ELSE 1 END) *
+      |         (abs(1000 * (yv * vxx * n - vxy * (xv * n - sx * n_users)))
+      |           // (vxx * n_users * n)) END AS BIGINT) AS mean_adj_micros,
+      |       CAST(CASE WHEN vxx = 0 OR vyy = 0 THEN NULL ELSE
+      |         ((abs(vxy) * 1000) // vxx) * ((abs(vxy) * 1000) // vyy)
+      |         END AS BIGINT) AS rho2_ppm
+      |FROM by_variant CROSS JOIN pooled ORDER BY variant""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("survival_km", survivalKmSql)(survivalKm),
+    QueryDef.sql("cuped_adjust", cupedSql)(cupedAdjust),
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
     QueryDef.sql("anova_f", anovaFSql)(anovaF),
     QueryDef.sql("roc_auc", rocAucSql)(rocAuc),

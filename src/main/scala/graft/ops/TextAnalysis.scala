@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.TextFunctions
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for the training-data pipeline: token counting
@@ -1673,7 +1674,122 @@ object TextAnalysis {
        |       array_to_string(p, ',') AS postings
        |FROM agg ORDER BY df DESC, term LIMIT 100""".stripMargin
 
+  /** Multinomial naive-Bayes language classifier (Manning, Raghavan &
+    * Schütze IR ch. 13 — the supervised upgrade of [[langId]]'s fixed
+    * stopword heuristic, TRAINED on the corpus itself): even doc_ids
+    * train, odd doc_ids test. Laplace-smoothed class-conditional
+    * log-likelihoods decompose as
+    * log p(d|c) = Σ_t c_t·ln(cnt_tc + 1) − (Σ_t c_t)·ln(tok_c + V),
+    * so out-of-vocabulary tokens contribute ln(1) = 0 and the score
+    * needs only an equi-join of test token cells against the model
+    * plus one broadcast of the 5 per-class constants. Every ln is
+    * quantized to micros BEFORE summation, making the score an exact
+    * integer — the argmax (ties → lexicographically first language)
+    * is hash-stable across engines. Output: per test doc, actual vs
+    * predicted language and the winning score.
+    *
+    * Scale shape: model build is one token-cell aggregate over train
+    * docs; scoring is test-cells ⋈ model on token (both reduced
+    * forms) then a ≤5-row-per-doc argmax window — no all-pairs, no
+    * global window, no driver state. */
+  def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokens = docs
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val trainCells = tokens.filter(expr("doc_id % 2 = 0"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused by the model and both per-class totals
+    val classTotals = trainCells.groupBy("lang").agg(sum("cnt").as("tok_c"))
+    val vocabAndDocs = trainCells.agg(countDistinct("tok").as("v"))
+      .crossJoin(docs.filter(expr("doc_id % 2 = 0"))
+        .agg(count(lit(1)).as("n_train")))
+    val classConst = classTotals.crossJoin(broadcast(vocabAndDocs))
+      .join(docs.filter(expr("doc_id % 2 = 0")).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_c")), Seq("lang"))
+      .select(col("lang").as("c_lang"),
+        expr("CAST(round(ln(CAST(tok_c + v AS DOUBLE)) * 1000000) AS BIGINT)").as("denom_micros"),
+        expr("CAST(round(ln(CAST(n_docs_c AS DOUBLE) / n_train) * 1000000) AS BIGINT)").as("prior_micros"))
+    val model = trainCells.select(col("lang").as("m_lang"), col("tok"),
+      expr("CAST(round(ln(CAST(cnt + 1 AS DOUBLE)) * 1000000) AS BIGINT)").as("lnl_micros"))
+    val testCells = tokens.filter(expr("doc_id % 2 = 1"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val matchPart = testCells.join(model, Seq("tok"))
+      .groupBy("doc_id", "m_lang")
+      .agg(sum(col("c") * col("lnl_micros")).as("match_micros"))
+    val testDocs = docs.filter(expr("doc_id % 2 = 1"))
+      .join(testCells.groupBy("doc_id").agg(sum("c").as("doc_total")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("doc_total"))
+      .select(col("doc_id"), col("lang"), col("doc_total"))
+    val scored = testDocs.crossJoin(broadcast(classConst))
+      .join(matchPart,
+        testDocs("doc_id") === matchPart("doc_id") && col("c_lang") === col("m_lang"), "left")
+      .select(testDocs("doc_id"), col("lang"), col("c_lang"),
+        (col("prior_micros") + coalesce(col("match_micros"), lit(0L))
+          - col("doc_total") * col("denom_micros")).as("score_micros"))
+    val wDoc = Window.partitionBy(scored("doc_id"))
+      .orderBy(col("score_micros").desc, col("c_lang").asc)
+    scored.withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("actual"), col("c_lang").as("predicted"),
+        col("score_micros"), (col("lang") === col("c_lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  private val naiveBayesSql: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      |  FROM documents
+      |), train_cells AS (
+      |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tokens WHERE doc_id % 2 = 0 GROUP BY lang, tok
+      |), class_totals AS (
+      |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS tok_c FROM train_cells GROUP BY lang
+      |), vd AS (
+      |  SELECT (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM train_cells) AS v,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS n_train
+      |), class_const AS (
+      |  SELECT ct.lang AS c_lang,
+      |         CAST(round(ln(CAST(ct.tok_c + vd.v AS DOUBLE)) * 1000000) AS BIGINT) AS denom_micros,
+      |         CAST(round(ln(CAST(nd.n_docs_c AS DOUBLE) / vd.n_train) * 1000000) AS BIGINT) AS prior_micros
+      |  FROM class_totals ct CROSS JOIN vd
+      |  JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_c
+      |        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang) nd ON nd.lang = ct.lang
+      |), model AS (
+      |  SELECT lang AS m_lang, tok,
+      |         CAST(round(ln(CAST(cnt + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS lnl_micros
+      |  FROM train_cells
+      |), test_cells AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM tokens WHERE doc_id % 2 = 1 GROUP BY doc_id, tok
+      |), match_part AS (
+      |  SELECT tc.doc_id, m.m_lang, CAST(sum(tc.c * m.lnl_micros) AS BIGINT) AS match_micros
+      |  FROM test_cells tc JOIN model m ON m.tok = tc.tok
+      |  GROUP BY tc.doc_id, m.m_lang
+      |), test_docs AS (
+      |  SELECT d.doc_id, d.lang,
+      |         CAST(coalesce((SELECT sum(c) FROM test_cells t WHERE t.doc_id = d.doc_id), 0) AS BIGINT) AS doc_total
+      |  FROM documents d WHERE d.doc_id % 2 = 1
+      |), scored AS (
+      |  SELECT td.doc_id, td.lang, cc.c_lang,
+      |         cc.prior_micros + coalesce(mp.match_micros, 0)
+      |           - td.doc_total * cc.denom_micros AS score_micros
+      |  FROM test_docs td CROSS JOIN class_const cc
+      |  LEFT JOIN match_part mp ON mp.doc_id = td.doc_id AND mp.m_lang = cc.c_lang
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score_micros DESC, c_lang) AS rn
+      |  FROM scored
+      |)
+      |SELECT doc_id, lang AS actual, c_lang AS predicted,
+      |       CAST(score_micros AS BIGINT) AS score_micros,
+      |       (lang = c_lang) AS correct
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("naive_bayes", naiveBayesSql)(naiveBayes),
     QueryDef.sql("bpe_pairs", bpePairsSql)(bpePairs),
     QueryDef.sql("bpe_encode", bpeEncodeSql)(bpeEncode),
     QueryDef.sql("bpe_train", bpeTrainSql)(bpeTrain),
