@@ -674,7 +674,129 @@ object Centroids {
        |ORDER BY comp, d""".stripMargin
   }
 
+  /** [[dbscanGrid]] parameters: ε in micros on the first two embedding
+    * dims (coords span ±0.41 → ±410k micros; ε = 50k gives the ~5-6
+    * mean-neighbor density DBSCAN wants), minPts = 5 (incl. self),
+    * and a +2²⁰ shift that keeps every quantized coordinate positive
+    * BEFORE the cell division (floor-vs-trunc hygiene). */
+  private val DbEps = 50000L
+  private val DbMinPts = 5L
+  private val DbShift = 1048576L
+
+  /** Grid-partitioned DBSCAN (Ester, Kriegel, Sander & Xu, KDD 1996)
+    * over the first two embedding dimensions: density clustering with
+    * noise — the spatial complement of [[kmeansEmbed]]'s centroidal
+    * partition (k-means cannot say "outlier"; DBSCAN's whole output is
+    * core/border/noise roles plus clusters of arbitrary shape).
+    * ε-neighborhoods are found with the classic cell-grid join: each
+    * point probes the 3×3 neighborhood of its home cell (cell side =
+    * ε, so any pair within ε shares a probed cell) — the equi-join
+    * form of the R*-tree the paper used, and the only corpus-sized
+    * shuffle. Core points (≥ minPts neighbors incl. self) connect into
+    * clusters via [[Dedup.ccOn]] min-label propagation over core-core
+    * edges (maxIters raised to 64: an ε-graph's diameter is geometric,
+    * ~extent/ε ≈ 23 here, unlike the star-shaped near-dup graphs the
+    * default 20 was tuned for); border points adopt the minimum
+    * cluster rep among their core neighbors; everything else is noise.
+    * All coordinates are micros-quantized BIGINTs, distances compared
+    * as exact integer squares — no float tie can flip a membership.
+    *
+    * Scale shape: pairs = Σ per-cell (9·|cell| · |cell|) — local
+    * density work, never n²; the label loop is per-round checkpointed
+    * like every iterative op in the repo. At 100 TB the same plan
+    * holds with a coarser first-level grid (cells become the IVF
+    * lists of [[Similarity]]); the known caveat is label-prop rounds
+    * ∝ cluster diameter — a production deployment swaps ccOn for
+    * pointer-doubling/star contraction at O(log n) rounds, noted not
+    * faked. */
+  def dbscanGrid(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"),
+        expr("CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(CAST(element_at(embedding, 2) AS DOUBLE) * 1000000) AS BIGINT)").as("y"))
+      .withColumn("cx", expr(s"(x + $DbShift) div $DbEps"))
+      .withColumn("cy", expr(s"(y + $DbShift) div $DbEps"))
+      .localCheckpoint() // probed as both join sides + the final role union
+    val offs = for (dx <- -1L to 1L; dy <- -1L to 1L) yield (dx, dy)
+    val probe = pts.select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        explode(array(offs.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("ncx"), (col("cy") + dy).as("ncy")) }: _*)).as("nc"))
+      .select(col("a_id"), col("ax"), col("ay"),
+        col("nc.ncx").as("cx"), col("nc.ncy").as("cy"))
+    val pairs = probe
+      .join(pts.select(col("id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(expr(s"(ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= ${DbEps * DbEps}"))
+      .select("a_id", "b_id")
+      .localCheckpoint() // feeds neighbor counts, core edges, border attach
+    val core = pairs.groupBy("a_id").agg(count(lit(1)).as("nn"))
+      .filter(col("nn") + 1L >= DbMinPts).select(col("a_id").as("id"))
+      .localCheckpoint()
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("id", "a_id"), "a_id")
+      .join(core.withColumnRenamed("id", "b_id"), "b_id")
+      .select(col("a_id").as("src"), col("b_id").as("dst")) // pairs are already symmetric
+    val reps = Dedup.ccOn(coreEdges, maxIters = 64)
+    val coreReps = core.join(reps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    val borderReps = pairs
+      .join(core.withColumnRenamed("id", "b_id"), "b_id")
+      .join(core.withColumnRenamed("id", "a_id"), Seq("a_id"), "left_anti")
+      .join(coreReps.withColumnRenamed("id", "b_id"), "b_id")
+      .groupBy(col("a_id").as("id")).agg(min("rep").as("rep"))
+    val labeled = coreReps.select(col("id"), col("rep"), lit("core").as("role"))
+      .unionAll(borderReps.select(col("id"), col("rep"), lit("border").as("role")))
+    labeled
+      .unionAll(pts.select("id").join(labeled.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(null).cast("long").as("rep"), lit("noise").as("role")))
+      .select(col("id").as("vec_id"), col("rep").as("cluster_rep"), col("role"))
+      .orderBy("vec_id")
+  }
+
+  private val dbscanSql: String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT vec_id AS id,
+       |         CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x,
+       |         CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS y
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.id AS a_id, b.id AS b_id
+       |  FROM p a JOIN p b ON a.id <> b.id
+       |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ${DbEps * DbEps}
+       |), core AS (
+       |  SELECT a_id AS id FROM pairs GROUP BY a_id HAVING count(*) + 1 >= $DbMinPts
+       |), core_edges AS (
+       |  SELECT pr.a_id AS src, pr.b_id AS dst FROM pairs pr
+       |  JOIN core ca ON ca.id = pr.a_id JOIN core cb ON cb.id = pr.b_id
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM core_edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN core_edges e ON r.dst = e.src
+       |), core_reps AS (
+       |  SELECT c.id, coalesce(rr.rep, c.id) AS rep
+       |  FROM core c LEFT JOIN (
+       |    SELECT src AS id, least(src, min(dst)) AS rep FROM reach GROUP BY src
+       |  ) rr ON rr.id = c.id
+       |), border_reps AS (
+       |  SELECT pr.a_id AS id, min(cr.rep) AS rep
+       |  FROM pairs pr
+       |  JOIN core cb ON cb.id = pr.b_id
+       |  JOIN core_reps cr ON cr.id = pr.b_id
+       |  WHERE pr.a_id NOT IN (SELECT id FROM core)
+       |  GROUP BY pr.a_id
+       |), labeled AS (
+       |  SELECT id, rep, 'core' AS role FROM core_reps
+       |  UNION ALL
+       |  SELECT id, rep, 'border' AS role FROM border_reps
+       |)
+       |SELECT p.id AS vec_id,
+       |       CAST(l.rep AS BIGINT) AS cluster_rep,
+       |       coalesce(l.role, 'noise') AS role
+       |FROM p LEFT JOIN labeled l ON l.id = p.id
+       |ORDER BY vec_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("dbscan_grid", dbscanSql)(dbscanGrid),
     QueryDef.sql("pca_power", pcaSql)(pcaPower),
     QueryDef.sql("pca_topr", pcaTopRSql)(pcaTopR),
     QueryDef.sql("pca_project", pcaProjectSql)(pcaProject),

@@ -1516,7 +1516,62 @@ object Curation {
       |FROM cum GROUP BY c_nationkey, c_mktsegment
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** ε-differentially-private histogram release (Dwork, McSherry,
+    * Nissim & Smith, TCC 2006 — the mechanism tier of the privacy
+    * ladder: [[kAnonymity]]/[[lDiversity]]/[[tCloseness]] audit a
+    * release, DP *constructs* one): per-event-type counts plus
+    * Laplace(Δf/ε) noise with sensitivity 1 and ε = 0.5 (b = 2). The
+    * noise is SEEDED, not sampled — u ∈ (0,1) comes from the md5 of a
+    * versioned seed string + the cell key, pushed through the Laplace
+    * inverse CDF (u < ½ → b·ln 2u, else −b·ln 2(1−u)) — so the
+    * release is reproducible and hash-gateable across engines while
+    * exercising the exact production mechanism shape; a real
+    * deployment swaps the seed for a CSPRNG draw (noted, not faked).
+    * u is offset by +½/2²⁰ so it can never hit 0, ½, or 1 exactly.
+    * The released count is clamped at 0 in the micros domain before
+    * the floor division back to a whole count.
+    *
+    * Scale shape: one partial-aggregated count pass → O(cells) rows;
+    * the noise is per-cell codegen'd arithmetic. */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("true_n"))
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(concat('dp-seed-v1:', event_type)), 1, 15), 16, 10) AS BIGINT) % 1048576"))
+      .withColumn("u", expr("(CAST(h AS DOUBLE) + 0.5) / 1048576.0"))
+      .withColumn("noise_micros", expr(
+        """CAST(round(CASE WHEN u < 0.5 THEN 2.0 * ln(2.0 * u)
+          |ELSE -2.0 * ln(2.0 * (1.0 - u)) END * 1000000) AS BIGINT)""".stripMargin))
+      .select(col("event_type"), col("true_n"), col("noise_micros"),
+        expr("true_n * 1000000 + noise_micros").as("released_micros"),
+        expr("greatest(CAST(0 AS BIGINT), true_n * 1000000 + noise_micros) div 1000000")
+          .as("released_n"))
+      .orderBy("event_type")
+  }
+
+  private val dpReleaseSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS true_n FROM events GROUP BY 1
+      |), seeded AS (
+      |  SELECT event_type, true_n,
+      |         CAST('0x' || substr(md5('dp-seed-v1:' || event_type), 1, 15) AS BIGINT)
+      |           % 1048576 AS h
+      |  FROM cells
+      |), noised AS (
+      |  SELECT event_type, true_n,
+      |         CAST(round(CASE WHEN (CAST(h AS DOUBLE) + 0.5) / 1048576.0 < 0.5
+      |                         THEN 2.0 * ln(2.0 * ((CAST(h AS DOUBLE) + 0.5) / 1048576.0))
+      |                         ELSE -2.0 * ln(2.0 * (1.0 - (CAST(h AS DOUBLE) + 0.5) / 1048576.0))
+      |                    END * 1000000) AS BIGINT) AS noise_micros
+      |  FROM seeded
+      |)
+      |SELECT event_type, true_n, noise_micros,
+      |       true_n * 1000000 + noise_micros AS released_micros,
+      |       greatest(CAST(0 AS BIGINT), true_n * 1000000 + noise_micros) // 1000000 AS released_n
+      |FROM noised ORDER BY event_type""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("dp_release", dpReleaseSql)(dpRelease),
     QueryDef.sql("t_closeness", tClosenessSql)(tCloseness),
     QueryDef.sql("perplexity_filter", perplexityFilterSql)(perplexityFilter),
     QueryDef.sql("html_extract", htmlExtractSql)(htmlExtract),

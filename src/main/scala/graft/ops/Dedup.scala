@@ -514,7 +514,7 @@ object Dedup {
     * strings lexicographically, so components converge on their minimum
     * id either way. Returns (id, rep) for nodes WITH at least one edge;
     * singletons are the caller's left-join concern. */
-  private[graft] def ccOn(edges0: DataFrame): DataFrame = {
+  private[graft] def ccOn(edges0: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = edges0.localCheckpoint()
     // init = identity fused with the first propagation round: rep0 =
     // min(id, min neighbor). Star components centered on their min id —
@@ -525,7 +525,6 @@ object Dedup {
       .agg(least(col("src"), min(col("dst"))).as("rep"))
       .select(col("src").as("id"), col("rep"))
       .localCheckpoint()
-    val maxIters = 20
     var iter     = 0
     var changed  = 1L
     // the checkpoint HANDLE behind `labels` (from round 1 on, labels is

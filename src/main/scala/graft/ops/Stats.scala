@@ -2028,7 +2028,99 @@ object Stats {
       |         END AS BIGINT) AS rho2_ppm
       |FROM by_variant CROSS JOIN pooled ORDER BY variant""".stripMargin
 
+  /** Difference-in-differences estimator (Card & Krueger 1994 made it
+    * canon — the causal readout when assignment isn't random but a
+    * pre-period exists; the observational sibling of [[cupedAdjust]],
+    * which shares its variant/period framing): events split into
+    * pre/post at the temporal midpoint and treatment/control by
+    * user-id parity; DiD = (Ȳ₁₁ − Ȳ₁₀) − (Ȳ₀₁ − Ȳ₀₀) over the four
+    * cell means of `value` millis. The estimate is formed as ONE
+    * exact rational — numerator and the n₁₁n₁₀n₀₁n₀₀ common
+    * denominator in DECIMAL(38)/HUGEINT, sign extracted before the
+    * floor division — so the hash gate sees exact integers. Output:
+    * the four cells (n, sum, floor-mean micros) each carrying the
+    * shared did_micros.
+    *
+    * Scale shape: one events scan → 4-row aggregate → 1-row estimate
+    * cross-joined back; no window, no per-user state (contrast
+    * [[cupedAdjust]], which needs the per-user covariate pass). */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts)").as("ms"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+    val bounds = ev.agg(min("ms").as("lo_ms"), max("ms").as("hi_ms"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .select(expr("user_id % 2").as("treated"),
+        expr("CAST(CASE WHEN ms >= lo_ms + (hi_ms - lo_ms) div 2 THEN 1 ELSE 0 END AS BIGINT)").as("post"),
+        col("v"))
+      .groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_millis"))
+      .localCheckpoint() // 4 rows; feeds both the estimate and the output
+    val wide = cells.agg(
+      sum(expr("CASE WHEN treated = 1 AND post = 1 THEN n ELSE 0 END")).as("n11"),
+      sum(expr("CASE WHEN treated = 1 AND post = 0 THEN n ELSE 0 END")).as("n10"),
+      sum(expr("CASE WHEN treated = 0 AND post = 1 THEN n ELSE 0 END")).as("n01"),
+      sum(expr("CASE WHEN treated = 0 AND post = 0 THEN n ELSE 0 END")).as("n00"),
+      sum(expr("CASE WHEN treated = 1 AND post = 1 THEN sum_millis ELSE 0 END"))
+        .cast("decimal(38,0)").as("s11"),
+      sum(expr("CASE WHEN treated = 1 AND post = 0 THEN sum_millis ELSE 0 END"))
+        .cast("decimal(38,0)").as("s10"),
+      sum(expr("CASE WHEN treated = 0 AND post = 1 THEN sum_millis ELSE 0 END"))
+        .cast("decimal(38,0)").as("s01"),
+      sum(expr("CASE WHEN treated = 0 AND post = 0 THEN sum_millis ELSE 0 END"))
+        .cast("decimal(38,0)").as("s00"))
+      .select(expr(
+        """CAST(CASE WHEN n11 = 0 OR n10 = 0 OR n01 = 0 OR n00 = 0 THEN NULL ELSE
+          |  CASE WHEN 1000 * ((s11 * n10 - s10 * n11) * (CAST(n01 AS DECIMAL(38,0)) * n00)
+          |                  - (s01 * n00 - s00 * n01) * (CAST(n11 AS DECIMAL(38,0)) * n10)) < 0
+          |       THEN -1 ELSE 1 END *
+          |  (abs(1000 * ((s11 * n10 - s10 * n11) * (CAST(n01 AS DECIMAL(38,0)) * n00)
+          |             - (s01 * n00 - s00 * n01) * (CAST(n11 AS DECIMAL(38,0)) * n10)))
+          |   div (CAST(n11 AS DECIMAL(38,0)) * n10 * n01 * n00)) END AS BIGINT)""".stripMargin)
+        .as("did_micros"))
+    cells.crossJoin(broadcast(wide))
+      .select(col("treated"), col("post"), col("n"), col("sum_millis"),
+        expr("(sum_millis * 1000) div n").as("mean_micros"), col("did_micros"))
+      .orderBy("treated", "post")
+  }
+
+  private val didSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |         CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |), bounds AS (SELECT min(ms) AS lo_ms, max(ms) AS hi_ms FROM ev
+      |), cells AS (
+      |  SELECT user_id % 2 AS treated,
+      |         CAST(CASE WHEN ms >= lo_ms + (hi_ms - lo_ms) // 2 THEN 1 ELSE 0 END AS BIGINT) AS post,
+      |         CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_millis
+      |  FROM ev CROSS JOIN bounds GROUP BY 1, 2
+      |), wide AS (
+      |  SELECT CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN n ELSE 0 END) AS HUGEINT) AS n11,
+      |         CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN n ELSE 0 END) AS HUGEINT) AS n10,
+      |         CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN n ELSE 0 END) AS HUGEINT) AS n01,
+      |         CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN n ELSE 0 END) AS HUGEINT) AS n00,
+      |         CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN sum_millis ELSE 0 END) AS HUGEINT) AS s11,
+      |         CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN sum_millis ELSE 0 END) AS HUGEINT) AS s10,
+      |         CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN sum_millis ELSE 0 END) AS HUGEINT) AS s01,
+      |         CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN sum_millis ELSE 0 END) AS HUGEINT) AS s00
+      |  FROM cells
+      |), est AS (
+      |  SELECT CAST(CASE WHEN n11 = 0 OR n10 = 0 OR n01 = 0 OR n00 = 0 THEN NULL ELSE
+      |    (CASE WHEN 1000 * ((s11 * n10 - s10 * n11) * (n01 * n00)
+      |                     - (s01 * n00 - s00 * n01) * (n11 * n10)) < 0
+      |          THEN -1 ELSE 1 END) *
+      |    (abs(1000 * ((s11 * n10 - s10 * n11) * (n01 * n00)
+      |               - (s01 * n00 - s00 * n01) * (n11 * n10)))
+      |     // (n11 * n10 * n01 * n00)) END AS BIGINT) AS did_micros
+      |  FROM wide
+      |)
+      |SELECT treated, post, n, sum_millis,
+      |       (sum_millis * 1000) // n AS mean_micros, did_micros
+      |FROM cells CROSS JOIN est ORDER BY treated, post""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("diff_in_diff", didSql)(diffInDiff),
     QueryDef.sql("survival_km", survivalKmSql)(survivalKm),
     QueryDef.sql("cuped_adjust", cupedSql)(cupedAdjust),
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
