@@ -150,11 +150,11 @@ object ScaleProbe {
   }
 
   /** The scale-sensitive set: the five operators the round-13 verdict
-    * named plus the corpus-scaled kNN-graph variant (knn_graph itself is
-    * ALSO probed — its fixed 10-list IVF is expected to show the
-    * quadratic knee that motivates the scaled variant). */
+    * named plus the corpus-wide kNN graph (since the round-17 re-point
+    * `knn_graph` IS the corpus-scaled shape; the old fixed-nlist knee
+    * shape survives probe-only as `Similarity.knnGraphFixedNlist`). */
   val DefaultQueries: Seq[String] = Seq(
-    "dedup_minhash", "semantic_dedup", "knn_graph", "knn_graph_scaled",
+    "dedup_minhash", "semantic_dedup", "knn_graph",
     "substring_dup", "sssp_weighted", "stream_session_rocksdb",
     // second-session scale-sensitive additions (measured passes 3-4 in
     // PERF.md; kept in the default sweep so regressions surface)

@@ -149,6 +149,30 @@ object Dedup {
       .select(col(idCol), col("b.band"), col("b.bh"))
   }
 
+  /** Verify-stage task sizing: candidate rows per verify task. At the
+    * measured ~25 µs/pair exact-jaccard cost this is ~0.6 s of CPU per
+    * task — big enough to amortize scheduling, small enough that the
+    * stage's parallelism tracks candidate VOLUME. */
+  private val VerifyRowsPerTask = 25000L
+
+  /** Sizes the verify stage to the measured candidate volume. The
+    * candidate pair set is ids-only (tiny BYTES) but each pair costs
+    * heavy CPU downstream, so partitioning must track candidate ROWS:
+    * AQE coalesces by bytes (blind to compute cost) and can only shrink
+    * FROM the initial number — a fixed `defaultParallelism` repartition
+    * was the round-16 `prefix_jaccard_join` knee (25 → 73 µs/row at
+    * 32×; the conf probe that doubled the partition count halved the
+    * stage, PERF.md pass 12/16). The checkpoint materializes the
+    * distinct pair set once, so the sizing count() is a free scan of
+    * the checkpoint blocks, not a recompute of the self-join. */
+  private def sizedForVerify(candidates: DataFrame, key: String): DataFrame = {
+    val ckpt = candidates.localCheckpoint()
+    val floor = ckpt.sparkSession.sparkContext.defaultParallelism.toLong
+    val parts = math.min(4096L,
+      math.max(floor, (ckpt.count() + VerifyRowsPerTask - 1) / VerifyRowsPerTask)).toInt
+    ckpt.repartition(parts, col(key))
+  }
+
   private def lshCandidatesVerified(
       docs0: DataFrame, idCol: String,
       wordGrams: Boolean, n: Int, threshold: Double): DataFrame = {
@@ -158,15 +182,16 @@ object Dedup {
     // AQE would coalesce this small ids-only set to ~1 partition (it
     // coalesces by BYTES, blind to downstream compute cost) and the
     // whole verify stage would run single-threaded — the classic
-    // small-bytes/heavy-cpu AQE misfire. Repartitioning on the join key
-    // pins the verify parallelism explicitly.
-    val candidates = bands.as("l")
-      .join(bands.as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-      .distinct()
-      .repartition(docs0.sparkSession.sparkContext.defaultParallelism, col("id_a"))
+    // small-bytes/heavy-cpu AQE misfire. sizedForVerify pins the verify
+    // parallelism explicitly, scaled to the candidate count.
+    val candidates = sizedForVerify(
+      bands.as("l")
+        .join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col(s"l.$idCol") < col(s"r.$idCol"))
+        .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+        .distinct(),
+      "id_a")
     def shinglesOf(t: Column): Column =
       if (wordGrams) wordShinglesDistinct(t, n) else charShinglesDistinct(t, n)
     // Verify attaches TEXTS to the pair set and rebuilds each side's
@@ -330,7 +355,6 @@ object Dedup {
     * minimizes it); verification re-attaches the two rank arrays to
     * the candidate set only. Same corpus/subset as ngram_jaccard. */
   def prefixJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
     val toksed = nearDupCorpus(spark, dir).filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"),
         array_distinct(filter(split(col("text"), " "), x => x =!= "")).as("ts"))
@@ -349,13 +373,18 @@ object Dedup {
       explode(expr(
         s"slice(rs, 1, CAST(size(rs) - (($PjNum * size(rs) + ${PjDen - 1}) div $PjDen) + 1 AS INT))"))
         .as("p"))
-    val candidates = pref.as("l")
-      .join(pref.as("r"),
-        col("l.p") === col("r.p") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-      .distinct()
-      // same AQE small-bytes/heavy-cpu note as lshCandidatesVerified
-      .repartition(spark0.sparkContext.defaultParallelism, col("id_a"))
+    // same AQE small-bytes/heavy-cpu note as lshCandidatesVerified —
+    // and the verify cost here (array_intersect over full rank arrays)
+    // is the heaviest per-pair in the module, so the volume-scaled
+    // sizing matters most: the fixed-parallelism form was the measured
+    // round-16 knee (25 → 73 µs/row at 32×)
+    val candidates = sizedForVerify(
+      pref.as("l")
+        .join(pref.as("r"),
+          col("l.p") === col("r.p") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+        .distinct(),
+      "id_a")
     candidates
       .join(ranked.select(col("doc_id").as("id_a"), col("rs").as("ra")), "id_a")
       .join(ranked.select(col("doc_id").as("id_b"), col("rs").as("rb")), "id_b")

@@ -507,22 +507,20 @@ object Similarity {
     rankedTopK(spark, exact)
   }
 
-  /** Corpus-wide kNN graph over the IVF lists — the building block of
-    * graph-based curation (SemDeDup cluster pruning, duplicate-cluster
-    * seeding, diversity sampling): EVERY vector, not a 20-query probe
-    * set, gets its top-[[K]] neighbors from its [[NProbe]] nearest
-    * lists.
+  /** PROBE-ONLY fixed-nlist kNN graph — NOT a served query. This is
+    * the shape whose measured quadratic (fixed nlist=10 ⇒ candidate
+    * work n²·nprobe/10: 2.6 s at 1× sf0.1, 902.6 s at 32×, round-14
+    * probe table in PERF.md) motivated the corpus-scaled [[knnGraph]]
+    * that the `knn_graph` query now serves. It stays in the codebase
+    * only so the scale probe can keep the knee curve on record and so
+    * the agreement test against [[annIvf]] (same quantizer, same
+    * probes) keeps pinning the candidate-generation semantics.
     *
-    * Scale shape: candidate generation is an EQUI-JOIN on the list id
-    * between the single-assigned corpus and the nprobe-exploded corpus —
-    * work is Σ_list |list|·|probes into that list|, never the n² of
-    * [[annBruteforce]] (which stays as the 20-query exact baseline);
-    * neither side broadcasts, both shuffle once on the list id, and a
-    * hot list is exactly the skew AQE's skew-join split handles. The
-    * per-query top-K is the bounded-heap Aggregator (≤K rows per query
-    * per partition reach the shuffle). The oracle replays the identical
-    * quantizer, so the approximate structure gets an exact gate. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    * Candidate generation is still an EQUI-JOIN on the list id between
+    * the single-assigned corpus and the nprobe-exploded corpus — the
+    * defect is purely the CONSTANT list count, which makes per-list
+    * population ∝ n and Σ|list|² ∝ n². */
+  def knnGraphFixedNlist(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val (labelsLit, matrixLit) = ivfCentroidLits(spark, dir)
     val listed = base.withColumn("ivf_list",
@@ -539,25 +537,34 @@ object Similarity {
     rankedTopK(spark, pairs)
   }
 
-  /** Target list population of [[knnGraphScaled]]: lists stay ~B rows
+  /** Target list population of [[knnGraph]]: lists stay ~B rows
     * at ANY corpus size because the list count scales as k = ⌈n/B⌉. */
   val KnnScaledB = 50L
 
-  /** Corpus-scaled kNN graph — the named fix for [[knnGraph]]'s
-    * measured quadratic knee (scale probe, round 14: fixed nlist=10
-    * makes candidate work n²·nprobe/10 — 2.6 s at 1× sf0.1 but 900 s at
-    * 32×). Here the list COUNT grows with the corpus (k = ⌈n/B⌉, the
-    * SemDeDup sizing `Dedup.semanticK` uses) via the two-level
-    * coarse-quantized k-means assignment (`Centroids
-    * .kmeansAssignTwoLevel` — driver state O(√k·dim), per-row work
-    * O(√k·dim)), so the per-list population is ~[[KnnScaledB]] rows at
-    * any n and the self-equi-join on the list id does Σ|list|² ≈ n·B
-    * work — LINEAR in n (probe-measured near-linear at 1×/8×/32×).
-    * nprobe is 1 by construction (own list only) — the documented IVF
-    * boundary-recall trade the two-level assignment already carries;
-    * the exact oracle replays the identical quantizer. */
-  def knnGraphScaled(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus-wide kNN graph — the building block of graph-based
+    * curation (SemDeDup cluster pruning, duplicate-cluster seeding,
+    * diversity sampling, [[labelNoiseDetect]]): EVERY vector gets its
+    * top-[[K]] in-list neighbors. Served by the `knn_graph` query.
+    *
+    * Scale shape (the round-17 re-point — this name used to serve the
+    * fixed-nlist shape now quarantined as [[knnGraphFixedNlist]]): the
+    * list COUNT grows with the corpus (k = ⌈n/B⌉, the SemDeDup sizing
+    * `Dedup.semanticK` uses) via the two-level coarse-quantized
+    * k-means assignment (`Centroids.kmeansAssignTwoLevel` — driver
+    * state O(√k·dim), per-row work O(√k·dim)), so the per-list
+    * population is ~[[KnnScaledB]] rows at any n and the self-equi-join
+    * on the list id does Σ|list|² ≈ n·B work — LINEAR in n
+    * (probe-measured near-linear at 1×/8×/32×). nprobe is 1 by
+    * construction (own list only) — the documented IVF boundary-recall
+    * trade the two-level assignment already carries; the exact oracle
+    * replays the identical quantizer. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
     knnEdgesOn(Tables.embeddings(spark, dir))
+
+  /** Pre-re-point name of [[knnGraph]], kept so existing consumers and
+    * specs read unambiguously; same plan, same oracle. */
+  def knnGraphScaled(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(spark, dir)
 
   /** Prune threshold of [[knnDiversityPrune]] — the SemDeDup ε. */
   val DiversityCos = 0.99
@@ -719,33 +726,6 @@ object Similarity {
          |  FROM terms GROUP BY query_id, neighbor_id
          |)""".stripMargin
 
-  /** the corpus-wide kNN pair CTEs (IVF coarse assignment → probed
-    * list equi-join → cosine pairs) — shared by the knn_graph oracle
-    * and label_noise_detect's consensus audit. */
-  private lazy val knnGraphCtes: String =
-    s"""cents AS (
-       |  SELECT label, list(avg_val ORDER BY d) AS c FROM (
-       |    SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
-       |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
-       |    GROUP BY label, d) t
-       |  GROUP BY label
-       |), ranked_assign AS (
-       |  SELECT e.vec_id, e.embedding, c.label AS ivf_list,
-       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |             list_transform(generate_series(1, $Dim), d ->
-       |               (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
-       |             (a, v) -> a + v) ASC, c.label ASC) AS rn
-       |  FROM embeddings e CROSS JOIN cents c
-       |), assigned AS (
-       |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn = 1
-       |), probes AS (
-       |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn <= $NProbe
-       |), pairs AS (
-       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
-       |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
-       |)""".stripMargin
-
   /** Hard-negative mining for contrastive training (the in-batch /
     * BM25-negative upgrade every dense-retriever recipe ships): for
     * each query vector, the top-K most similar corpus vectors whose
@@ -786,13 +766,13 @@ object Similarity {
     * Scale shape: rides the corpus-SCALED kNN graph ([[knnEdgesOn]]:
     * list count ∝ n, Σ|list|² ≈ n·B — linear) plus two broadcastable
     * label attaches and one partial-aggregated consensus count per
-    * node. Riding the fixed-nlist [[knnGraph]] instead was this
-    * round's probe-caught knee: its n²/nlist candidate join ran >12
+    * node. Riding [[knnGraphFixedNlist]] instead was a round-16
+    * probe-caught knee: its n²/nlist candidate join ran >12
     * minutes into a 24 g heap at 64× before the probe was cut —
     * exactly the round-14 knn_graph curve, inherited transitively.
     * The consumer of a graph artifact must consume the SCALED one. */
   def labelNoiseDetect(spark: SparkSession, dir: String): DataFrame = {
-    val edges = knnGraphScaled(spark, dir).select("query_id", "neighbor_id")
+    val edges = knnGraph(spark, dir).select("query_id", "neighbor_id")
     val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     edges
       .join(lab.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
@@ -1068,9 +1048,7 @@ object Similarity {
          |               JOIN embeddings b ON b.vec_id = c.neighbor_id
          |), ${rankSql("exact")}""".stripMargin)(annRefine),
     QueryDef.sql("knn_graph",
-      s"""WITH $knnGraphCtes, ${rankSql("pairs")}""".stripMargin)(knnGraph),
-    QueryDef.sql("knn_graph_scaled",
-      s"""WITH ${knnScaledPairsCtes("embeddings")}, ${rankSql("pairs")}""")(knnGraphScaled),
+      s"""WITH ${knnScaledPairsCtes("embeddings")}, ${rankSql("pairs")}""")(knnGraph),
     QueryDef.sql("knn_diversity_prune",
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings

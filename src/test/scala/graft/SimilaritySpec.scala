@@ -273,18 +273,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("knn_graph restricted to the ann_ivf query set IS ann_ivf") {
+  test("probe-only fixed-nlist kNN graph restricted to the ann_ivf query set IS ann_ivf") {
     import org.apache.spark.sql.functions.col
     // same quantizer, same probes, same ranking — the corpus-wide graph
-    // must agree row-for-row with the 20-query op on those 20 queries
-    val fromGraph = Similarity.knnGraph(spark, sfDir)
+    // must agree row-for-row with the 20-query op on those 20 queries.
+    // (knnGraphFixedNlist is no longer a served query — round-17
+    // re-point — but this agreement pin keeps its candidate-generation
+    // semantics honest for the scale probe's knee-curve record.)
+    val fromGraph = Similarity.knnGraphFixedNlist(spark, sfDir)
       .filter(col("query_id") < Similarity.NumQueries)
       .collect().map(_.toSeq).toSeq
     val fromIvf = Similarity.annIvf(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(fromGraph == fromIvf)
     // every corpus vector appears as a query (no list strands a vector)
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    assert(Similarity.knnGraph(spark, sfDir).select("query_id").distinct().count() == nVecs)
+    assert(Similarity.knnGraphFixedNlist(spark, sfDir)
+      .select("query_id").distinct().count() == nVecs)
   }
 
   test("hard_negatives never share the query's label and rank contiguously") {
