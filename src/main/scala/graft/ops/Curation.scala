@@ -294,6 +294,100 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** [[substringDecontaminate]] span length (code points). Scaled to
+    * the fixtures' few-hundred-char synthetic docs the way a production
+    * run scales its ≥50-char rule to web documents: long enough that a
+    * match is a copied span, not a common phrase (the fixture's planted
+    * duplicate structure populates matches at every SF — 58/98/3803
+    * contaminated docs at sf0.001/0.01/0.1), short enough that the
+    * bench slice actually intersects the corpus. */
+  val DecontamLen = 20
+
+  /** Exact long-substring decontamination — the strict complement of
+    * [[ngramDecontaminate]]'s fixed-word-5-gram flags (the GPT-3/PaLM
+    * n-gram rule): flag a corpus document containing ANY
+    * ≥[[DecontamLen]]-code-point span that appears verbatim in the
+    * benchmark set (stand-in: doc_id % 50 == 0). Detection is via the
+    * [[graft.functions.TextFunctions.gramHashesCol]] rolling-hash
+    * kernel (`substring_dup`'s machinery, cross-corpus): any shared
+    * span of length ≥ L shares all its length-L windows, so comparing
+    * the fixed-L window fingerprints detects every qualifying span with
+    * zero misses. A SINGLE 30-bit polynomial is too weak for the flag
+    * to mean anything (the spec's exact-string cross-check caught a
+    * real collision on the 500-doc fixture; at 100 TB every bench
+    * fingerprint would collide constantly), so the fingerprint is the
+    * 60-bit pair (h_L, h_{L-1}) of the length-L and length-(L−1)
+    * windows at the same position packed into one long — independent
+    * polynomials, collision odds ~positions²/2⁶⁰; production would
+    * widen to 128 bits the same way. The oracle replays both
+    * polynomials, and the spec pins hash flags == exact-string truth.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT int64-sized
+    * fingerprints and BROADCASTS (eval suites are MBs against a 100 TB
+    * corpus — this is precisely why production decontamination hashes
+    * spans instead of joining strings); the corpus side is one
+    * codegen'd map pass (explode of the per-row hash array) probed
+    * map-side by the broadcast semi-join, then a partial-aggregated
+    * per-doc count. The corpus never shuffles text. */
+  def substringDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // 2^30 > P = 1e9+7, so h1 * 2^30 + h2 packs the pair losslessly
+    // into 60 bits; h2 is the length-(L-1) window at the SAME position,
+    // so zip lengths align after slicing to h1's count
+    val h1 = graft.functions.TextFunctions.gramHashesCol(col("text"), DecontamLen)
+    val h2 = graft.functions.TextFunctions.gramHashesCol(col("text"), DecontamLen - 1)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        zip_with(h1, slice(h2, lit(1), size(h1)),
+          (a, b) => a * lit(1073741824L) + b).as("hs"))
+    val pos   = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val bench = pos.filter(col("doc_id") % 50 === 0).select("h").distinct()
+    val matched = pos.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+    docs
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_spans"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (col("doc_id") % 50 === 0).as("is_benchmark"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val substringDecontaminateSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(CAST(i AS INT), CAST(i AS INT) + ${DecontamLen - 1}),
+       |        j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) * 1073741824
+       |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(CAST(i AS INT), CAST(i AS INT) + ${DecontamLen - 2}),
+       |        j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - ${DecontamLen - 1})) AS i)
+       |  WHERE length(text) >= $DecontamLen
+       |), spans AS (
+       |  SELECT doc_id, count(*) AS n_spans FROM grams GROUP BY doc_id
+       |), m AS (
+       |  SELECT doc_id, count(*) AS n_matched FROM grams
+       |  WHERE doc_id % 50 <> 0
+       |    AND h IN (SELECT DISTINCT h FROM grams WHERE doc_id % 50 = 0)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       |  (d.doc_id % 50 = 0) AS is_benchmark,
+       |  coalesce(m.n_matched, 0) > 0 AS contaminated
+       |FROM documents d
+       |LEFT JOIN spans s ON d.doc_id = s.doc_id
+       |LEFT JOIN m ON d.doc_id = m.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------- repetition quality
 
   /** Gopher-style repetition metrics: duplicate-token fraction, top
@@ -1653,6 +1747,7 @@ object Curation {
          |  coalesce(m.n_matched, 0) > 0 AS contaminated
          |FROM ngr n LEFT JOIN m ON n.doc_id = m.doc_id
          |ORDER BY n.doc_id""".stripMargin)(ngramDecontaminate),
+    QueryDef.sql("substring_decontaminate", substringDecontaminateSql)(substringDecontaminate),
     QueryDef.sql("repetition_quality",
       s"""WITH toksed AS (
          |  SELECT doc_id, $toksSql AS w FROM documents

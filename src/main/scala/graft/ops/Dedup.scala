@@ -164,13 +164,21 @@ object Dedup {
     * 32×; the conf probe that doubled the partition count halved the
     * stage, PERF.md pass 12/16). The checkpoint materializes the
     * distinct pair set once, so the sizing count() is a free scan of
-    * the checkpoint blocks, not a recompute of the self-join. */
-  private def sizedForVerify(candidates: DataFrame, key: String): DataFrame = {
+    * the checkpoint blocks, not a recompute of the self-join.
+    *
+    * Returns the partition count too: the verify pipeline is TWO
+    * attach joins (id_a then id_b) and the per-pair compute runs after
+    * the SECOND one, so the caller must re-assert the sizing at the
+    * id_b exchange as well — sizing only the candidate set leaves the
+    * compute stage at the session default (the first, insufficient,
+    * round-17 fix attempt: probe showed 32× unchanged at 211 s because
+    * the intersect ran in the 16-partition post-join stage). */
+  private def sizedForVerify(candidates: DataFrame, key: String): (DataFrame, Int) = {
     val ckpt = candidates.localCheckpoint()
     val floor = ckpt.sparkSession.sparkContext.defaultParallelism.toLong
     val parts = math.min(4096L,
       math.max(floor, (ckpt.count() + VerifyRowsPerTask - 1) / VerifyRowsPerTask)).toInt
-    ckpt.repartition(parts, col(key))
+    (ckpt.repartition(parts, col(key)), parts)
   }
 
   private def lshCandidatesVerified(
@@ -184,7 +192,7 @@ object Dedup {
     // whole verify stage would run single-threaded — the classic
     // small-bytes/heavy-cpu AQE misfire. sizedForVerify pins the verify
     // parallelism explicitly, scaled to the candidate count.
-    val candidates = sizedForVerify(
+    val (candidates, verifyParts) = sizedForVerify(
       bands.as("l")
         .join(bands.as("r"),
           col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -202,6 +210,10 @@ object Dedup {
     // parallel thanks to the repartition above.
     candidates
       .join(base.select(col(idCol).as("id_a"), col("text").as("ta")), "id_a")
+      // the jaccard compute runs in the stage AFTER this second join —
+      // re-assert the volume-scaled sizing at the id_b exchange so it
+      // does not fall back to the session-default partition count
+      .repartition(verifyParts, col("id_b"))
       .join(base.select(col(idCol).as("id_b"), col("text").as("tb")), "id_b")
       .withColumn("jaccard", jaccardDistinctCol(shinglesOf(col("ta")), shinglesOf(col("tb"))))
       .filter(col("jaccard") >= threshold)
@@ -378,7 +390,7 @@ object Dedup {
     // is the heaviest per-pair in the module, so the volume-scaled
     // sizing matters most: the fixed-parallelism form was the measured
     // round-16 knee (25 → 73 µs/row at 32×)
-    val candidates = sizedForVerify(
+    val (candidates, verifyParts) = sizedForVerify(
       pref.as("l")
         .join(pref.as("r"),
           col("l.p") === col("r.p") && col("l.doc_id") < col("r.doc_id"))
@@ -387,6 +399,9 @@ object Dedup {
       "id_a")
     candidates
       .join(ranked.select(col("doc_id").as("id_a"), col("rs").as("ra")), "id_a")
+      // the intersect compute runs after the SECOND attach join — size
+      // that exchange to candidate volume too (see sizedForVerify doc)
+      .repartition(verifyParts, col("id_b"))
       .join(ranked.select(col("doc_id").as("id_b"), col("rs").as("rb")), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("ra"), col("rb"))).cast("long").as("inter"),

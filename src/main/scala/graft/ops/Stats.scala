@@ -794,6 +794,66 @@ object Stats {
        |            // (CAST(2 * n AS HUGEINT) * m) AS BIGINT) AS auc_micros
        |FROM cum CROSS JOIN tot GROUP BY n, m""".stripMargin
 
+  /** Average precision (area under the precision–recall curve, the
+    * threshold-step form sklearn's `average_precision_score` computes):
+    * AP = (1/P)·Σ_thresholds ΔTP_t · TP_t/(TP_t+FP_t), summed over
+    * DISTINCT score thresholds descending — the tie-safe form (a tie
+    * group contributes once with its full ΔTP, so permuting equal
+    * scores cannot change the result). The ranking complement of
+    * [[rocAuc]]: AUC asks "does a random positive outrank a random
+    * negative" and is insensitive to class imbalance; AP weights by
+    * precision at each recall step, which is what a curation gate with
+    * a small keep-class actually experiences. Same score/label pair as
+    * roc_auc (bigram-LM score vs the quality-classifier keep label).
+    *
+    * Exactness: each threshold term is the integral division
+    * (ΔTP·TP·10¹²) div (TP+FP) in DECIMAL(38)/HUGEINT — quantized
+    * BEFORE the sum (the hill/tfidf ln convention, applied to
+    * rationals), so both engines sum identical integers; AP ships as
+    * the two-step integral division to micros (the welch_t width
+    * convention). Scale shape: rides the identical (v, na, nb)
+    * score-cell reduction and range-partitioned prefix cumulation as
+    * [[rocAuc]] — corpus touched once, everything after is
+    * O(distinct scores). */
+  def prAuc(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextAnalysis.lmBigramScore(spark, dir).select("doc_id", "avg_micros")
+    val label = Curation.qualityClassifier(spark, dir).select("doc_id", "keep")
+    val (cum, n, m) = cumulateCells(aucCells(score.join(label, "doc_id")))
+    cum
+      // cumulation is ascending in v; counts at score >= v flip it:
+      // TP = P - ca + na (na = positives exactly at v), FP likewise
+      .select(col("na"), (lit(n) - col("ca") + col("na")).as("tp"),
+        (lit(m) - col("cb") + col("nb")).as("fp"))
+      .agg(sum(expr(
+        "(CAST(na AS DECIMAL(38,0)) * tp * 1000000000000) div (tp + fp)"))
+        .as("s"))
+      .select(
+        lit(n).as("n_pos"), lit(m).as("n_neg"),
+        toLongChecked(col("s"), "pr_auc term sum").as("sum_term_picos"),
+        expr(s"CAST(s div (CAST($n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("ap_micros"))
+  }
+
+  private val prAucSql: String =
+    s"""WITH $aucCellsSql,
+       |cum AS (
+       |  SELECT v, na, nb,
+       |         sum(na) OVER (ORDER BY v) AS ca,
+       |         sum(nb) OVER (ORDER BY v) AS cb
+       |  FROM cells
+       |), tot AS (
+       |  SELECT sum(na) AS n, sum(nb) AS m FROM cells
+       |), terms AS (
+       |  SELECT n, m, na, (n - ca + na) AS tp, (m - cb + nb) AS fp
+       |  FROM cum CROSS JOIN tot
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_pos, CAST(m AS BIGINT) AS n_neg,
+       |  CAST(sum((CAST(na AS HUGEINT) * tp * 1000000000000) // (tp + fp)) AS BIGINT)
+       |    AS sum_term_picos,
+       |  CAST(sum((CAST(na AS HUGEINT) * tp * 1000000000000) // (tp + fp))
+       |       // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS ap_micros
+       |FROM terms GROUP BY n, m""".stripMargin
+
   /** numerator order statistics for [[hillTailIndex]]. */
   private val HillK = 64
 
@@ -2126,6 +2186,7 @@ object Stats {
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
     QueryDef.sql("anova_f", anovaFSql)(anovaF),
     QueryDef.sql("roc_auc", rocAucSql)(rocAuc),
+    QueryDef.sql("pr_auc", prAucSql)(prAuc),
     QueryDef.sql("mutual_info", mutualInfoSql)(mutualInfo),
     QueryDef.sql("calibration_ece", calibrationEceSql)(calibrationEce),
     QueryDef.sql("corr_matrix", corrMatrixSql)(corrMatrix),

@@ -177,6 +177,35 @@ class CurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("substring_decontaminate: hash flags equal exact-substring truth; bench never flags") {
+    val out = Curation.substringDecontaminate(spark, sfDir).cache()
+    try {
+      assert(out.count() == 500)
+      // benchmark docs are the reference set, never flagged against it
+      assert(out.filter(col("is_benchmark") && col("contaminated")).count() == 0)
+      val flagged = out.filter(col("contaminated"))
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged.nonEmpty, "fixture must populate contamination")
+      // exact-string ground truth, driver-side: a doc is contaminated iff
+      // one of its DecontamLen-char windows appears verbatim in a bench
+      // doc — pins that the rolling-hash detection has no collision
+      // artifacts on the fixture (P = 1e9+7; expected collisions ~1e-4)
+      val texts = tables.Tables.documents(spark, sfDir)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      val l = Curation.DecontamLen
+      val benchSpans = texts.collect { case (id, t) if id % 50 == 0 =>
+        (0 to t.length - l).map(i => t.substring(i, i + l))
+      }.flatten.toSet
+      val truth = texts.collect {
+        case (id, t) if id % 50 != 0 &&
+          (0 to t.length - l).exists(i => benchSpans(t.substring(i, i + l))) => id
+      }.toSet
+      assert(flagged == truth,
+        s"hash flags diverge from exact truth: extra=${flagged -- truth} missing=${truth -- flagged}")
+    } finally { out.unpersist(); () }
+  }
+
   test("repetition_quality metrics stay in range and agree with a hand check") {
     val out = Curation.repetitionQuality(spark, sfDir).cache()
     try {

@@ -495,6 +495,31 @@ class StatsSpec extends SparkSpec {
       .map(r => (score(r.getLong(0)), r.getBoolean(1))).toSeq
   }
 
+  test("pr_auc equals the brute-force threshold-step average precision") {
+    val data = scoredLabels()
+    val n = data.count(_._2).toLong
+    val m = data.size - n
+    // per distinct threshold descending: term = (dTP * TP * 1e12) div (TP+FP)
+    val byScore = data.groupBy(_._1).toSeq.sortBy(-_._1)
+    var (tp, fp, sum) = (0L, 0L, BigInt(0))
+    byScore.foreach { case (_, grp) =>
+      val dTp = grp.count(_._2).toLong
+      val dFp = grp.size - dTp
+      tp += dTp; fp += dFp
+      sum += BigInt(dTp) * tp * BigInt("1000000000000") / (tp + fp)
+    }
+    val row = Stats.prAuc(spark, sfDir).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == m)
+    assert(row.getLong(2) == sum.toLong, s"term sum ${row.getLong(2)} vs replay $sum")
+    assert(row.getLong(3) == (sum / (BigInt(n) * 1000000)).toLong)
+    // sanity: AP is a probability-like micros value. (No base-rate
+    // floor assertion: positives are the MAJORITY class here (~75%),
+    // and a weak ranker's AP can legitimately sit just under the base
+    // rate — measured 0.736 vs 0.750 on the fixture. AP ≥ base rate
+    // holds in expectation for a random ranker, not pointwise.)
+    assert(row.getLong(3) > 0L && row.getLong(3) <= 1000000L)
+  }
+
   test("conformal_filter threshold and coverage replay from the split order statistics") {
     val score = graft.ops.TextAnalysis.lmBigramScore(spark, sfDir)
       .select("doc_id", "avg_micros").collect()
