@@ -194,20 +194,36 @@ object Streams {
     // drop the sink view even when the query or snapshot fails —
     // otherwise every failed run strands a driver-held table
     try {
+      val t0 = System.nanoTime()
       val q = w.start()
       q.awaitTermination()
+      val t1 = System.nanoTime()
       val metrics = q.recentProgress.toSet
         .flatMap((p: org.apache.spark.sql.streaming.StreamingQueryProgress) =>
           p.stateOperators.flatMap(_.customMetrics.keySet.asScala).toSet)
-      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")) {
         q.recentProgress.foreach(p => System.err.println(
           s"[stream-debug] $prefix batch=${p.batchId} rows=${p.numInputRows} " +
             s"durationMs=${p.durationMs}"))
-      BoundedRun(
+        val trig = q.recentProgress
+          .map(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)).sum
+        System.err.println(f"[stream-debug] $prefix start+run=${(t1 - t0) / 1e9}%.2f s " +
+          f"(trigger total ${trig / 1e3}%.2f s, engine overhead ${(t1 - t0) / 1e9 - trig / 1e3}%.2f s)")
+      }
+      // the memory sink's rows already sit on the driver; a global
+      // orderBy would range-partition them (an extra sampling job)
+      // only to gather right back. One partition + one sort pass gives
+      // the same total order in a single job — bounded-run results are
+      // ≤ ~100k rows by construction, far under a partition's worth.
+      val res = BoundedRun(
         spark.table(name)
-          .orderBy(sortCols.map(col): _*)
+          .coalesce(1)
+          .sortWithinPartitions(sortCols.map(col): _*)
           .localCheckpoint(),
         metrics)
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        System.err.println(f"[stream-debug] $prefix sink materialize=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      res
     } finally {
       savedNoData.fold(spark.conf.unset(noDataKey))(spark.conf.set(noDataKey, _))
       savedPart.fold(spark.conf.unset(partKey))(spark.conf.set(partKey, _))
