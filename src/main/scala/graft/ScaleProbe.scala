@@ -58,22 +58,37 @@ object ScaleProbe {
   private def shifted(alpha: String, shift: Int): String =
     alpha.drop(shift) + alpha.take(shift)
 
+  /** Fixed non-rotation letter permutation (keyboard order) for the
+    * third replica tier: composing it with a Caesar shift yields 26
+    * bijections distinct from every plain or reversed Caesar, so the
+    * document cipher stays injective through k = 78 (it was injective
+    * only through 52 before — at 64× replicas 52+ textually duplicated
+    * replicas 26+ and manufactured cross-replica near-dup pairs,
+    * observed as dedup_minhash 64× rows at 1.69× the linear count). */
+  private val scrambleLower = "qwertyuiopasdfghjklzxcvbnm"
+
   /** One perturbed replica of a base table. */
-  private def replica(name: String, base: DataFrame, r: Int): DataFrame = {
+  private[graft] def replica(name: String, base: DataFrame, r: Int): DataFrame = {
     val off = r * Stride
     name match {
       case "documents" =>
         // Caesar alone cycles with period 26 — replica 26 would be
         // byte-identical to replica 0 and manufacture cross-replica
-        // near-dup pairs (observed: 54× rows at 32×). Reversing the
-        // text for r >= 26 keeps the map injective through k = 52.
+        // near-dup pairs (observed: 54× rows at 32×). Tier 1 (r in
+        // [26, 52)) reverses the text; tier 2 (r in [52, 78)) also
+        // applies the fixed scramble permutation, keeping the map
+        // injective through k = 78.
         val sh = (r * 7) % 26
         val ciphered =
           if (sh == 0) col("text")
           else translate(col("text"), lower + upper, shifted(lower, sh) + shifted(upper, sh))
+        val scrambled =
+          if (r >= 52)
+            translate(ciphered, lower + upper, scrambleLower + scrambleLower.toUpperCase)
+          else ciphered
         base
           .withColumn("doc_id", col("doc_id") + off)
-          .withColumn("text", if (r >= 26) reverse(ciphered) else ciphered)
+          .withColumn("text", if (r >= 26) reverse(scrambled) else scrambled)
       case "embeddings" =>
         val dim = 64
         val sh = r % dim
@@ -171,7 +186,10 @@ object ScaleProbe {
     // round-16 third batch (passes 13-14 in PERF.md): the fixed
     // label_noise_detect + psi_drift, and the new fan-out-bearing ops
     "label_noise_detect", "psi_drift", "scc_components", "item_cf",
-    "kneser_ney", "dsir_weights")
+    "kneser_ney", "dsir_weights",
+    // round-17 additions: the PPJoin-filtered prefix join's new-op
+    // sibling (cross-corpus rolling-hash decontamination)
+    "substring_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

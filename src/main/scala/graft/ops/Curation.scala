@@ -845,6 +845,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** McNemar's paired test between the two keep gates a curation
+    * pipeline actually has to choose between: the rule-based
+    * [[qualityClassifier]] (keep) and the LM-based [[perplexityFilter]]
+    * (keep = CCNet's "head" tercile). Marginal accuracy comparisons
+    * mislead on PAIRED decisions; McNemar looks only at the
+    * DISAGREEMENT cells — b = rule-only keeps, c = LM-only keeps — and
+    * χ² = (b−c)²/(b+c) asks whether the disagreement is asymmetric
+    * (i.e. whether switching gates would systematically change the
+    * kept corpus, not just reshuffle it). The statistic is a pure
+    * rational of counts → exact integral micros in DECIMAL(38)/HUGEINT
+    * (no continuity correction — the exact form both engines agree
+    * on); agreement rate ships in exact micros alongside.
+    *
+    * Scale shape: both gates are corpus scans (the classifier is
+    * zero-shuffle; the LM gate adds its vocabulary-cell machinery);
+    * the pairing is one doc_id equi-join collapsing immediately into a
+    * single 4-cell aggregate — nothing after the join is data-sized. */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val rule = qualityClassifier(spark, dir).select(col("doc_id"), col("keep"))
+    val lm = perplexityFilter(spark, dir)
+      .select(col("doc_id"), (col("band") === "head").as("keep_lm"))
+    rule.join(lm, "doc_id")
+      .agg(
+        sum(when(col("keep") && col("keep_lm"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("keep") && !col("keep_lm"), 1L).otherwise(0L)).as("n_rule_only"),
+        sum(when(!col("keep") && col("keep_lm"), 1L).otherwise(0L)).as("n_lm_only"),
+        sum(when(!col("keep") && !col("keep_lm"), 1L).otherwise(0L)).as("n_neither"))
+      .select(col("n_both"), col("n_rule_only"), col("n_lm_only"), col("n_neither"),
+        expr("""CASE WHEN n_rule_only + n_lm_only = 0 THEN NULL ELSE
+               |CAST((CAST(n_rule_only - n_lm_only AS DECIMAL(38,0))
+               |      * (n_rule_only - n_lm_only) * 1000000)
+               |     div (n_rule_only + n_lm_only) AS BIGINT) END""".stripMargin)
+          .as("chi2_micros"),
+        expr("""CAST(((n_both + n_neither) * 1000000)
+               |     div (n_both + n_rule_only + n_lm_only + n_neither) AS BIGINT)"""
+          .stripMargin).as("agree_micros"))
+  }
+
   /** The Gopher quality-rule pack (Rae et al. 2021, App. A1.1 — the
     * published heuristic filter every web-scale LLM corpus cites,
     * alongside C4's): per document, each WORD-level rule evaluated
@@ -1508,8 +1546,10 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  private val perplexityFilterSql: String =
-    s"""WITH scored AS (
+  /** CTE chain ending at per-doc (doc_id, avg_micros, band) — shared
+    * by the perplexity_filter oracle and mcnemar's LM-gate replay. */
+  private val perplexityBandsCtes: String =
+    s"""scored AS (
        |  SELECT doc_id, avg_micros FROM (${TextAnalysis.lmBigramSql}) s
        |), cells AS (
        |  SELECT avg_micros, CAST(count(*) AS BIGINT) AS cnt FROM scored GROUP BY 1
@@ -1522,12 +1562,17 @@ object Curation {
        |  SELECT min(CASE WHEN cum * 3 >= nt.n THEN avg_micros END) AS t1,
        |         min(CASE WHEN cum * 3 >= 2 * nt.n THEN avg_micros END) AS t2
        |  FROM cum CROSS JOIN nt
-       |)
-       |SELECT s.doc_id, s.avg_micros,
-       |       CASE WHEN s.avg_micros < th.t1 THEN 'tail'
-       |            WHEN s.avg_micros < th.t2 THEN 'middle'
-       |            ELSE 'head' END AS band
-       |FROM scored s CROSS JOIN th ORDER BY s.doc_id""".stripMargin
+       |), bands AS (
+       |  SELECT s.doc_id, s.avg_micros,
+       |         CASE WHEN s.avg_micros < th.t1 THEN 'tail'
+       |              WHEN s.avg_micros < th.t2 THEN 'middle'
+       |              ELSE 'head' END AS band
+       |  FROM scored s CROSS JOIN th
+       |)""".stripMargin
+
+  private val perplexityFilterSql: String =
+    s"""WITH $perplexityBandsCtes
+       |SELECT doc_id, avg_micros, band FROM bands ORDER BY doc_id""".stripMargin
 
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 — the
     * third rung of the release-privacy ladder after [[kAnonymity]] and
@@ -1668,6 +1713,37 @@ object Curation {
     QueryDef.sql("dp_release", dpReleaseSql)(dpRelease),
     QueryDef.sql("t_closeness", tClosenessSql)(tCloseness),
     QueryDef.sql("perplexity_filter", perplexityFilterSql)(perplexityFilter),
+    QueryDef.sql("mcnemar",
+      s"""WITH $perplexityBandsCtes,
+         |qc AS (
+         |  SELECT doc_id,
+         |    (8 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+         |     - 6 * (CAST(length(text) AS BIGINT)
+         |            - CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT))
+         |     + 40 * CAST(len(list_filter(string_split(text, ' '),
+         |                  t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT)
+         |     + 2 * CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+         |     - 1200) > 0 AS keep
+         |  FROM documents
+         |), paired AS (
+         |  SELECT q.keep, (b.band = 'head') AS keep_lm
+         |  FROM qc q JOIN bands b USING (doc_id)
+         |), cellsm AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN keep AND keep_lm THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |    CAST(sum(CASE WHEN keep AND NOT keep_lm THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_only,
+         |    CAST(sum(CASE WHEN NOT keep AND keep_lm THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_only,
+         |    CAST(sum(CASE WHEN NOT keep AND NOT keep_lm THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+         |  FROM paired
+         |)
+         |SELECT n_both, n_rule_only, n_lm_only, n_neither,
+         |  CASE WHEN n_rule_only + n_lm_only = 0 THEN NULL ELSE
+         |    CAST((CAST(n_rule_only - n_lm_only AS HUGEINT)
+         |          * (n_rule_only - n_lm_only) * 1000000)
+         |         // (n_rule_only + n_lm_only) AS BIGINT) END AS chi2_micros,
+         |  CAST(((n_both + n_neither) * 1000000)
+         |       // (n_both + n_rule_only + n_lm_only + n_neither) AS BIGINT) AS agree_micros
+         |FROM cellsm""".stripMargin)(mcnemar),
     QueryDef.sql("html_extract", htmlExtractSql)(htmlExtract),
     QueryDef.sql("k_anonymity", kAnonymitySql)(kAnonymity),
     QueryDef.sql("shard_assign", shardAssignSql)(shardAssign),

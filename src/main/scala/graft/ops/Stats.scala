@@ -1700,6 +1700,162 @@ object Stats {
       .orderBy("x", "y")
   }
 
+  /** Cramér's V association strength over the same returnflag ×
+    * linestatus contingency table as [[mutualInfo]] — the NORMALIZED
+    * companion (MI is unbounded and scale-dependent; V ∈ [0,1] answers
+    * "how strong", comparable across tables — the screen that decides
+    * whether a categorical feature is worth one-hot cost). χ² reduces
+    * to the fully RATIONAL identity χ² = n·(S − 1) with
+    * S = Σ nxy²/(nx·ny), so unlike MI no logarithm is needed anywhere:
+    * per-cell terms quantize to integral picos via DECIMAL(38)/HUGEINT
+    * division, and V² ships in exact micros ((S−1)/(m−1), m = min(k,l))
+    * — V itself is an irrational sqrt, and x² is monotone, the
+    * roc_auc/item_cf convention. Scale shape: one partial-aggregated
+    * corpus pass to |X|·|Y| cells; everything after is cell-sized. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("x"), col("l_linestatus").as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .localCheckpoint() // ≤|X|·|Y| cells; feeds margins, N, k, l, terms
+    val mx = cells.groupBy("x").agg(sum("nxy").as("nx"))
+    val my = cells.groupBy("y").agg(sum("nxy").as("ny"))
+    val kl = cells.agg(sum("nxy").as("n"),
+      countDistinct("x").as("kx"), countDistinct("y").as("ky"))
+    cells
+      .join(broadcast(mx), "x").join(broadcast(my), "y")
+      .select(expr(
+        """CAST((CAST(nxy AS DECIMAL(38,0)) * nxy * 1000000000000)
+          |     div (CAST(nx AS DECIMAL(38,0)) * ny) AS DECIMAL(38,0))""".stripMargin)
+        .as("t_pico"))
+      .agg(sum("t_pico").as("s_pico"))
+      .crossJoin(broadcast(kl))
+      .select(col("n"), col("kx").cast("long").as("kx"), col("ky").cast("long").as("ky"),
+        toLongChecked(col("s_pico"), "cramers_v S").as("s_pico"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * (s_pico - 1000000000000))
+               |     div 1000000 AS BIGINT)""".stripMargin).as("chi2_micros"),
+        expr("""CAST((s_pico - 1000000000000)
+               |     div ((least(kx, ky) - 1) * 1000000) AS BIGINT)""".stripMargin)
+          .as("v2_micros"))
+  }
+
+  private val cramersVSql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS x, l_linestatus AS y, CAST(count(*) AS BIGINT) AS nxy
+      |  FROM lineitem GROUP BY x, y
+      |), mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY x
+      |), my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY y
+      |), kl AS (
+      |  SELECT CAST(sum(nxy) AS BIGINT) AS n,
+      |         CAST(count(DISTINCT x) AS BIGINT) AS kx,
+      |         CAST(count(DISTINCT y) AS BIGINT) AS ky
+      |  FROM cells
+      |), s AS (
+      |  SELECT sum((CAST(c.nxy AS HUGEINT) * c.nxy * 1000000000000)
+      |             // (CAST(mx.nx AS HUGEINT) * my.ny)) AS s_pico
+      |  FROM cells c JOIN mx USING (x) JOIN my USING (y)
+      |)
+      |SELECT kl.n, kl.kx, kl.ky, CAST(s.s_pico AS BIGINT) AS s_pico,
+      |  CAST((CAST(kl.n AS HUGEINT) * (s.s_pico - 1000000000000))
+      |       // 1000000 AS BIGINT) AS chi2_micros,
+      |  CAST((s.s_pico - 1000000000000)
+      |       // ((least(kl.kx, kl.ky) - 1) * 1000000) AS BIGINT) AS v2_micros
+      |FROM s CROSS JOIN kl""".stripMargin
+
+  /** Jensen–Shannon divergence between the calendar halves of the
+    * event value distribution — [[psiDrift]]'s SYMMETRIC, bounded
+    * sibling (PSI is unbounded and blows up on one-sided zeros even
+    * smoothed; JS ∈ [0, ln 2] is what you threshold when the drift
+    * monitor must not page on a single new bin). Same Laplace-smoothed
+    * exact-rational bin shares as PSI; each term is
+    * ½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q)) where both log arguments are
+    * exact integer cross-products (the psi/dsir quantized-ln
+    * convention: one association-free ln per side, rounded to micros,
+    * times the exact integral-micros share — cross-engine stable).
+    * Scale shape: identical to PSI — one partial-aggregated corpus
+    * pass to bin cells, everything after is bin-set-sized. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        expr(s"CAST(round(value * 100) AS BIGINT) div $PsiBin").as("bin"))
+    val ext = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    val cells = ev.crossJoin(broadcast(ext))
+      .select(col("bin"), (col("day") * 2 < col("lo") + col("hi")).as("first_half"))
+      .groupBy("bin")
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("nb"))
+      .localCheckpoint() // bin-set-sized; feeds totals and terms
+    val tot = cells.agg(sum("na").as("ta"), sum("nb").as("tb"),
+      count(lit(1)).as("bcnt"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("na"), col("nb"),
+        expr("CAST(((na + 1) * 1000000) div (ta + bcnt) AS BIGINT)").as("p_micros"),
+        expr("CAST(((nb + 1) * 1000000) div (tb + bcnt) AS BIGINT)").as("q_micros"),
+        // num_p = 2*(na+1)*(tb+bcnt); den = (na+1)*(tb+bcnt) + (nb+1)*(ta+bcnt)
+        expr("""CAST(round(ln(
+               |  CAST(2 * (CAST(na AS DECIMAL(38,0)) + 1) * (tb + bcnt) AS DOUBLE) /
+               |  CAST((CAST(na AS DECIMAL(38,0)) + 1) * (tb + bcnt)
+               |       + (CAST(nb AS DECIMAL(38,0)) + 1) * (ta + bcnt) AS DOUBLE))
+               |  * 1000000) AS BIGINT)""".stripMargin).as("lnp_micros"),
+        expr("""CAST(round(ln(
+               |  CAST(2 * (CAST(nb AS DECIMAL(38,0)) + 1) * (ta + bcnt) AS DOUBLE) /
+               |  CAST((CAST(na AS DECIMAL(38,0)) + 1) * (tb + bcnt)
+               |       + (CAST(nb AS DECIMAL(38,0)) + 1) * (ta + bcnt) AS DOUBLE))
+               |  * 1000000) AS BIGINT)""".stripMargin).as("lnq_micros"))
+      .select(col("bin"), col("na"), col("nb"), col("p_micros"), col("q_micros"),
+        col("lnp_micros"), col("lnq_micros"),
+        // DOUBLED term: no /2 anywhere, so there is no trunc-vs-floor
+        // hazard on the (rounding-jitter) near-zero negatives — the
+        // welch_t sign lesson applied by elimination. JS = js_2pico/2e12.
+        expr("p_micros * lnp_micros + q_micros * lnq_micros").as("term_2pico"))
+      .localCheckpoint() // feeds the total and the per-bin output
+    val total = terms.agg(sum("term_2pico").as("js_2pico"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("na"), col("nb"), col("p_micros"), col("q_micros"),
+        col("term_2pico"), col("js_2pico"))
+      .orderBy("bin")
+  }
+
+  private val jsDivergenceSql: String =
+    s"""WITH ev AS (
+       |  SELECT epoch_ms(ts) // 86400000 AS day,
+       |         CAST(round(value * 100) AS BIGINT) // $PsiBin AS bin
+       |  FROM events
+       |), ext AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+       |cells AS (
+       |  SELECT bin,
+       |         CAST(sum(CASE WHEN day * 2 < lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |         CAST(sum(CASE WHEN day * 2 < lo + hi THEN 0 ELSE 1 END) AS BIGINT) AS nb
+       |  FROM ev CROSS JOIN ext GROUP BY bin
+       |), tot AS (
+       |  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb,
+       |         CAST(count(*) AS BIGINT) AS bcnt
+       |  FROM cells
+       |), terms AS (
+       |  SELECT bin, na, nb,
+       |         CAST(((na + 1) * 1000000) // (ta + bcnt) AS BIGINT) AS p_micros,
+       |         CAST(((nb + 1) * 1000000) // (tb + bcnt) AS BIGINT) AS q_micros,
+       |         CAST(round(ln(
+       |           CAST(2 * (CAST(na AS HUGEINT) + 1) * (tb + bcnt) AS DOUBLE) /
+       |           CAST((CAST(na AS HUGEINT) + 1) * (tb + bcnt)
+       |                + (CAST(nb AS HUGEINT) + 1) * (ta + bcnt) AS DOUBLE))
+       |           * 1000000) AS BIGINT) AS lnp_micros,
+       |         CAST(round(ln(
+       |           CAST(2 * (CAST(nb AS HUGEINT) + 1) * (ta + bcnt) AS DOUBLE) /
+       |           CAST((CAST(na AS HUGEINT) + 1) * (tb + bcnt)
+       |                + (CAST(nb AS HUGEINT) + 1) * (ta + bcnt) AS DOUBLE))
+       |           * 1000000) AS BIGINT) AS lnq_micros
+       |  FROM cells CROSS JOIN tot
+       |), scored AS (
+       |  SELECT bin, na, nb, p_micros, q_micros,
+       |         CAST(p_micros * lnp_micros + q_micros * lnq_micros AS BIGINT)
+       |           AS term_2pico
+       |  FROM terms
+       |)
+       |SELECT s.bin, s.na, s.nb, s.p_micros, s.q_micros, s.term_2pico, t.js_2pico
+       |FROM scored s CROSS JOIN
+       |  (SELECT CAST(sum(term_2pico) AS BIGINT) AS js_2pico FROM scored) t
+       |ORDER BY s.bin""".stripMargin
+
   private val mutualInfoSql: String =
     """WITH cells AS (
       |  SELECT l_returnflag AS x, l_linestatus AS y, CAST(count(*) AS BIGINT) AS nxy
@@ -2188,6 +2344,8 @@ object Stats {
     QueryDef.sql("roc_auc", rocAucSql)(rocAuc),
     QueryDef.sql("pr_auc", prAucSql)(prAuc),
     QueryDef.sql("mutual_info", mutualInfoSql)(mutualInfo),
+    QueryDef.sql("cramers_v", cramersVSql)(cramersV),
+    QueryDef.sql("js_divergence", jsDivergenceSql)(jsDivergence),
     QueryDef.sql("calibration_ece", calibrationEceSql)(calibrationEce),
     QueryDef.sql("corr_matrix", corrMatrixSql)(corrMatrix),
     QueryDef.sql("isotonic_calibrate", isotonicSql)(isotonicCalibrate),

@@ -206,6 +206,28 @@ class CurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("mcnemar replays from the two collected gates; both disagreement cells populated") {
+    val keepRule = Curation.qualityClassifier(spark, sfDir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val keepLm = Curation.perplexityFilter(spark, sfDir)
+      .select("doc_id", "band").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "head")).toMap
+    val ids = keepRule.keySet intersect keepLm.keySet
+    val b = ids.count(d => keepRule(d) && !keepLm(d)).toLong
+    val c = ids.count(d => !keepRule(d) && keepLm(d)).toLong
+    val a = ids.count(d => keepRule(d) && keepLm(d)).toLong
+    val dd = ids.count(d => !keepRule(d) && !keepLm(d)).toLong
+    val row = Curation.mcnemar(spark, sfDir).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) == ((a, b, c, dd)))
+    assert(a + b + c + dd == 500L)
+    // the comparator must actually vary — a degenerate gate (all-false)
+    // would empty one disagreement cell and trivialize the test
+    assert(b > 0L && c > 0L, s"degenerate disagreement cells b=$b c=$c")
+    assert(row.getLong(4) == (BigInt(b - c) * (b - c) * 1000000 / (b + c)).toLong)
+    assert(row.getLong(5) == (a + dd) * 1000000L / 500L)
+  }
+
   test("repetition_quality metrics stay in range and agree with a hand check") {
     val out = Curation.repetitionQuality(spark, sfDir).cache()
     try {

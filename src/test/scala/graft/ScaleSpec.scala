@@ -93,6 +93,21 @@ class ScaleSpec extends SparkSpec {
       s"q1_agg shuffled $records of $nRows rows — map-side combine lost")
   }
 
+  test("document cipher tiers stay disjoint through k = 78") {
+    import org.apache.spark.sql.functions._
+    // same Caesar shift recurs at r, r+26, r+52 — the reversal (tier 1)
+    // and scramble∘reversal (tier 2) must keep those replicas textually
+    // disjoint, else 64×+ sweeps manufacture cross-replica near-dups
+    // (observed pre-fix: dedup_minhash 64× rows at 1.69× linear)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val texts = Seq(0, 26, 52, 7, 33, 59).map { r =>
+      r -> ScaleProbe.replica("documents", base, r)
+        .select("text").collect().map(_.getString(0)).toSet
+    }
+    for ((ra, ta) <- texts; (rb, tb) <- texts if ra < rb)
+      assert(ta.intersect(tb).isEmpty, s"replicas $ra and $rb share texts")
+  }
+
   test("ScaleProbe synthesis: replicas are disjoint, content-perturbed, workload-independent") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_scalespec").toString

@@ -495,6 +495,55 @@ class StatsSpec extends SparkSpec {
       .map(r => (score(r.getLong(0)), r.getBoolean(1))).toSeq
   }
 
+  test("cramers_v replays from the collected contingency table") {
+    import org.apache.spark.sql.functions.col
+    val cells = tables.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("x"), col("l_linestatus").as("y"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("nxy"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nx = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ny = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n  = cells.map(_._3).sum
+    val sPico = cells.map { case (x, y, nxy) =>
+      BigInt(nxy) * nxy * BigInt("1000000000000") / (BigInt(nx(x)) * ny(y))
+    }.sum
+    val m = math.min(nx.size, ny.size).toLong
+    val row = Stats.cramersV(spark, sfDir).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == nx.size.toLong && row.getLong(2) == ny.size.toLong)
+    assert(row.getLong(3) == sPico.toLong)
+    assert(row.getLong(4) == ((BigInt(n) * (sPico - BigInt("1000000000000"))) / 1000000).toLong)
+    val v2 = ((sPico - BigInt("1000000000000")) / ((m - 1) * 1000000)).toLong
+    assert(row.getLong(5) == v2)
+    // V^2 is a squared correlation-like quantity in [0, 1]
+    assert(v2 >= 0L && v2 <= 1000000L)
+  }
+
+  test("js_divergence replays per-bin and stays within [0, 2·ln2] doubled-picos") {
+    val rows = Stats.jsDivergence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val na = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nb = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (ta, tb, bc) = (na.values.sum, nb.values.sum, na.size.toLong)
+    var total = 0L
+    rows.foreach { r =>
+      val (bin, a, b) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val p = (a + 1) * 1000000L / (ta + bc)
+      val q = (b + 1) * 1000000L / (tb + bc)
+      assert(r.getLong(3) == p && r.getLong(4) == q)
+      val num = (BigInt(a) + 1) * (tb + bc)
+      val den = num + (BigInt(b) + 1) * (ta + bc)
+      val lnp = math.round(math.log(2.0 * num.toDouble / den.toDouble) * 1e6)
+      val lnq = math.round(math.log(
+        2.0 * ((BigInt(b) + 1) * (ta + bc)).toDouble / den.toDouble) * 1e6)
+      assert(r.getLong(5) == p * lnp + q * lnq, s"bin $bin term mismatch")
+      total += r.getLong(5)
+    }
+    val js2 = rows.head.getLong(6)
+    assert(rows.forall(_.getLong(6) == js2) && js2 == total)
+    // 0 <= JS <= ln 2; doubled-picos with micros-quantization jitter
+    assert(js2 >= -rows.length.toLong && js2 <= 1386295L * 1000000L)
+  }
+
   test("pr_auc equals the brute-force threshold-step average precision") {
     val data = scoredLabels()
     val n = data.count(_._2).toLong
