@@ -845,6 +845,75 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Differentially-private count release over the
+    * (nation, market-segment) customer histogram — the third privacy
+    * gate beside `k_anonymity`'s generalization and `l_diversity`'s
+    * sensitive-attribute test: instead of suppressing small groups,
+    * EVERY released count carries Laplace(1/ε) noise (ε = 1, count
+    * sensitivity 1 — the Dwork et al. 2006 mechanism), so no exact
+    * group size ever leaves the system. The noise is DERANDOMIZED the
+    * way every deterministic op here is (`bootstrap_ci`'s Poisson
+    * trick, `weighted_sample`'s hash keys): u = Knuth-multiplicative
+    * hash of the integer group key over 2³¹, pushed through the exact
+    * inverse Laplace CDF — noise = −sign(u−½)·ln(1−2|u−½|) — where the
+    * ln argument is the exact dyadic rational t/2³¹, micros-quantized
+    * (the psi/dsir ln convention) so both engines add identical noise.
+    * Rerun-stability is a feature for a VERIFIABLE pipeline artifact;
+    * a production deployment swaps the hash for a sealed RNG seed and
+    * nothing else changes.
+    *
+    * Scale shape: one partial-aggregated pass to quasi-id-cardinality
+    * cells; noise is a per-cell scalar expression — no shuffle after
+    * the count, no per-group state. */
+  def dpCountRelease(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      // integer group key -> 31-bit Knuth hash (exact on both engines)
+      .withColumn("gkey",
+        col("nationkey") * 100000L + length(col("segment")).cast("long") * 7L +
+          ascii(substring(col("segment"), 1, 1)).cast("long") * 131L +
+          ascii(substring(col("segment"), 2, 1)).cast("long"))
+      .withColumn("h31", expr("(gkey * 2654435761) % 2147483648"))
+      .withColumn("sgn", when(col("h31") >= 1073741824L, 1L).otherwise(-1L))
+      // t = 1 - 2|u - 1/2| as the exact dyadic rational t_num / 2^31
+      .withColumn("t_num",
+        greatest(lit(1L), lit(2147483648L) - lit(2L) * abs(col("h31") - lit(1073741824L))))
+      .withColumn("ln_t_micros",
+        expr("CAST(round(ln(CAST(t_num AS DOUBLE) / 2147483648.0) * 1000000) AS BIGINT)"))
+      .select(col("nationkey"), col("segment"), col("n"), col("h31"), col("sgn"),
+        col("ln_t_micros"),
+        (col("n") * 1000000L + col("sgn") * col("ln_t_micros")).as("released_micros"))
+      .orderBy("nationkey", "segment")
+  }
+
+  private val dpCountReleaseSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2
+      |), keyed AS (
+      |  SELECT *, nationkey * 100000 + CAST(length(segment) AS BIGINT) * 7
+      |            + CAST(ascii(substr(segment, 1, 1)) AS BIGINT) * 131
+      |            + CAST(ascii(substr(segment, 2, 1)) AS BIGINT) AS gkey
+      |  FROM cells
+      |), hashed AS (
+      |  SELECT *, (gkey * 2654435761) % 2147483648 AS h31 FROM keyed
+      |), noised AS (
+      |  SELECT *,
+      |    CASE WHEN h31 >= 1073741824 THEN 1 ELSE -1 END AS sgn,
+      |    greatest(1, 2147483648 - 2 * abs(h31 - 1073741824)) AS t_num
+      |  FROM hashed
+      |)
+      |SELECT nationkey, segment, n, CAST(h31 AS BIGINT) AS h31, CAST(sgn AS BIGINT) AS sgn,
+      |  CAST(round(ln(CAST(t_num AS DOUBLE) / 2147483648.0) * 1000000) AS BIGINT)
+      |    AS ln_t_micros,
+      |  n * 1000000 + sgn *
+      |    CAST(round(ln(CAST(t_num AS DOUBLE) / 2147483648.0) * 1000000) AS BIGINT)
+      |    AS released_micros
+      |FROM noised ORDER BY nationkey, segment""".stripMargin
+
   /** McNemar's paired test between the two keep gates a curation
     * pipeline actually has to choose between: the rule-based
     * [[qualityClassifier]] (keep) and the LM-based [[perplexityFilter]]
@@ -1767,6 +1836,7 @@ object Curation {
     QueryDef.sql("dsir_weights", dsirWeightsSql)(dsirWeights),
     QueryDef.sql("luhn_filter", luhnFilterSql)(luhnFilter),
     QueryDef.sql("l_diversity", lDiversitySql)(lDiversity),
+    QueryDef.sql("dp_count_release", dpCountReleaseSql)(dpCountRelease),
     QueryDef.sql("pii_redact",
       """WITH synth AS (
         |  SELECT doc_id,

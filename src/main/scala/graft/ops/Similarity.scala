@@ -512,9 +512,9 @@ object Similarity {
     * work n²·nprobe/10: 2.6 s at 1× sf0.1, 902.6 s at 32×, round-14
     * probe table in PERF.md) motivated the corpus-scaled [[knnGraph]]
     * that the `knn_graph` query now serves. It stays in the codebase
-    * only so the scale probe can keep the knee curve on record and so
-    * the agreement test against [[annIvf]] (same quantizer, same
-    * probes) keeps pinning the candidate-generation semantics.
+    * so the agreement test against [[annIvf]] (same quantizer, same
+    * probes) keeps pinning the candidate-generation semantics; the
+    * knee curve itself is on record in PERF.md (round-14 table).
     *
     * Candidate generation is still an EQUI-JOIN on the list id between
     * the single-assigned corpus and the nprobe-exploded corpus — the

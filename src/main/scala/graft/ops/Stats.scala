@@ -1700,6 +1700,143 @@ object Stats {
       .orderBy("x", "y")
   }
 
+  /** Per-language (slice) ROC AUC of the bigram-LM score vs the
+    * quality-classifier keep label — the SLICED form of [[rocAuc]],
+    * the audit every production eval runs after the headline number:
+    * a global AUC can hide a subgroup where the ranker is broken (or
+    * inverted), and in a multilingual corpus the slice axis that
+    * matters first is language. Same doubled-U exact-tie algebra per
+    * slice; slices where either class is empty ship NULL (undefined),
+    * not a fake 0.5.
+    *
+    * Scale shape: corpus reduces once to (lang, score, na, nb) cells;
+    * the cumulation is a LANG-partitioned window over cells (parallel
+    * across slices, never a global order — the group_quantiles
+    * convention), and everything after is slice-count-sized. */
+  def groupAuc(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextAnalysis.lmBigramScore(spark, dir).select("doc_id", "avg_micros")
+    val label = Curation.qualityClassifier(spark, dir).select("doc_id", "keep")
+    val lang  = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val cells = score.join(label, "doc_id").join(lang, "doc_id")
+      .groupBy(col("lang"), col("avg_micros").as("v"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("nb"))
+      .localCheckpoint() // slice×distinct-score cells; feeds cum + totals
+    val w = Window.partitionBy("lang").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u2 = cells.withColumn("cb", sum("nb").over(w))
+      .groupBy("lang")
+      .agg(sum(col("na").cast("decimal(38,0)") *
+        (lit(2L) * col("cb").cast("decimal(38,0)") - col("nb"))).as("u2_dec"))
+    val tots = cells.groupBy("lang")
+      .agg(sum("na").as("n_pos"), sum("nb").as("n_neg"))
+    u2.join(tots, "lang")
+      .select(col("lang"), col("n_pos"), col("n_neg"),
+        toLongChecked(col("u2_dec"), "group_auc u2").as("u2"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+               |CAST((u2_dec * 1000000) div (CAST(n_pos AS DECIMAL(38,0)) * 2 * n_neg)
+               |     AS BIGINT) END""".stripMargin).as("auc_micros"))
+      .orderBy("lang")
+  }
+
+  private val groupAucSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS na_,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |         t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS ns
+       |  FROM documents
+       |), j AS (
+       |  SELECT f.lang, s.avg_micros AS v,
+       |         (8 * f.na_ - 6 * (f.nc - f.na_) + 40 * f.ns + 2 * f.nt - 1200) > 0 AS keep
+       |  FROM (${TextAnalysis.lmBigramSql}) s JOIN f USING (doc_id)
+       |), cells AS (
+       |  SELECT lang, v, sum(CASE WHEN keep THEN 1 ELSE 0 END) AS na,
+       |                 sum(CASE WHEN keep THEN 0 ELSE 1 END) AS nb
+       |  FROM j GROUP BY lang, v
+       |), cum AS (
+       |  SELECT lang, na, nb,
+       |         sum(nb) OVER (PARTITION BY lang ORDER BY v) AS cb
+       |  FROM cells
+       |), u AS (
+       |  SELECT lang, sum(na * (2 * cb - nb)) AS u2 FROM cum GROUP BY lang
+       |), tot AS (
+       |  SELECT lang, CAST(sum(na) AS BIGINT) AS n_pos,
+       |               CAST(sum(nb) AS BIGINT) AS n_neg
+       |  FROM cells GROUP BY lang
+       |)
+       |SELECT t.lang, t.n_pos, t.n_neg, CAST(u.u2 AS BIGINT) AS u2,
+       |  CASE WHEN t.n_pos = 0 OR t.n_neg = 0 THEN NULL ELSE
+       |    CAST((CAST(u.u2 AS HUGEINT) * 1000000)
+       |         // (CAST(t.n_pos AS HUGEINT) * 2 * t.n_neg) AS BIGINT) END AS auc_micros
+       |FROM u JOIN tot t USING (lang)
+       |ORDER BY t.lang""".stripMargin
+
+  /** Demographic-parity audit of the [[Curation.qualityClassifier]]
+    * keep gate across languages — the bias check a multilingual
+    * curation pipeline owes its corpus: per-language keep rate in
+    * exact micros, the overall rate, the signed per-language gap, and
+    * the corpus-level parity distance (max |gap|). Filters trained or
+    * tuned on one language routinely under-keep others; this op makes
+    * that a number. Gaps are DIFFERENCES of already-quantized
+    * nonnegative rates — no signed division anywhere (the welch_t
+    * hazard avoided by construction).
+    *
+    * Scale shape: one partial-aggregated pass to per-lang (n, keeps);
+    * overall and the max-gap are broadcast 1-row aggregates over the
+    * lang-count-sized frame. */
+  def fairnessParity(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Curation.qualityClassifier(spark, dir).select("doc_id", "keep")
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .localCheckpoint() // lang-count-sized; feeds overall + gaps
+    val overall = perLang.agg(
+      expr("CAST((sum(n_keep) * 1000000) div sum(n_docs) AS BIGINT)").as("overall_micros"))
+    val gapped = perLang.crossJoin(broadcast(overall))
+      .select(col("lang"), col("n_docs"), col("n_keep"),
+        expr("CAST((n_keep * 1000000) div n_docs AS BIGINT)").as("rate_micros"),
+        col("overall_micros"))
+      .withColumn("gap_micros", col("rate_micros") - col("overall_micros"))
+    val dist = gapped.agg(max(abs(col("gap_micros"))).as("parity_dist_micros"))
+    gapped.crossJoin(broadcast(dist))
+      .orderBy("lang")
+  }
+
+  private val fairnessParitySql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    (8 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+      |     - 6 * (CAST(length(text) AS BIGINT)
+      |            - CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT))
+      |     + 40 * CAST(len(list_filter(string_split(text, ' '),
+      |                  t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT)
+      |     + 2 * CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+      |     - 1200) > 0 AS keep
+      |  FROM documents
+      |), pl AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |  FROM f GROUP BY lang
+      |), ov AS (
+      |  SELECT CAST((sum(n_keep) * 1000000) // sum(n_docs) AS BIGINT) AS overall_micros
+      |  FROM pl
+      |), g AS (
+      |  SELECT lang, n_docs, n_keep,
+      |         CAST((n_keep * 1000000) // n_docs AS BIGINT) AS rate_micros,
+      |         ov.overall_micros,
+      |         CAST((n_keep * 1000000) // n_docs AS BIGINT) - ov.overall_micros AS gap_micros
+      |  FROM pl CROSS JOIN ov
+      |)
+      |SELECT g.*, d.parity_dist_micros
+      |FROM g CROSS JOIN
+      |  (SELECT CAST(max(abs(gap_micros)) AS BIGINT) AS parity_dist_micros FROM g) d
+      |ORDER BY lang""".stripMargin
+
   /** Cramér's V association strength over the same returnflag ×
     * linestatus contingency table as [[mutualInfo]] — the NORMALIZED
     * companion (MI is unbounded and scale-dependent; V ∈ [0,1] answers
@@ -2345,6 +2482,8 @@ object Stats {
     QueryDef.sql("pr_auc", prAucSql)(prAuc),
     QueryDef.sql("mutual_info", mutualInfoSql)(mutualInfo),
     QueryDef.sql("cramers_v", cramersVSql)(cramersV),
+    QueryDef.sql("group_auc", groupAucSql)(groupAuc),
+    QueryDef.sql("fairness_parity", fairnessParitySql)(fairnessParity),
     QueryDef.sql("js_divergence", jsDivergenceSql)(jsDivergence),
     QueryDef.sql("calibration_ece", calibrationEceSql)(calibrationEce),
     QueryDef.sql("corr_matrix", corrMatrixSql)(corrMatrix),

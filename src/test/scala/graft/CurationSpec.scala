@@ -206,6 +206,26 @@ class CurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("dp_count_release: noise is the hash-CDF value, two-sided, bounded, collision-free") {
+    val rows = Curation.dpCountRelease(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, h, sgn, lnT, rel) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(h >= 0 && h < 2147483648L)
+      assert(sgn == (if (h >= 1073741824L) 1L else -1L))
+      assert(lnT <= 0, "ln of t in (0,1] must be <= 0")
+      // |noise| <= ln(2^31) in micros — the CDF's worst case at t_num=1
+      assert(math.abs(lnT) <= 21487563L)
+      assert(rel == n * 1000000L + sgn * lnT, "release must be count + hash-CDF noise")
+    }
+    // both noise directions occur, and the group hash is collision-free
+    // on the fixture (correlated noise across groups would weaken the
+    // mechanism; the stronger 2-char key exists for exactly this)
+    assert(rows.exists(_.getLong(4) == 1L) && rows.exists(_.getLong(4) == -1L))
+    assert(rows.map(_.getLong(3)).distinct.length == rows.length, "h31 collision")
+  }
+
   test("mcnemar replays from the two collected gates; both disagreement cells populated") {
     val keepRule = Curation.qualityClassifier(spark, sfDir)
       .select("doc_id", "keep").collect()

@@ -387,6 +387,27 @@ class PlanSpec extends SparkSpec {
       "corpus-wide kNN must not plan an all-pairs nested loop — that is annBruteforce's job")
   }
 
+  test("round-17 eval/privacy ops: partitioned windows only, no cartesian on data") {
+    // group_auc's cumulation must be the lang-partitioned window over
+    // cells, never a global single-partition window
+    val ga = planOf("group_auc")
+    assert(!ga.contains("CartesianProduct"))
+    // a Window with no partition spec serializes the whole frame through
+    // one task; every Window here must carry the lang partition key
+    val winSpecs = ga.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winSpecs.forall(_.contains("lang")),
+      "group_auc window not partitioned by lang")
+    // fairness_parity and dp_count_release collapse to cells before any
+    // non-broadcast join; neither may plan a data-sized cartesian or a
+    // global window at all
+    for (q <- Seq("fairness_parity", "dp_count_release")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+      assert(!p.contains("windowspecdefinition") || q != "dp_count_release",
+        s"$q planned an unexpected window")
+    }
+  }
+
   test("vocab_coverage cuts the vocabulary with TakeOrdered, never a full sort") {
     val p = planOf("vocab_coverage")
     assert(p.contains("TakeOrderedAndProject"),

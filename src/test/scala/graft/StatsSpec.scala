@@ -495,6 +495,51 @@ class StatsSpec extends SparkSpec {
       .map(r => (score(r.getLong(0)), r.getBoolean(1))).toSeq
   }
 
+  test("group_auc: the en slice equals its brute-force doubled-U; slices never fake 0.5") {
+    import org.apache.spark.sql.functions.col
+    val langOf = tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val score = graft.ops.TextAnalysis.lmBigramScore(spark, sfDir)
+      .select("doc_id", "avg_micros").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep = graft.ops.Curation.qualityClassifier(spark, sfDir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val en  = langOf.keys.filter(langOf(_) == "en").toSeq
+    val pos = en.filter(keep).map(score)
+    val neg = en.filterNot(keep).map(score)
+    val u2 = pos.iterator.map { p =>
+      neg.iterator.map { n => if (p > n) 2L else if (p == n) 1L else 0L }.sum
+    }.sum
+    val rows = Stats.groupAuc(spark, sfDir).collect()
+    val enRow = rows.find(_.getString(0) == "en").get
+    assert(enRow.getLong(1) == pos.size.toLong && enRow.getLong(2) == neg.size.toLong)
+    assert(enRow.getLong(3) == u2, s"en doubled-U ${enRow.getLong(3)} vs replay $u2")
+    assert(enRow.getLong(4) ==
+      (BigInt(u2) * 1000000 / (BigInt(2) * pos.size * neg.size)).toLong)
+    // every populated slice gets a real AUC; NULL only on an empty class
+    rows.foreach { r =>
+      assert((r.getLong(1) == 0 || r.getLong(2) == 0) == r.isNullAt(4),
+        s"slice ${r.getString(0)} NULL-contract violated")
+    }
+    assert(rows.length >= 3, "fixture must populate multiple slices")
+  }
+
+  test("fairness_parity: rates replay, gaps are rate-minus-overall, dist is the max") {
+    val rows = Stats.fairnessParity(spark, sfDir).collect()
+    assert(rows.length >= 3)
+    val totDocs = rows.map(_.getLong(1)).sum
+    val totKeep = rows.map(_.getLong(2)).sum
+    val overall = totKeep * 1000000L / totDocs
+    rows.foreach { r =>
+      assert(r.getLong(4) == overall)
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+      assert(r.getLong(5) == r.getLong(3) - overall)
+    }
+    assert(rows.head.getLong(6) == rows.map(r => math.abs(r.getLong(5))).max)
+  }
+
   test("cramers_v replays from the collected contingency table") {
     import org.apache.spark.sql.functions.col
     val cells = tables.Tables.lineitem(spark, sfDir)
