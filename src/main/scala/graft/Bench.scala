@@ -94,6 +94,7 @@ object Bench {
       (1 to passes).map { _ =>
         graft.ops.Relational.clearExactPctCache()
         graft.ops.Dedup.clearLabelsCache()
+        graft.ops.Similarity.clearArtifactCache()
         names.map(n => n -> runOnce(n)).toMap
       }
     // per-query min over the passes a query succeeded in; a query that

@@ -240,15 +240,38 @@ object Similarity {
   /** Per-label centroid matrix ((label, dim-ordered doubles) rows,
     * label asc, 6dp-rounded — labelCentroids' oracle-stable output) —
     * shared by the IVF literal builder and the PQ codebook slicer. */
+  /** Memoized trained serving artifacts (coarse IVF centroids, PQ
+    * codebooks) per (session, fixture dir). These are DRIVER-SIDED
+    * literal values, bounded by design (k×dim doubles / m×C×subdim),
+    * and at production scale they are exactly the persisted model
+    * artifacts a serving tier trains once and reads many times — so
+    * queries sharing a quantizer must not re-run its training passes.
+    * Stopped-session entries self-clean on the next access; the bench
+    * evicts the cache before each pass (the clusterLabels convention)
+    * so measured numbers still include one full training. */
+  private val artifactCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), AnyRef]
+
+  /** Drop the memoized quantizer artifacts (bench-pass hygiene). */
+  def clearArtifactCache(): Unit = artifactCache.clear()
+
+  private def memoArtifact[T <: AnyRef](
+      spark: SparkSession, dir: String, tag: String)(compute: => T): T = {
+    artifactCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    artifactCache.getOrElseUpdate((spark, dir, tag), compute).asInstanceOf[T]
+  }
+
   private def centroidRows(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
-    Centroids.labelCentroids(spark, dir)
-      .groupBy("label").agg(collect_list(struct(col("dim"), col("avg_val"))).as("dims"))
-      .collect().map { r =>
-        val arr = new Array[Double](Dim)
-        r.getSeq[org.apache.spark.sql.Row](1).foreach(d => arr(d.getLong(0).toInt) = d.getDouble(1))
-        (r.getLong(0), arr)
-      }
-      .sortBy(_._1)
+    memoArtifact(spark, dir, "ivf_centroids") {
+      Centroids.labelCentroids(spark, dir)
+        .groupBy("label").agg(collect_list(struct(col("dim"), col("avg_val"))).as("dims"))
+        .collect().map { r =>
+          val arr = new Array[Double](Dim)
+          r.getSeq[org.apache.spark.sql.Row](1).foreach(d => arr(d.getLong(0).toInt) = d.getDouble(1))
+          (r.getLong(0), arr)
+        }
+        .sortBy(_._1)
+    }
 
   /** Coarse IVF centroids (k = 10 label groups) as plan literals:
     * k×dim doubles, sorted by label so first-wins tie-breaking = the
@@ -367,7 +390,11 @@ object Similarity {
     * absorbing float-sum association); empty cells keep their init
     * entry (the k-means empty-cluster rule), so every codebook slot
     * stays populated. Returns the m literal codebook columns. */
-  private def pqTrainedBooks(base: DataFrame): IndexedSeq[Column] = {
+  private def pqTrainedBooks(
+      spark: SparkSession, dir: String, base: DataFrame): IndexedSeq[Column] =
+    memoArtifact(spark, dir, "pq_books")(pqTrainedBooksCompute(base))
+
+  private def pqTrainedBooksCompute(base: DataFrame): IndexedSeq[Column] = {
     val train = base.filter(col("vec_id") < PqC)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(train.nonEmpty, "pqTrainedBooks: train sample is empty")
@@ -398,7 +425,7 @@ object Similarity {
       // feeds the init collect, the Lloyd-update cells pass, and the
       // final coded scan
       .localCheckpoint()
-    val books = pqTrainedBooks(base)
+    val books = pqTrainedBooks(spark, dir, base)
     val codeCols = (0 until PqM).map { s =>
       VectorFunctions.nearestCentroidIdx(
         slice(col("embedding"), s * PqSubDim + 1, PqSubDim), books(s)).as(s"c$s")
@@ -445,7 +472,7 @@ object Similarity {
     * `base` must be the checkpointed (vec_id, embedding) corpus — it
     * feeds the codebook training collects AND the coded scan. */
   private def ivfPqAdcPairs(spark: SparkSession, dir: String, base: DataFrame): DataFrame = {
-    val books = pqTrainedBooks(base)
+    val books = pqTrainedBooks(spark, dir, base)
     val (labelsLit, matrixLit) = ivfCentroidLits(spark, dir)
     val codeCols = (0 until PqM).map { s =>
       VectorFunctions.nearestCentroidIdx(
