@@ -249,8 +249,51 @@ object Multimodal {
        |    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= $MediaMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** WebDataset-style shard manifest — the packing plan every
+    * multimodal training pipeline writes before tarring assets into
+    * fixed shard files: each asset routes to one of
+    * [[Curation.NumShards]] shards via the SAME rendezvous/HRW hash
+    * `shard_assign` serves (reused, not re-derived — so adding a shard
+    * moves only that shard's assets, the property a mod-N router
+    * lacks), and the manifest reports per-shard asset count, payload
+    * byte total, and the id range — what the tar-writer consumes and
+    * what capacity planning reads.
+    *
+    * Scale shape: routing is a pure per-row integer expression (zero
+    * shuffle), the manifest is a [[Curation.NumShards]]-row partial
+    * aggregate; byte totals come from the binary payload length, so a
+    * 100 TB asset corpus streams at scan speed. */
+  def mediaShardManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+      .withColumn("shard", Curation.hrwShard(col("doc_id"), 0 until Curation.NumShards))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_assets"), sum("n_bytes").as("total_bytes"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("shard")
+
+  private val mediaShardManifestSql: String = {
+    def h(s: Int) =
+      s"(((doc_id % ${Curation.HashReduceMod}) * 31 + ${s + 1}) * 2654435761) % 999983"
+    val hs = (0 until Curation.NumShards).map(h)
+    val g  = s"greatest(${hs.mkString(", ")})"
+    val shard = (0 until Curation.NumShards).init
+      .map(s => s"WHEN ${hs(s)} = g THEN CAST($s AS BIGINT)")
+      .mkString("CASE ", " ", s" ELSE CAST(${Curation.NumShards - 1} AS BIGINT) END")
+    s"""WITH hx AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, $g AS g
+       |  FROM documents
+       |), a AS (SELECT doc_id, n_bytes, $shard AS shard FROM hx)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_assets,
+       |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |       min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("media_neardup", mediaNearDupSql)(mediaNearDup),
+    QueryDef.sql("media_shard_manifest", mediaShardManifestSql)(mediaShardManifest),
     QueryDef.sql("media_dedup",
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

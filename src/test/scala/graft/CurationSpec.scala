@@ -36,6 +36,27 @@ class CurationSpec extends SparkSpec {
     } finally { docs.unpersist(); () }
   }
 
+  test("media_shard_manifest routes with shard_assign's exact HRW assignment") {
+    // the manifest must be a VIEW over the same router, not a second
+    // hash — per-shard asset counts equal shard_assign's doc counts
+    val manifest = graft.ops.Multimodal.mediaShardManifest(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assign = SparkEntry.queries("shard_assign")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest == assign,
+      s"manifest counts $manifest diverge from shard_assign $assign")
+    // byte totals are exact payload sums
+    val total = graft.ops.Multimodal.mediaShardManifest(spark, sfDir)
+      .collect().map(_.getLong(2)).sum
+    val expect = tables.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("text"), "utf-8")).cast("long")))
+      .collect().head.getLong(0)
+    assert(total == expect)
+  }
+
   test("source_cap keeps exactly cap docs per source, matching the window form") {
     val out = Curation.sourceCap(spark, sfDir).cache()
     try {
