@@ -95,6 +95,7 @@ object Bench {
         graft.ops.Relational.clearExactPctCache()
         graft.ops.Dedup.clearLabelsCache()
         graft.ops.Similarity.clearArtifactCache()
+        graft.ops.TextAnalysis.clearLmScoreCache()
         names.map(n => n -> runOnce(n)).toMap
       }
     // per-query min over the passes a query succeeded in; a query that

@@ -778,7 +778,31 @@ object TextAnalysis {
     * so the enrichment shuffles carry distinct-per-doc grams, not every
     * token of 100 TB; V rides along as a broadcast 1-row aggregate. The
     * final per-doc aggregate is a plain partial-agg sum of longs. */
+  /** Memoized per (session, dir): the bigram-LM score table feeds
+    * SEVEN registered queries (roc_auc, pr_auc, group_auc,
+    * calibration_ece, isotonic_calibrate, conformal_filter,
+    * perplexity_filter — and mcnemar transitively), each of which was
+    * re-running the three corpus passes (unigram, bigram, per-doc
+    * bigram) from scratch. At production scale a scored corpus IS a
+    * persisted artifact consumers read, not a recomputation — the
+    * quantizer-artifact argument (`Similarity.artifactCache`) applied
+    * to a doc-count-sized table, held as a localCheckpoint in the
+    * block manager (executor storage that distributes on a cluster;
+    * MEMORY_AND_DISK, spill-safe). The bench evicts it before each
+    * pass, so measured numbers include one full scoring. */
   def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    lmScoreCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    lmScoreCache.getOrElseUpdate((spark, dir),
+      computeLmBigramScore(spark, dir).localCheckpoint())
+  }
+
+  private val lmScoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop the memoized LM score tables (bench-pass hygiene). */
+  def clearLmScoreCache(): Unit = lmScoreCache.clear()
+
+  private def computeLmBigramScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // vocabulary-sized; feeds V and the w1 join
     val uni = unigramCounts(docs).localCheckpoint()
