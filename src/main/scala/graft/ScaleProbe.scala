@@ -189,7 +189,12 @@ object ScaleProbe {
     "kneser_ney", "dsir_weights",
     // round-17 additions: the PPJoin-filtered prefix join's new-op
     // sibling (cross-corpus rolling-hash decontamination)
-    "substring_decontaminate")
+    "substring_decontaminate",
+    // round-17 second batch (pass 20 in PERF.md): the rank-join matrix
+    // (4 cumulateCells scans + 4 value equi-joins) is the one with
+    // corpus-sized movement; kendall/rolling_ols are calendar-bounded
+    // and brier is cells-sized, probed once to pin that
+    "spearman_corr", "kendall_tau", "rolling_ols", "brier_decomposition")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

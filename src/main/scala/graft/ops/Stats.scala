@@ -58,6 +58,18 @@ object Stats {
     * ANY (v, na, nb) cell table — also feeds [[rocAuc]], whose cells
     * come from per-doc scores instead of event values. */
   private def cumulateCells(cells: DataFrame): (DataFrame, Long, Long) = {
+    val (cum, n, m, _) = cumulateCellsHandle(cells)
+    (cum, n, m)
+  }
+
+  /** [[cumulateCells]] + the direct checkpoint handle of its pinned
+    * range-partitioned cell table, so multi-cumulation consumers
+    * ([[spearmanCorr]]'s four rank scans) can [[Checkpoints.free]] the
+    * cell storage once their downstream aggregate has materialized —
+    * without this the per-column cell checkpoints (distinct-value-sized,
+    * which for a near-unique measure is corpus-sized) pile up for the
+    * session lifetime. */
+  private def cumulateCellsHandle(cells: DataFrame): (DataFrame, Long, Long, DataFrame) = {
     val parted = cells
       .repartitionByRange(ScanPartitions, col("v"))
       .sortWithinPartitions("v")
@@ -76,7 +88,7 @@ object Stats {
     val cum = parted
       .withColumn("ca", element_at(typedLit(offA), col("pid")) + sum("na").over(w))
       .withColumn("cb", element_at(typedLit(offB), col("pid")) + sum("nb").over(w))
-    (cum, n, m)
+    (cum, n, m, parted)
   }
 
   /** Loud BIGINT-width guard for a DECIMAL(38,0) statistic: in non-ANSI
@@ -2186,6 +2198,338 @@ object Stats {
        |FROM pairs ORDER BY col_x, col_y""".stripMargin
   }
 
+  /** Spearman rank correlation matrix (Spearman 1904) over the same
+    * four lineitem cent measures as [[corrMatrix]] — the monotone-
+    * association screen run when a feature relationship is suspected
+    * nonlinear (Pearson sees only linear structure; Spearman is Pearson
+    * on ranks, invariant to any monotone transform and robust to the
+    * heavy tails [[hillTailIndex]] profiles). Ties get the standard
+    * AVERAGE rank, carried as DOUBLED ranks (2·avg-rank = 2·cum_le −
+    * cnt + 1 on value cells) so half-ranks stay exact BIGINTs. Ships
+    * signed rho² in picos via the [[corrMatrix]] two-floor-division
+    * convention — no square root, hash-exact.
+    *
+    * Scale shape: per-column ranks come from DISTINCT-value cells
+    * cumulated with the per-range-partition offset scan
+    * ([[cumulateCells]] — no global-order window ever sees rows), then
+    * re-attach by value equi-join; one partial-aggregated pass forms
+    * every Σr/Σr²/Σrᵢrⱼ in DECIMAL(38). Doubled ranks ≤ 2n keep
+    * |cov|·10⁶ inside DECIMAL(38) to n ≈ 10⁷'⁵; beyond that a
+    * production deployment coarsens ranks to rank-buckets (the
+    * documented corr_matrix convention), noted not faked. */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    // NO checkpoint on the projected base: it has five consumers (four
+    // rank-cell scans + the join base), but each is one cheap codegen'd
+    // parquet re-scan — the scale-correct trade (scans fan out across
+    // executors; a pinned corpus-sized frame eats their memory)
+    val src = Tables.lineitem(spark, dir).select(
+      cents(col("l_discount")).as("disc"), cents(col("l_extendedprice")).as("price"),
+      cents(col("l_quantity")).as("qty"), cents(col("l_tax")).as("tax"))
+    val (ranked, cellHandles) =
+      CorrCols.foldLeft((src, List.empty[DataFrame])) { case ((df, hs), c) =>
+        val cells = src.groupBy(col(c).as("v"))
+          .agg(count(lit(1)).as("na")).withColumn("nb", lit(0L))
+        val (cum, _, _, h) = cumulateCellsHandle(cells)
+        (df.join(
+          cum.select(col("v").as(c), (lit(2L) * col("ca") - col("na") + 1L).as(s"r_$c")),
+          Seq(c)), h :: hs)
+      }
+    val aggCols: Seq[Column] =
+      count(lit(1)).as("n") +: (
+        CorrCols.map(c => sum(col(s"r_$c").cast("decimal(38,0)")).as(s"s_$c")) ++
+        (for (x <- CorrCols; y <- CorrCols if x <= y)
+          yield sum(col(s"r_$x").cast("decimal(38,0)") * col(s"r_$y")).as(s"ss_${x}_$y")))
+    val sums = ranked.agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint() // 1 row; feeds all six pair rows
+    cellHandles.foreach(Checkpoints.free) // rank cells dead once sums is pinned
+    val pairStructs = for (Seq(x, y) <- CorrCols.combinations(2).toSeq) yield
+      s"""named_struct(
+         |  'col_x', '$x', 'col_y', '$y',
+         |  'cov', CAST(CAST(n AS DECIMAL(38,0)) * ss_${x}_$y - s_$x * s_$y AS DECIMAL(38,0)),
+         |  'vx',  CAST(CAST(n AS DECIMAL(38,0)) * ss_${x}_$x - s_$x * s_$x AS DECIMAL(38,0)),
+         |  'vy',  CAST(CAST(n AS DECIMAL(38,0)) * ss_${y}_$y - s_$y * s_$y AS DECIMAL(38,0)))"""
+        .stripMargin
+    sums
+      .select(col("n"), explode(expr(s"array(${pairStructs.mkString(", ")})")).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"), col("n"),
+        col("p.cov").cast("string").as("cov"),
+        col("p.vx").cast("string").as("vx"), col("p.vy").cast("string").as("vy"),
+        expr("""CASE WHEN p.vx = 0 OR p.vy = 0 THEN NULL
+               |ELSE CAST(CASE WHEN p.cov < 0 THEN -1 ELSE 1 END *
+               |  (((abs(p.cov) * 1000000) div p.vx) * ((abs(p.cov) * 1000000) div p.vy))
+               |  AS BIGINT) END""".stripMargin).as("rho2_pico"))
+      .orderBy("col_x", "col_y")
+  }
+
+  private val spearmanSql: String = {
+    val rankCtes = CorrCols.map { c =>
+      s"""r_$c AS (
+         |  SELECT v, CAST(2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS HUGEINT) AS r
+         |  FROM (SELECT $c AS v, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY $c)
+         |)""".stripMargin
+    }.mkString(", ")
+    val joinOn = CorrCols.map(c => s"JOIN r_$c ON src.$c = r_$c.v").mkString(" ")
+    val rCols = CorrCols.map(c => s"r_$c.r AS r_$c").mkString(", ")
+    val sumCols = (
+      CorrCols.map(c => s"CAST(sum(r_$c) AS HUGEINT) AS s_$c") ++
+      (for (x <- CorrCols; y <- CorrCols if x <= y)
+        yield s"CAST(sum(r_$x * r_$y) AS HUGEINT) AS ss_${x}_$y")).mkString(",\n|         ")
+    val pairRows = CorrCols.combinations(2).toSeq.map { case Seq(x, y) =>
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+         |       CAST(n AS HUGEINT) * ss_${x}_$y - s_$x * s_$y AS cov,
+         |       CAST(n AS HUGEINT) * ss_${x}_$x - s_$x * s_$x AS vx,
+         |       CAST(n AS HUGEINT) * ss_${y}_$y - s_$y * s_$y AS vy
+         |FROM sums""".stripMargin
+    }.mkString("\n|  UNION ALL\n|  ")
+    s"""WITH src AS (
+       |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+       |         CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+       |         CAST(round(l_tax * 100) AS BIGINT) AS tax
+       |  FROM lineitem
+       |), $rankCtes, j AS (
+       |  SELECT $rCols FROM src $joinOn
+       |), sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         $sumCols
+       |  FROM j
+       |), pairs AS (
+       |  $pairRows
+       |)
+       |SELECT col_x, col_y, n,
+       |       CAST(cov AS VARCHAR) AS cov, CAST(vx AS VARCHAR) AS vx,
+       |       CAST(vy AS VARCHAR) AS vy,
+       |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
+       |            ELSE CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END) *
+       |              (((abs(cov) * 1000000) // vx) * ((abs(cov) * 1000000) // vy))
+       |              AS BIGINT) END AS rho2_pico
+       |FROM pairs ORDER BY col_x, col_y""".stripMargin
+  }
+
+  /** Kendall's tau-b (Kendall 1938, with the tie correction) between
+    * the click and purchase DAILY-count series — the ordinal trend-
+    * agreement check between two metrics ("do the days that rank high
+    * on clicks rank high on purchases?"), more robust than [[autocorr]]
+    * -style moment statistics on short heavy-tailed series. All pair
+    * classes ship as exact integers (concordant, discordant, the tie
+    * margins n1/n2) and tau² in signed picos via the [[corrMatrix]]
+    * two-floor-division convention.
+    *
+    * Scale shape: the raw stream first collapses to per-DAY cells
+    * (one row per calendar day), so the day-pair comparison is
+    * CALENDAR-bounded — O(days²) regardless of corpus bytes (10⁴ days
+    * of history is 5·10⁷ distributed pair evaluations, flat per-row
+    * work); the corpus-sized input never self-joins. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .localCheckpoint() // day-count cells; feeds both pair sides
+    val pairs = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .select(((col("a.x") - col("b.x")) * (col("a.y") - col("b.y"))).as("prod"),
+        (col("a.x") === col("b.x")).as("tiex"), (col("a.y") === col("b.y")).as("tiey"))
+    val agg = pairs.agg(
+      sum(when(col("prod") > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("prod") < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("tiex"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("tiey"), 1L).otherwise(0L)).as("n2"),
+      count(lit(1)).as("n0"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    agg.crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("nc"), col("nd"), col("n1"), col("n2"), col("n0"),
+        expr("""CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
+               |ELSE CAST(CASE WHEN nc < nd THEN -1 ELSE 1 END *
+               |  (((abs(nc - nd) * 1000000) div (n0 - n1)) *
+               |   ((abs(nc - nd) * 1000000) div (n0 - n2))) AS BIGINT)
+               |END""".stripMargin).as("tau2_pico"))
+  }
+
+  private val kendallSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day,
+      |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+      |), pairs AS (
+      |  SELECT (a.x - b.x) * (a.y - b.y) AS prod,
+      |         a.x = b.x AS tiex, a.y = b.y AS tiey
+      |  FROM daily a JOIN daily b ON a.day < b.day
+      |), agg AS (
+      |  SELECT CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |         CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |         CAST(sum(CASE WHEN tiex THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN tiey THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |         CAST(count(*) AS BIGINT) AS n0
+      |  FROM pairs
+      |)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+      |       nc, nd, n1, n2, n0,
+      |       CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
+      |            ELSE CAST((CASE WHEN nc < nd THEN -1 ELSE 1 END) *
+      |              (((abs(nc - nd) * 1000000) // (n0 - n1)) *
+      |               ((abs(nc - nd) * 1000000) // (n0 - n2))) AS BIGINT)
+      |       END AS tau2_pico
+      |FROM agg""".stripMargin
+
+  /** 7-day rolling ordinary-least-squares TREND of each event type's
+    * daily volume — the short-horizon drift detector a pipeline pages
+    * on ("ingest for `click` is decaying 40 events/day this week"),
+    * the local-slope complement of [[theilsenTrend]]'s global robust
+    * fit and [[volumeTrend]]'s first differences. For the window
+    * {(day dᵢ, count yᵢ)}: slope = (n·Σdy − Σd·Σy)/(n·Σd² − (Σd)²),
+    * shipped as exact sign-extracted integral micros (events/day·10⁶).
+    * Windows with one distinct day (den = 0) yield NULL.
+    *
+    * Scale shape: cells-before-windows — the stream collapses to
+    * (type, day, count) first, so the RANGE window runs over O(days)
+    * rows per type partition, never raw events. Day indices are epoch
+    * days (≈2·10⁴), so n·Σd² ≈ 2·10¹⁰ and the BIGINT sums hold to
+    * ~10⁸ events/day·type — an output-width note, not a practical
+    * bound (beyond it, quantize counts to thousands). */
+  def rollingOls(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sx", sum("day").over(w))
+      .withColumn("sy", sum("cnt").over(w))
+      .withColumn("sxy", sum(col("day") * col("cnt")).over(w))
+      .withColumn("sxx", sum(col("day") * col("day")).over(w))
+      .select(col("event_type"), col("day"), col("cnt"), col("n_win"),
+        expr("""CASE WHEN n_win * sxx - sx * sx = 0 THEN NULL
+               |ELSE CAST(CASE WHEN n_win * sxy - sx * sy < 0 THEN -1 ELSE 1 END *
+               |  ((abs(n_win * sxy - sx * sy) * 1000000) div (n_win * sxx - sx * sx))
+               |  AS BIGINT) END""".stripMargin).as("slope_micros"))
+      .orderBy("event_type", "day")
+  }
+
+  private val rollingOlsSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), win AS (
+      |  SELECT event_type, day, cnt,
+      |         CAST(count(*) OVER w AS BIGINT) AS n_win,
+      |         CAST(sum(day) OVER w AS BIGINT) AS sx,
+      |         CAST(sum(cnt) OVER w AS BIGINT) AS sy,
+      |         CAST(sum(day * cnt) OVER w AS BIGINT) AS sxy,
+      |         CAST(sum(day * day) OVER w AS BIGINT) AS sxx
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_type, day, cnt, n_win,
+      |       CASE WHEN n_win * sxx - sx * sx = 0 THEN NULL
+      |            ELSE CAST((CASE WHEN n_win * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+      |              ((abs(n_win * sxy - sx * sy) * 1000000) // (n_win * sxx - sx * sx))
+      |              AS BIGINT) END AS slope_micros
+      |FROM win ORDER BY event_type, day""".stripMargin
+
+  /** Murphy (1973) decomposition of the Brier score for the bigram-LM
+    * score as a predictor of the quality-classifier keep label — the
+    * same score/label/bin fixture as [[calibrationEce]], answering the
+    * finer question ECE cannot: how much of the probability error is
+    * MISCALIBRATION (reliability — fixable by [[isotonicCalibrate]]-
+    * style post-hoc mapping) versus missing DISCRIMINATION (resolution
+    * — needs a better model)? Brier = reliability − resolution +
+    * uncertainty up to within-bin variance; all four terms ship in
+    * exact integral picos (micros², the ECE flooring convention at the
+    * bin means, exact n·(N−P)-products for the label terms).
+    *
+    * Scale shape: per-doc scores collapse to DISTINCT-normalized-value
+    * cells before anything quadratic in N is formed; the Brier sum and
+    * the ten calibration-bin means are cells-sized partial aggregates
+    * in DECIMAL(38); output is one row. */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.lmBigramScore(spark, dir).select("doc_id", "avg_micros")
+      .join(Curation.qualityClassifier(spark, dir).select("doc_id", "keep"), "doc_id")
+    val ext = scored.agg(min("avg_micros").as("lo"), max("avg_micros").as("hi"))
+    val cells = scored.crossJoin(broadcast(ext))
+      .select(expr("""CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                     |ELSE ((avg_micros - lo) * 1000000) div (hi - lo) END""".stripMargin)
+        .as("v"), col("keep"))
+      .groupBy("v")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("nb"))
+      .localCheckpoint() // distinct-score cells; feeds brier + bins
+    val brier = cells.agg(
+      sum(col("na") + col("nb")).as("n"), sum(col("na")).as("n_pos"),
+      sum(col("na").cast("decimal(38,0)") * (lit(1000000L) - col("v")) * (lit(1000000L) - col("v"))
+        + col("nb").cast("decimal(38,0)") * col("v") * col("v")).as("bsum"))
+    val bins = cells
+      .groupBy(expr("least(CAST(9 AS BIGINT), v div 100000)").as("bin"))
+      .agg(sum(col("na") + col("nb")).as("n_b"), sum("na").as("pos_b"),
+        sum(col("v").cast("decimal(38,0)") * (col("na") + col("nb"))).as("conf_sum"))
+      .select(col("n_b"), col("pos_b"),
+        expr("CAST(conf_sum div n_b AS BIGINT)").as("conf_b"),
+        expr("CAST((CAST(pos_b AS DECIMAL(38,0)) * 1000000) div n_b AS BIGINT)").as("acc_b"))
+    bins.crossJoin(broadcast(brier))
+      .groupBy("n", "n_pos", "bsum")
+      .agg(
+        expr("""CAST(sum(CAST(n_b AS DECIMAL(38,0)) * (conf_b - acc_b) * (conf_b - acc_b))
+               |     AS DECIMAL(38,0))""".stripMargin).as("rel_sum"),
+        expr("""CAST(sum(CAST(n_b AS DECIMAL(38,0)) *
+               |  (acc_b - (CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n) *
+               |  (acc_b - (CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n))
+               |     AS DECIMAL(38,0))""".stripMargin).as("res_sum"))
+      .select(col("n"), col("n_pos"),
+        expr("CAST(bsum div n AS BIGINT)").as("brier_pico"),
+        expr("CAST(rel_sum div n AS BIGINT)").as("rel_pico"),
+        expr("CAST(res_sum div n AS BIGINT)").as("res_pico"),
+        expr("""CAST((CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos) * 1000000000000)
+               |     div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)
+          .as("unc_pico"))
+  }
+
+  private val brierSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS na_,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |         t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS ns
+       |  FROM documents
+       |), j AS (
+       |  SELECT s.avg_micros AS v0,
+       |         (8 * f.na_ - 6 * (f.nc - f.na_) + 40 * f.ns + 2 * f.nt - 1200) > 0 AS keep
+       |  FROM (${TextAnalysis.lmBigramSql}) s JOIN f USING (doc_id)
+       |), ext AS (SELECT min(v0) AS lo, max(v0) AS hi FROM j
+       |), cells AS (
+       |  SELECT CAST(CASE WHEN hi = lo THEN 0
+       |              ELSE ((v0 - lo) * 1000000) // (hi - lo) END AS BIGINT) AS v,
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nb
+       |  FROM j CROSS JOIN ext GROUP BY 1
+       |), brier AS (
+       |  SELECT CAST(sum(na + nb) AS BIGINT) AS n, CAST(sum(na) AS BIGINT) AS n_pos,
+       |         CAST(sum(CAST(na AS HUGEINT) * (1000000 - v) * (1000000 - v)
+       |                 + CAST(nb AS HUGEINT) * v * v) AS HUGEINT) AS bsum
+       |  FROM cells
+       |), bins AS (
+       |  SELECT CAST(sum(na + nb) AS BIGINT) AS n_b, CAST(sum(na) AS BIGINT) AS pos_b,
+       |         CAST(CAST(sum(CAST(v AS HUGEINT) * (na + nb)) AS HUGEINT)
+       |              // sum(na + nb) AS BIGINT) AS conf_b,
+       |         CAST((CAST(sum(na) AS HUGEINT) * 1000000) // sum(na + nb) AS BIGINT) AS acc_b
+       |  FROM cells GROUP BY least(9, v // 100000)
+       |)
+       |SELECT b.n, b.n_pos,
+       |       CAST(b.bsum // b.n AS BIGINT) AS brier_pico,
+       |       CAST(sum(CAST(g.n_b AS HUGEINT) * (g.conf_b - g.acc_b) * (g.conf_b - g.acc_b))
+       |            // b.n AS BIGINT) AS rel_pico,
+       |       CAST(sum(CAST(g.n_b AS HUGEINT) *
+       |              (g.acc_b - (CAST(b.n_pos AS HUGEINT) * 1000000) // b.n) *
+       |              (g.acc_b - (CAST(b.n_pos AS HUGEINT) * 1000000) // b.n))
+       |            // b.n AS BIGINT) AS res_pico,
+       |       CAST((CAST(b.n_pos AS HUGEINT) * (b.n - b.n_pos) * 1000000000000)
+       |            // (CAST(b.n AS HUGEINT) * b.n) AS BIGINT) AS unc_pico
+       |FROM bins g CROSS JOIN brier b GROUP BY b.n, b.n_pos, b.bsum""".stripMargin
+
   /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over order
     * time-to-ship: per order, t = whole days from `o_orderdate` to its
     * last `l_shipdate`; "death" = the order reached final status `'F'`,
@@ -2486,7 +2830,11 @@ object Stats {
     QueryDef.sql("fairness_parity", fairnessParitySql)(fairnessParity),
     QueryDef.sql("js_divergence", jsDivergenceSql)(jsDivergence),
     QueryDef.sql("calibration_ece", calibrationEceSql)(calibrationEce),
+    QueryDef.sql("brier_decomposition", brierSql)(brierDecomposition),
     QueryDef.sql("corr_matrix", corrMatrixSql)(corrMatrix),
+    QueryDef.sql("spearman_corr", spearmanSql)(spearmanCorr),
+    QueryDef.sql("kendall_tau", kendallSql)(kendallTau),
+    QueryDef.sql("rolling_ols", rollingOlsSql)(rollingOls),
     QueryDef.sql("isotonic_calibrate", isotonicSql)(isotonicCalibrate),
     QueryDef.sql("bootstrap_ci", bootstrapSql)(bootstrapCi),
     QueryDef.sql("conformal_filter", conformalSql)(conformalFilter),

@@ -779,4 +779,128 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(r.getLong(6)) <= 1000000000000L)
     }
   }
+
+  test("spearman_corr replays against driver-side doubled average ranks") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(expr("CAST(round(l_discount * 100) AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)")).collect()
+      .map(r => Map("disc" -> r.getLong(0), "price" -> r.getLong(1),
+        "qty" -> r.getLong(2), "tax" -> r.getLong(3)))
+    val n = BigInt(rows.length)
+    // doubled average rank per column: r2(v) = 2·(#strictly-below) + #equal + 1
+    def ranks(c: String): Map[Long, BigInt] = {
+      val cnts   = rows.groupBy(_(c)).view.mapValues(_.size).toMap
+      val sorted = cnts.toSeq.sortBy(_._1)
+      var below  = 0L
+      sorted.map { case (v, cnt) =>
+        val r2 = BigInt(2) * below + cnt + 1
+        below += cnt
+        v -> r2
+      }.toMap
+    }
+    val rk = Seq("disc", "price", "qty", "tax").map(c => c -> ranks(c)).toMap
+    def s(c: String)  = rows.map(r => rk(c)(r(c))).sum
+    def ss(x: String, y: String) = rows.map(r => rk(x)(r(x)) * rk(y)(r(y))).sum
+    val got = Stats.spearmanCorr(spark, sfDir).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      val (x, y) = (r.getString(0), r.getString(1))
+      val cov = n * ss(x, y) - s(x) * s(y)
+      val vx  = n * ss(x, x) - s(x) * s(x)
+      val vy  = n * ss(y, y) - s(y) * s(y)
+      assert(r.getLong(2) == rows.length.toLong)
+      assert(r.getString(3) == cov.toString && r.getString(4) == vx.toString &&
+        r.getString(5) == vy.toString, s"pair ($x,$y) rank sums")
+      val expect = (cov.sign * ((cov.abs * 1000000 / vx) * (cov.abs * 1000000 / vy))).toLong
+      assert(r.getLong(6) == expect, s"pair ($x,$y) rho2")
+      assert(math.abs(r.getLong(6)) <= 1000000000000L)
+    }
+    // the synthetic fixture's measures are drawn independently, so every
+    // pair must land near zero — |rho²| under 0.01 in pico units (the
+    // ~1/√n sampling band at the 6k-row fixture)
+    got.foreach(r => assert(math.abs(r.getLong(6)) < 10000000000L,
+      s"pair (${r.getString(0)},${r.getString(1)}) unexpectedly associated"))
+  }
+
+  test("kendall_tau replays the exact pair census on the daily series") {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var (nc, nd, n1, n2, n0) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- daily.indices; jj <- (i + 1) until daily.length) {
+      val (a, b) = (daily(i), daily(jj))
+      val prod = (a._2 - b._2) * (a._3 - b._3)
+      if (prod > 0) nc += 1 else if (prod < 0) nd += 1
+      if (a._2 == b._2) n1 += 1
+      if (a._3 == b._3) n2 += 1
+      n0 += 1
+    }
+    val row = Stats.kendallTau(spark, sfDir).collect().head
+    assert(row.getLong(0) == daily.length.toLong)
+    assert(row.getLong(1) == nc && row.getLong(2) == nd)
+    assert(row.getLong(3) == n1 && row.getLong(4) == n2 && row.getLong(5) == n0)
+    val diff = nc - nd
+    val expect =
+      if (n0 == n1 || n0 == n2) null
+      else java.lang.Long.valueOf(diff.sign *
+        ((math.abs(diff) * 1000000L / (n0 - n1)) * (math.abs(diff) * 1000000L / (n0 - n2))))
+    assert(row.get(6) == expect)
+  }
+
+  test("rolling_ols slopes replay per window and detect a monotone ramp") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val got = Stats.rollingOls(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (et, day) = (r.getString(0), r.getLong(1))
+      val win = daily(et).filter { case (d, _) => d >= day - 6 && d <= day }
+      val nw  = win.size.toLong
+      val sx  = win.map(_._1).sum
+      val sy  = win.map(_._2).sum
+      val sxy = win.map(t => t._1 * t._2).sum
+      val sxx = win.map(t => t._1 * t._1).sum
+      assert(r.getLong(3) == nw, s"($et,$day) n_win")
+      val num = nw * sxy - sx * sy
+      val den = nw * sxx - sx * sx
+      if (den == 0) assert(r.isNullAt(4), s"($et,$day) null slope")
+      else assert(r.getLong(4) == num.sign * (math.abs(num) * 1000000L / den),
+        s"($et,$day) slope")
+    }
+  }
+
+  test("brier decomposition terms replay and satisfy the Murphy bounds") {
+    val scored = graft.ops.TextAnalysis.lmBigramScore(spark, sfDir)
+      .select("doc_id", "avg_micros")
+      .join(graft.ops.Curation.qualityClassifier(spark, sfDir)
+        .select("doc_id", "keep"), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    val lo = scored.map(_._1).min
+    val hi = scored.map(_._1).max
+    val norm = scored.map { case (v, k) =>
+      (if (hi == lo) 0L else (v - lo) * 1000000L / (hi - lo), k)
+    }
+    val n = norm.length.toLong
+    val p = norm.count(_._2).toLong
+    val brier = norm.map { case (v, k) =>
+      val e = if (k) 1000000L - v else v
+      BigInt(e) * e
+    }.sum / n
+    val row = Stats.brierDecomposition(spark, sfDir).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == p)
+    assert(row.getLong(2) == brier.toLong)
+    // Murphy: all terms non-negative; uncertainty caps at 0.25 (pico 2.5e11);
+    // resolution never exceeds uncertainty
+    assert(row.getLong(3) >= 0L && row.getLong(4) >= 0L)
+    assert(row.getLong(5) >= 0L && row.getLong(5) <= 250000000000L)
+    assert(row.getLong(4) <= row.getLong(5) + 1000000L) // floor-jitter slack
+  }
 }
