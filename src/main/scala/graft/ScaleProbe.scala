@@ -194,7 +194,8 @@ object ScaleProbe {
     // (4 cumulateCells scans + 4 value equi-joins) is the one with
     // corpus-sized movement; kendall/rolling_ols are calendar-bounded
     // and brier is cells-sized, probed once to pin that
-    "spearman_corr", "kendall_tau", "rolling_ols", "brier_decomposition")
+    "spearman_corr", "kendall_tau", "rolling_ols", "brier_decomposition",
+    "weighted_median", "blocklist_filter")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

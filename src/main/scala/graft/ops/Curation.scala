@@ -1778,7 +1778,83 @@ object Curation {
       |       greatest(CAST(0 AS BIGINT), true_n * 1000000 + noise_micros) // 1000000 AS released_n
       |FROM noised ORDER BY event_type""".stripMargin
 
+  /** [[blocklistFilter]] phrases with severity weights — the wordlist
+    * shape of a production safety/NSFW filter (UT1-style category
+    * lists), over the fixture vocabulary so base-text hits occur. */
+  private val Blocklist = Seq(("slow scan", 3L), ("big table", 2L), ("hash merge", 1L))
+
+  /** Safety/blocklist filtering with OBFUSCATION-FOLDING normalization —
+    * the wordlist gate every production corpus runs (NSFW / toxicity /
+    * gambling category lists à la UT1), where the attack surface is
+    * leetspeak and punctuation splitting, not the plain phrase. The
+    * fixture text is clean lowercase, so (piiRedact convention) the
+    * query first APPENDS deterministic leet-obfuscated phrases
+    * ("sl0w sc4n" to every 7th doc, "b1g t4bl3" to every 11th — pure
+    * functions of doc_id) and the normalizer must fold them back:
+    * lower → digit-fold (0→o 1→i 3→e 4→a 5→s 7→t 9→g) → non-letter →
+    * space → squeeze. Counts are substring occurrences on the
+    * normalized text (split-length, identical non-overlapping
+    * semantics in both engines); severity is the weighted hit sum; a
+    * doc is blocked on any hit.
+    *
+    * Scale shape: pure per-row codegen'd string work — scan speed, no
+    * shuffle, no driver state; the blocklist itself is a compile-time
+    * constant (category lists are KBs against TB corpora). */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val synth = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0, lit(" sl0w sc4n")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" b1g t4bl3")).otherwise(lit("")))
+    val norm = trim(regexp_replace(regexp_replace(
+      translate(lower(synth), "0134579", "oieastg"), "[^a-z]+", " "), " +", " "))
+    val hitCols = Blocklist.map { case (p, _) =>
+      (size(split(norm, p, -1)) - 1).cast("long").as(s"n_${p.replace(' ', '_')}")
+    }
+    val sev = Blocklist.map { case (p, w) =>
+      col(s"n_${p.replace(' ', '_')}") * lit(w)
+    }.reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("n_chars")) ++ hitCols: _*)
+      .withColumn("severity", sev)
+      .withColumn("blocked", col("severity") > 0L)
+      .withColumn("rate_micros",
+        expr("severity * 1000 * 1000000 div n_chars"))
+      .drop("n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val blocklistFilterSql: String = {
+    val hitExprs = Blocklist.map { case (p, _) =>
+      s"CAST(len(string_split(norm, '$p')) - 1 AS BIGINT) AS n_${p.replace(' ', '_')}"
+    }.mkString(",\n|         ")
+    val sevExpr = Blocklist.map { case (p, w) =>
+      s"n_${p.replace(' ', '_')} * $w"
+    }.mkString(" + ")
+    s"""WITH synth AS (
+       |  SELECT doc_id, n_chars,
+       |         text || CASE WHEN doc_id % 7 = 0 THEN ' sl0w sc4n' ELSE '' END
+       |              || CASE WHEN doc_id % 11 = 0 THEN ' b1g t4bl3' ELSE '' END AS t
+       |  FROM documents
+       |), normed AS (
+       |  SELECT doc_id, n_chars,
+       |         trim(regexp_replace(regexp_replace(
+       |           translate(lower(t), '0134579', 'oieastg'),
+       |           '[^a-z]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
+       |  FROM synth
+       |), hits AS (
+       |  SELECT doc_id, n_chars,
+       |         $hitExprs
+       |  FROM normed
+       |)
+       |SELECT doc_id, ${Blocklist.map(b => s"n_${b._1.replace(' ', '_')}").mkString(", ")},
+       |       CAST($sevExpr AS BIGINT) AS severity,
+       |       ($sevExpr) > 0 AS blocked,
+       |       CAST(($sevExpr) * 1000 * 1000000 // n_chars AS BIGINT) AS rate_micros
+       |FROM hits ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("blocklist_filter", blocklistFilterSql)(blocklistFilter),
     QueryDef.sql("dp_release", dpReleaseSql)(dpRelease),
     QueryDef.sql("t_closeness", tClosenessSql)(tCloseness),
     QueryDef.sql("perplexity_filter", perplexityFilterSql)(perplexityFilter),

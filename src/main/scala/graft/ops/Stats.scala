@@ -290,6 +290,54 @@ object Stats {
       |FROM cum JOIN n ON cum.source = n.source
       |GROUP BY cum.source, n.n ORDER BY cum.source""".stripMargin
 
+  /** WEIGHTED per-group quantiles (lineitem price cents by return
+    * flag, weighted by quantity units) — the importance-weighted
+    * sibling of [[groupQuantiles]], the shape a curation pipeline
+    * needs when rows carry unequal mass (token counts, sampling
+    * weights from [[Curation.dsirWeights]]): "the median token is in a
+    * document of what quality score?" is a weight-by-tokens quantile,
+    * not a row quantile. The weighted p-quantile is the smallest value
+    * whose cumulative weight reaches ⌈p·W⌉ — an exact integer
+    * selection on (group, value, Σweight) cells with a GROUP-
+    * partitioned cumulative window (parallel across groups, no global
+    * sort), so both engines agree bit-for-bit. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("v"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("wt"))
+      .groupBy("flag", "v").agg(sum("wt").as("f"))
+    val w = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("c", sum("f").over(w))
+    val tot = cells.groupBy("flag").agg(sum("f").as("wtot"))
+    def at(num: Int, den: Int) = // smallest v with cumweight ≥ ⌈num·W/den⌉
+      min(when(col("c") >= expr(s"($num * wtot + ${den - 1}) div $den"), col("v")))
+    cum.join(broadcast(tot), "flag")
+      .groupBy(col("flag"), col("wtot").as("w_total"))
+      .agg(at(1, 4).as("wp25_cents"), at(1, 2).as("wmed_cents"),
+        at(3, 4).as("wp75_cents"))
+      .select("flag", "w_total", "wp25_cents", "wmed_cents", "wp75_cents")
+      .orderBy("flag")
+  }
+
+  private val weightedMedianSql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS f
+      |  FROM lineitem GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT flag, v, f, sum(f) OVER (PARTITION BY flag ORDER BY v) AS c FROM cells
+      |), tot AS (
+      |  SELECT flag, sum(f) AS wtot FROM cells GROUP BY flag
+      |)
+      |SELECT cum.flag, CAST(tot.wtot AS BIGINT) AS w_total,
+      |       CAST(min(CASE WHEN c >= (1 * tot.wtot + 3) // 4 THEN v END) AS BIGINT) AS wp25_cents,
+      |       CAST(min(CASE WHEN c >= (1 * tot.wtot + 1) // 2 THEN v END) AS BIGINT) AS wmed_cents,
+      |       CAST(min(CASE WHEN c >= (3 * tot.wtot + 3) // 4 THEN v END) AS BIGINT) AS wp75_cents
+      |FROM cum JOIN tot ON cum.flag = tot.flag
+      |GROUP BY cum.flag, tot.wtot ORDER BY cum.flag""".stripMargin
+
   /** Power-of-two histogram of per-key group sizes (events by user_id):
     * bucket = floor(log2(size)) computed EXACTLY as the bit length of
     * the count (`length(bin(n)) − 1` — both engines print the same
@@ -2863,6 +2911,7 @@ object Stats {
     QueryDef.sql("robust_outliers", robustOutliersSql)(robustOutliers),
     QueryDef.sql("key_skew_profile", keySkewProfileSql)(keySkewProfile),
     QueryDef.sql("group_quantiles", groupQuantilesSql)(groupQuantiles),
+    QueryDef.sql("weighted_median", weightedMedianSql)(weightedMedian),
     QueryDef.sql("benford_test", benfordSql)(benfordTest),
     QueryDef.sql("gini_coefficient", giniSql)(giniCoefficient),
   )

@@ -666,4 +666,25 @@ class CurationSpec extends SparkSpec {
       assert(gotW(id) == ((ts.length.toLong, w)), s"doc $id")
     }
   }
+
+  test("blocklist_filter folds leet obfuscation and replays severity") {
+    val rows = graft.ops.Curation.blocklistFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the appended 'sl0w sc4n' MUST be caught on every 7th doc: the
+    // normalizer is load-bearing, not decorative
+    rows.filter(_.getLong(0) % 7 == 0)
+      .foreach(r => assert(r.getLong(1) >= 1L, s"doc ${r.getLong(0)} missed sl0w sc4n"))
+    rows.filter(_.getLong(0) % 11 == 0)
+      .foreach(r => assert(r.getLong(2) >= 1L, s"doc ${r.getLong(0)} missed b1g t4bl3"))
+    // severity = 3·slow_scan + 2·big_table + 1·hash_merge; blocked ⇔ severity>0
+    rows.foreach { r =>
+      val sev = 3 * r.getLong(1) + 2 * r.getLong(2) + r.getLong(3)
+      assert(r.getLong(4) == sev, s"doc ${r.getLong(0)} severity")
+      assert(r.getBoolean(5) == (sev > 0), s"doc ${r.getLong(0)} blocked flag")
+    }
+    // base-text hits exist beyond the synthesized ones (the wordlist is
+    // drawn from the fixture vocabulary)
+    assert(rows.exists(r => r.getLong(0) % 7 != 0 && r.getLong(0) % 11 != 0
+      && r.getLong(4) > 0))
+  }
 }

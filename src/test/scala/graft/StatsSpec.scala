@@ -877,6 +877,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("weighted_median quantiles replay against the brute-force weighted CDF") {
+    val data = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(round(l_quantity) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Stats.weightedMedian(spark, sfDir).collect()
+    assert(got.length == data.map(_._1).distinct.length)
+    got.foreach { r =>
+      val grp  = data.filter(_._1 == r.getString(0)).map(t => (t._2, t._3))
+      val wtot = grp.map(_._2).sum
+      assert(r.getLong(1) == wtot)
+      def wq(num: Long, den: Long): Long = {
+        val target = (num * wtot + den - 1) / den
+        var c = 0L
+        grp.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+          .collectFirst { case (v, f) if { c += f; c >= target } => v }.get
+      }
+      assert(r.getLong(2) == wq(1, 4) && r.getLong(3) == wq(1, 2) &&
+        r.getLong(4) == wq(3, 4), s"flag ${r.getString(0)}")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
   test("brier decomposition terms replay and satisfy the Murphy bounds") {
     val scored = graft.ops.TextAnalysis.lmBigramScore(spark, sfDir)
       .select("doc_id", "avg_micros")
