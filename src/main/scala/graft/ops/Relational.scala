@@ -1274,6 +1274,94 @@ object Relational {
        |SELECT item, nbr, n_both, n_item, n_nbr, cos2_micros, rn
        |FROM ranked WHERE rn <= $CfTopK ORDER BY item, rn""".stripMargin
 
+  /** [[userCf]] popularity cap: items carried by more than this many
+    * users are dropped from the pair generation — the DIMSUM-style
+    * prune that keeps user-pair fan-out bounded at corpus scale (a
+    * catalogue-head item co-occurring with everyone contributes
+    * O(users²) pairs and ~zero similarity signal). */
+  private val UcfPopCap = 40L
+
+  /** User-user collaborative filtering — the transpose of [[itemCf]]
+    * ("customers similar to you bought…"): users sharing purchased
+    * items score cos²(u,v) = c(u,v)²·10⁶ div (c(u)·c(v)) over the
+    * POPULARITY-PRUNED item matrix, each user keeping its top-
+    * [[CfTopK]] neighbor users. Unlike the graph family's mod-densified
+    * spaces, this op keeps RAW customer/part keys: the TPC-H-ish
+    * fixture's per-item user-list length is SF-invariant (~30 median,
+    * ~53 max at every SF), exactly a real catalogue's shape, so the
+    * [[UcfPopCap]] prune bites the same popularity tail at sf0.001 and
+    * at 100 TB — a mod space would saturate past the cap as SF grows
+    * and silently empty the result (probe-caught on the first cut of
+    * this op: 0 rows at every multiplier).
+    *
+    * Scale shape: the pair fan-out is the item-keyed self-equi-join,
+    * and the cap bounds it at O(cap²) per item REGARDLESS of corpus
+    * size — without it one catalogue-head item contributes users²
+    * pairs. Margins re-attach via broadcast-able equi-joins; the
+    * top-k cut is a per-user window, never global. */
+  def userCf(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .distinct()
+      .localCheckpoint() // feeds the item margin, the prune, both pair sides
+    val icnt = baskets.groupBy("item").agg(count(lit(1)).as("ni"))
+    val kept = baskets
+      .join(broadcast(icnt.filter(col("ni") <= UcfPopCap).select("item")), Seq("item"))
+      .localCheckpoint() // pruned matrix; feeds the user margin + both sides
+    Checkpoints.free(baskets)
+    val ucnt = kept.groupBy("user").agg(count(lit(1)).as("cu"))
+    val pairs = kept.as("x")
+      .join(kept.as("y"), col("x.item") === col("y.item") && col("x.user") < col("y.user"))
+      .groupBy(col("x.user").as("i"), col("y.user").as("j"))
+      .agg(count(lit(1)).as("cij"))
+      .filter(col("cij") >= CfMinSup)
+    val nbrs = pairs.select(col("i"), col("j"), col("cij"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cij")))
+    val scored = nbrs
+      .join(ucnt.select(col("user").as("i"), col("cu").as("nu")), Seq("i"))
+      .join(ucnt.select(col("user").as("j"), col("cu").as("nv")), Seq("j"))
+      .select(col("i").as("user"), col("j").as("nbr"), col("cij").as("n_both"),
+        col("nu").as("n_user"), col("nv").as("n_nbr"),
+        expr("""CAST((CAST(cij AS DECIMAL(38,0)) * cij * 1000000)
+               |     div (CAST(nu AS DECIMAL(38,0)) * nv) AS BIGINT)""".stripMargin)
+          .as("cos2_micros"))
+    val w = Window.partitionBy("user")
+      .orderBy(desc("cos2_micros"), desc("n_both"), col("nbr"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= CfTopK.toLong)
+      .orderBy(col("user"), col("rn"))
+  }
+
+  private val userCfSql: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT o_custkey AS u, l_partkey AS item
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), icnt AS (SELECT item, CAST(count(*) AS BIGINT) AS ni FROM baskets GROUP BY item),
+       |kept AS (
+       |  SELECT b.u, b.item FROM baskets b
+       |  JOIN icnt c ON b.item = c.item AND c.ni <= $UcfPopCap
+       |), ucnt AS (SELECT u, CAST(count(*) AS BIGINT) AS cu FROM kept GROUP BY u),
+       |pairs AS (
+       |  SELECT x.u AS i, y.u AS j, CAST(count(*) AS BIGINT) AS cij
+       |  FROM kept x JOIN kept y ON x.item = y.item AND x.u < y.u
+       |  GROUP BY x.u, y.u HAVING count(*) >= $CfMinSup
+       |), nbrs AS (
+       |  SELECT i, j, cij FROM pairs UNION ALL SELECT j, i, cij FROM pairs
+       |), scored AS (
+       |  SELECT n.i AS "user", n.j AS nbr, n.cij AS n_both,
+       |         a.cu AS n_user, b.cu AS n_nbr,
+       |         CAST((CAST(n.cij AS HUGEINT) * n.cij * 1000000)
+       |              // (CAST(a.cu AS HUGEINT) * b.cu) AS BIGINT) AS cos2_micros
+       |  FROM nbrs n JOIN ucnt a ON a.u = n.i JOIN ucnt b ON b.u = n.j
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY "user"
+       |    ORDER BY cos2_micros DESC, n_both DESC, nbr) AS BIGINT) AS rn
+       |  FROM scored
+       |)
+       |SELECT "user", nbr, n_both, n_user, n_nbr, cos2_micros, rn
+       |FROM ranked WHERE rn <= $CfTopK ORDER BY "user", rn""".stripMargin
+
   /** NDCG@5 per-rank discount micros (10⁶/log₂(r+1), r = 1..5) and the
     * ideal-DCG cumulative sums — fixed integer constants shared by the
     * Spark side and the oracle, so the ranking metric is exact. */
@@ -2196,6 +2284,7 @@ object Relational {
         |LIMIT 50""".stripMargin)(marketBasket),
     QueryDef.sql("frequent_itemsets", frequentItemsetsSql)(frequentItemsets),
     QueryDef.sql("item_cf", itemCfSql)(itemCf),
+    QueryDef.sql("user_cf", userCfSql)(userCf),
     QueryDef.sql("ndcg_eval", ndcgEvalSql)(ndcgEval),
     QueryDef.sql("string_index",
       """SELECT p_brand AS category, CAST(count(*) AS BIGINT) AS freq,

@@ -525,6 +525,70 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id LIMIT $Bm25TopN""".stripMargin
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    * RM1-style): run [[bm25Search]] for the fixed query terms, treat
+    * its top-[[Bm25TopN]] documents as relevant, and rank the
+    * candidate EXPANSION terms they contain by feedback mass × rarity
+    * — weight(t) = (Σ_fb tf) · idf_micros(t), idf in the same
+    * BM25-Robertson form the retrieval stage used, rounded to integral
+    * micros (the psi_drift ln convention) so the ranking is hash-
+    * exact. Original query terms are excluded; ties break on the term.
+    * This is the second half of the classic two-pass retrieval loop
+    * (search → expand → re-search) an IR-based curation pipeline runs.
+    *
+    * Scale shape: the corpus-sized work is the (doc, term) tf
+    * aggregation [[tfidf]] already ships; the feedback join restricts
+    * it to a BROADCAST 10-doc set before any further aggregation, and
+    * the df margin shuffles (term, count) partials only. Output is a
+    * 10-row term table. */
+  def prfExpand(spark: SparkSession, dir: String): DataFrame = {
+    val top = bm25Search(spark, dir).select("doc_id")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val terms = docs.select(col("doc_id"),
+      explode(filter(toks(col("text")), t => t =!= "")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val fb = tf.join(broadcast(top), "doc_id")
+      .filter(!col("term").isin(Bm25Terms: _*))
+      .groupBy("term").agg(sum("tf").as("sum_tf"), count(lit(1)).as("n_docs_fb"))
+    fb.join(dfc, "term").crossJoin(broadcast(n))
+      .select(col("term"), col("sum_tf"), col("n_docs_fb"), col("df"),
+        expr("""CAST(round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               |     * 1000000) AS BIGINT)""".stripMargin).as("idf_micros"))
+      .withColumn("weight_micros", col("sum_tf") * col("idf_micros"))
+      .orderBy(desc("weight_micros"), col("term"))
+      .limit(Bm25TopN)
+  }
+
+  private val prfExpandSql: String = {
+    val exclude = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH top AS (
+       |  SELECT doc_id FROM ($bm25Sql)
+       |), termsx AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM termsx GROUP BY 1, 2
+       |), dfc AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+       |), fb AS (
+       |  SELECT term, CAST(sum(tf) AS BIGINT) AS sum_tf,
+       |         CAST(count(*) AS BIGINT) AS n_docs_fb
+       |  FROM tf JOIN top USING (doc_id)
+       |  WHERE term NOT IN ($exclude) GROUP BY term
+       |)
+       |SELECT f.term, f.sum_tf, f.n_docs_fb, d.df,
+       |       CAST(round(ln((CAST(n.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |            * 1000000) AS BIGINT) AS idf_micros,
+       |       f.sum_tf *
+       |       CAST(round(ln((CAST(n.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |            * 1000000) AS BIGINT) AS weight_micros
+       |FROM fb f JOIN dfc d USING (term) CROSS JOIN nn n
+       |ORDER BY weight_micros DESC, term LIMIT $Bm25TopN""".stripMargin
+  }
+
   private val langCaseSql: String = {
     // identical argmax fold in SQL: nested CASE chain, same > comparisons
     val scoreSql = Profiles.map { case (lang, words) =>
@@ -1893,6 +1957,7 @@ object TextAnalysis {
         |SELECT token, n, TRUE AS sketch_exact FROM c
         |ORDER BY n DESC, token LIMIT 10""".stripMargin)(topkFrequent),
     QueryDef.sql("bm25_search", bm25Sql)(bm25Search),
+    QueryDef.sql("prf_expand", prfExpandSql)(prfExpand),
     QueryDef.sql("fingerprint",
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -290,4 +290,28 @@ class RetrievalSpec extends SparkSpec {
     assert(got == expect)
     assert(got.size == 20 && got.map(_._1).distinct.size == 20)
   }
+
+  test("prf_expand replays feedback-mass x idf and excludes query terms") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).filter(_.nonEmpty)))
+    val topIds = TextAnalysis.bm25Search(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val n = docs.length
+    val dfm = docs.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.length).toMap
+    val fbDocs = docs.filter(d => topIds.contains(d._1))
+    val cand = fbDocs.flatMap(_._2).distinct
+      .filterNot(TextAnalysis.Bm25Terms.contains)
+    val want = cand.map { t =>
+      val sumTf = fbDocs.map(_._2.count(_ == t).toLong).sum
+      val df    = dfm(t).toLong
+      val idf   = math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+      (t, sumTf, sumTf * idf)
+    }.sortBy { case (t, _, w) => (-w, t) }.take(10).toSeq
+    val got = TextAnalysis.prfExpand(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5))).toSeq
+    assert(got == want.map { case (t, s, w) => (t, s, w) })
+    // the original query must never expand into itself
+    assert(got.forall(r => !TextAnalysis.Bm25Terms.contains(r._1)))
+  }
 }

@@ -70,6 +70,43 @@ class TopKSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("user_cf replays the popularity-pruned user-pair cosine^2 ranking") {
+    val got = graft.ops.Relational.userCf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(6)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.nonEmpty)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baskets = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (orders(r.getLong(0)), r.getLong(1))).distinct
+    val icnt = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val kept = baskets.filter(b => icnt(b._2) <= 40L)
+    // the cap prunes whenever the popularity head exceeds it — true from
+    // sf0.01 up (max 49 users/item there, so the ORACLE GATE exercises
+    // the prune); this 6k-row fixture tops out at 39
+    if (icnt.values.exists(_ > 40L))
+      assert(kept.length < baskets.length, "popularity cap never fired")
+    val ucnt = kept.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val pairs = kept.groupBy(_._2).values.flatMap { b =>
+      val users = b.map(_._1).sorted
+      for (i <- users.indices; j <- i + 1 until users.length) yield (users(i), users(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2L).toMap
+    val nbrs = pairs.toSeq.flatMap { case ((i, j), c) => Seq((i, j, c), (j, i, c)) }
+    val expected = nbrs.groupBy(_._1).flatMap { case (i, ns) =>
+      val scored = ns.map { case (_, j, c) =>
+        val cos2 = BigInt(c) * c * 1000000 / (BigInt(ucnt(i)) * ucnt(j))
+        (j, c, cos2.toLong)
+      }.sortBy { case (j, c, s) => (-s, -c, j) }
+      scored.take(5).zipWithIndex.map { case ((j, c, s), idx) =>
+        (i, idx + 1L) -> (j, c, ucnt(i), ucnt(j), s)
+      }
+    }
+    assert(got == expected)
+  }
+
   test("ndcg_eval: metrics are internally consistent and bounded") {
     val r = graft.ops.Relational.ndcgEval(spark, sfDir).collect().head
     val (nq, nh, hr, nd) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
