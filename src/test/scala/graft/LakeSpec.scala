@@ -57,6 +57,32 @@ class LakeSpec extends SparkSpec {
       "the leading-dimension probe is where linear layout shines")
   }
 
+  test("hilbert32 is a bijective unit-step walk of the 32x32 grid") {
+    val cells = for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (graft.functions.LayoutMath.hilbert32(x, y), x, y)
+    // bijection onto [0, 1024)
+    assert(cells.map(_._1).sorted == (0L until 1024L))
+    // the defining Hilbert property (what Morton lacks): consecutive
+    // distances are edge-adjacent cells — NO diagonal or long jumps
+    val path = cells.sortBy(_._1)
+    path.sliding(2).foreach { case Seq((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"jump between ($x1,$y1) and ($x2,$y2)")
+    }
+    // the walk starts at the origin (canonical orientation anchor)
+    assert(graft.functions.LayoutMath.hilbert32(0L, 0L) == 0L)
+  }
+
+  test("hilbert layout prunes at least as tightly as z-order on both probes") {
+    val rows = Lake.hilbertLayout(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("hilbert", "y_probe")) <= rows(("zorder", "y_probe")),
+      s"hilbert y ${rows(("hilbert", "y_probe"))} vs zorder ${rows(("zorder", "y_probe"))}")
+    assert(rows(("hilbert", "x_probe")) <= 8L && rows(("hilbert", "y_probe")) <= 8L,
+      "hilbert must bound both dimensions per file")
+    assert(rows(("linear", "y_probe")) >= 14L)
+  }
+
   test("merge_upsert applies deletes, updates, and inserts by key") {
     val merged = Lake.mergeUpsert(spark, sfDir)
     val byKey = merged.collect()
