@@ -195,7 +195,8 @@ object ScaleProbe {
     // corpus-sized movement; kendall/rolling_ols are calendar-bounded
     // and brier is cells-sized, probed once to pin that
     "spearman_corr", "kendall_tau", "rolling_ols", "brier_decomposition",
-    "weighted_median", "blocklist_filter", "user_cf", "hilbert_layout")
+    "weighted_median", "blocklist_filter", "user_cf", "hilbert_layout",
+    "lift_deciles", "cooc_pmi")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

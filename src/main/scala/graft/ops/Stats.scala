@@ -2578,6 +2578,86 @@ object Stats {
        |            // (CAST(b.n AS HUGEINT) * b.n) AS BIGINT) AS unc_pico
        |FROM bins g CROSS JOIN brier b GROUP BY b.n, b.n_pos, b.bsum""".stripMargin
 
+  /** Cumulative gains / lift table at score deciles — the campaign-
+    * targeting readout every model-eval suite ships next to
+    * [[rocAuc]]: "if we keep only the top-k% of docs by the bigram-LM
+    * score, what share of the truly-good ones do we capture, and at
+    * what enrichment over random?" Deciles are assigned on DISTINCT-
+    * score cells by starting rank (ties land whole in one decile —
+    * permutation-proof), cumulated from the BEST score down; gain =
+    * cum_pos/P and lift = gain/(cum_n/N) ship as exact integral
+    * micros.
+    *
+    * Scale shape: per-doc scores collapse to score cells, the decile
+    * assignment rides the [[cumulateCells]] per-range-partition offset
+    * scan (no global window), and the 10-row decile table is a cells-
+    * sized aggregate. */
+  def liftDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.lmBigramScore(spark, dir).select("doc_id", "avg_micros")
+      .join(Curation.qualityClassifier(spark, dir).select("doc_id", "keep"), "doc_id")
+    val cells = scored
+      .groupBy(col("avg_micros").as("v"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("nb"))
+    val (cum, p, q) = cumulateCells(cells)
+    val n = p + q
+    // decile by starting rank from the TOP: ranks descend with score, so
+    // the start-rank of cell v counted from the best is n − cum_le(v)
+    val byDec = cum
+      .select(col("na"), (col("na") + col("nb")).as("nc"),
+        expr(s"((${n}L - (ca + cb)) * 10) div ${n}L").as("decile"))
+      .groupBy("decile")
+      .agg(sum("nc").as("n_d"), sum("na").as("pos_d"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    byDec // ≤10 rows: the global window is bounded, not corpus-sized
+      .withColumn("cum_n", sum("n_d").over(w))
+      .withColumn("cum_pos", sum("pos_d").over(w))
+      .select(col("decile"), col("n_d"), col("pos_d"), col("cum_n"), col("cum_pos"),
+        expr(s"CAST((cum_pos * 1000000) div ${p}L AS BIGINT)").as("gain_micros"),
+        expr(s"""CAST((CAST(cum_pos AS DECIMAL(38,0)) * ${n}L * 1000000)
+                |     div (CAST(cum_n AS DECIMAL(38,0)) * ${p}L) AS BIGINT)"""
+          .stripMargin).as("lift_micros"))
+      .orderBy("decile")
+  }
+
+  private val liftDecilesSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS na_,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |         t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS ns
+       |  FROM documents
+       |), j AS (
+       |  SELECT s.avg_micros AS v,
+       |         (8 * f.na_ - 6 * (f.nc - f.na_) + 40 * f.ns + 2 * f.nt - 1200) > 0 AS keep
+       |  FROM (${TextAnalysis.lmBigramSql}) s JOIN f USING (doc_id)
+       |), cells AS (
+       |  SELECT v, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |            CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nb
+       |  FROM j GROUP BY v
+       |), cum AS (
+       |  SELECT na, na + nb AS nc_,
+       |         sum(na + nb) OVER (ORDER BY v) AS cle
+       |  FROM cells
+       |), tot AS (SELECT CAST(sum(na) AS BIGINT) AS p, CAST(sum(na + nb) AS BIGINT) AS n
+       |           FROM cells
+       |), bydec AS (
+       |  SELECT ((t.n - c.cle) * 10) // t.n AS decile,
+       |         CAST(sum(c.nc_) AS BIGINT) AS n_d, CAST(sum(c.na) AS BIGINT) AS pos_d
+       |  FROM cum c CROSS JOIN tot t GROUP BY 1
+       |)
+       |SELECT CAST(b.decile AS BIGINT) AS decile, b.n_d, b.pos_d,
+       |       CAST(sum(b.n_d) OVER wd AS BIGINT) AS cum_n,
+       |       CAST(sum(b.pos_d) OVER wd AS BIGINT) AS cum_pos,
+       |       CAST((sum(b.pos_d) OVER wd * 1000000) // t.p AS BIGINT) AS gain_micros,
+       |       CAST((CAST(sum(b.pos_d) OVER wd AS HUGEINT) * t.n * 1000000)
+       |            // (CAST(sum(b.n_d) OVER wd AS HUGEINT) * t.p) AS BIGINT) AS lift_micros
+       |FROM bydec b CROSS JOIN tot t
+       |WINDOW wd AS (ORDER BY b.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY decile""".stripMargin
+
   /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over order
     * time-to-ship: per order, t = whole days from `o_orderdate` to its
     * last `l_shipdate`; "death" = the order reached final status `'F'`,
@@ -2879,6 +2959,7 @@ object Stats {
     QueryDef.sql("js_divergence", jsDivergenceSql)(jsDivergence),
     QueryDef.sql("calibration_ece", calibrationEceSql)(calibrationEce),
     QueryDef.sql("brier_decomposition", brierSql)(brierDecomposition),
+    QueryDef.sql("lift_deciles", liftDecilesSql)(liftDeciles),
     QueryDef.sql("corr_matrix", corrMatrixSql)(corrMatrix),
     QueryDef.sql("spearman_corr", spearmanSql)(spearmanCorr),
     QueryDef.sql("kendall_tau", kendallSql)(kendallTau),

@@ -589,6 +589,74 @@ object TextAnalysis {
        |ORDER BY weight_micros DESC, term LIMIT $Bm25TopN""".stripMargin
   }
 
+  /** [[coocPmi]] minimum pair support (noise floor below which PMI
+    * estimates are rank-garbage — the standard word2vec/GloVe prune). */
+  private val PmiMinCount = 5L
+
+  /** Skip-gram co-occurrence PMI over a ±2-token forward window — THE
+    * preprocessing statistic of embedding training (word2vec's unigram
+    * table, GloVe's co-occurrence matrix, PPMI-SVD embeddings all start
+    * here), and the windowed generalization of [[TextAnalysis]]'s
+    * adjacent-only `bigram_lift`: PMI(w₁,w₂) = ln(c₁₂·T / (c₁·c₂))
+    * over pair events, with margins taken on the pair table itself.
+    * The ln argument is formed from exact integer products with ONE
+    * double division before the log (the psi_drift convention), so the
+    * integral-micros PMI is hash-stable cross-engine. Pairs below
+    * [[PmiMinCount]] support are pruned; top-100 by PMI ships.
+    *
+    * Scale shape: the window pairing is a SHIFTED EQUI-JOIN — each
+    * token emits its two forward target positions and joins on
+    * (doc, position), so fan-out is exactly 2 rows/token, never the
+    * len² a doc-keyed self-join would plan; everything downstream is
+    * (vocab²-bounded) pair-cell aggregation with map-side partials
+    * and broadcast margins re-attach. */
+  def coocPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toksed = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+    val left = toksed.select(col("doc_id"),
+      explode(array(col("pos") + 1, col("pos") + 2)).as("pos"), col("w").as("w1"))
+    val pairs = left
+      .join(toksed.select(col("doc_id"), col("pos"), col("w").as("w2")),
+        Seq("doc_id", "pos"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // vocab²-bounded; feeds margins, total and output
+    val tot = pairs.agg(sum("c12").as("tp"))
+    val lm = pairs.groupBy("w1").agg(sum("c12").as("cl"))
+    val rm = pairs.groupBy("w2").agg(sum("c12").as("cr"))
+    pairs.filter(col("c12") >= PmiMinCount)
+      .join(broadcast(lm), "w1").join(broadcast(rm), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"), col("cl"), col("cr"),
+        expr("""CAST(round(ln(CAST(c12 * tp AS DOUBLE) / CAST(cl * cr AS DOUBLE))
+               |     * 1000000) AS BIGINT)""".stripMargin).as("pmi_micros"))
+      .orderBy(desc("pmi_micros"), col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  private val coocPmiSql: String =
+    s"""WITH toksed AS (
+       |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents
+       |), prs AS (
+       |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS pr
+       |  FROM toksed
+       |  UNION ALL
+       |  SELECT unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+2]))
+       |  FROM toksed
+       |), sp AS (
+       |  SELECT string_split(pr, ' ')[1] AS w1, string_split(pr, ' ')[2] AS w2 FROM prs
+       |), pairs AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM sp GROUP BY w1, w2
+       |), tot AS (SELECT CAST(sum(c12) AS BIGINT) AS tp FROM pairs
+       |), lm AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cl FROM pairs GROUP BY w1
+       |), rm AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS cr FROM pairs GROUP BY w2
+       |)
+       |SELECT p.w1, p.w2, p.c12, l.cl, r.cr,
+       |       CAST(round(ln(CAST(p.c12 * t.tp AS DOUBLE) / CAST(l.cl * r.cr AS DOUBLE))
+       |            * 1000000) AS BIGINT) AS pmi_micros
+       |FROM pairs p JOIN lm l USING (w1) JOIN rm r USING (w2) CROSS JOIN tot t
+       |WHERE p.c12 >= $PmiMinCount
+       |ORDER BY pmi_micros DESC, w1, w2 LIMIT 100""".stripMargin
+
   private val langCaseSql: String = {
     // identical argmax fold in SQL: nested CASE chain, same > comparisons
     val scoreSql = Profiles.map { case (lang, words) =>
@@ -1958,6 +2026,7 @@ object TextAnalysis {
         |ORDER BY n DESC, token LIMIT 10""".stripMargin)(topkFrequent),
     QueryDef.sql("bm25_search", bm25Sql)(bm25Search),
     QueryDef.sql("prf_expand", prfExpandSql)(prfExpand),
+    QueryDef.sql("cooc_pmi", coocPmiSql)(coocPmi),
     QueryDef.sql("fingerprint",
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),

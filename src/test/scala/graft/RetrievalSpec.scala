@@ -314,4 +314,29 @@ class RetrievalSpec extends SparkSpec {
     // the original query must never expand into itself
     assert(got.forall(r => !TextAnalysis.Bm25Terms.contains(r._1)))
   }
+
+  test("cooc_pmi replays the windowed pair census and PMI ranking") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).split(" ", -1).filter(_.nonEmpty))
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { w =>
+      for (i <- w.indices; d <- 1 to 2 if i + d < w.length) {
+        val k = (w(i), w(i + d))
+        pairCnt(k) = pairCnt.getOrElse(k, 0L) + 1L
+      }
+    }
+    val tp = pairCnt.values.sum
+    val cl = pairCnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cr = pairCnt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val want = pairCnt.toSeq.filter(_._2 >= 5L).map { case ((a, b), c) =>
+      val pmi = math.round(
+        math.log((c * tp).toDouble / (cl(a) * cr(b)).toDouble) * 1e6)
+      (a, b, c, cl(a), cr(b), pmi)
+    }.sortBy { case (a, b, _, _, _, pmi) => (-pmi, a, b) }.take(100)
+    val got = TextAnalysis.coocPmi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+  }
 }

@@ -901,6 +901,42 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("lift_deciles replays the top-down cumulative gains table") {
+    val scored = graft.ops.TextAnalysis.lmBigramScore(spark, sfDir)
+      .select("doc_id", "avg_micros")
+      .join(graft.ops.Curation.qualityClassifier(spark, sfDir)
+        .select("doc_id", "keep"), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    val n = scored.length.toLong
+    val p = scored.count(_._2).toLong
+    val cells = scored.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, g) =>
+      (v, g.count(_._2).toLong, g.length.toLong)
+    }
+    var cle = 0L
+    val byDec = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    cells.foreach { case (_, na, nc) =>
+      cle += nc
+      val dec = ((n - cle) * 10) / n
+      val (d0, d1) = byDec.getOrElse(dec, (0L, 0L))
+      byDec(dec) = (d0 + nc, d1 + na)
+    }
+    val got = Stats.liftDeciles(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq.sorted)
+    var (cumN, cumP) = (0L, 0L)
+    got.foreach { r =>
+      val (nd, pd) = byDec(r.getLong(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == pd, s"decile ${r.getLong(0)}")
+      cumN += nd; cumP += pd
+      assert(r.getLong(3) == cumN && r.getLong(4) == cumP)
+      assert(r.getLong(5) == cumP * 1000000L / p)
+      assert(r.getLong(6) == (BigInt(cumP) * n * 1000000 / (BigInt(cumN) * p)).toLong)
+    }
+    // the whole-corpus row recovers gain = 1, lift = 1 exactly
+    val last = got.last
+    assert(last.getLong(3) == n && last.getLong(4) == p)
+    assert(last.getLong(5) == 1000000L && last.getLong(6) == 1000000L)
+  }
+
   test("brier decomposition terms replay and satisfy the Murphy bounds") {
     val scored = graft.ops.TextAnalysis.lmBigramScore(spark, sfDir)
       .select("doc_id", "avg_micros")
