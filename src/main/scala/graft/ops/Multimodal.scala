@@ -249,6 +249,75 @@ object Multimodal {
        |    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= $MediaMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** DCT perceptual hash per asset (`media_phash`): the pHash
+    * construction ([[graft.functions.MediaMath.pHash63]] — 8×8 region
+    * means → integer 2-D DCT-II over the shared milli-quantized cosine
+    * table → AC-coefficient sign bits), hashed twice per asset: the
+    * original payload and the deterministic re-encoded variant
+    * (stride-[[ReencodeStride]] byte perturbation, the media_neardup
+    * convention). The shipped Hamming distance between the two is the
+    * property a perceptual hash exists for — a re-encode moves the
+    * signature a FEW bits, where a cryptographic hash (media_dedup's
+    * md5) moves ~half of them; aHash reads local region brightness,
+    * pHash reads global frequency structure, so the pair covers both
+    * classic near-dup signatures. The oracle recomputes the identical
+    * transform in SQL from the hex dump, with the SAME 64 cosine
+    * literals embedded — no engine calls its own libm.
+    *
+    * Scale shape: one codegen'd O(bytes) pass + a fixed 4096-term
+    * transform per row; no shuffle, no driver state — scan speed at
+    * any corpus size. */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.mediaPHash(col("payload")).as("phash"),
+        graft.functions.MediaFunctions.mediaPHash(col("payload"), ReencodeStride)
+          .as("phash_var"))
+      .withColumn("hamming", expr("CAST(bit_count(phash ^ phash_var) AS BIGINT)"))
+      .orderBy("doc_id")
+
+  private val mediaPhashSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, 0 AS stride FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, hex(encode(text)), $ReencodeStride FROM documents
+       |), pos AS (
+       |  SELECT doc_id, stride, i,
+       |    CASE WHEN stride > 0 AND (i - 1) % stride = 0 THEN 88
+       |         ELSE (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+       |            + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1)
+       |    END AS b,
+       |    ((i - 1) * 64) // (len(hx) // 2) AS r
+       |  FROM corpus,
+       |       (SELECT unnest(generate_series(1,
+       |          (SELECT max(len(hx)) // 2 FROM corpus))) AS i) p
+       |  WHERE i <= len(hx) // 2
+       |), mean AS (
+       |  SELECT doc_id, stride, r,
+       |         CAST(sum(b) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS m
+       |  FROM pos GROUP BY doc_id, stride, r
+       |), ct(u, i, c) AS (VALUES ${graft.functions.MediaMath.cosqSqlValues}
+       |), dct AS (
+       |  SELECT mn.doc_id, mn.stride, cu.u AS u, cv.u AS v,
+       |         sum(cu.c * cv.c * mn.m) AS coeff
+       |  FROM mean mn
+       |  JOIN ct cu ON cu.i = mn.r // 8
+       |  JOIN ct cv ON cv.i = mn.r % 8
+       |  GROUP BY 1, 2, 3, 4
+       |), sig AS (
+       |  SELECT doc_id, stride,
+       |    CAST(sum(CASE WHEN (u != 0 OR v != 0) AND coeff > 0
+       |         THEN CAST(1 AS BIGINT) << CAST(u * 8 + v - 1 AS INT) ELSE 0 END)
+       |      AS BIGINT) AS ph
+       |  FROM dct GROUP BY doc_id, stride
+       |)
+       |SELECT a.doc_id, a.ph AS phash, b.ph AS phash_var,
+       |       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id = b.doc_id AND b.stride > 0
+       |WHERE a.stride = 0
+       |ORDER BY a.doc_id""".stripMargin
+
   /** WebDataset-style shard manifest — the packing plan every
     * multimodal training pipeline writes before tarring assets into
     * fixed shard files: each asset routes to one of
@@ -293,6 +362,7 @@ object Multimodal {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("media_neardup", mediaNearDupSql)(mediaNearDup),
+    QueryDef.sql("media_phash", mediaPhashSql)(mediaPhash),
     QueryDef.sql("media_shard_manifest", mediaShardManifestSql)(mediaShardManifest),
     QueryDef.sql("media_dedup",
       """WITH corpus AS (

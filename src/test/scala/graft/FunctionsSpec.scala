@@ -252,4 +252,46 @@ class FunctionsSpec extends SparkSpec {
     assert(df(1) == "<ll><l>")
     assert(df(2) == "<a><bc><d>")
   }
+
+  test("pHash63 replays an independent BigInt DCT and is perceptually stable") {
+    import graft.functions.MediaMath
+    // independent replay: region means -> 2-D DCT over the shared
+    // integer cosine table -> AC sign bits, all in BigInt
+    def replay(payload: Array[Byte], stride: Int): Long = {
+      val n = payload.length
+      if (n == 0) return 0L
+      val sums = new Array[Long](64); val lens = new Array[Long](64)
+      for (i <- 0 until n) {
+        val b = if (stride > 0 && i % stride == 0) 88L else (payload(i) & 0xFF).toLong
+        val r = (i.toLong * 64 / n).toInt
+        sums(r) += b; lens(r) += 1
+      }
+      val mean = (0 until 64).map(r => if (lens(r) == 0) BigInt(0)
+        else BigInt(sums(r)) * 1000000 / lens(r))
+      var sig = 0L
+      for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) {
+        val coeff = (0 until 64).map(r =>
+          BigInt(MediaMath.CosQ(u)(r / 8)) * MediaMath.CosQ(v)(r % 8) * mean(r)).sum
+        if (coeff > 0) sig |= 1L << (u * 8 + v - 1)
+      }
+      sig
+    }
+    val samples = Seq("key agg row scan slow fast table value part hash",
+      "batch window spark order data column agg join small line",
+      "x", "").map(_.getBytes("UTF-8"))
+    samples.foreach { p =>
+      assert(MediaMath.pHash63(p, 0) == replay(p, 0))
+      assert(MediaMath.pHash63(p, 97) == replay(p, 97))
+    }
+    assert(MediaMath.pHash63(Array.empty[Byte], 0) == 0L)
+    // the perceptual property: a stride-97 re-encode moves FEW bits;
+    // unrelated payloads differ in many
+    val a  = samples(0); val b = samples(1)
+    val ha = MediaMath.pHash63(a, 0); val hav = MediaMath.pHash63(a, 97)
+    val hb = MediaMath.pHash63(b, 0)
+    assert(java.lang.Long.bitCount(ha ^ hav) <= 12,
+      s"re-encode moved ${java.lang.Long.bitCount(ha ^ hav)} bits")
+    assert(java.lang.Long.bitCount(ha ^ hb) > 12,
+      "unrelated assets must sit far apart")
+  }
 }
