@@ -762,6 +762,52 @@ object Events {
         |FROM events ORDER BY event_id""".stripMargin)(jsonFuncs),
     QueryDef.sql("stream_tumbling", tumblingOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedTumbling(s, d)),
+    // three-micro-batch late-data run (on-time minus carrier, carrier,
+    // late): the oracle states the engine's TWO-watermark drop rule
+    // exactly — batch 1 = on-time-minus-carrier final counts; batch 2
+    // re-emits the carrier's window; batch 3 re-emits only windows
+    // that ACCEPTED late rows under the armed late-events watermark
+    // W = floor-ms(max on-time ts) − 600s (accept iff ws + 1h > W)
+    QueryDef.sql("stream_late_drops",
+      """WITH ev AS (
+        |  SELECT event_id, ts, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), ont AS (SELECT * FROM ev WHERE event_id % 5 != 0
+        |), late AS (SELECT * FROM ev WHERE event_id % 5 = 0
+        |), car AS (SELECT * FROM ont ORDER BY ts DESC, event_id DESC LIMIT 1
+        |), a AS (SELECT * FROM ont WHERE event_id NOT IN (SELECT event_id FROM car)
+        |), wm AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS w FROM ont
+        |), wa AS (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
+        |         CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sv
+        |  FROM a GROUP BY 1, 2
+        |), b1 AS (
+        |  SELECT c.ws_ms, c.event_type,
+        |         coalesce(wa.n, 0) + 1 AS n, coalesce(wa.sv, 0) + c.cents AS sv
+        |  FROM (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type, cents
+        |        FROM car) c
+        |  LEFT JOIN wa ON c.ws_ms = wa.ws_ms AND c.event_type = wa.event_type
+        |), onw AS (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, event_type,
+        |         CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sv
+        |  FROM ont GROUP BY 1, 2
+        |), acc AS (
+        |  SELECT (epoch_ms(late.ts) // 3600000) * 3600000 AS ws_ms, late.event_type,
+        |         CAST(count(*) AS BIGINT) AS n, CAST(sum(late.cents) AS BIGINT) AS sv
+        |  FROM late CROSS JOIN wm
+        |  WHERE (epoch_ms(late.ts) // 3600000) * 3600000 + 3600000 > wm.w
+        |  GROUP BY 1, 2
+        |), b2 AS (
+        |  SELECT acc.ws_ms, acc.event_type,
+        |         acc.n + coalesce(onw.n, 0) AS n, acc.sv + coalesce(onw.sv, 0) AS sv
+        |  FROM acc LEFT JOIN onw ON acc.ws_ms = onw.ws_ms AND acc.event_type = onw.event_type
+        |)
+        |SELECT ws_ms, event_type, n, sv AS sum_value_cents FROM wa
+        |UNION ALL SELECT ws_ms, event_type, n, sv FROM b1
+        |UNION ALL SELECT ws_ms, event_type, n, sv FROM b2
+        |ORDER BY ws_ms, event_type, n""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedLateDrops(s, d)),
     QueryDef.sql("stream_enrich",
       """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey

@@ -127,6 +127,67 @@ object Streams {
   private[graft] final case class BoundedRun(
       result: DataFrame, stateCustomMetrics: Set[String])
 
+  /** Watermark LATE-DATA ACCOUNTING through the real engine — the one
+    * watermark behavior no other bounded run exercises: rows arriving
+    * AFTER the watermark passed their window are silently dropped, and
+    * the drop set is deterministic. The fixture splits by a pure id
+    * rule into on-time (event_id % 5 ≠ 0) and late rows, staged as
+    * THREE mtime-ordered files fed through `maxFilesPerTrigger=1`:
+    * batch 1 = the on-time rows minus a single CARRIER row (the
+    * on-time max-ts event), batch 2 = the carrier, batch 3 = the late
+    * 20%. The carrier batch exists because this engine runs the
+    * TWO-watermark model (SPARK-42376): a batch's LATE-data filter
+    * uses the PREVIOUS batch's watermark while state EVICTION uses the
+    * current one — probe-pinned in `WmProbeSpec`, where a 2-file run
+    * accepts everything and a 3-file run drops exactly the stale rows.
+    * After the carrier commits, batch 3's late filter holds the full
+    * on-time watermark W = floor-ms(max on-time ts) − 600 000, and the
+    * engine accepts exactly the late rows whose window is still open
+    * (ws + 1 h > W) — what happens to a straggling upstream partition
+    * in production. Update output mode makes the accounting OBSERVABLE
+    * in the result: per window, one row from batch 1, one more for the
+    * carrier's window, and a third, larger row ONLY for windows that
+    * accepted late rows — windows whose late rows all dropped never
+    * re-emit. The oracle states the full rule in SQL, so the late-drop
+    * semantics are hash-pinned, not assumed.
+    *
+    * Scale: state is open-windows only, the staging is fixture
+    * plumbing, and the drop rule is the same O(1) per-row filter the
+    * engine applies at any volume. */
+  def runBoundedLateDrops(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.withTempDir("graft-late") { tmp =>
+      val events = graft.tables.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .localCheckpoint() // three filtered writes + the carrier agg
+      val onTime  = events.filter(col("event_id") % 5 =!= 0)
+      val carrier = onTime.orderBy(desc("ts"), desc("event_id")).limit(1)
+        .localCheckpoint() // 1 row; anti-joined against the A file
+      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
+        val d = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(d)
+        val part = new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$tmp/src/$name.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+        ()
+      }
+      stage("a_ontime", onTime.join(
+        carrier.select(col("event_id").as("cid")),
+        col("event_id") === col("cid"), "left_anti"), 1000000L)
+      stage("b_carrier", carrier, 2000000L)
+      stage("c_late", events.filter(col("event_id") % 5 === 0), 3000000L)
+      graft.ops.Checkpoints.free(events)
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/src")
+      runBounded(spark, "stream_late_drops",
+        tumblingAgg(src.withWatermark("ts", "10 minutes")),
+        OutputMode.Update(), Seq("ws_ms", "event_type", "n"))
+    }
+
   /** Stream-static enrichment through the engine, driver-checked: each
     * micro-batch of the bounded events stream broadcast-joins the
     * static customer dimension ([[enrich]]); per-event output rows are
@@ -204,7 +265,7 @@ object Streams {
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")) {
         q.recentProgress.foreach(p => System.err.println(
           s"[stream-debug] $prefix batch=${p.batchId} rows=${p.numInputRows} " +
-            s"durationMs=${p.durationMs}"))
+            s"durationMs=${p.durationMs} eventTime=${p.eventTime}"))
         val trig = q.recentProgress
           .map(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)).sum
         System.err.println(f"[stream-debug] $prefix start+run=${(t1 - t0) / 1e9}%.2f s " +
