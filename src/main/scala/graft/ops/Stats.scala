@@ -2853,6 +2853,174 @@ object Stats {
       |         END AS BIGINT) AS rho2_ppm
       |FROM by_variant CROSS JOIN pooled ORDER BY variant""".stripMargin
 
+  /** Sign-flip patterns drawn for [[permutationTest]] — 64 keeps the
+    * add-one p-value resolution at 1/65 ≈ 0.015, the cheapest grid
+    * that still resolves p < 0.05, and the full pattern×cell table at
+    * 65·O(days) rows. */
+  private val PermP = 64
+
+  /** Paired sign-flip permutation test (Fisher 1935; the add-one
+    * p-value per Phipson & Smith 2010) for "do clicks and purchases
+    * move the same daily value volume?" — the assumption-free
+    * complement of [[welchT]] (no normality, no variance model: under
+    * H₀ the per-day difference dᵢ = clickᵢ − purchaseᵢ is symmetric,
+    * so every ±-flip of the observed differences is equally likely and
+    * the null distribution is built from the data itself). T = Σ±dᵢ
+    * over [[PermP]] derandomized flip patterns — the [[bootstrapCi]]
+    * Knuth-hash-on-(key, draw) convention, identical on both engines,
+    * rerun-stable; the sign reads the hash as a THRESHOLD (u < 5·10⁵),
+    * never its low bit, because an odd multiplier mod an even modulus
+    * PRESERVES input parity — the parity form measurably collapsed all
+    * 64 patterns onto the two alternating-day flips — plus the
+    * identity pattern p=0 (T₀ = T_obs);
+    * p-value = (#{p ≥ 1 : |Tₚ| ≥ |T_obs|} + 1)/(PermP + 1) in exact
+    * integral micros. Everything is integer millis sums: no division
+    * until the final quantized ratio, so the hash gate sees exact
+    * values.
+    *
+    * Scale shape: the corpus collapses to per-DAY paired cells first
+    * (calendar-bounded, the kendall_tau convention), the pattern
+    * explode is 65·O(days) rows, and each Tₚ is one partial-aggregated
+    * groupBy over that bounded table — no window, no driver state. */
+  def permutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(
+        sum(when(col("event_type") === "click",
+          expr("CAST(round(value * 1000) AS BIGINT)")).otherwise(0L)).as("cv"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 1000) AS BIGINT)")).otherwise(0L)).as("pv"))
+      .select(col("day"), (col("cv") - col("pv")).as("d"))
+    val flipped = daily
+      .select(col("day"), col("d"),
+        explode(sequence(lit(0), lit(PermP))).as("p"))
+      .select(col("p").cast("long").as("p"),
+        when(col("p") === 0, col("d")).otherwise(
+          when(expr("((((day % 999983) * 31 + p) % 999983) * 2654435761) % 1000000 < 500000"),
+            col("d")).otherwise(-col("d"))).as("sd"))
+      .groupBy("p").agg(sum("sd").as("t_perm_millis"))
+      .localCheckpoint() // PermP+1 rows; feeds the observed row and the output
+    val obs = flipped.filter(col("p") === 0)
+      .select(col("t_perm_millis").as("t_obs_millis"))
+    val withObs = flipped.crossJoin(broadcast(obs))
+      .withColumn("is_extreme",
+        col("p") > 0 && abs(col("t_perm_millis")) >= abs(col("t_obs_millis")))
+      .localCheckpoint() // PermP+1 rows; feeds the p-value and the output
+    val pv = withObs.agg(
+      expr(s"CAST(((sum(CASE WHEN is_extreme THEN 1 ELSE 0 END) + 1) * 1000000) div ${PermP + 1} AS BIGINT)")
+        .as("p_value_micros"))
+    withObs.crossJoin(broadcast(pv))
+      .select(col("p"), col("t_perm_millis"), col("is_extreme"),
+        col("t_obs_millis"), col("p_value_micros"))
+      .orderBy("p")
+  }
+
+  private val permSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_ms(ts) // 86400000 AS day,
+       |         CAST(sum(CASE WHEN event_type = 'click'
+       |                       THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END)
+       |              - sum(CASE WHEN event_type = 'purchase'
+       |                         THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END)
+       |              AS BIGINT) AS d
+       |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+       |), pats AS (SELECT unnest(generate_series(0, $PermP)) AS p),
+       |flipped AS (
+       |  SELECT CAST(p AS BIGINT) AS p,
+       |         CAST(sum(CASE WHEN p = 0 THEN d
+       |                       WHEN ((((day % 999983) * 31 + p) % 999983) * 2654435761) % 1000000 < 500000 THEN d
+       |                       ELSE -d END) AS BIGINT) AS t_perm_millis
+       |  FROM daily CROSS JOIN pats GROUP BY 1
+       |), obs AS (SELECT t_perm_millis AS t_obs_millis FROM flipped WHERE p = 0),
+       |flagged AS (
+       |  SELECT f.*, o.t_obs_millis,
+       |         f.p > 0 AND abs(f.t_perm_millis) >= abs(o.t_obs_millis) AS is_extreme
+       |  FROM flipped f CROSS JOIN obs o
+       |), pv AS (
+       |  SELECT CAST(((sum(CASE WHEN is_extreme THEN 1 ELSE 0 END) + 1) * 1000000)
+       |              // ${PermP + 1} AS BIGINT) AS p_value_micros
+       |  FROM flagged
+       |)
+       |SELECT p, t_perm_millis, is_extreme, t_obs_millis, p_value_micros
+       |FROM flagged CROSS JOIN pv ORDER BY p""".stripMargin
+
+  /** χ²(df=2) critical value at p = 0.001 in picos — df=2 has the
+    * closed form χ² = −2·ln(p), so the constant is exactly
+    * ⌊−2·ln(0.001)·10¹²⌋ = 13 815 510 557 964, not a table lookup. */
+  private val SrmCritPicos = 13815510557964L
+
+  /** Sample-ratio-mismatch guardrail (Fabijan et al. 2019, "Diagnosing
+    * Sample Ratio Mismatch") over [[Relational.sampleSplit]]'s 80/10/10
+    * train/val/test assignment — THE first validity check every
+    * experimentation / data-split pipeline runs before reading any
+    * downstream metric: if the realized unit counts don't match the
+    * configured ratios, the assignment itself is broken (biased hash,
+    * dropped logs, a filter applied after randomization) and every
+    * split-conditional statistic is suspect. Crucially the audit runs
+    * at the RANDOMIZATION UNIT (distinct order keys — the key the
+    * split is a function of), not at row level: lineitem rows per
+    * order vary, so row-level counts would flag benign imbalance the
+    * design never promised. χ² = Σ (10·obsᵢ − N·wᵢ)²/(10·N·wᵢ) over
+    * the integer weights (8,1,1); per-split terms quantize to exact
+    * integral picos in DECIMAL(38)/HUGEINT BEFORE the sum (the pr_auc
+    * convention) and the verdict compares against the df=2 closed-form
+    * p<0.001 critical value [[SrmCritPicos]] — terms are squares, so
+    * trunc-vs-floor cannot diverge cross-engine.
+    *
+    * Scale shape: the distinct on the unit key is the only data-sized
+    * shuffle (partial-agg pushed); everything after lives on ≤3 split
+    * cells + a broadcast 1-row total. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val units = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k")).distinct()
+      .select(
+        when(col("k") % 10 < 8, "train")
+          .when(col("k") % 10 === 8, "val")
+          .otherwise("test").as("split"))
+    val cells = units.groupBy("split").agg(count(lit(1)).as("n_units"))
+      .withColumn("w", when(col("split") === "train", 8L).otherwise(1L))
+      .localCheckpoint() // ≤3 rows; feeds the total and the output
+    val total = cells.agg(sum("n_units").as("n_total"))
+    val terms = cells.crossJoin(broadcast(total))
+      .select(col("split"), col("n_units"),
+        (col("n_total") * col("w")).as("exp_x10"),
+        expr("""CAST((CAST(10 * n_units - n_total * w AS DECIMAL(38,0))
+               |      * (10 * n_units - n_total * w) * 1000000000000)
+               |     div (CAST(10 AS DECIMAL(38,0)) * n_total * w) AS BIGINT)""".stripMargin)
+          .as("term_picos"))
+      .localCheckpoint() // ≤3 rows; feeds the χ² sum and the output
+    val chi2 = terms.agg(sum("term_picos").as("chi2_picos"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("split"), col("n_units"), col("exp_x10"), col("term_picos"),
+        col("chi2_picos"), (col("chi2_picos") > SrmCritPicos).as("srm_flag"))
+      .orderBy("split")
+  }
+
+  private val srmSql: String =
+    """WITH units AS (
+      |  SELECT DISTINCT l_orderkey AS k FROM lineitem
+      |), cells AS (
+      |  SELECT CASE WHEN k % 10 < 8 THEN 'train'
+      |              WHEN k % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+      |         CAST(count(*) AS BIGINT) AS n_units
+      |  FROM units GROUP BY 1
+      |), weighted AS (
+      |  SELECT split, n_units,
+      |         CASE WHEN split = 'train' THEN 8 ELSE 1 END AS w
+      |  FROM cells
+      |), total AS (SELECT CAST(sum(n_units) AS BIGINT) AS n_total FROM weighted),
+      |terms AS (
+      |  SELECT split, n_units, CAST(n_total * w AS BIGINT) AS exp_x10,
+      |         CAST((CAST(10 * n_units - n_total * w AS HUGEINT)
+      |               * (10 * n_units - n_total * w) * 1000000000000)
+      |              // (CAST(10 AS HUGEINT) * n_total * w) AS BIGINT) AS term_picos
+      |  FROM weighted CROSS JOIN total
+      |), chi AS (SELECT CAST(sum(term_picos) AS BIGINT) AS chi2_picos FROM terms)
+      |SELECT split, n_units, exp_x10, term_picos, chi2_picos,
+      |       chi2_picos > 13815510557964 AS srm_flag
+      |FROM terms CROSS JOIN chi ORDER BY split""".stripMargin
+
   /** Difference-in-differences estimator (Card & Krueger 1994 made it
     * canon — the causal readout when assignment isn't random but a
     * pre-period exists; the observational sibling of [[cupedAdjust]],
@@ -2946,6 +3114,8 @@ object Stats {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("diff_in_diff", didSql)(diffInDiff),
+    QueryDef.sql("srm_check", srmSql)(srmCheck),
+    QueryDef.sql("permutation_test", permSql)(permutationTest),
     QueryDef.sql("survival_km", survivalKmSql)(survivalKm),
     QueryDef.sql("cuped_adjust", cupedSql)(cupedAdjust),
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),

@@ -963,4 +963,62 @@ class StatsSpec extends SparkSpec {
     assert(row.getLong(5) >= 0L && row.getLong(5) <= 250000000000L)
     assert(row.getLong(4) <= row.getLong(5) + 1000000L) // floor-jitter slack
   }
+
+  test("srm_check replays the unit-level chi-square in BigInt and agrees with the df=2 gate") {
+    val units = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey")).distinct()
+      .collect().map(_.getLong(0))
+    val obs = units.groupBy { k =>
+      if (k % 10 < 8) "train" else if (k % 10 == 8) "val" else "test"
+    }.view.mapValues(_.length.toLong).toMap
+    val n = units.length.toLong
+    def w(s: String): Long = if (s == "train") 8L else 1L
+    val rows = Stats.srmCheck(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("test", "train", "val"))
+    var chi2 = BigInt(0)
+    val terms = rows.map { r =>
+      val s = r.getString(0)
+      val dev = BigInt(10L * obs(s) - n * w(s))
+      val term = dev * dev * BigInt(1000000000000L) / (BigInt(10) * n * w(s))
+      chi2 += term
+      assert(r.getLong(1) == obs(s) && r.getLong(2) == n * w(s))
+      assert(BigInt(r.getLong(3)) == term)
+      term
+    }
+    assert(terms.length == 3)
+    rows.foreach { r =>
+      assert(BigInt(r.getLong(4)) == chi2)
+      assert(r.getBoolean(5) == (chi2 > BigInt(13815510557964L)))
+    }
+  }
+
+  test("permutation_test replays the derandomized flips and the null is not degenerate") {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(
+        (sum(when(col("event_type") === "click", expr("CAST(round(value * 1000) AS BIGINT)")).otherwise(0L)) -
+          sum(when(col("event_type") === "purchase", expr("CAST(round(value * 1000) AS BIGINT)")).otherwise(0L))).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tObs = daily.map(_._2).sum
+    def tPerm(p: Long): Long = daily.map { case (day, d) =>
+      val u = ((((day % 999983L) * 31L + p) % 999983L) * 2654435761L) % 1000000L
+      if (p == 0L || u < 500000L) d else -d
+    }.sum
+    val rows = Stats.permutationTest(spark, sfDir).collect()
+    assert(rows.length == 65)
+    var extreme = 0L
+    rows.foreach { r =>
+      val p = r.getLong(0)
+      assert(r.getLong(1) == tPerm(p))
+      assert(r.getLong(3) == tObs)
+      val isExt = p > 0 && math.abs(tPerm(p)) >= math.abs(tObs)
+      assert(r.getBoolean(2) == isExt)
+      if (isExt) extreme += 1
+    }
+    rows.foreach(r => assert(r.getLong(4) == (extreme + 1) * 1000000L / 65L))
+    // degeneracy guard: the parity-bit form collapsed every pattern onto
+    // the two alternating-day flips — the threshold form must not
+    assert(rows.map(r => math.abs(r.getLong(1))).distinct.length > 4)
+  }
 }
