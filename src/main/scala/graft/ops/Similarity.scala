@@ -632,6 +632,140 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** [[mmrRerank]] candidate depth (the retrieval stage's R) and the
+    * number of greedy picks (the served K). */
+  private val MmrCand = 15
+  private val MmrK = 5
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversification pass between retrieval and serving
+    * that keeps a result page (or a RAG context window) from spending
+    * its K slots on near-duplicates of one hit: greedily pick
+    * argmax_c λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s) with λ = 0.7.
+    * Scores are EXACT integers: cosines quantize to micros first (the
+    * rounded-double replay [[annBruteforce]] proved, then ×10⁶), and
+    * the greedy objective is 7·rel − 3·maxsim in λ-tenths·micros, so
+    * every comparison the greedy makes is integer-exact cross-engine;
+    * ties break on the smaller neighbor id. The [[MmrK]]-step loop is
+    * UNROLLED into the plan (constant plan size — step k is a join
+    * against the k−1 picks so far, never a driver loop over rows).
+    *
+    * Scale shape: per-query work is constant (R candidates, R² sim
+    * matrix, K unrolled argmax steps over ≤NumQueries·R-row frames) —
+    * the corpus appears only in the candidate generation, which is the
+    * brute-force scan here so the oracle can replay it exactly; in
+    * production the same greedy runs unchanged on [[annRefine]]'s
+    * IVFPQ candidate stream. Each greedy step's pick table
+    * localCheckpoints (Q·k rows) because it feeds both the next step's
+    * anti-join and the max-sim attach. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = base.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("embedding")), 6).as("sim"))
+    val cands = rankedTopK(spark, pairs, MmrCand)
+      .select(col("query_id"), col("neighbor_id"),
+        expr("CAST(round(sim * 1000000) AS BIGINT)").as("rel"))
+      .localCheckpoint() // Q·R rows; feeds simmat, every greedy step, and the output
+    val withVec = broadcast(cands)
+      .join(base.select(col("vec_id"), col("embedding")), col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("embedding"))
+    val simmat = withVec.as("a")
+      .join(withVec.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("ca"), col("b.neighbor_id").as("cb"),
+        (round(round(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
+          * 1000000)).cast("long").as("s"))
+      .localCheckpoint() // Q·R·(R−1) rows; feeds all MmrK−1 greedy steps
+    var sel = cands.groupBy("query_id")
+      .agg(max(struct(col("rel").as("r"), (-col("neighbor_id")).as("nn"))).as("t"))
+      .select(col("query_id"), (-col("t.nn")).as("sid"),
+        lit(1L).as("step"), (lit(7L) * col("t.r")).as("mmr"))
+      .localCheckpoint()
+    for (k <- 2 to MmrK) {
+      val selNow = sel.select(col("query_id").as("sq"), col("sid"))
+      val maxsim = simmat
+        .join(broadcast(selNow), col("query_id") === col("sq") && col("cb") === col("sid"))
+        .groupBy(col("query_id").as("mq"), col("ca"))
+        .agg(max(col("s")).as("maxsim"))
+      val pick = cands.as("c")
+        .join(sel.select(col("query_id").as("xq"), col("sid").as("xid")),
+          col("c.query_id") === col("xq") && col("c.neighbor_id") === col("xid"),
+          "left_anti")
+        .join(maxsim, col("c.query_id") === col("mq") && col("c.neighbor_id") === col("ca"))
+        .select(col("c.query_id").as("query_id"), col("c.neighbor_id").as("neighbor_id"),
+          (lit(7L) * col("c.rel") - lit(3L) * col("maxsim")).as("mmr"))
+        .groupBy("query_id")
+        .agg(max(struct(col("mmr").as("m"), (-col("neighbor_id")).as("nn"))).as("t"))
+        .select(col("query_id"), (-col("t.nn")).as("sid"),
+          lit(k.toLong).as("step"), col("t.m").as("mmr"))
+      sel = sel.unionByName(pick).localCheckpoint() // Q·k rows; feeds next step twice + output
+    }
+    sel.join(cands.select(col("query_id").as("cq"),
+        col("neighbor_id").as("cid"), col("rel")),
+        col("query_id") === col("cq") && col("sid") === col("cid"))
+      .select(col("query_id"), col("step"), col("sid").as("neighbor_id"),
+        col("rel").as("rel_micros"), col("mmr").as("mmr_score"))
+      .orderBy("query_id", "step")
+  }
+
+  /** [[mmrRerank]] oracle: the same unrolled greedy in SQL — step k's
+    * CTE scores the not-yet-picked candidates against the k−1 picks
+    * and row_number-selects the argmax with the same id tie-break. */
+  // lazy: cosineSql is declared further down the object body
+  private lazy val mmrSql: String = {
+    val steps = (2 to MmrK).map { k =>
+      s"""score$k AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         CAST(7 * c.rel - 3 * max(s.s) AS BIGINT) AS mmr
+         |  FROM cands c
+         |  JOIN simmat s ON s.query_id = c.query_id AND s.ca = c.neighbor_id
+         |  JOIN selu${k - 1} u ON u.query_id = s.query_id AND u.neighbor_id = s.cb
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${k - 1} x
+         |                    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+         |  GROUP BY c.query_id, c.neighbor_id, c.rel
+         |), sel$k AS (
+         |  SELECT query_id, neighbor_id, $k AS step, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rnk
+         |    FROM score$k)
+         |  WHERE rnk = 1
+         |), selu$k AS (SELECT * FROM selu${k - 1} UNION ALL SELECT * FROM sel$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         CAST(round($cosineSql * 1000000) AS BIGINT) AS rel
+       |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |), rankedc AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rnk
+       |  FROM pairs
+       |), cands AS (SELECT query_id, neighbor_id, rel FROM rankedc WHERE rnk <= $MmrCand),
+       |simmat AS (
+       |  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+       |         CAST(round(round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                    CAST(eb.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT) AS s
+       |  FROM cands a
+       |  JOIN cands b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+       |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+       |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+       |), sel1 AS (
+       |  SELECT query_id, neighbor_id, 1 AS step, CAST(7 * rel AS BIGINT) AS mmr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS r1
+       |    FROM cands)
+       |  WHERE r1 = 1
+       |), selu1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT u.query_id, CAST(u.step AS BIGINT) AS step, u.neighbor_id,
+       |       c.rel AS rel_micros, u.mmr AS mmr_score
+       |FROM selu$MmrK u
+       |JOIN cands c ON c.query_id = u.query_id AND c.neighbor_id = u.neighbor_id
+       |ORDER BY u.query_id, u.step""".stripMargin
+  }
+
   /** CTEs producing the scaled-kNN candidate `pairs` over relation
     * `src` (no leading WITH): the two-level quantizer sized k = ⌈n/B⌉
     * plus the in-list self-join. */
@@ -1099,6 +1233,7 @@ object Similarity {
          |SELECT c.vec_id, (d.vec_id IS NOT NULL) AS pruned
          |FROM corpus c LEFT JOIN dups d USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin)(knnDiversityPrune),
+    QueryDef.sql("mmr_rerank", mmrSql)(mmrRerank),
     QueryDef.sql("rrf_fusion", rrfSql)(rrfFusion),
     QueryDef.sql("hard_negatives", hardNegativesSql)(hardNegatives),
     QueryDef.sql("label_noise_detect", labelNoiseSql)(labelNoiseDetect),

@@ -372,4 +372,57 @@ class SimilaritySpec extends SparkSpec {
         s"doc ${r.getLong(0)}: fused bm25_rank ${r.get(1)} != retriever's ${bm25.get(r.getLong(0))}")
     }
   }
+
+  test("mmr_rerank replays the integer greedy on the driver and step 1 is pure relevance") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.mmrRerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length % 5 == 0)
+    // rebuild candidates + pairwise sims on the driver from the corpus
+    val emb = graft.tables.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosMicros(a: Array[Float], b: Array[Float]): Long = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      val c = BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.round(c * 1000000)
+    }
+    var departures = 0
+    rows.groupBy(_._1).foreach { case (q, picked) =>
+      val qv = emb(q)
+      val cands = emb.keysIterator.filter(_ != q).toSeq
+        .map(id => id -> cosMicros(qv, emb(id)))
+        .sortBy { case (id, rel) => (-rel, id) }.take(15)
+      val relOf = cands.toMap
+      var sel = Vector.empty[Long]
+      val expect = (1 to 5).map { k =>
+        val pick =
+          if (k == 1) cands.head
+          else cands.filterNot { case (id, _) => sel.contains(id) }
+            .map { case (id, rel) =>
+              (id, 7 * rel - 3 * sel.map(s => cosMicros(emb(id), emb(s))).max)
+            }
+            .sortBy { case (id, m) => (-m, id) }.head
+        sel :+= pick._1
+        (k.toLong, pick._1, pick._2)
+      }
+      val got = picked.sortBy(_._2).map(r => (r._2, r._3, r._5))
+      expect.zip(got).foreach { case ((ek, eid, escore), (gk, gid, gscore)) =>
+        assert(gk == ek && gid == eid, s"query $q step $ek: got $gid expected $eid")
+        val expScore = if (ek == 1L) 7 * relOf(eid) else escore
+        assert(gscore == expScore, s"query $q step $ek score")
+      }
+      if (got.map(_._2).toSeq != cands.take(5).map(_._1)) departures += 1
+    }
+    // the diversification property on this fixture: for at least one
+    // query the MMR order departs from the pure-relevance top-5 (else
+    // the λ-trade is degenerate and the op adds nothing over top-k)
+    assert(departures > 0, "MMR never departed from pure relevance")
+  }
 }
