@@ -101,6 +101,85 @@ object Dedup {
     docs.union(truncated)
   }
 
+  /** A line is boilerplate for [[lineDedup]] when it appears in more
+    * than this many DISTINCT documents (CCNet uses dup-in-shard; the
+    * RefinedWeb line-wise rules key on cross-document frequency too). */
+  private val LineMaxDocs = 5L
+
+  /** Cross-document repeated-LINE removal (CCNet's line-level dedup /
+    * RefinedWeb's line-wise boilerplate correction) — the web-corpus
+    * cleaning pass that kills nav bars, cookie banners and copyright
+    * footers, which exact-doc and near-dup dedup both miss because
+    * every PAGE is unique while its FURNITURE is identical: any line
+    * occurring in more than [[LineMaxDocs]] distinct documents is
+    * dropped from every document, and the survivors reassemble in
+    * their original positions. The fixture text is one flat line, so
+    * (the pii_redact convention) a deterministic page is synthesized
+    * per doc — a 3-variant nav header, the doc's two body halves, a
+    * 2-variant footer — and the GENERIC rule recovers exactly the
+    * planted furniture. Output: per doc the kept/dropped line counts
+    * and the md5 of the reassembled text (both engines agree on the
+    * digest, so the hash gate certifies the full reconstruction).
+    *
+    * Scale shape: the line-frequency shuffle carries (md5, doc_id) —
+    * 16-byte keys, never line text (the media_dedup convention); the
+    * count-distinct is a partial-aggregated groupBy on the hash; the
+    * verdict re-attaches via an equi-join on the hash and the
+    * reassembly is one per-doc groupBy whose state is the doc's own
+    * line list. No window, no driver state; a billion-page site's
+    * shared header is ONE hot hash cell (AQE skew handles it), not a
+    * cross-join. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val lines = docs.select(col("doc_id"),
+      posexplode(array(
+        concat(lit("nav home about contact v"), (col("doc_id") % 3).cast("string")),
+        expr("substring(text, 1, length(text) div 2)"),
+        expr("substring(text, length(text) div 2 + 1, length(text))"),
+        concat(lit("copyright footer y"), (col("doc_id") % 2).cast("string"))))
+        .as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("line"),
+        md5(col("line")).as("h"))
+      .localCheckpoint() // feeds the frequency agg and the reassembly
+    val freq = lines.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
+    lines.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("ndocs") <= LineMaxDocs, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("ndocs") > LineMaxDocs, 1L).otherwise(0L)).as("n_dropped"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("ndocs") <= LineMaxDocs, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val lineDedupSql: String =
+    s"""WITH lines AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+       |         'nav home about contact v' || CAST(doc_id % 3 AS VARCHAR) AS line
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 1, substr(text, 1, length(text) // 2) FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 2, substr(text, length(text) // 2 + 1, length(text)) FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 3, 'copyright footer y' || CAST(doc_id % 2 AS VARCHAR) FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, pos, line, md5(line) AS h FROM lines
+       |), freq AS (
+       |  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs FROM hashed GROUP BY h
+       |)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN ndocs <= $LineMaxDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN ndocs > $LineMaxDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       md5(coalesce(string_agg(CASE WHEN ndocs <= $LineMaxDocs THEN line END, chr(10) ORDER BY pos), ''))
+       |         AS kept_md5
+       |FROM hashed JOIN freq USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** LSH banding candidate pairs from a (idCol, text) frame, verified by
     * exact set-jaccard.
     *
@@ -1140,6 +1219,7 @@ object Dedup {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("fuzzy_join", fuzzyJoinSql)(fuzzyJoin),
+    QueryDef.sql("line_dedup", lineDedupSql)(lineDedup),
     QueryDef.sql("entity_resolve", entityResolveSql)(entityResolve),
     QueryDef.sql("semantic_dedup", semanticDedupSql)(semanticDedup),
     QueryDef.sql("dedup_exact",

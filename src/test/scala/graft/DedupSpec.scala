@@ -340,4 +340,37 @@ class DedupSpec extends SparkSpec {
     }
     assert(got.last._5 == firstSeen.size.toLong, "final vocab != corpus vocabulary")
   }
+
+  test("line_dedup drops exactly the planted furniture and the digest replays") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.ops.Dedup.lineDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val texts = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver replay: same synthesized page, same >5-distinct-docs rule
+    val pages = texts.map { case (id, t) =>
+      val half = t.length / 2
+      id -> Seq(
+        s"nav home about contact v${id % 3}",
+        t.substring(0, half),
+        t.substring(half),
+        s"copyright footer y${id % 2}")
+    }
+    val ndocs = pages.toSeq.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (id, kept, dropped, digest) =>
+      val ls = pages(id)
+      val keptLines = ls.filter(l => ndocs(l) <= 5)
+      assert(kept == keptLines.size.toLong && dropped == (ls.size - keptLines.size).toLong,
+        s"doc $id kept/dropped")
+      assert(digest == md5Hex(keptLines.mkString("\n")), s"doc $id digest")
+      // the planted furniture is always cut; the body halves survive
+      assert(dropped >= 2L, s"doc $id: header/footer not recognized as boilerplate")
+    }
+  }
 }
