@@ -357,6 +357,156 @@ object Graph {
        |       ELSE round(2.0 * coalesce(t.triangles, 0) / (d.deg * (d.deg - 1)), 6) END AS lcc
        |FROM deg d LEFT JOIN tc t ON d.node = t.node ORDER BY d.node""".stripMargin
 
+  /** [[kTruss]] fixture knobs: node space (denser than [[TriMod]] so
+    * the truss is populated — the 4999-space graph's 4-truss is EMPTY
+    * at every SF), the truss order k (each surviving edge must close
+    * ≥ k−2 triangles INSIDE the truss), and the peel-round bound
+    * (measured fixpoint: 7 rounds at sf0.01, 1 at sf0.1, 2 at
+    * sf0.001 — 10 leaves margin; below the bound the result is exact
+    * round-replay parity with the oracle, the kcore convention). */
+  private val TrussMod    = 997
+  private val KTrussK     = 4
+  private val KTrussRounds = 10
+
+  /** Canonical distinct u<v edge list in the [[TrussMod]] node space. */
+  private def trussEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select((col("o_custkey") % TrussMod).as("a"), (col("o_orderkey") % TrussMod).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+
+  /** Per-edge triangle SUPPORT over a canonical u<v edge table — the
+    * [[triangleCountOn]] wedge machinery re-aimed at edges: every
+    * closed wedge credits its three edges. Fully lazy; callers
+    * checkpoint what they reuse. */
+  private def edgeSupportOn(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ej = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val or = ej.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    val tri = or.as("a").join(or.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("c0"), col("a.dst").as("x"), col("b.dst").as("y"))
+      .join(e, col("x") === col("u") && col("y") === col("v"))
+    tri.select(explode(array(
+        struct(least(col("c0"), col("x")).as("u"), greatest(col("c0"), col("x")).as("v")),
+        struct(least(col("c0"), col("y")).as("u"), greatest(col("c0"), col("y")).as("v")),
+        struct(col("x").as("u"), col("y").as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("s"))
+  }
+
+  /** k-truss decomposition at k = [[KTrussK]] (Cohen 2008) — the
+    * triangle-cohesion community core [[kcoreDecompose]]'s pure degree
+    * peel cannot see (a star has high degree and zero triangles; a
+    * k-truss is the maximal subgraph where every EDGE closes ≥ k−2
+    * triangles, so it certifies overlapping-neighborhood density —
+    * the standard "find the tightly-knit core before running the
+    * expensive community pass" primitive). Iterated peel: compute
+    * per-edge support inside the current subgraph, drop under-k−2
+    * edges, repeat to fixpoint (the support of a surviving edge can
+    * only DROP when a neighbor edge dies, so the peel is monotone and
+    * the fixpoint exact).
+    *
+    * Scale shape per round: one degree agg + the degree-oriented wedge
+    * self-join closed against the edge set — the [[triangleCountOn]]
+    * O(m^1.5) bound, on an edge table that only ever SHRINKS — then a
+    * partial-aggregated support count keyed on the edge. Per-round
+    * eager `localCheckpoint` keeps the plan O(1) per round and the
+    * convergence early-exit free ([[kcoreOn]] convention); superseded
+    * rounds free their blocks. */
+  def kTruss(spark: SparkSession, dir: String): DataFrame =
+    kTrussOn(trussEdges(spark, dir), KTrussK, KTrussRounds)
+
+  /** Bounded k-truss peel over an arbitrary canonical u<v edge table —
+    * split out so specs can drive it with a hand-checkable graph. */
+  private[graft] def kTrussOn(edgesDf: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edgesDf.localCheckpoint()
+    var round = 1
+    var converged = false
+    while (round <= rounds && !converged) {
+      val kept = edgeSupportOn(e)
+        .filter(col("s") >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      if (kept.count() == e.count()) converged = true
+      else {
+        Checkpoints.free(e)
+        e = kept
+      }
+      round += 1
+    }
+    // final support recomputed INSIDE the settled truss (equals the
+    // last round's support at fixpoint; at a bounded stop it is the
+    // value the oracle's identical bounded replay ships)
+    e.join(edgeSupportOn(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("s"), lit(0L)).as("support"))
+      .orderBy("u", "v")
+  }
+
+  private val kTrussSql: String = {
+    def roundCtes(i: Int): String = {
+      val prev = s"t${i - 1}"
+      s"""deg$i AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY node
+         |), orr$i AS (
+         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.u < e.v) THEN e.v ELSE e.u END AS dst
+         |  FROM $prev e JOIN deg$i da ON da.node = e.u JOIN deg$i db ON db.node = e.v
+         |), tri$i AS (
+         |  SELECT a.src AS c0, a.dst AS x, b.dst AS y
+         |  FROM orr$i a JOIN orr$i b ON a.src = b.src AND a.dst < b.dst
+         |  JOIN $prev e ON e.u = a.dst AND e.v = b.dst
+         |), sup$i AS (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM (
+         |    SELECT LEAST(c0, x) AS u, GREATEST(c0, x) AS v FROM tri$i
+         |    UNION ALL SELECT LEAST(c0, y), GREATEST(c0, y) FROM tri$i
+         |    UNION ALL SELECT x, y FROM tri$i) GROUP BY u, v
+         |), t$i AS (
+         |  SELECT u, v FROM sup$i WHERE s >= ${KTrussK - 2}
+         |)""".stripMargin
+    }
+    val r = KTrussRounds
+    s"""WITH raw AS (
+       |  SELECT (o_custkey % $TrussMod) AS a, (o_orderkey % $TrussMod) AS b FROM orders
+       |), t0 AS (
+       |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw WHERE a <> b
+       |),
+       |${(1 to r).map(roundCtes).mkString(",\n")},
+       |degf AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT u AS node FROM t$r UNION ALL SELECT v FROM t$r) GROUP BY node
+       |), orrf AS (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.u < e.v) THEN e.v ELSE e.u END AS dst
+       |  FROM t$r e JOIN degf da ON da.node = e.u JOIN degf db ON db.node = e.v
+       |), trif AS (
+       |  SELECT a.src AS c0, a.dst AS x, b.dst AS y
+       |  FROM orrf a JOIN orrf b ON a.src = b.src AND a.dst < b.dst
+       |  JOIN t$r e ON e.u = a.dst AND e.v = b.dst
+       |), supf AS (
+       |  SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM (
+       |    SELECT LEAST(c0, x) AS u, GREATEST(c0, x) AS v FROM trif
+       |    UNION ALL SELECT LEAST(c0, y), GREATEST(c0, y) FROM trif
+       |    UNION ALL SELECT x, y FROM trif) GROUP BY u, v
+       |)
+       |SELECT t.u, t.v, CAST(coalesce(f.s, 0) AS BIGINT) AS support
+       |FROM t$r t LEFT JOIN supf f ON f.u = t.u AND f.v = t.v
+       |ORDER BY t.u, t.v""".stripMargin
+      // DuckDB re-INLINES a CTE at every reference: each round reads
+      // its predecessor 3× (deg/orient/close), so a 10-round chain
+      // expands 3¹⁰ ways — measured as "Too many open files" on the
+      // base scan. MATERIALIZED pins each round to one evaluation.
+      .replace(" AS (\n", " AS MATERIALIZED (\n")
+  }
+
   private val BfsIters  = 4
   private val BfsSource = 0L
 
@@ -1801,6 +1951,7 @@ object Graph {
     QueryDef.sql("sssp_weighted", ssspSql)(ssspWeighted),
     QueryDef.sql("lpa_communities", lpaSql)(lpaCommunities),
     QueryDef.sql("kcore_decompose", kcoreSql)(kcoreDecompose),
+    QueryDef.sql("k_truss", kTrussSql)(kTruss),
     QueryDef.sql("coreness", corenessSql)(coreness),
     QueryDef.sql("link_predict", linkPredictSql)(linkPredict),
     QueryDef.sql("personalized_pagerank", pprSql)(personalizedPagerank),

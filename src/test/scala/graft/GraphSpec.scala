@@ -519,4 +519,23 @@ class GraphSpec extends SparkSpec {
           s"$rddsAfter after (allowance $allowance for the result's own backing)")
     }
   }
+
+  test("k_truss peel cascades on a hand graph: clique survives, spur triangles die") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4}; node 5 hangs off edges (1,5),(2,5) closing one
+    // triangle with (1,2); pendant edge (4,6) has no triangle at all.
+    // Round 1 kills (1,5),(2,5) (support 1 < 2) and (4,6) (support 0);
+    // the clique's edges then still close 2 triangles each — the peel
+    // must cascade the spur's death WITHOUT over-peeling the clique.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (4L, 6L)).toDF("u", "v")
+    val got = Graph.kTrussOn(edges, 4, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val clique = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(got.keySet == clique, s"truss edge set: ${got.keySet}")
+    got.foreach { case (e, s) => assert(s == 2L, s"edge $e support $s != 2") }
+    // k = 5 demands support 3: the bare 4-clique cannot provide it
+    assert(Graph.kTrussOn(edges, 5, 10).collect().isEmpty)
+  }
 }
