@@ -429,23 +429,32 @@ object Graph {
   private[graft] def kTrussOn(edgesDf: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edgesDf.localCheckpoint()
     var round = 1
-    var converged = false
-    while (round <= rounds && !converged) {
-      val kept = edgeSupportOn(e)
-        .filter(col("s") >= k - 2)
+    var lastSup: Option[DataFrame] = None
+    while (round <= rounds && lastSup.isEmpty) {
+      val sup = edgeSupportOn(e).localCheckpoint()
+      val kept = sup.filter(col("s") >= k - 2)
         .select(col("u"), col("v"))
         .localCheckpoint()
-      if (kept.count() == e.count()) converged = true
-      else {
+      if (kept.count() == e.count()) {
+        // fixpoint: NO edge died this round, so `sup` — computed on
+        // exactly this edge set — already IS the within-truss support
+        // the output ships; reusing it saves the full final wedge pass
+        // (measured ~half the sf0.1 cost, where the peel converges in
+        // one round)
+        lastSup = Some(sup)
+        Checkpoints.free(kept)
+      } else {
         Checkpoints.free(e)
+        Checkpoints.free(sup)
         e = kept
       }
       round += 1
     }
-    // final support recomputed INSIDE the settled truss (equals the
-    // last round's support at fixpoint; at a bounded stop it is the
-    // value the oracle's identical bounded replay ships)
-    e.join(edgeSupportOn(e), Seq("u", "v"), "left")
+    // bound-stopped only: support INSIDE the final edge set must be
+    // recomputed (the last round's support was measured on the larger
+    // predecessor set) — the value the oracle's bounded replay ships
+    val finalSup = lastSup.getOrElse(edgeSupportOn(e))
+    e.join(finalSup, Seq("u", "v"), "left")
       .select(col("u"), col("v"), coalesce(col("s"), lit(0L)).as("support"))
       .orderBy("u", "v")
   }

@@ -657,6 +657,89 @@ object TextAnalysis {
        |WHERE p.c12 >= $PmiMinCount
        |ORDER BY pmi_micros DESC, w1, w2 LIMIT 100""".stripMargin
 
+  /** Per-class precision / recall / F1 of the [[langId]] classifier
+    * against the labeled `lang` column, plus the unweighted MACRO-F1
+    * row — the readout [[langConfusion]]'s matrix feeds but doesn't
+    * compute, and the number a curation pipeline actually thresholds
+    * before trusting a language filter ("is de-recall ≥ 0.8?"). All
+    * ratios are exact integral micros; F1 collapses to the single
+    * division 2·tp·10⁶ div (pred_n + label_n) — P and R's harmonic
+    * mean has an exact rational form, so no composed floored divisions
+    * drift cross-engine. Zero-denominator classes ship NULL (the
+    * group_auc convention), and macro-F1 averages F1 over the classes
+    * that HAVE one.
+    *
+    * Scale shape: [[langId]] is a per-row codegen'd argmax; everything
+    * after lives on the ≤|langs|² confusion cells (two ≤|langs|-row
+    * margins + the diagonal, full-outer-joined). */
+  def classifierPrf(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤|langs|² rows; feeds both margins + diagonal
+    val labelM = cells.groupBy(col("labeled_lang").as("cls"))
+      .agg(sum("n").as("label_n"))
+    val predM = cells.groupBy(col("predicted_lang").as("cls"))
+      .agg(sum("n").as("pred_n"))
+    val diag = cells.filter(col("labeled_lang") === col("predicted_lang"))
+      .select(col("labeled_lang").as("cls"), col("n").as("tp"))
+    val perClass = labelM.join(predM, Seq("cls"), "full_outer")
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("label_n"), lit(0L)).as("label_n"),
+        coalesce(col("pred_n"), lit(0L)).as("pred_n"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("cls"), col("label_n"), col("pred_n"), col("tp"),
+        when(col("pred_n") > 0,
+          expr("CAST((CAST(tp AS DECIMAL(38,0)) * 1000000) div pred_n AS BIGINT)"))
+          .as("precision_micros"),
+        when(col("label_n") > 0,
+          expr("CAST((CAST(tp AS DECIMAL(38,0)) * 1000000) div label_n AS BIGINT)"))
+          .as("recall_micros"),
+        when(col("pred_n") + col("label_n") > 0,
+          expr("CAST((CAST(2 * tp AS DECIMAL(38,0)) * 1000000) div (pred_n + label_n) AS BIGINT)"))
+          .as("f1_micros"))
+      .localCheckpoint() // ≤|langs| rows; feeds the macro row and the output
+    val macroRow = perClass.filter(col("f1_micros").isNotNull)
+      .agg(count(lit(1)).as("nc"), sum("f1_micros").as("sf"))
+      .select(lit("MACRO").as("cls"), lit(0L).as("label_n"), lit(0L).as("pred_n"),
+        lit(0L).as("tp"), lit(null).cast("long").as("precision_micros"),
+        lit(null).cast("long").as("recall_micros"),
+        expr("CAST(sf div nc AS BIGINT)").as("f1_micros"))
+    perClass.unionByName(macroRow).orderBy("cls")
+  }
+
+  private lazy val classifierPrfSql: String =
+    s"""WITH pred AS ($langCaseSql),
+       |cells AS (
+       |  SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY labeled_lang, predicted_lang
+       |), lm AS (SELECT labeled_lang AS cls, CAST(sum(n) AS BIGINT) AS label_n FROM cells GROUP BY 1),
+       |pm AS (SELECT predicted_lang AS cls, CAST(sum(n) AS BIGINT) AS pred_n FROM cells GROUP BY 1),
+       |dg AS (SELECT labeled_lang AS cls, n AS tp FROM cells WHERE labeled_lang = predicted_lang),
+       |per_class AS (
+       |  SELECT coalesce(l.cls, p.cls) AS cls,
+       |         coalesce(l.label_n, 0) AS label_n,
+       |         coalesce(p.pred_n, 0) AS pred_n,
+       |         coalesce(d.tp, 0) AS tp
+       |  FROM lm l FULL OUTER JOIN pm p ON l.cls = p.cls
+       |  LEFT JOIN dg d ON d.cls = coalesce(l.cls, p.cls)
+       |), scored AS (
+       |  SELECT cls, label_n, pred_n, tp,
+       |         CASE WHEN pred_n > 0 THEN CAST((CAST(tp AS HUGEINT) * 1000000) // pred_n AS BIGINT) END AS precision_micros,
+       |         CASE WHEN label_n > 0 THEN CAST((CAST(tp AS HUGEINT) * 1000000) // label_n AS BIGINT) END AS recall_micros,
+       |         CASE WHEN pred_n + label_n > 0
+       |              THEN CAST((CAST(2 * tp AS HUGEINT) * 1000000) // (pred_n + label_n) AS BIGINT) END AS f1_micros
+       |  FROM per_class
+       |), macro AS (
+       |  SELECT 'MACRO' AS cls, CAST(0 AS BIGINT) AS label_n, CAST(0 AS BIGINT) AS pred_n,
+       |         CAST(0 AS BIGINT) AS tp, CAST(NULL AS BIGINT) AS precision_micros,
+       |         CAST(NULL AS BIGINT) AS recall_micros,
+       |         CAST(sum(f1_micros) // count(*) AS BIGINT) AS f1_micros
+       |  FROM scored WHERE f1_micros IS NOT NULL
+       |)
+       |SELECT * FROM scored UNION ALL SELECT * FROM macro ORDER BY cls""".stripMargin
+
   private val langCaseSql: String = {
     // identical argmax fold in SQL: nested CASE chain, same > comparisons
     val scoreSql = Profiles.map { case (lang, words) =>
@@ -1998,6 +2081,7 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin)(textQuality),
     QueryDef.sql("lang_id", langCaseSql)(langId),
     QueryDef.sql("lang_confusion", langConfusionSql)(langConfusion),
+    QueryDef.sql("classifier_prf", classifierPrfSql)(classifierPrf),
     QueryDef.sql("cohens_kappa", cohensKappaSql)(cohensKappa),
     QueryDef.sql("tfidf",
       """WITH terms AS (

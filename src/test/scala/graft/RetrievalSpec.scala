@@ -339,4 +339,30 @@ class RetrievalSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == want)
   }
+
+  test("classifier_prf replays P/R/F1 from lang_id and the macro row averages present F1s") {
+    val preds = TextAnalysis.langId(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val labelN = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val predN = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tpN = preds.filter(p => p._1 == p._2).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val rows = graft.ops.TextAnalysis.classifierPrf(spark, sfDir).collect()
+    val (macroRows, classRows) = rows.partition(_.getString(0) == "MACRO")
+    assert(macroRows.length == 1)
+    var f1s = Vector.empty[Long]
+    classRows.foreach { r =>
+      val c = r.getString(0)
+      val (ln, pn, tp) = (labelN.getOrElse(c, 0L), predN.getOrElse(c, 0L), tpN.getOrElse(c, 0L))
+      assert(r.getLong(1) == ln && r.getLong(2) == pn && r.getLong(3) == tp, s"class $c counts")
+      assert(Option(r.get(4)).map(_ => r.getLong(4)) ==
+        (if (pn > 0) Some(tp * 1000000L / pn) else None), s"class $c precision")
+      assert(Option(r.get(5)).map(_ => r.getLong(5)) ==
+        (if (ln > 0) Some(tp * 1000000L / ln) else None), s"class $c recall")
+      val f1 = if (pn + ln > 0) Some(2 * tp * 1000000L / (pn + ln)) else None
+      assert(Option(r.get(6)).map(_ => r.getLong(6)) == f1, s"class $c f1")
+      f1.foreach(v => f1s :+= v)
+    }
+    assert(classRows.map(_.getString(0)).toSet == (labelN.keySet ++ predN.keySet))
+    assert(macroRows.head.getLong(6) == f1s.sum / f1s.size)
+  }
 }
