@@ -180,6 +180,122 @@ object Dedup {
        |FROM hashed JOIN freq USING (h)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** [[corpusDiff]] Hamming budget separating a touched-up page from a
+    * rewrite: 16 of 64 simhash bits (set well inside the measured gap —
+    * the planted minor edit moves ≤ a few bits, the vocabulary swap
+    * moves ~half). */
+  private val DiffMinorMax = 16L
+
+  /** Crawl-refresh delta classification — the first question a periodic
+    * web crawl answers before any recrawl-budget or dedup decision:
+    * which pages are NEW, REMOVED, byte-identical (`unchanged`),
+    * touched-up (`changed_minor`: simhash Hamming ≤ [[DiffMinorMax]])
+    * or rewritten (`changed_major`)? The second crawl is synthesized
+    * deterministically from the fixture (the pii_redact convention):
+    * doc_id ≡ 3 (mod 17) pages vanish, ≡ 5 gain a two-word edit, ≡ 7
+    * are rewritten with disjoint vocabulary, ≡ 9 spawn a brand-new
+    * page; everything else is untouched, and the GENERIC
+    * hash-and-distance rule recovers exactly that planting.
+    *
+    * Scale shape: each crawl reduces per-row to (doc_id, md5, simhash)
+    * — 24 bytes/page at scan speed, the codegen'd [[simhashMd5]]
+    * kernel — BEFORE the single doc_id-keyed full-outer join, so two
+    * 100 TB crawls diff at the cost of shuffling their fingerprint
+    * tables, never text. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def sig(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      md5(col("text")).as("fp"),
+      simhashMd5(filter(tokens(col("text")), t => t =!= "")).as("sh"))
+    val crawl2 = base.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 5, concat(col("text"), lit(" updated minor")))
+          .when(col("doc_id") % 17 === 7,
+            concat(lit("renovated page content entirely rewritten edition "),
+              col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("doc_id") % 17 === 9)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("fresh crawl discovery "), col("doc_id").cast("string")).as("text")))
+    sig(base).select(col("doc_id"), col("fp").as("fp1"), col("sh").as("sh1"))
+      .join(sig(crawl2).select(col("doc_id"), col("fp").as("fp2"), col("sh").as("sh2")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "new")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") === col("fp2"), "unchanged")
+          .when(hamming64(col("sh1"), col("sh2")).cast("long") <= DiffMinorMax, "changed_minor")
+          .otherwise("changed_major").as("status"),
+        when(col("fp1").isNotNull && col("fp2").isNotNull,
+          hamming64(col("sh1"), col("sh2")).cast("long")).as("hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** tokenize→sign→pack simhash CTE chain over `src(doc_id, text)` —
+    * the dedup_simhash twin, prefixed so [[corpusDiff]] can run it per
+    * crawl side. Ends at `${p}codes(doc_id, lo, hi)`. */
+  private def simCtes(p: String, src: String): String =
+    s"""${p}tok AS (
+       |  SELECT doc_id, list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+       |                                t -> md5_number_lower(t)) AS hs
+       |  FROM $src
+       |), ${p}sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 63), b ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(hs, h -> 2 * CAST((h >> b) & 1 AS BIGINT) - 1)),
+       |           (a, v) -> a + v) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+       |  FROM ${p}tok
+       |), ${p}codes AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, 32), i -> bits[i] * (CAST(1 AS BIGINT) << (i - 1)))),
+       |      (a, v) -> a + v) AS lo,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(33, 64), i -> bits[i] * (CAST(1 AS BIGINT) << (i - 33)))),
+       |      (a, v) -> a + v) AS hi
+       |  FROM ${p}sigs
+       |)""".stripMargin
+
+  private val corpusDiffSql: String =
+    s"""WITH c1 AS (
+       |  SELECT doc_id, text FROM documents
+       |), c2 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 17 = 5 THEN text || ' updated minor'
+       |              WHEN doc_id % 17 = 7
+       |                THEN 'renovated page content entirely rewritten edition ' || CAST(doc_id AS VARCHAR)
+       |              ELSE text END AS text
+       |  FROM documents WHERE doc_id % 17 <> 3
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         'fresh crawl discovery ' || CAST(doc_id AS VARCHAR) AS text
+       |  FROM documents WHERE doc_id % 17 = 9
+       |), f1 AS (SELECT doc_id, md5(text) AS fp FROM c1),
+       |f2 AS (SELECT doc_id, md5(text) AS fp FROM c2),
+       |${simCtes("a", "c1")},
+       |${simCtes("b", "c2")},
+       |sides AS (
+       |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |         l.fp AS fp1, r.fp AS fp2,
+       |         la.lo AS lo1, la.hi AS hi1, rb.lo AS lo2, rb.hi AS hi2
+       |  FROM f1 l
+       |  FULL OUTER JOIN f2 r ON l.doc_id = r.doc_id
+       |  LEFT JOIN acodes la ON la.doc_id = l.doc_id
+       |  LEFT JOIN bcodes rb ON rb.doc_id = r.doc_id
+       |)
+       |SELECT doc_id,
+       |       CASE WHEN fp1 IS NULL THEN 'new'
+       |            WHEN fp2 IS NULL THEN 'removed'
+       |            WHEN fp1 = fp2 THEN 'unchanged'
+       |            WHEN bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= $DiffMinorMax
+       |              THEN 'changed_minor'
+       |            ELSE 'changed_major' END AS status,
+       |       CASE WHEN fp1 IS NOT NULL AND fp2 IS NOT NULL
+       |            THEN CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS BIGINT)
+       |       END AS hamming
+       |FROM sides ORDER BY doc_id""".stripMargin
+
   /** LSH banding candidate pairs from a (idCol, text) frame, verified by
     * exact set-jaccard.
     *
@@ -1220,6 +1336,7 @@ object Dedup {
   val entries: Seq[QueryDef] = Seq(
     QueryDef.sql("fuzzy_join", fuzzyJoinSql)(fuzzyJoin),
     QueryDef.sql("line_dedup", lineDedupSql)(lineDedup),
+    QueryDef.sql("corpus_diff", corpusDiffSql)(corpusDiff),
     QueryDef.sql("entity_resolve", entityResolveSql)(entityResolve),
     QueryDef.sql("semantic_dedup", semanticDedupSql)(semanticDedup),
     QueryDef.sql("dedup_exact",

@@ -373,4 +373,35 @@ class DedupSpec extends SparkSpec {
       assert(dropped >= 2L, s"doc $id: header/footer not recognized as boilerplate")
     }
   }
+
+  test("corpus_diff recovers the planted crawl delta with a wide hamming margin") {
+    import org.apache.spark.sql.functions.col
+    val baseIds = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rows = graft.ops.Dedup.corpusDiff(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)).map(_ => r.getLong(2))))
+    assert(rows.map(_._1).toSet ==
+      (baseIds ++ baseIds.filter(_ % 17 == 9).map(_ + 1000000L)))
+    rows.foreach { case (id, status, hamming) =>
+      val expect =
+        if (id >= 1000000L) "new"
+        else if (id % 17 == 3) "removed"
+        else if (id % 17 == 5) "changed_minor"
+        else if (id % 17 == 7) "changed_major"
+        else "unchanged"
+      assert(status == expect, s"doc $id: $status != $expect")
+      status match {
+        case "new" | "removed"  => assert(hamming.isEmpty)
+        case "unchanged"        => assert(hamming.contains(0L))
+        case "changed_minor"    => assert(hamming.exists(_ <= 16L))
+        case "changed_major"    => assert(hamming.exists(_ > 16L))
+      }
+    }
+    // the two changed classes are separated by a real gap, not a knife-edge
+    val minors = rows.filter(_._2 == "changed_minor").flatMap(_._3)
+    val majors = rows.filter(_._2 == "changed_major").flatMap(_._3)
+    assert(minors.nonEmpty && majors.nonEmpty)
+    assert(minors.max + 8 <= majors.min,
+      s"hamming gap too narrow: minor max ${minors.max} vs major min ${majors.min}")
+  }
 }
