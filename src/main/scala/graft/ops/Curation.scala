@@ -102,6 +102,116 @@ object Curation {
       .withColumn("chunk_chars", length(col("chunk")).cast("long"))
       .orderBy("doc_id", "chunk_id")
 
+  /** [[spanCorruption]] start rate (5% of tokens open a span) and the
+    * fixed span width (3 tokens) — ≈15% of tokens masked, the T5
+    * corruption-rate / mean-span-3 default. */
+  private val SpanStartPerMille = 50L
+  private val SpanWidth = 3
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * pretraining-objective transform a training-data pipeline runs
+    * LAST, after curation picked the docs: ~15% of each document's
+    * tokens are masked in multi-token spans, each maximal masked run
+    * collapses to one `<extra_id_k>` sentinel in the INPUT, and the
+    * TARGET is the sentinel-delimited sequence of the masked spans.
+    * Span starts are a pure hash of (doc_id, position) — so the same
+    * doc always corrupts the same way (epoch-stable, resumable) and
+    * both engines plant identical spans; overlapping starts merge into
+    * one longer run, exactly like overlapping T5 spans. The hash is
+    * QUADRATIC in the position (u = a_d·(pos+1)² + b_d·(pos+1) mod p,
+    * per-doc Knuth-derived a/b): the affine bootstrap_ci form is a
+    * Weyl sequence whose consecutive positions step u by a CONSTANT
+    * far above the threshold, making adjacent starts — and therefore
+    * span merges — structurally impossible (measured: zero merges
+    * corpus-wide); the quadratic's step varies per position, restoring
+    * them. All terms stay ≤ 10⁶·10¹⁰ in plain BIGINT on both engines. Ships per doc: token/masked/
+    * span counts plus the md5 of BOTH reconstructed sequences, so the
+    * hash gate certifies the full input/target round-trip; the spec
+    * additionally proves input+target reassemble the original text.
+    *
+    * Scale shape: tokens explode once, the mask/run/sentinel algebra
+    * is three DOC-partitioned windows over the doc's own tokens
+    * (bounded state = one document, the doc_chunks class — never a
+    * global order), and the reassembly is the line_dedup positional
+    * groupBy. One shuffle keyed on doc_id carries (pos, token). */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"),
+        (expr("""(((doc_id % 999983) * 2654435761) % 999983 * (pos + 1) * (pos + 1)
+                | + ((doc_id % 999983) * 40503) % 999983 * (pos + 1)) % 999983""".stripMargin)
+          < SpanStartPerMille * 1000).as("starts"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val masked = toks.withColumn("m",
+      max(when(col("starts"), lit(1)).otherwise(lit(0)))
+        .over(w.rowsBetween(-(SpanWidth - 1), 0)) === 1)
+    val runs = masked
+      .withColumn("run_start", col("m") && !coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .withColumn("k",
+        sum(when(col("run_start"), 1L).otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    val pieces = runs.select(col("doc_id"), col("pos"), col("m"), col("run_start"), col("k"), col("tok"),
+      when(!col("m"), col("tok"))
+        .when(col("run_start"), concat(lit("<extra_id_"), col("k").cast("string"), lit(">")))
+        .as("in_piece"),
+      when(col("run_start"),
+        concat(lit("<extra_id_"), col("k").cast("string"), lit("> "), col("tok")))
+        .when(col("m"), col("tok"))
+        .as("tgt_piece"))
+    pieces.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("run_start"), 1L).otherwise(0L)).as("n_spans"),
+        md5(array_join(transform(sort_array(collect_list(
+          when(col("in_piece").isNotNull, struct(col("pos"), col("in_piece").as("p"))))),
+          x => x.getField("p")), " ")).as("input_md5"),
+        md5(array_join(transform(sort_array(collect_list(
+          when(col("tgt_piece").isNotNull, struct(col("pos"), col("tgt_piece").as("p"))))),
+          x => x.getField("p")), " ")).as("target_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val spanCorruptionSql: String =
+    s"""WITH toksed AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS tok,
+       |         (((doc_id % 999983) * 2654435761) % 999983 * i * i
+       |          + ((doc_id % 999983) * 40503) % 999983 * i) % 999983
+       |           < ${SpanStartPerMille * 1000} AS starts
+       |  FROM toksed, unnest(generate_series(1, len(ts))) AS u(i)
+       |), masked AS (
+       |  SELECT *, max(CASE WHEN starts THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN ${SpanWidth - 1} PRECEDING AND CURRENT ROW) = 1 AS m
+       |  FROM toks
+       |), runs AS (
+       |  SELECT *, m AND NOT coalesce(lag(m, 1) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS run_start
+       |  FROM masked
+       |), ks AS (
+       |  SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS k
+       |  FROM runs
+       |), pieces AS (
+       |  SELECT doc_id, pos, m, run_start,
+       |         CASE WHEN NOT m THEN tok
+       |              WHEN run_start THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' END AS in_piece,
+       |         CASE WHEN run_start THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+       |              WHEN m THEN tok END AS tgt_piece
+       |  FROM ks
+       |)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |       CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |       md5(coalesce(string_agg(in_piece, ' ' ORDER BY pos), '')) AS input_md5,
+       |       md5(coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '')) AS target_md5
+       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** CDC gram window / divisor: boundaries where the 16-code-point
     * rolling hash ≡ 0 mod 64 → expected chunk ≈ 64 code points (~5
     * chunks per fixture doc). */
@@ -1945,6 +2055,7 @@ object Curation {
         |  CAST(length(substr(text, CAST(off AS INT), 120)) AS BIGINT) AS chunk_chars
         |FROM offs ORDER BY doc_id, chunk_id""".stripMargin)(docChunks),
     QueryDef.sql("cdc_chunks", cdcChunksSql)(cdcChunks),
+    QueryDef.sql("span_corruption", spanCorruptionSql)(spanCorruption),
     QueryDef.sql("sequence_pack", sequencePackSql)(sequencePack),
     QueryDef.sql("ngram_decontaminate",
       s"""WITH toksed AS (

@@ -687,4 +687,58 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(0) % 7 != 0 && r.getLong(0) % 11 != 0
       && r.getLong(4) > 0))
   }
+
+  test("span_corruption: driver replay, T5 round-trip, and overlapping starts merge") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = graft.ops.Curation.spanCorruption(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    var merged = 0
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val toks = texts(id).split(" ").filter(_.nonEmpty)
+      val a = ((id % 999983L) * 2654435761L) % 999983L
+      val b = ((id % 999983L) * 40503L) % 999983L
+      val starts = toks.indices.map { i =>
+        val p = i + 1L
+        (a * p * p + b * p) % 999983L < 50000L
+      }
+      val m = toks.indices.map(i =>
+        (math.max(0, i - 2) to i).exists(starts))
+      val runStart = toks.indices.map(i => m(i) && (i == 0 || !m(i - 1)))
+      val ks = runStart.scanLeft(-1L)((acc, rs) => if (rs) acc + 1 else acc).tail
+      val inSeq = toks.indices.flatMap { i =>
+        if (!m(i)) Some(toks(i))
+        else if (runStart(i)) Some(s"<extra_id_${ks(i)}>")
+        else None
+      }
+      val tgtSeq = toks.indices.flatMap { i =>
+        if (runStart(i)) Some(s"<extra_id_${ks(i)}> ${toks(i)}")
+        else if (m(i)) Some(toks(i))
+        else None
+      }
+      assert(r.getLong(1) == toks.length.toLong && r.getLong(2) == m.count(identity).toLong
+        && r.getLong(3) == runStart.count(identity).toLong, s"doc $id counts")
+      assert(r.getString(4) == md5Hex(inSeq.mkString(" ")), s"doc $id input digest")
+      assert(r.getString(5) == md5Hex(tgtSeq.mkString(" ")), s"doc $id target digest")
+      // T5 round-trip: substituting each sentinel in the input with its
+      // target span reconstructs the original token stream exactly
+      val spans = tgtSeq.mkString(" ").split("<extra_id_\\d+> ").filter(_.nonEmpty)
+        .map(_.trim.split(" ").toSeq)
+      var si = 0
+      val rebuilt = inSeq.flatMap { t =>
+        if (t.startsWith("<extra_id_")) { val s = spans(si); si += 1; s }
+        else Seq(t)
+      }
+      assert(rebuilt == toks.toSeq, s"doc $id round-trip")
+      // overlap merging: fewer spans than starts means two starts fused
+      if (runStart.count(identity) < starts.count(identity)) merged += 1
+    }
+    assert(merged > 0, "no overlapping spans merged anywhere — rate suspiciously low")
+  }
 }
