@@ -795,7 +795,106 @@ object Centroids {
        |FROM p LEFT JOIN labeled l ON l.id = p.id
        |ORDER BY vec_id""".stripMargin
 
+  /** [[alsRank1]] iteration count — rank-1 ALS is power iteration on
+    * R·Rᵀ, so a handful of sweeps reaches the dominant factor
+    * direction; 4 shows the convergence curve without bloating the
+    * unrolled oracle. */
+  private val AlsRounds = 4
+
+  /** Rank-1 alternating least squares over the (customer, part-group)
+    * quantity matrix — model TRAINING inside the engine (the
+    * [[kmeansTrain]] companion for recommenders; Koren et al. 2009's
+    * ALS core at the smallest rank that still alternates): u-step and
+    * v-step are the exact closed-form least-squares solutions
+    * vⱼ = Σᵢrᵢⱼuᵢ / Σᵢuᵢ², uᵢ = Σⱼrᵢⱼvⱼ / Σⱼvⱼ², each QUANTIZED to
+    * integral micros via one DECIMAL(38)/HUGEINT division before the
+    * next half-step consumes it — so every iteration is bit-replayable
+    * cross-engine and the per-iteration SSE (shipped as exact digit
+    * strings, the corr_matrix convention) hash-gates the whole
+    * training trajectory, not just the final model.
+    *
+    * Scale shape per iteration: exactly distributed ALS — the ratings
+    * cells equi-join the current factor table on its entity key and
+    * partial-aggregate onto the other entity (two shuffles per sweep,
+    * factor tables are entity-sized never cell-sized); the SSE pass is
+    * one more cells join. Factor tables `localCheckpoint` per
+    * half-step (multi-consumer), superseded sweeps free their blocks. */
+  def alsRank1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey").as("u")), "l_orderkey")
+      .groupBy(col("u"), (col("l_partkey") % 211).as("i"))
+      .agg(sum(col("l_quantity").cast("long")).as("r"))
+      .localCheckpoint() // feeds every half-step and the SSE passes
+    var ufac = cells.select(col("u")).distinct()
+      .select(col("u"), lit(1000000L).as("uf"))
+      .localCheckpoint()
+    val curve = (1 to AlsRounds).map { t =>
+      val vfac = cells.join(ufac, "u")
+        .groupBy("i")
+        .agg(expr("""CAST((CAST(sum(CAST(r AS DECIMAL(38,0)) * uf) AS DECIMAL(38,0)) * 1000000000000)
+                    |     div sum(CAST(uf AS DECIMAL(38,0)) * uf) AS BIGINT)""".stripMargin).as("vf"))
+        .localCheckpoint() // feeds the u-step and the SSE join
+      val prevU = ufac
+      ufac = cells.join(vfac, "i")
+        .groupBy("u")
+        .agg(expr("""CAST((CAST(sum(CAST(r AS DECIMAL(38,0)) * vf) AS DECIMAL(38,0)) * 1000000000000)
+                    |     div sum(CAST(vf AS DECIMAL(38,0)) * vf) AS BIGINT)""".stripMargin).as("uf"))
+        .localCheckpoint() // feeds the SSE join and the next sweep
+      Checkpoints.free(prevU)
+      val row = cells.join(ufac, "u").join(vfac, "i")
+        .agg(
+          countDistinct(col("u")).as("nu"),
+          countDistinct(col("i")).as("ni"),
+          sum(expr("""(CAST(r AS DECIMAL(38,0)) * 1000000000000 - CAST(uf AS DECIMAL(38,0)) * vf)
+                     |* (CAST(r AS DECIMAL(38,0)) * 1000000000000 - CAST(uf AS DECIMAL(38,0)) * vf)""".stripMargin)
+            .cast("decimal(38,0)")).as("sse"))
+        .select(lit(t.toLong).as("iter"), col("nu"), col("ni"),
+          col("sse").cast("string").as("sse_digits"))
+        .head()
+      Checkpoints.free(vfac)
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getString(3))
+    }
+    curve.toDF("iter", "n_users", "n_items", "sse_digits").orderBy("iter")
+  }
+
+  private val alsSql: String = {
+    def sweep(t: Int): String = {
+      val prevU = s"uf${t - 1}"
+      s"""vf$t AS MATERIALIZED (
+         |  SELECT i, CAST((CAST(sum(CAST(r AS HUGEINT) * uf) AS HUGEINT) * 1000000000000)
+         |                 // sum(CAST(uf AS HUGEINT) * uf) AS BIGINT) AS vf
+         |  FROM cells JOIN $prevU USING (u) GROUP BY i
+         |), uf$t AS MATERIALIZED (
+         |  SELECT u, CAST((CAST(sum(CAST(r AS HUGEINT) * vf) AS HUGEINT) * 1000000000000)
+         |                 // sum(CAST(vf AS HUGEINT) * vf) AS BIGINT) AS uf
+         |  FROM cells JOIN vf$t USING (i) GROUP BY u
+         |), it$t AS (
+         |  SELECT CAST($t AS BIGINT) AS iter,
+         |         CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+         |         CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+         |         CAST(CAST(sum((CAST(r AS HUGEINT) * 1000000000000 - CAST(uf AS HUGEINT) * vf)
+         |                     * (CAST(r AS HUGEINT) * 1000000000000 - CAST(uf AS HUGEINT) * vf)) AS HUGEINT)
+         |              AS VARCHAR) AS sse_digits
+         |  FROM cells JOIN uf$t USING (u) JOIN vf$t USING (i)
+         |)""".stripMargin
+    }
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT o.o_custkey AS u, l.l_partkey % 211 AS i,
+       |         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS r
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY u, i
+       |), uf0 AS (
+       |  SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS uf FROM cells
+       |),
+       |${(1 to AlsRounds).map(sweep).mkString(",\n")}
+       |${(1 to AlsRounds).map(t => s"SELECT * FROM it$t").mkString("\nUNION ALL\n")}
+       |ORDER BY iter""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("als_rank1", alsSql)(alsRank1),
     QueryDef.sql("dbscan_grid", dbscanSql)(dbscanGrid),
     QueryDef.sql("pca_power", pcaSql)(pcaPower),
     QueryDef.sql("pca_topr", pcaTopRSql)(pcaTopR),

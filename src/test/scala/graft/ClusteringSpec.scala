@@ -152,4 +152,36 @@ class ClusteringSpec extends SparkSpec {
     assert(ms.max / ms.min < 1.5,
       s"whitening failed to equalize component energies: $ms")
   }
+
+  test("als_rank1 replays the quantized trajectory in BigInt and SSE never increases") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.tables.Tables.lineitem(spark, sfDir)
+      .join(graft.tables.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey").as("u")), "l_orderkey")
+      .groupBy(col("u"), (col("l_partkey") % 211).as("i"))
+      .agg(sum(col("l_quantity").cast("long")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var uf = cells.map(_._1).distinct.map(_ -> BigInt(1000000)).toMap
+    val T = BigInt(1000000000000L)
+    val expect = (1 to 4).map { t =>
+      val vf = cells.groupBy(_._2).map { case (i, cs) =>
+        i -> (cs.map(c => BigInt(c._3) * uf(c._1)).sum * T) /
+          cs.map(c => uf(c._1) * uf(c._1)).sum
+      }
+      uf = cells.groupBy(_._1).map { case (u, cs) =>
+        u -> (cs.map(c => BigInt(c._3) * vf(c._2)).sum * T) /
+          cs.map(c => vf(c._2) * vf(c._2)).sum
+      }
+      val sse = cells.map { case (u, i, r) =>
+        val res = BigInt(r) * T - uf(u) * vf(i)
+        res * res
+      }.sum
+      (t.toLong, uf.size.toLong, vf.size.toLong, sse.toString)
+    }
+    val got = graft.ops.Centroids.alsRank1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expect)
+    val sses = got.map(r => BigInt(r._4))
+    sses.sliding(2).foreach { case Seq(a, b) => assert(b <= a, s"SSE rose: $a -> $b") }
+  }
 }
