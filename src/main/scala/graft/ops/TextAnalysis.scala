@@ -478,6 +478,82 @@ object TextAnalysis {
     * written in the same association order on both engines, and the
     * score is rounded to 6dp (absorbing libm ln ULP drift) with doc_id
     * tiebreak before the top-k cut. */
+  /** [[proximitySearch]] query — three terms common enough in the
+    * fixture vocabulary that co-occurring windows exist to rank. */
+  private val ProxTerms = Seq("slow", "scan", "table")
+
+  /** Minimal-window proximity ranking (the classic MINDIST passage/
+    * proximity feature — Clarke et al.'s cover density, the positional
+    * signal BM25's bag-of-words score cannot see: "are the query terms
+    * NEAR each other?"). For each document containing all
+    * [[ProxTerms]], the score is 10⁶ div (length of the shortest token
+    * window containing all of them), top-50 by (score, doc_id). The
+    * shortest window ends at some query-term position i and starts at
+    * the latest-seen position of the rarest-behind term:
+    * len(i) = i − min_t(last position of t ≤ i) + 1 — so one ordered
+    * pass carrying |Q| running maxima finds the exact minimum, the
+    * standard two-pointer argument made window-functional. Pure
+    * integers end to end.
+    *
+    * Scale shape: the corpus explodes ONLY at query-term positions
+    * (the scan drops every other token before any shuffle — for a
+    * 3-term query this is a tiny fraction of the token stream), the
+    * running maxima are DOC-partitioned windows over those few
+    * positions (bounded state, the doc_chunks class), and the top-50
+    * is TakeOrderedAndProject. */
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame = {
+    val positions = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(ProxTerms: _*))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lasts = positions.select(
+      Seq(col("doc_id"), col("pos")) ++ ProxTerms.zipWithIndex.map { case (t, i) =>
+        max(when(col("tok") === t, col("pos"))).over(w).as(s"lp$i")
+      }: _*)
+    val terms = ProxTerms.indices.map(i => col(s"lp$i"))
+    lasts
+      .filter(terms.map(_.isNotNull).reduce(_ && _))
+      .select(col("doc_id"), (col("pos") - least(terms: _*) + 1L).as("wlen"))
+      .groupBy("doc_id").agg(min("wlen").as("min_window"))
+      .select(col("doc_id"), col("min_window"),
+        expr("CAST(1000000 div min_window AS BIGINT)").as("prox_score"))
+      .orderBy(desc("prox_score"), col("doc_id"))
+      .limit(50)
+  }
+
+  private val proximitySql: String = {
+    val inList = ProxTerms.map(t => s"'$t'").mkString(", ")
+    val lastCols = ProxTerms.zipWithIndex
+      .map { case (t, i) => s"max(CASE WHEN tok = '$t' THEN pos END) OVER w AS lp$i" }
+      .mkString(",\n    ")
+    val lps = ProxTerms.indices.map(i => s"lp$i")
+    s"""WITH toksed AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+       |  FROM documents
+       |), positions AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS tok
+       |  FROM toksed, unnest(generate_series(1, len(ts))) AS u(i)
+       |  WHERE ts[i] IN ($inList)
+       |), lasts AS (
+       |  SELECT doc_id, pos,
+       |    $lastCols
+       |  FROM positions
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), wins AS (
+       |  SELECT doc_id, pos - LEAST(${lps.mkString(", ")}) + 1 AS wlen
+       |  FROM lasts WHERE ${lps.map(_ + " IS NOT NULL").mkString(" AND ")}
+       |)
+       |SELECT doc_id, CAST(min(wlen) AS BIGINT) AS min_window,
+       |       CAST(1000000 // min(wlen) AS BIGINT) AS prox_score
+       |FROM wins GROUP BY doc_id
+       |ORDER BY prox_score DESC, doc_id LIMIT 50""".stripMargin
+  }
+
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
     val t      = filter(toks(col("text")), x => x =!= "")
     val tfCols = Bm25Terms.indices.map(i =>
@@ -2109,6 +2185,7 @@ object TextAnalysis {
         |SELECT token, n, TRUE AS sketch_exact FROM c
         |ORDER BY n DESC, token LIMIT 10""".stripMargin)(topkFrequent),
     QueryDef.sql("bm25_search", bm25Sql)(bm25Search),
+    QueryDef.sql("proximity_search", proximitySql)(proximitySearch),
     QueryDef.sql("prf_expand", prfExpandSql)(prfExpand),
     QueryDef.sql("cooc_pmi", coocPmiSql)(coocPmi),
     QueryDef.sql("fingerprint",

@@ -365,4 +365,30 @@ class RetrievalSpec extends SparkSpec {
     assert(classRows.map(_.getString(0)).toSet == (labelN.keySet ++ predN.keySet))
     assert(macroRows.head.getLong(6) == f1s.sum / f1s.size)
   }
+
+  test("proximity_search equals the brute-force minimal window over all start/end pairs") {
+    import org.apache.spark.sql.functions.col
+    val terms = Seq("slow", "scan", "table")
+    val texts = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // brute force: every (start, end) token window, keep the smallest
+    // containing all three terms
+    val want = texts.flatMap { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val wins = for {
+        s <- toks.indices
+        e <- s until toks.length
+        w = toks.slice(s, e + 1)
+        if terms.forall(w.contains)
+      } yield e - s + 1
+      if (wins.isEmpty) None else Some((id, wins.min.toLong))
+    }.map { case (id, mw) => (id, mw, 1000000L / mw) }
+      .sortBy { case (id, _, sc) => (-sc, id) }
+      .take(50).toSeq
+    val got = TextAnalysis.proximitySearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.head._2 >= 3L, "a 3-term window cannot be shorter than 3")
+  }
 }
