@@ -1041,6 +1041,118 @@ object Curation {
     * zero-shuffle; the LM gate adds its vocabulary-cell machinery);
     * the pairing is one doc_id equi-join collapsing immediately into a
     * single 4-cell aggregate — nothing after the join is data-sized. */
+  /** Fleiss' kappa (Fleiss 1971) across the pipeline's three
+    * independent keep gates — the rule-based [[qualityClassifier]],
+    * the published [[gopherRules]] pack, and the LM
+    * [[perplexityFilter]] head tercile — treating each gate as a rater
+    * of every document: [[mcnemar]] asks whether TWO gates
+    * systematically disagree; kappa asks how much agreement the whole
+    * PANEL has beyond chance, the number that decides whether
+    * "2-of-3 votes" is a meaningful ensemble or correlated noise.
+    * κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) over n=3 raters / 2 categories collapses
+    * to one exact rational of two integers — num = 3N·S₁/2 − E,
+    * den = 9N² − E with S₁ = Σ_d r(r−1)+(3−r)(2−r) (always even) and
+    * E = R² + (3N−R)² — so κ ships as sign-extracted exact micros
+    * (DECIMAL(38)/HUGEINT; den = 0 → NULL). The vote histogram
+    * (n_r0..n_r3) rides along as the diagnostic the scalar hides.
+    *
+    * Scale shape: three doc_id-keyed equi-joins of per-row gates, a
+    * ≤4-row vote histogram (partial-aggregated), then constant-size
+    * algebra — the corpus is scanned by each gate and never again. */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val q  = qualityClassifier(spark, dir).select(col("doc_id"), col("keep").cast("long").as("k1"))
+    val g  = gopherRules(spark, dir).select(col("doc_id"), col("keep").cast("long").as("k2"))
+    val lm = perplexityFilter(spark, dir)
+      .select(col("doc_id"), (col("band") === "head").cast("long").as("k3"))
+    val hist = q.join(g, "doc_id").join(lm, "doc_id")
+      .select((col("k1") + col("k2") + col("k3")).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n"))
+    hist.agg(
+        sum("n").as("n_docs"),
+        sum(when(col("r") === 0, col("n")).otherwise(0L)).as("n_r0"),
+        sum(when(col("r") === 1, col("n")).otherwise(0L)).as("n_r1"),
+        sum(when(col("r") === 2, col("n")).otherwise(0L)).as("n_r2"),
+        sum(when(col("r") === 3, col("n")).otherwise(0L)).as("n_r3"),
+        sum(col("r") * col("n")).as("rr"),
+        sum((col("r") * (col("r") - 1) + (lit(3L) - col("r")) * (lit(2L) - col("r"))) * col("n"))
+          .as("s1"))
+      .select(col("n_docs"), col("n_r0"), col("n_r1"), col("n_r2"), col("n_r3"),
+        expr("CAST((CAST(s1 AS DECIMAL(38,0)) * 1000000) div (6 * n_docs) AS BIGINT)")
+          .as("p_bar_micros"),
+        expr("""CAST(((CAST(rr AS DECIMAL(38,0)) * rr
+               |      + CAST(3 * n_docs - rr AS DECIMAL(38,0)) * (3 * n_docs - rr)) * 1000000)
+               |     div (CAST(9 AS DECIMAL(38,0)) * n_docs * n_docs) AS BIGINT)""".stripMargin)
+          .as("p_e_micros"),
+        expr("""CASE WHEN CAST(9 AS DECIMAL(38,0)) * n_docs * n_docs
+               |          - (CAST(rr AS DECIMAL(38,0)) * rr
+               |             + CAST(3 * n_docs - rr AS DECIMAL(38,0)) * (3 * n_docs - rr)) = 0
+               |     THEN CAST(NULL AS BIGINT) ELSE
+               |  CAST(CASE WHEN 3 * CAST(n_docs AS DECIMAL(38,0)) * s1 div 2
+               |                 - (CAST(rr AS DECIMAL(38,0)) * rr
+               |                    + CAST(3 * n_docs - rr AS DECIMAL(38,0)) * (3 * n_docs - rr)) < 0
+               |            THEN -1 ELSE 1 END *
+               |    ((abs(3 * CAST(n_docs AS DECIMAL(38,0)) * s1 div 2
+               |          - (CAST(rr AS DECIMAL(38,0)) * rr
+               |             + CAST(3 * n_docs - rr AS DECIMAL(38,0)) * (3 * n_docs - rr))) * 1000000)
+               |     div (CAST(9 AS DECIMAL(38,0)) * n_docs * n_docs
+               |          - (CAST(rr AS DECIMAL(38,0)) * rr
+               |             + CAST(3 * n_docs - rr AS DECIMAL(38,0)) * (3 * n_docs - rr))))
+               |  AS BIGINT) END""".stripMargin)
+          .as("kappa_micros"))
+  }
+
+  // lazy: perplexityBandsCtes / gopherRulesSql are declared further down
+  private lazy val fleissSql: String =
+    s"""WITH $perplexityBandsCtes,
+       |qc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (8 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+       |     - 6 * (CAST(length(text) AS BIGINT)
+       |            - CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT))
+       |     + 40 * CAST(len(list_filter(string_split(text, ' '),
+       |                  t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT)
+       |     + 2 * CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+       |     - 1200) > 0 THEN 1 ELSE 0 END AS k1
+       |  FROM documents
+       |), gp AS (
+       |  SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS k2 FROM ($gopherRulesSql) gsub
+       |), votes AS (
+       |  SELECT q.k1 + g.k2 + (CASE WHEN b.band = 'head' THEN 1 ELSE 0 END) AS r
+       |  FROM qc q JOIN gp g USING (doc_id) JOIN bands b USING (doc_id)
+       |), hist AS (
+       |  SELECT r, CAST(count(*) AS BIGINT) AS n FROM votes GROUP BY r
+       |), agg AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN r = 0 THEN n ELSE 0 END) AS BIGINT) AS n_r0,
+       |         CAST(sum(CASE WHEN r = 1 THEN n ELSE 0 END) AS BIGINT) AS n_r1,
+       |         CAST(sum(CASE WHEN r = 2 THEN n ELSE 0 END) AS BIGINT) AS n_r2,
+       |         CAST(sum(CASE WHEN r = 3 THEN n ELSE 0 END) AS BIGINT) AS n_r3,
+       |         CAST(sum(r * n) AS BIGINT) AS rr,
+       |         CAST(sum((r * (r - 1) + (3 - r) * (2 - r)) * n) AS BIGINT) AS s1
+       |  FROM hist
+       |)
+       |SELECT n_docs, n_r0, n_r1, n_r2, n_r3,
+       |  CAST((CAST(s1 AS HUGEINT) * 1000000) // (6 * n_docs) AS BIGINT) AS p_bar_micros,
+       |  CAST(((CAST(rr AS HUGEINT) * rr
+       |         + CAST(3 * n_docs - rr AS HUGEINT) * (3 * n_docs - rr)) * 1000000)
+       |       // (CAST(9 AS HUGEINT) * n_docs * n_docs) AS BIGINT) AS p_e_micros,
+       |  CASE WHEN CAST(9 AS HUGEINT) * n_docs * n_docs
+       |            - (CAST(rr AS HUGEINT) * rr
+       |               + CAST(3 * n_docs - rr AS HUGEINT) * (3 * n_docs - rr)) = 0
+       |       THEN CAST(NULL AS BIGINT) ELSE
+       |    CAST(CASE WHEN 3 * CAST(n_docs AS HUGEINT) * s1 // 2
+       |                   - (CAST(rr AS HUGEINT) * rr
+       |                      + CAST(3 * n_docs - rr AS HUGEINT) * (3 * n_docs - rr)) < 0
+       |              THEN -1 ELSE 1 END *
+       |      ((abs(3 * CAST(n_docs AS HUGEINT) * s1 // 2
+       |            - (CAST(rr AS HUGEINT) * rr
+       |               + CAST(3 * n_docs - rr AS HUGEINT) * (3 * n_docs - rr))) * 1000000)
+       |       // (CAST(9 AS HUGEINT) * n_docs * n_docs
+       |            - (CAST(rr AS HUGEINT) * rr
+       |               + CAST(3 * n_docs - rr AS HUGEINT) * (3 * n_docs - rr))))
+       |    AS BIGINT) END AS kappa_micros
+       |FROM agg""".stripMargin
+
   def mcnemar(spark: SparkSession, dir: String): DataFrame = {
     val rule = qualityClassifier(spark, dir).select(col("doc_id"), col("keep"))
     val lm = perplexityFilter(spark, dir)
@@ -1968,6 +2080,7 @@ object Curation {
     QueryDef.sql("dp_release", dpReleaseSql)(dpRelease),
     QueryDef.sql("t_closeness", tClosenessSql)(tCloseness),
     QueryDef.sql("perplexity_filter", perplexityFilterSql)(perplexityFilter),
+    QueryDef.sql("fleiss_kappa", fleissSql)(fleissKappa),
     QueryDef.sql("mcnemar",
       s"""WITH $perplexityBandsCtes,
          |qc AS (

@@ -741,4 +741,35 @@ class CurationSpec extends SparkSpec {
     }
     assert(merged > 0, "no overlapping spans merged anywhere — rate suspiciously low")
   }
+
+  test("fleiss_kappa replays in BigInt from the three gates' own outputs") {
+    import org.apache.spark.sql.functions.col
+    val q = graft.ops.Curation.qualityClassifier(spark, sfDir)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> (if (r.getBoolean(1)) 1 else 0)).toMap
+    val g = graft.ops.Curation.gopherRules(spark, sfDir)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> (if (r.getBoolean(1)) 1 else 0)).toMap
+    val lm = graft.ops.Curation.perplexityFilter(spark, sfDir)
+      .select(col("doc_id"), col("band")).collect()
+      .map(r => r.getLong(0) -> (if (r.getString(1) == "head") 1 else 0)).toMap
+    val rs = q.keySet.intersect(g.keySet).intersect(lm.keySet).toSeq
+      .map(id => q(id) + g(id) + lm(id))
+    val n = BigInt(rs.size)
+    val rr = BigInt(rs.sum)
+    val s1 = BigInt(rs.map(r => r * (r - 1) + (3 - r) * (2 - r)).sum)
+    val e = rr * rr + (3 * n - rr) * (3 * n - rr)
+    val den = 9 * n * n - e
+    val num = 3 * n * s1 / 2 - e
+    val row = graft.ops.Curation.fleissKappa(spark, sfDir).collect().head
+    assert(row.getLong(0) == rs.size.toLong)
+    assert(row.getLong(1) == rs.count(_ == 0).toLong && row.getLong(2) == rs.count(_ == 1).toLong)
+    assert(row.getLong(3) == rs.count(_ == 2).toLong && row.getLong(4) == rs.count(_ == 3).toLong)
+    assert(BigInt(row.getLong(5)) == s1 * 1000000 / (6 * n))
+    assert(BigInt(row.getLong(6)) == e * 1000000 / (9 * n * n))
+    val expKappa =
+      if (den == 0) null
+      else java.lang.Long.valueOf((num.signum * (num.abs * 1000000 / den)).toLong)
+    assert(row.get(7) == expKappa)
+  }
 }
