@@ -478,6 +478,66 @@ object TextAnalysis {
     * written in the same association order on both engines, and the
     * score is rounded to 6dp (absorbing libm ln ULP drift) with doc_id
     * tiebreak before the top-k cut. */
+  /** Per-document token-distribution Shannon entropy — the
+    * repetitiveness quality signal [[tokenDiversity]]'s type-token
+    * ratio only approximates (TTR can't tell "one token repeated 99×
+    * plus 99 singletons" from a flat distribution; entropy can), and
+    * the standard spam/keyword-stuffing detector beside
+    * `repetition_quality`. H = ln n − (Σ_t c_t·ln c_t)/n over the
+    * doc's token counts, every ln a quantized-micros ln of an exact
+    * INTEGER (the psi_drift convention — cross-engine stable where a
+    * float Σ p·ln p is not); quantization is monotone so H ≥ 0 holds
+    * exactly. Normalized entropy H/ln(n_distinct) ∈ [0,1] rides along
+    * (NULL for single-type docs).
+    *
+    * Scale shape: one (doc_id, token)-keyed partial-aggregated count,
+    * then a per-doc aggregate over its distinct-token cells — state
+    * bounded by per-doc vocabulary, no windows. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("c * CAST(round(ln(c) * 1000000) AS BIGINT)")).as("sclnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("""CAST(round(ln(n_tokens) * 1000000) AS BIGINT)
+               |  - CAST(sclnc div n_tokens AS BIGINT)""".stripMargin).as("entropy_micros"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("entropy_micros"),
+        when(col("n_distinct") > 1L,
+          expr("""CAST((CAST(entropy_micros AS DECIMAL(38,0)) * 1000000)
+                 |     div CAST(round(ln(n_distinct) * 1000000) AS BIGINT) AS BIGINT)""".stripMargin))
+          .as("norm_entropy_micros"))
+      .orderBy("doc_id")
+
+  private val tokenEntropySql: String =
+    """WITH cells AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      |    FROM documents)
+      |  GROUP BY doc_id, tok
+      |), agg AS (
+      |  SELECT doc_id,
+      |         CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS sclnc
+      |  FROM cells GROUP BY doc_id
+      |), ent AS (
+      |  SELECT doc_id, n_tokens, n_distinct,
+      |         CAST(round(ln(n_tokens) * 1000000) AS BIGINT)
+      |           - CAST(sclnc // n_tokens AS BIGINT) AS entropy_micros
+      |  FROM agg
+      |)
+      |SELECT doc_id, n_tokens, n_distinct, entropy_micros,
+      |       CASE WHEN n_distinct > 1
+      |            THEN CAST((CAST(entropy_micros AS HUGEINT) * 1000000)
+      |                      // CAST(round(ln(n_distinct) * 1000000) AS BIGINT) AS BIGINT)
+      |       END AS norm_entropy_micros
+      |FROM ent ORDER BY doc_id""".stripMargin
+
   /** [[proximitySearch]] query — three terms common enough in the
     * fixture vocabulary that co-occurring windows exist to rank. */
   private val ProxTerms = Seq("slow", "scan", "table")
@@ -2186,6 +2246,7 @@ object TextAnalysis {
         |ORDER BY n DESC, token LIMIT 10""".stripMargin)(topkFrequent),
     QueryDef.sql("bm25_search", bm25Sql)(bm25Search),
     QueryDef.sql("proximity_search", proximitySql)(proximitySearch),
+    QueryDef.sql("token_entropy", tokenEntropySql)(tokenEntropy),
     QueryDef.sql("prf_expand", prfExpandSql)(prfExpand),
     QueryDef.sql("cooc_pmi", coocPmiSql)(coocPmi),
     QueryDef.sql("fingerprint",

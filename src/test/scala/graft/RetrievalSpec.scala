@@ -391,4 +391,31 @@ class RetrievalSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty && got.head._2 >= 3L, "a 3-term window cannot be shorter than 3")
   }
+
+  test("token_entropy replays the quantized-ln form and orders repetitive below diverse") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lnM(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val rows = TextAnalysis.tokenEntropy(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val counts = texts(r.getLong(0)).split(" ").filter(_.nonEmpty)
+        .groupBy(identity).map(_._2.length.toLong).toSeq
+      val n = counts.sum
+      val h = lnM(n) - counts.map(c => c * lnM(c)).sum / n
+      assert(r.getLong(1) == n && r.getLong(2) == counts.size.toLong)
+      assert(r.getLong(3) == h, s"doc ${r.getLong(0)} entropy")
+      assert(h >= 0L)
+      val norm = if (counts.size > 1) Some(BigInt(h) * 1000000 / lnM(counts.size)) else None
+      assert(Option(r.get(4)).map(_ => BigInt(r.getLong(4))) == norm)
+    }
+    // semantic pin: a maximally repetitive token stream scores below a
+    // maximally diverse one of the same length (what TTR alone blurs)
+    val hOf = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val (rep, div) = (texts.minBy(t => t._2.split(" ").distinct.length),
+      texts.maxBy(t => t._2.split(" ").distinct.length))
+    assert(hOf(rep._1) <= hOf(div._1))
+  }
 }
