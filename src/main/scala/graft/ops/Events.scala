@@ -61,6 +61,77 @@ object Events {
     * new session when ts - lag(ts) >= gap (matches `session_window`
     * merge semantics: events merge while next < prev_end). One shuffle
     * on user_id; cumulative-sum session ids stay partition-local. */
+  /** Each event claims a fixed attention window for [[intervalUnion]];
+    * 5 minutes, the common engagement-accounting default. */
+  private val IntervalMs = 5L * 60 * 1000
+
+  /** Per-user interval UNION — exact engaged time when every event
+    * claims a [ts, ts+5 min) window and overlaps must not double-count
+    * (the billing/engagement metric [[sessionize]] does not compute:
+    * gap-sessionization counts first-to-last SPAN, which overstates a
+    * user who fires two events 29 minutes apart; the union counts
+    * covered time only). The classic sweep made window-functional:
+    * ordered per user, an interval opens an ISLAND when its start
+    * clears the running max of prior ends; islands then aggregate to
+    * (min start, max end) and the union is Σ island lengths. All
+    * integer milliseconds.
+    *
+    * Scale shape: one USER-partitioned ordered window (per-user
+    * bounded state, the sessionize class — never a global order), one
+    * (user, island) partial-aggregated groupBy, one per-user rollup. */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("s", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("s"),
+        (unix_millis(col("ts")) + IntervalMs).as("e"))
+      .withColumn("prev_max_e",
+        max(col("e")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_ev"), min("s").as("is_s"), max("e").as("is_e"))
+      .groupBy("user_id")
+      .agg(
+        sum("n_ev").as("n_events"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("is_e") - col("is_s")).as("covered_ms"))
+      .orderBy("user_id")
+  }
+
+  private val intervalUnionSql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS s, epoch_ms(ts) + $IntervalMs AS e
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, event_id, s, e,
+       |         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |                OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |              THEN 1 ELSE 0 END AS new_island
+       |  FROM iv
+       |), isl AS (
+       |  -- cumulative island id must use the SAME (s, event_id) tie
+       |  -- order as the flag window: a tied row sorted ahead of its
+       |  -- group's flag row would leak across a gap into the previous
+       |  -- island, and which row leaks is engine-dependent
+       |  SELECT user_id, s, e,
+       |         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM flagged
+       |), grouped AS (
+       |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_ev,
+       |         min(s) AS is_s, max(e) AS is_e
+       |  FROM isl GROUP BY user_id, island
+       |)
+       |SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+       |       CAST(count(*) AS BIGINT) AS n_intervals,
+       |       CAST(sum(is_e - is_s) AS BIGINT) AS covered_ms
+       |FROM grouped GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapMs  = 30L * 60 * 1000
@@ -826,6 +897,7 @@ object Events {
         |  UNION ALL
         |  SELECT (epoch_ms(ts) // 1800000) * 1800000 - 1800000 AS ws_ms, event_type, value FROM events
         |) t GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin)(eventSliding),
+    QueryDef.sql("interval_union", intervalUnionSql)(intervalUnion),
     QueryDef.sql("sessionize",
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS v_cents,

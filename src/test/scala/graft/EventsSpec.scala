@@ -74,4 +74,34 @@ class EventsSpec extends SparkSpec {
       if (!reported(k)) assert(n <= minKept, s"omitted $k has support $n > kept min $minKept")
     }
   }
+
+  test("interval_union equals the driver-side sweep and never exceeds the naive sum") {
+    import org.apache.spark.sql.functions._
+    val iv = 5L * 60 * 1000
+    val evs = graft.tables.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts)").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = evs.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.map(_._2).sorted
+      var (nInt, covered, curS, curE) = (0L, 0L, -1L, -1L)
+      sorted.foreach { s =>
+        if (curE < 0 || s > curE) {
+          if (curE >= 0) covered += curE - curS
+          nInt += 1; curS = s; curE = s + iv
+        } else curE = math.max(curE, s + iv)
+      }
+      if (curE >= 0) covered += curE - curS
+      u -> (rows.size.toLong, nInt, covered)
+    }
+    val got = graft.ops.Events.intervalUnion(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, w) =>
+      assert(got(u) == w, s"user $u: ${got(u)} != $w")
+      // union <= naive sum (overlaps deduplicated) and >= one interval
+      assert(got(u)._3 <= w._1 * iv && got(u)._3 >= iv)
+    }
+    // the metric must actually deduplicate somewhere on the fixture
+    assert(want.exists { case (_, (n, _, cov)) => cov < n * iv })
+  }
 }
