@@ -632,6 +632,90 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** [[jlProject]] target dimensionality — 64 → 16 is a 4× footprint
+    * cut with (by JL) ~O(1/√16) expected metric distortion. */
+  private val JlK = 16
+
+  /** Johnson–Lindenstrauss random projection 64 → [[JlK]] dims with a
+    * measured DISTORTION AUDIT — the cheap dimensionality cut an
+    * embedding pipeline applies before ANN indexing when 4× fewer
+    * bytes/vector matters more than the last recall point (JL 1984:
+    * random linear maps preserve pairwise distances in expectation;
+    * [[annSq8]] compresses precision, this compresses DIMENSION). The
+    * projection matrix is the deterministic [[planeWeightsF]] family —
+    * float-quantized so the oracle inlines each weight's exact decimal
+    * expansion and both engines multiply bit-identical operands (the
+    * ann_lsh convention). Served output: the query set's pairwise
+    * distortion table — squared distance before/after plus the
+    * UNBIASED ratio 3·d²_proj/(k·d²_orig) in micros (≈10⁶ when the
+    * metric survives; the constant is 1/(k·Var(w)) and these
+    * uniform[−1,1]-family weights have Var = 1/3 — the first cut used
+    * n/k and measured mean ratio 21.29 ≈ 64/3, the audit catching its
+    * own miscalibration) — because a projection without its measured
+    * distortion is a claim, not an operator.
+    *
+    * Scale shape: the projection itself is a per-row 16-dot-product
+    * codegen'd map at scan speed (zero shuffle); the audit touches
+    * only the ≤NumQueries² query pairs. */
+  def jlProject(spark: SparkSession, dir: String): DataFrame = {
+    val proj = array((0 until JlK).map { k =>
+      val w = planeWeightsF(k).map(_.toDouble)
+      aggregate(
+        zip_with(col("embedding"),
+          array(w.map(lit(_)): _*), (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"), proj.as("y"))
+      .localCheckpoint() // NumQueries rows; both sides of the pair join
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, yv) => (x.cast("double") - yv.cast("double"))
+        * (x.cast("double") - yv.cast("double"))), lit(0.0), (acc, v) => acc + v)
+    q.as("l").join(q.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+        round(d2(col("l.embedding"), col("r.embedding")), 6).as("d2_orig"),
+        round(d2(col("l.y"), col("r.y")), 6).as("d2_proj"))
+      .select(col("id_a"), col("id_b"), col("d2_orig"), col("d2_proj"),
+        expr(s"CAST(round(d2_proj * 3 * 1000000 / ($JlK * d2_orig)) AS BIGINT)")
+          .as("ratio_micros"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val jlSql: String = {
+    def dot(k: Int): String = {
+      val weights = planeWeightsF(k)
+        .map(w => new java.math.BigDecimal(w.toDouble).toPlainString)
+        .mkString("[", ", ", "]")
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, $Dim), d -> CAST(embedding[d] AS DOUBLE) * ($weights)[d])),
+         |  (a, v) -> a + v)""".stripMargin
+    }
+    val d2o =
+      """round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |  list_transform(generate_series(1, 64), d ->
+        |    (CAST(l.embedding[d] AS DOUBLE) - CAST(r.embedding[d] AS DOUBLE))
+        |    * (CAST(l.embedding[d] AS DOUBLE) - CAST(r.embedding[d] AS DOUBLE)))),
+        |  (a, v) -> a + v), 6)""".stripMargin
+    val d2p =
+      s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, $JlK), d -> (l.y[d] - r.y[d]) * (l.y[d] - r.y[d]))),
+         |  (a, v) -> a + v), 6)""".stripMargin
+    s"""WITH proj AS (
+       |  SELECT vec_id, embedding,
+       |         [${(0 until JlK).map(dot).mkString(",\n          ")}] AS y
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), pairs AS (
+       |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       |         $d2o AS d2_orig,
+       |         $d2p AS d2_proj
+       |  FROM proj l JOIN proj r ON l.vec_id < r.vec_id
+       |)
+       |SELECT id_a, id_b, d2_orig, d2_proj,
+       |       CAST(round(d2_proj * 3 * 1000000 / ($JlK * d2_orig)) AS BIGINT) AS ratio_micros
+       |FROM pairs ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** [[mmrRerank]] candidate depth (the retrieval stage's R) and the
     * number of greedy picks (the served K). */
   private val MmrCand = 15
@@ -1233,6 +1317,7 @@ object Similarity {
          |SELECT c.vec_id, (d.vec_id IS NOT NULL) AS pruned
          |FROM corpus c LEFT JOIN dups d USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin)(knnDiversityPrune),
+    QueryDef.sql("jl_project", jlSql)(jlProject),
     QueryDef.sql("mmr_rerank", mmrSql)(mmrRerank),
     QueryDef.sql("rrf_fusion", rrfSql)(rrfFusion),
     QueryDef.sql("hard_negatives", hardNegativesSql)(hardNegatives),

@@ -425,4 +425,37 @@ class SimilaritySpec extends SparkSpec {
     // the λ-trade is degenerate and the op adds nothing over top-k)
     assert(departures > 0, "MMR never departed from pure relevance")
   }
+
+  test("jl_project replays the projection on the driver and the ratio is unbiased") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.tables.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 20).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def proj(x: Array[Float]): Array[Double] =
+      Array.tabulate(16) { k =>
+        val w = Similarity.planeWeightsF(k)
+        x.indices.map(d => x(d).toDouble * w(d).toDouble).sum
+      }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ys = emb.view.mapValues(proj).toMap
+    val rows = Similarity.jlProject(spark, sfDir).collect()
+    assert(rows.length == emb.size * (emb.size - 1) / 2)
+    var ratios = Vector.empty[Long]
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val dO = r6(d2(emb(a).map(_.toDouble), emb(b).map(_.toDouble)))
+      val dP = r6(d2(ys(a), ys(b)))
+      assert(r.getDouble(2) == dO && r.getDouble(3) == dP, s"pair ($a,$b) distances")
+      val ratio = math.round(dP * 3 * 1000000 / (16 * dO))
+      assert(r.getLong(4) == ratio, s"pair ($a,$b) ratio")
+      ratios :+= ratio
+    }
+    // the 1/(k·Var) constant must leave the estimator unbiased-ish —
+    // the n/k miscalibration measured mean 21.3×, far outside this band
+    val mean = ratios.sum.toDouble / ratios.size
+    assert(mean > 700000 && mean < 1400000, s"distortion ratio mean $mean not ~1e6")
+  }
 }
