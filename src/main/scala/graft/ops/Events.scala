@@ -61,6 +61,53 @@ object Events {
     * new session when ts - lag(ts) >= gap (matches `session_window`
     * merge semantics: events merge while next < prev_end). One shuffle
     * on user_id; cumulative-sum session ids stay partition-local. */
+  /** Per-user TIME-weighted average of the event value (TWAP — the
+    * metrics/finance integral ∫v(t)dt / T under last-value-holds
+    * semantics): a plain mean over-weights bursts, which is exactly
+    * when gauge-style values (queue depth, price, session quality)
+    * mislead; TWAP weights each observation by how long it REMAINED
+    * the current value. Segment duration = lead(ts) − ts per user;
+    * single-event users have zero span and ship NULL (stated, not a
+    * fake 0). Weighted sums are exact integer millis×ms products in
+    * DECIMAL(38); one floor division at the end.
+    *
+    * Scale shape: one USER-partitioned ordered window for the lead
+    * (bounded per-user state), one partial-aggregated per-user
+    * rollup — never a global order. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      .withColumn("dt", lead(col("ms"), 1).over(byUser) - col("ms"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max("ms") - min("ms")).as("span_ms"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * dt")).as("wsum"))
+      .select(col("user_id"), col("n_events"), col("span_ms"),
+        when(col("span_ms") > 0,
+          expr("CAST((wsum * 1000) div span_ms AS BIGINT)")).as("twap_micros"))
+      .orderBy("user_id")
+  }
+
+  private val twapSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |         CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |), seg AS (
+      |  SELECT user_id, ms, v,
+      |         lead(ms, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms AS dt
+      |  FROM ev
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(max(ms) - min(ms) AS BIGINT) AS span_ms,
+      |       CASE WHEN max(ms) - min(ms) > 0
+      |            THEN CAST((sum(CAST(v AS HUGEINT) * dt) * 1000) // (max(ms) - min(ms)) AS BIGINT)
+      |       END AS twap_micros
+      |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Each event claims a fixed attention window for [[intervalUnion]];
     * 5 minutes, the common engagement-accounting default. */
   private val IntervalMs = 5L * 60 * 1000
@@ -898,6 +945,7 @@ object Events {
         |  SELECT (epoch_ms(ts) // 1800000) * 1800000 - 1800000 AS ws_ms, event_type, value FROM events
         |) t GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin)(eventSliding),
     QueryDef.sql("interval_union", intervalUnionSql)(intervalUnion),
+    QueryDef.sql("twap", twapSql)(twap),
     QueryDef.sql("sessionize",
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS v_cents,

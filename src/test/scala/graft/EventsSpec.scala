@@ -104,4 +104,35 @@ class EventsSpec extends SparkSpec {
     // the metric must actually deduplicate somewhere on the fixture
     assert(want.exists { case (_, (n, _, cov)) => cov < n * iv })
   }
+
+  test("twap replays the last-value-holds integral and diverges from the plain mean") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.tables.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("unix_millis(ts)").as("ms"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = evs.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val span = sorted.last._3 - sorted.head._3
+      val wsum = sorted.sliding(2).collect { case arr if arr.length == 2 =>
+        BigInt(arr(0)._4) * (arr(1)._3 - arr(0)._3)
+      }.sum
+      u -> (rows.size.toLong, span,
+        if (span > 0) Some((wsum * 1000 / span).toLong) else None)
+    }
+    val got = graft.ops.Events.twap(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, w) => assert(got(u) == w, s"user $u: ${got(u)} != $w") }
+    // semantic pin: on at least one user, TWAP != plain mean (bursts
+    // re-weighted) — else the op measures nothing the mean doesn't
+    val diverges = evs.groupBy(_._1).exists { case (u, rows) =>
+      got(u)._3.exists { tw =>
+        val mean = rows.map(_._4).sum * 1000 / rows.size
+        math.abs(tw - mean) > 1000
+      }
+    }
+    assert(diverges, "TWAP equals the plain mean everywhere")
+  }
 }
