@@ -288,6 +288,71 @@ object Lake {
     * both sides is inherent — at cluster scale both snapshots live
     * bucketed on the key and the join is exchange-free (the
     * `bucketed_join` pattern); rows carry only (key, status, cents). */
+  /** Deletion vectors — the modern lakehouse SOFT delete (Delta DVs /
+    * Iceberg position deletes): instead of rewriting every data file a
+    * delete touches, a tiny side file lists the deleted row ids and
+    * readers apply it as an anti-join; compaction later hard-deletes.
+    * Staged end-to-end on real parquet: the table and its DV round-trip
+    * through disk, the visible view is read(table) ANTI-JOIN read(dv),
+    * and the shipped verdict PROVES the DV read equals the full
+    * rewrite (row count + cents sum + row-id XOR all agree — computed
+    * by the engine, asserted as a column the oracle pins to TRUE, the
+    * bloom/no-false-negative verdict convention).
+    *
+    * Scale shape: the DV is deleted-rows-sized, never table-sized; the
+    * anti-join keys on the row id the writer laid down, so at 100 TB a
+    * delete costs one DV write + a broadcast-able anti-join side
+    * instead of rewriting petabytes (exactly why the format feature
+    * exists). */
+  def deletionVectors(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-dv") { tmp =>
+      val base = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("pc"))
+        .withColumn("row_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      base.write.parquet(s"$tmp/table")
+      base.filter(col("l_orderkey") % 13 === 2)
+        .select("row_id").write.parquet(s"$tmp/dv")
+      val tbl = spark.read.parquet(s"$tmp/table")
+      val dv  = spark.read.parquet(s"$tmp/dv")
+      val visible = tbl.join(dv, Seq("row_id"), "left_anti")
+        .agg(count(lit(1)).as("n_v"), sum("pc").as("c_v"),
+          expr("bit_xor(row_id)").as("x_v"))
+      val rewrite = base.filter(col("l_orderkey") % 13 =!= 2)
+        .agg(count(lit(1)).as("n_r"), sum("pc").as("c_r"),
+          expr("bit_xor(row_id)").as("x_r"))
+      val totals = base.agg(count(lit(1)).as("n_total"),
+        sum(when(col("l_orderkey") % 13 === 2, 1L).otherwise(0L)).as("n_deleted"))
+      totals.crossJoin(visible).crossJoin(rewrite)
+        .select(col("n_total"), col("n_deleted"),
+          col("n_v").as("n_visible"),
+          col("c_v").as("visible_cents"),
+          col("x_v").as("visible_rowid_xor"),
+          (col("n_v") === col("n_r") && col("c_v") === col("c_r") &&
+            col("x_v") === col("x_r")).as("dv_equals_rewrite"))
+        .localCheckpoint() // 1 row; must outlive the temp dir
+    }
+
+  private val deletionVectorsSql: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+      |         l_orderkey * 10 + l_linenumber AS row_id
+      |  FROM lineitem
+      |), vis AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_visible,
+      |         CAST(sum(pc) AS BIGINT) AS visible_cents,
+      |         CAST(bit_xor(row_id) AS BIGINT) AS visible_rowid_xor
+      |  FROM base WHERE l_orderkey % 13 <> 2
+      |), tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |         CAST(sum(CASE WHEN l_orderkey % 13 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+      |  FROM base
+      |)
+      |SELECT n_total, n_deleted, n_visible, visible_cents, visible_rowid_xor,
+      |       TRUE AS dv_equals_rewrite
+      |FROM tot CROSS JOIN vis""".stripMargin
+
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val snap = Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_orderstatus"),
@@ -745,6 +810,7 @@ object Lake {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, version""".stripMargin)(scd2Snapshot),
+    QueryDef.sql("deletion_vectors", deletionVectorsSql)(deletionVectors),
     QueryDef.sql("snapshot_diff",
       """WITH snap AS (
         |  SELECT o_orderkey, o_orderstatus,

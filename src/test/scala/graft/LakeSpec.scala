@@ -163,4 +163,21 @@ class LakeSpec extends SparkSpec {
         s"status $status: v2 ($rows2, $cents2) vs v1 ($rows, $cents1)")
     }
   }
+
+  test("deletion_vectors: DV-applied read provably equals the hard rewrite") {
+    import org.apache.spark.sql.functions._
+    val row = graft.ops.Lake.deletionVectors(spark, sfDir).collect().head
+    val li = graft.tables.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val deleted = li.count(_._1 % 13 == 2).toLong
+    val vis = li.filter(_._1 % 13 != 2)
+    assert(row.getLong(0) == li.length.toLong && row.getLong(1) == deleted)
+    assert(deleted > 0L, "fixture plants no deletions — the DV path is untested")
+    assert(row.getLong(2) == vis.length.toLong)
+    assert(row.getLong(3) == vis.map(_._3).sum)
+    assert(row.getLong(4) == vis.map(r => r._1 * 10 + r._2).reduce(_ ^ _))
+    assert(row.getBoolean(5), "DV read diverged from the rewrite")
+  }
 }
