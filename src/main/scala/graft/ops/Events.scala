@@ -456,6 +456,89 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** [[transitionStationary]] power-iteration depth — the ≤5-state
+    * fixture chain contracts fast; 20 sweeps is past fixpoint at micros
+    * resolution while keeping the unrolled oracle readable. */
+  private val StationaryIters = 20
+
+  /** Stationary distribution of the event-type Markov chain — the
+    * long-run behavioral mix π = πP that [[eventTransitions]]'s
+    * one-step matrix only implies ("if users keep behaving like this,
+    * what fraction of all activity ends up in each state?" — the
+    * steady-state a capacity planner or simulator actually consumes).
+    * Power iteration from uniform, each sweep quantized to integral
+    * micros (πⱼ ← Σᵢ πᵢ·pᵢⱼ div 10⁶ with pᵢⱼ itself exact micros), so
+    * every iterate is bit-replayable cross-engine; Σπ drifts a few
+    * micros below 10⁶ under flooring — documented, not renormalized.
+    *
+    * Scale shape: the transition counts are the [[eventTransitions]]
+    * distributed pass (user-partitioned lead + partial-agg); the
+    * matrix is |types|²-BOUNDED METADATA (≤25 cells here), so the
+    * power iteration runs on the driver over collected cells — the
+    * k×dim-centroid convention, never a data-sized collect. */
+  def transitionStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("from_type"))
+      .withColumn("to_type",
+        lead(col("from_type"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val tot = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val p = cells.map { case (f, t, n) => (f, t) -> n * 1000000L / tot(f) }.toMap
+    var pi = types.map(_ -> 1000000L / types.length).toMap
+    (1 to StationaryIters).foreach { _ =>
+      pi = types.map { j =>
+        j -> types.map(i => pi(i) * p.getOrElse((i, j), 0L)).sum / 1000000L
+      }.toMap
+    }
+    types.map(t => (t, tot.getOrElse(t, 0L), pi(t))).toSeq
+      .toDF("event_type", "n_out", "pi_micros")
+      .orderBy("event_type")
+  }
+
+  private lazy val stationarySql: String = {
+    val sweeps = (1 to StationaryIters).map { t =>
+      s"""pi$t AS (
+         |  SELECT p.to_type AS event_type,
+         |         CAST(sum(prev.pi * p.pm) // 1000000 AS BIGINT) AS pi
+         |  FROM pm p JOIN pi${t - 1} prev ON prev.event_type = p.from_type
+         |  GROUP BY p.to_type
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events
+       |), cnt AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM seq
+       |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+       |), tot AS (
+       |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY from_type
+       |), pm AS (
+       |  SELECT c.from_type, c.to_type, CAST(c.n * 1000000 // t.tot AS BIGINT) AS pm
+       |  FROM cnt c JOIN tot t USING (from_type)
+       |), types AS (
+       |  SELECT DISTINCT from_type AS event_type FROM cnt
+       |  UNION SELECT DISTINCT to_type FROM cnt
+       |), ntypes AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+       |pi0 AS (
+       |  SELECT event_type, CAST(1000000 // k AS BIGINT) AS pi FROM types CROSS JOIN ntypes
+       |),
+       |$sweeps
+       |SELECT t.event_type,
+       |       CAST(coalesce(o.tot, 0) AS BIGINT) AS n_out,
+       |       CAST(coalesce(f.pi, 0) AS BIGINT) AS pi_micros
+       |FROM types t
+       |LEFT JOIN tot o ON o.from_type = t.event_type
+       |LEFT JOIN pi$StationaryIters f ON f.event_type = t.event_type
+       |ORDER BY t.event_type""".stripMargin
+  }
+
   private val transitionsSql: String =
     """WITH seq AS (
       |  SELECT event_type AS from_type,
@@ -946,6 +1029,7 @@ object Events {
         |) t GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin)(eventSliding),
     QueryDef.sql("interval_union", intervalUnionSql)(intervalUnion),
     QueryDef.sql("twap", twapSql)(twap),
+    QueryDef.sql("transition_stationary", stationarySql)(transitionStationary),
     QueryDef.sql("sessionize",
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS v_cents,

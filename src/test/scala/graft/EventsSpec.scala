@@ -135,4 +135,38 @@ class EventsSpec extends SparkSpec {
     }
     assert(diverges, "TWAP equals the plain mean everywhere")
   }
+
+  test("transition_stationary replays the quantized power iteration and sits at a fixpoint") {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = graft.tables.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("f"))
+      .withColumn("t", lead(col("f"), 1).over(w))
+      .filter(col("t").isNotNull)
+      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val tot = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val p = cells.map { case (f, t, n) => (f, t) -> n * 1000000L / tot(f) }.toMap
+    def sweep(pi: Map[String, Long]): Map[String, Long] =
+      types.map(j => j -> types.map(i => pi(i) * p.getOrElse((i, j), 0L)).sum / 1000000L).toMap
+    var pi = types.map(_ -> 1000000L / types.length).toMap
+    (1 to 20).foreach(_ => pi = sweep(pi))
+    val got = graft.ops.Events.transitionStationary(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == types.toSeq)
+    got.foreach { case (t, nOut, piM) =>
+      assert(nOut == tot.getOrElse(t, 0L) && piM == pi(t), s"type $t")
+    }
+    // mass conservation under flooring and fixpoint at micros resolution
+    val mass = pi.values.sum
+    assert(mass <= 1000000L && mass > 999000L, s"stationary mass $mass")
+    // flooring bleeds ~1 micro per sweep, so an EXACT fixpoint never
+    // lands — converged means the next sweep moves within quantization
+    // noise, far below the ~10⁴-micros swings of the early sweeps
+    val next = sweep(pi)
+    types.foreach(t => assert(math.abs(next(t) - pi(t)) <= 2L,
+      s"type $t still moving: ${pi(t)} -> ${next(t)}"))
+  }
 }
