@@ -1131,35 +1131,124 @@ object Similarity {
        |LIMIT $topN""".stripMargin
   }
 
+  /** Recall\@[[K]] of each bucketed ANN variant against the exact
+    * brute-force top-[[K]] — the index-selection eval harness AS AN
+    * OPERATOR: before an embedding pipeline commits to an index it
+    * measures the recall/cost frontier on its own corpus, and this
+    * query ships that table (the per-method recall the specs pin
+    * individually, computed side-by-side on identical ground truth).
+    * recall = |method∩brute| / |brute| in exact micros; n_retrieved
+    * rides along because single-table LSH honestly returns FEWER than
+    * K for sparse buckets — visible here as the recall/candidate-count
+    * trade between one LSH table, four tables, and IVF probes.
+    *
+    * Scale shape: each method's candidate generation is its own
+    * bucketed query-set-bounded plan (reused verbatim); the recall
+    * join is over ≤Q·K-row result sets — metadata-sized at any corpus
+    * size. */
+  def annRecallMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brute = annBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // Q·K rows; ground truth for every method
+    val bruteN = brute.count()
+    val rows = Seq(
+      "ann_ivf" -> annIvf(spark, dir),
+      "ann_lsh" -> annLsh(spark, dir),
+      "ann_lsh_multi" -> annLshMulti(spark, dir)).map { case (m, df) =>
+      val got = df.select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = got.join(brute, Seq("query_id", "neighbor_id")).count()
+      (m, got.count(), hits, hits * 1000000L / bruteN)
+    }
+    rows.toDF("method", "n_retrieved", "n_hits", "recall_micros")
+      .orderBy("method")
+  }
+
+  private lazy val annRecallSql: String = {
+    def m(name: String, oracle: String): String =
+      s"""SELECT '$name' AS method,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ${name}_r) AS n_retrieved,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM ${name}_r JOIN bf USING (query_id, neighbor_id)) AS n_hits,
+         |  (SELECT CAST((count(*) * 1000000) // (SELECT count(*) FROM bf) AS BIGINT)
+         |   FROM ${name}_r JOIN bf USING (query_id, neighbor_id)) AS recall_micros"""
+        .stripMargin
+    s"""WITH bf AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM ($annBruteOracle) b
+       |), ann_ivf_r AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM ($annIvfOracle) x
+       |), ann_lsh_r AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM ($annLshOracle) x
+       |), ann_lsh_multi_r AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM ($annLshMultiOracle) x
+       |)
+       |${Seq("ann_ivf" -> "", "ann_lsh" -> "", "ann_lsh_multi" -> "")
+            .map { case (n, _) => m(n, "") }.mkString("\nUNION ALL\n")}
+       |ORDER BY method""".stripMargin
+  }
+
+  // the four candidate-generation oracles, extracted so the recall
+  // matrix can embed each as a subquery beside the brute-force truth
+  private lazy val annBruteOracle: String =
+    s"""WITH pairs AS (
+           |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
+           |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+           |  WHERE q.vec_id < $NumQueries
+           |), ${rankSql("pairs")}""".stripMargin
+
+  private lazy val annLshOracle: String =
+    s"""WITH buckets AS (
+           |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+           |), pairs AS (
+           |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
+           |  FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+           |  WHERE q.vec_id < $NumQueries
+           |), ${rankSql("pairs")}""".stripMargin
+
+  private lazy val annLshMultiOracle: String =
+    s"""WITH buckets AS (
+           |${(0 until LshTables).map(t =>
+               s"  SELECT vec_id, $t AS t, ${bucketSql("embedding", t * NumPlanes)} AS code FROM embeddings")
+             .mkString("\n  UNION ALL\n")}
+           |), cands AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+           |  FROM buckets q JOIN buckets b ON q.t = b.t AND q.code = b.code AND q.vec_id <> b.vec_id
+           |  WHERE q.vec_id < $NumQueries
+           |), pairs AS (
+           |  SELECT c.query_id, c.neighbor_id, $cosineSql AS sim
+           |  FROM cands c JOIN embeddings q ON q.vec_id = c.query_id
+           |               JOIN embeddings b ON b.vec_id = c.neighbor_id
+           |), ${rankSql("pairs")}""".stripMargin
+
+  private lazy val annIvfOracle: String =
+    s"""WITH cents AS (
+           |  SELECT label, list(avg_val ORDER BY d) AS c FROM (
+           |    SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
+           |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+           |    GROUP BY label, d) t
+           |  GROUP BY label
+           |), ranked_assign AS (
+           |  SELECT e.vec_id, e.embedding, c.label AS ivf_list,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |             list_transform(generate_series(1, $Dim), d ->
+           |               (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
+           |             (a, v) -> a + v) ASC, c.label ASC) AS rn
+           |  FROM embeddings e CROSS JOIN cents c
+           |), assigned AS (
+           |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn = 1
+           |), probes AS (
+           |  SELECT vec_id, embedding, ivf_list FROM ranked_assign
+           |  WHERE rn <= $NProbe AND vec_id < $NumQueries
+           |), pairs AS (
+           |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
+           |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
+           |), ${rankSql("pairs")}""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
-    QueryDef.sql("ann_bruteforce",
-      s"""WITH pairs AS (
-         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
-         |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
-         |  WHERE q.vec_id < $NumQueries
-         |), ${rankSql("pairs")}""".stripMargin)(annBruteforce),
-    QueryDef.sql("ann_lsh",
-      s"""WITH buckets AS (
-         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
-         |), pairs AS (
-         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
-         |  FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
-         |  WHERE q.vec_id < $NumQueries
-         |), ${rankSql("pairs")}""".stripMargin)(annLsh),
-    QueryDef.sql("ann_lsh_multi",
-      s"""WITH buckets AS (
-         |${(0 until LshTables).map(t =>
-             s"  SELECT vec_id, $t AS t, ${bucketSql("embedding", t * NumPlanes)} AS code FROM embeddings")
-           .mkString("\n  UNION ALL\n")}
-         |), cands AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
-         |  FROM buckets q JOIN buckets b ON q.t = b.t AND q.code = b.code AND q.vec_id <> b.vec_id
-         |  WHERE q.vec_id < $NumQueries
-         |), pairs AS (
-         |  SELECT c.query_id, c.neighbor_id, $cosineSql AS sim
-         |  FROM cands c JOIN embeddings q ON q.vec_id = c.query_id
-         |               JOIN embeddings b ON b.vec_id = c.neighbor_id
-         |), ${rankSql("pairs")}""".stripMargin)(annLshMulti),
+    QueryDef.sql("ann_bruteforce", annBruteOracle)(annBruteforce),
+    QueryDef.sql("ann_lsh", annLshOracle)(annLsh),
+    QueryDef.sql("ann_lsh_multi", annLshMultiOracle)(annLshMulti),
     QueryDef.sql("ann_sq8",
       s"""WITH bounds AS (
          |  SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS lo, max(CAST(embedding[d] AS DOUBLE)) AS hi
@@ -1249,30 +1338,7 @@ object Similarity {
          |)
          |SELECT query_id, neighbor_id, rank, qdist FROM ranked
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)(annPq),
-    QueryDef.sql("ann_ivf",
-      s"""WITH cents AS (
-         |  SELECT label, list(avg_val ORDER BY d) AS c FROM (
-         |    SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
-         |    FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
-         |    GROUP BY label, d) t
-         |  GROUP BY label
-         |), ranked_assign AS (
-         |  SELECT e.vec_id, e.embedding, c.label AS ivf_list,
-         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |             list_transform(generate_series(1, $Dim), d ->
-         |               (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
-         |             (a, v) -> a + v) ASC, c.label ASC) AS rn
-         |  FROM embeddings e CROSS JOIN cents c
-         |), assigned AS (
-         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign WHERE rn = 1
-         |), probes AS (
-         |  SELECT vec_id, embedding, ivf_list FROM ranked_assign
-         |  WHERE rn <= $NProbe AND vec_id < $NumQueries
-         |), pairs AS (
-         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, $cosineSql AS sim
-         |  FROM probes q JOIN assigned b ON q.ivf_list = b.ivf_list AND q.vec_id <> b.vec_id
-         |), ${rankSql("pairs")}""".stripMargin)(annIvf),
+    QueryDef.sql("ann_ivf", annIvfOracle)(annIvf),
     QueryDef.sql("ann_ivf_pq",
       s"""WITH $ivfPqPairsCtes, ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS rank
@@ -1317,6 +1383,7 @@ object Similarity {
          |SELECT c.vec_id, (d.vec_id IS NOT NULL) AS pruned
          |FROM corpus c LEFT JOIN dups d USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin)(knnDiversityPrune),
+    QueryDef.sql("ann_recall_matrix", annRecallSql)(annRecallMatrix),
     QueryDef.sql("jl_project", jlSql)(jlProject),
     QueryDef.sql("mmr_rerank", mmrSql)(mmrRerank),
     QueryDef.sql("rrf_fusion", rrfSql)(rrfFusion),

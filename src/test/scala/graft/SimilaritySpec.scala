@@ -458,4 +458,27 @@ class SimilaritySpec extends SparkSpec {
     val mean = ratios.sum.toDouble / ratios.size
     assert(mean > 700000 && mean < 1400000, s"distortion ratio mean $mean not ~1e6")
   }
+
+  test("ann_recall_matrix replays from the methods' own result sets") {
+    import org.apache.spark.sql.functions.col
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.annBruteforce(spark, sfDir))
+    val methods = Map(
+      "ann_ivf" -> pairs(Similarity.annIvf(spark, sfDir)),
+      "ann_lsh" -> pairs(Similarity.annLsh(spark, sfDir)),
+      "ann_lsh_multi" -> pairs(Similarity.annLshMulti(spark, sfDir)))
+    val got = Similarity.annRecallMatrix(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == methods.keySet)
+    methods.foreach { case (m, ps) =>
+      val hits = ps.intersect(bf).size.toLong
+      assert(got(m) == ((ps.size.toLong, hits, hits * 1000000L / bf.size)), s"method $m")
+      assert(got(m)._3 >= 0L && got(m)._3 <= 1000000L)
+    }
+    // the frontier the table exists to show: more tables can only find
+    // MORE true neighbors than one table (supersets of candidates)
+    assert(got("ann_lsh_multi")._2 >= got("ann_lsh")._2)
+  }
 }
