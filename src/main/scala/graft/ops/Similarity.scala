@@ -1131,6 +1131,77 @@ object Similarity {
        |LIMIT $topN""".stripMargin
   }
 
+  /** [[maxsimRetrieval]] shape: vectors group into 4-token documents;
+    * the first 5 groups are the queries; top-10 docs served. */
+  private val MsTok  = 4L
+  private val MsQ    = 5L
+  private val MsTopK = 10
+
+  /** Late-interaction multi-vector retrieval (ColBERT's MaxSim,
+    * Khattab & Zaharia 2020) — the modern retrieval scoring the
+    * single-vector ANN family cannot express: query and document are
+    * BAGS of token vectors and score(q,d) = Σ_{qt} max_{dt} cos(qt,dt),
+    * so a document matches if EACH query token finds some supporting
+    * token (phrase-level evidence a pooled single vector averages
+    * away). The fixture's flat vector table groups into [[MsTok]]-token
+    * documents (vec_id div 4 — deterministic, the pii_redact
+    * convention); per-token sims quantize to micros before the max/sum
+    * so the score algebra is integer-exact cross-engine.
+    *
+    * Scale shape: the query side is [[MsQ]]·[[MsTok]] vectors —
+    * BROADCAST, the ann convention — so the scan is one pass over the
+    * corpus vectors computing Q_tok sims per row at scan speed; the
+    * (doc, qdoc, qtok) max and the (doc, qdoc) sum are partial-
+    * aggregated rollups of that stream, and the serve cut is
+    * TakeOrderedAndProject. Production swaps the exhaustive token scan
+    * for per-token ANN probes + the same gather — the algebra here is
+    * the part that stays. */
+  def maxsimRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select((col("vec_id") / MsTok).cast("long").as("doc"),
+        col("vec_id"), col("embedding"))
+    val queries = base.filter(col("doc") < MsQ)
+      .select(col("doc").as("qdoc"), col("vec_id").as("qtok"),
+        col("embedding").as("qv"))
+    val scored = base.filter(col("doc") >= MsQ)
+      .join(broadcast(queries), lit(true))
+      .select(col("qdoc"), col("qtok"), col("doc"),
+        (round(round(VectorFunctions.cosine(col("qv"), col("embedding")), 6)
+          * 1000000)).cast("long").as("s"))
+      .groupBy("qdoc", "doc", "qtok").agg(max("s").as("ms"))
+      .groupBy("qdoc", "doc").agg(sum("ms").as("maxsim_micros"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qdoc").orderBy(desc("maxsim_micros"), col("doc"))).cast("long"))
+      .filter(col("rank") <= MsTopK)
+      .select(col("qdoc"), col("rank"), col("doc"), col("maxsim_micros"))
+      .orderBy("qdoc", "rank")
+  }
+
+  private val maxsimSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id // $MsTok AS doc, vec_id, embedding FROM embeddings
+       |), q AS (
+       |  SELECT doc AS qdoc, vec_id AS qtok, embedding AS qv FROM base WHERE doc < $MsQ
+       |), sims AS (
+       |  SELECT q.qdoc, q.qtok, b.doc,
+       |         CAST(round(round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |                    CAST(b.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT) AS s
+       |  FROM base b CROSS JOIN q
+       |  WHERE b.doc >= $MsQ
+       |), tokmax AS (
+       |  SELECT qdoc, doc, qtok, max(s) AS ms FROM sims GROUP BY qdoc, doc, qtok
+       |), scored AS (
+       |  SELECT qdoc, doc, CAST(sum(ms) AS BIGINT) AS maxsim_micros
+       |  FROM tokmax GROUP BY qdoc, doc
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qdoc ORDER BY maxsim_micros DESC, doc) AS rank
+       |  FROM scored
+       |)
+       |SELECT qdoc, CAST(rank AS BIGINT) AS rank, doc, maxsim_micros
+       |FROM ranked WHERE rank <= $MsTopK ORDER BY qdoc, rank""".stripMargin
+
   /** Recall\@[[K]] of each bucketed ANN variant against the exact
     * brute-force top-[[K]] — the index-selection eval harness AS AN
     * OPERATOR: before an embedding pipeline commits to an index it
@@ -1384,6 +1455,7 @@ object Similarity {
          |FROM corpus c LEFT JOIN dups d USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin)(knnDiversityPrune),
     QueryDef.sql("ann_recall_matrix", annRecallSql)(annRecallMatrix),
+    QueryDef.sql("maxsim_retrieval", maxsimSql)(maxsimRetrieval),
     QueryDef.sql("jl_project", jlSql)(jlProject),
     QueryDef.sql("mmr_rerank", mmrSql)(mmrRerank),
     QueryDef.sql("rrf_fusion", rrfSql)(rrfFusion),

@@ -481,4 +481,33 @@ class SimilaritySpec extends SparkSpec {
     // MORE true neighbors than one table (supersets of candidates)
     assert(got("ann_lsh_multi")._2 >= got("ann_lsh")._2)
   }
+
+  test("maxsim_retrieval equals the brute-force late-interaction scoring") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.tables.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cosM(a: Array[Float], b: Array[Float]): Long = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      math.round(BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000000)
+    }
+    val byDoc = emb.groupBy(_._1 / 4).view.mapValues(_.map(_._2)).toMap
+    val queries = byDoc.filter(_._1 < 5)
+    val docs = byDoc.filter(_._1 >= 5)
+    val want = queries.toSeq.sortBy(_._1).flatMap { case (qd, qts) =>
+      docs.toSeq.map { case (d, dts) =>
+        (qd, d, qts.map(qt => dts.map(dt => cosM(qt, dt)).max).sum)
+      }.sortBy { case (_, d, s) => (-s, d) }.take(10).zipWithIndex
+        .map { case ((q, d, s), i) => (q, i + 1L, d, s) }
+    }
+    val got = Similarity.maxsimRetrieval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    got.foreach { case (_, _, _, s) => assert(s <= 4000000L, "score exceeds 4 tokens' max") }
+  }
 }
