@@ -421,6 +421,112 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** [[lsaTopic]] power-iteration sweeps — the dominant direction of a
+    * ~30-term vocabulary contracts in a few; 6 keeps the unrolled
+    * oracle readable while the spec pins convergence. */
+  private val LsaIters = 6
+
+  /** Latent semantic analysis, first component (Deerwester et al.
+    * 1990) — the dominant right-singular vector of the doc×term tf-idf
+    * matrix via power iteration on AᵀA, computed ON THE CELLS (the
+    * sparse (doc, term, weight) table — never a materialized matrix):
+    * the term loading that explains the most corpus variance, i.e. the
+    * corpus' principal "topic". Each half-step is one equi-join +
+    * partial aggregate (u = A·v doc-sized, v = Aᵀ·u vocab-sized) with
+    * MAX-normalization instead of an L2 norm — an exact integer
+    * division, no sqrt — and every iterate quantizes to micros, so the
+    * whole trajectory is bit-replayable cross-engine (the als_rank1
+    * convention; this is the same alternating shape with a shared
+    * fixed matrix). idf is the quantized-ln micros form.
+    *
+    * Scale shape: per sweep, exactly two cell-table equi-joins keyed
+    * on term/doc with partial-aggregated rollups — the distributed
+    * power-iteration shape (pagerank's algebra on a bipartite graph);
+    * factor vectors are vocab-/corpus-sized, never cell-sized. */
+  def lsaTopic(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val tf = docs.select(col("doc_id"),
+        explode(filter(toks(col("text")), t => t =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val cells = tf.join(dfT, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * expr("CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)"))
+          .as("a"))
+      .localCheckpoint() // feeds every half-step
+    var v = cells.select(col("term")).distinct()
+      .select(col("term"), lit(1000000L).as("v"))
+      .localCheckpoint()
+    (1 to LsaIters).foreach { _ =>
+      val u0 = cells.join(v, "term")
+        .groupBy("doc_id")
+        .agg(expr("CAST(sum(CAST(a AS DECIMAL(38,0)) * v) div 1000000 AS DECIMAL(38,0))").as("u"))
+      val uMax = u0.agg(max("u").as("m"))
+      val u = u0.crossJoin(broadcast(uMax))
+        .select(col("doc_id"),
+          expr("CAST((u * 1000000) div m AS BIGINT)").as("u"))
+        .localCheckpoint() // doc-sized; feeds the v half-step
+      val v0 = cells.join(u, "doc_id")
+        .groupBy("term")
+        .agg(expr("CAST(sum(CAST(a AS DECIMAL(38,0)) * u) div 1000000 AS DECIMAL(38,0))").as("vv"))
+      val vMax = v0.agg(max("vv").as("m"))
+      val prev = v
+      v = v0.crossJoin(broadcast(vMax))
+        .select(col("term"), expr("CAST((vv * 1000000) div m AS BIGINT)").as("v"))
+        .localCheckpoint()
+      Checkpoints.free(prev)
+      Checkpoints.free(u)
+    }
+    v.orderBy(desc("v"), col("term"))
+      .limit(20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("v"), col("term"))).cast("long"))
+      .select(col("rank"), col("term"), col("v").as("loading_micros"))
+      .orderBy("rank")
+  }
+
+  private val lsaSql: String = {
+    val sweeps = (1 to LsaIters).map { i =>
+      s"""u${i}0 AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(CAST(a AS HUGEINT) * v) // 1000000 AS HUGEINT) AS u
+         |  FROM cells JOIN v${i - 1} USING (term) GROUP BY doc_id
+         |), u$i AS MATERIALIZED (
+         |  SELECT doc_id, CAST((u * 1000000) // (SELECT max(u) FROM u${i}0) AS BIGINT) AS u
+         |  FROM u${i}0
+         |), v${i}0 AS MATERIALIZED (
+         |  SELECT term, CAST(sum(CAST(a AS HUGEINT) * u) // 1000000 AS HUGEINT) AS vv
+         |  FROM cells JOIN u$i USING (doc_id) GROUP BY term
+         |), v$i AS MATERIALIZED (
+         |  SELECT term, CAST((vv * 1000000) // (SELECT max(vv) FROM v${i}0) AS BIGINT) AS v
+         |  FROM v${i}0
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+       |    FROM documents)
+       |  GROUP BY doc_id, term
+       |), dft AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |cells AS MATERIALIZED (
+       |  SELECT doc_id, tf.term,
+       |         tf * CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT) AS a
+       |  FROM tf JOIN dft USING (term) CROSS JOIN nn
+       |), v0 AS (
+       |  SELECT DISTINCT term, CAST(1000000 AS BIGINT) AS v FROM cells
+       |),
+       |$sweeps,
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY v DESC, term) AS rank
+       |  FROM v$LsaIters
+       |)
+       |SELECT CAST(rank AS BIGINT) AS rank, term, v AS loading_micros
+       |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
   /** Heavy-hitters over the token stream via our Misra-Gries
     * `TypedImperativeAggregate` (SketchFunctions.MGTopK) — frequency
     * analysis over tokens is a staple LLM-corpus diagnostic, and the
@@ -2219,6 +2325,7 @@ object TextAnalysis {
     QueryDef.sql("lang_confusion", langConfusionSql)(langConfusion),
     QueryDef.sql("classifier_prf", classifierPrfSql)(classifierPrf),
     QueryDef.sql("cohens_kappa", cohensKappaSql)(cohensKappa),
+    QueryDef.sql("lsa_topic", lsaSql)(lsaTopic),
     QueryDef.sql("tfidf",
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term

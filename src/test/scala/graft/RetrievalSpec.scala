@@ -418,4 +418,36 @@ class RetrievalSpec extends SparkSpec {
       texts.maxBy(t => t._2.split(" ").distinct.length))
     assert(hOf(rep._1) <= hOf(div._1))
   }
+
+  test("lsa_topic replays the quantized power iteration in BigInt") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = texts.size.toLong
+    val tf = texts.toSeq.flatMap { case (d, t) =>
+      t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (term, xs) => (d, term, xs.length.toLong) }
+    }
+    val dfT = tf.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    def lnM(x: Double): Long = math.round(math.log(x) * 1e6)
+    val cells = tf.map { case (d, t, f) => (d, t, BigInt(f * lnM(n.toDouble / dfT(t)))) }
+    var v = cells.map(_._2).distinct.map(_ -> BigInt(1000000)).toMap
+    (1 to 6).foreach { _ =>
+      val u0 = cells.groupBy(_._1).view
+        .mapValues(cs => cs.map(c => c._3 * v(c._2)).sum / 1000000).toMap
+      val um = u0.values.max
+      val u = u0.view.mapValues(x => x * 1000000 / um).toMap
+      val v0 = cells.groupBy(_._2).view
+        .mapValues(cs => cs.map(c => c._3 * u(c._1)).sum / 1000000).toMap
+      val vm = v0.values.max
+      v = v0.view.mapValues(x => x * 1000000 / vm).toMap
+    }
+    val want = v.toSeq.sortBy { case (t, l) => (-l, t) }.take(20).zipWithIndex
+      .map { case ((t, l), i) => (i + 1L, t, l.toLong) }
+    val got = TextAnalysis.lsaTopic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.head._3 == 1000000L, "max-normalized top loading must be exactly 1e6")
+  }
 }
