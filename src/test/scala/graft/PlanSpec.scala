@@ -654,4 +654,40 @@ class PlanSpec extends SparkSpec {
       assert(ws.isEmpty, s"$q must not plan window functions")
     }
   }
+
+  test("session-18 ops: no cartesians, keyed windows, TakeOrdered cuts, scan-pure maps") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // line_dedup / corpus_diff / token_entropy / srm_check: pure
+    // aggregate/join pipelines — no cartesian, no window anywhere
+    for (q <- Seq("line_dedup", "corpus_diff", "token_entropy", "srm_check")) {
+      val qdf = SparkEntry.queries(q)(spark, sfDir)
+      val p = qdf.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+      val ws = qdf.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.isEmpty, s"$q must not plan window functions")
+    }
+    // span_corruption / interval_union / twap / proximity_search: every
+    // window is doc-/user-partitioned — never a global order
+    for (q <- Seq("span_corruption", "interval_union", "twap", "proximity_search")) {
+      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+      val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q: expected window functions")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q: global window funnels the table through one task"))
+      assert(!qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+        .contains("CartesianProduct"), s"$q planned a cartesian")
+    }
+    // proximity_search: the serve cut must be TakeOrdered, not a sort
+    val px = SparkEntry.queries("proximity_search")(spark, sfDir)
+    px.collect()
+    assert(px.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "proximity_search top-50 must be TakeOrdered")
+    // permutation_test: the pattern explode rides cells — no window, no
+    // cartesian; the observed row attaches via a broadcast 1-row frame
+    val pt = SparkEntry.queries("permutation_test")(spark, sfDir)
+    val ptP = pt.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!ptP.contains("CartesianProduct"), "permutation_test planned a cartesian")
+    assert(pt.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "permutation_test must not plan window functions")
+  }
 }
