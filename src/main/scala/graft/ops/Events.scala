@@ -514,12 +514,12 @@ object Events {
        |  SELECT event_type AS from_type,
        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
        |  FROM events
-       |), cnt AS (
+       |), cnt AS MATERIALIZED (
        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM seq
        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type
        |), tot AS (
        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY from_type
-       |), pm AS (
+       |), pm AS MATERIALIZED (
        |  SELECT c.from_type, c.to_type, CAST(c.n * 1000000 // t.tot AS BIGINT) AS pm
        |  FROM cnt c JOIN tot t USING (from_type)
        |), types AS (

@@ -312,11 +312,12 @@ object Multimodal {
        |      AS BIGINT) AS ph
        |  FROM dct GROUP BY doc_id, stride
        |)
-       |SELECT a.doc_id, a.ph AS phash, b.ph AS phash_var,
-       |       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
-       |FROM sig a JOIN sig b ON a.doc_id = b.doc_id AND b.stride > 0
-       |WHERE a.stride = 0
-       |ORDER BY a.doc_id""".stripMargin
+       |SELECT d.doc_id, coalesce(a.ph, 0) AS phash, coalesce(b.ph, 0) AS phash_var,
+       |       CAST(bit_count(xor(coalesce(a.ph, 0), coalesce(b.ph, 0))) AS BIGINT) AS hamming
+       |FROM documents d
+       |LEFT JOIN sig a ON a.doc_id = d.doc_id AND a.stride = 0
+       |LEFT JOIN sig b ON b.doc_id = d.doc_id AND b.stride > 0
+       |ORDER BY d.doc_id""".stripMargin
 
   /** WebDataset-style shard manifest — the packing plan every
     * multimodal training pipeline writes before tarring assets into

@@ -391,8 +391,12 @@ object Similarity {
     * entry (the k-means empty-cluster rule), so every codebook slot
     * stays populated. Returns the m literal codebook columns. */
   private def pqTrainedBooks(
-      spark: SparkSession, dir: String, base: DataFrame): IndexedSeq[Column] =
-    memoArtifact(spark, dir, "pq_books")(pqTrainedBooksCompute(base))
+      spark: SparkSession, dir: String): IndexedSeq[Column] =
+    // base is derived HERE, not passed in: the memo key is (session,
+    // dir, tag), so a caller-supplied frame would let a filtered base
+    // poison the cache for every later caller
+    memoArtifact(spark, dir, "pq_books")(pqTrainedBooksCompute(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))))
 
   private def pqTrainedBooksCompute(base: DataFrame): IndexedSeq[Column] = {
     val train = base.filter(col("vec_id") < PqC)
@@ -422,10 +426,10 @@ object Similarity {
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-      // feeds the init collect, the Lloyd-update cells pass, and the
-      // final coded scan
+      // feeds the coded scan and the query set (training reads its
+      // own corpus inside the memoized artifact)
       .localCheckpoint()
-    val books = pqTrainedBooks(spark, dir, base)
+    val books = pqTrainedBooks(spark, dir)
     val codeCols = (0 until PqM).map { s =>
       VectorFunctions.nearestCentroidIdx(
         slice(col("embedding"), s * PqSubDim + 1, PqSubDim), books(s)).as(s"c$s")
@@ -469,10 +473,11 @@ object Similarity {
   /** The IVFPQ candidate scan shared by [[annIvfPq]] (serves ADC ranks
     * directly) and [[annRefine]] (passes them to an exact re-rank):
     * (query_id, neighbor_id, sim) where sim = −round(ADC distance, 6).
-    * `base` must be the checkpointed (vec_id, embedding) corpus — it
-    * feeds the codebook training collects AND the coded scan. */
+    * `base` must be the checkpointed (vec_id, embedding) corpus
+    * feeding the coded scan (codebook training derives its own corpus
+    * inside the memoized artifact). */
   private def ivfPqAdcPairs(spark: SparkSession, dir: String, base: DataFrame): DataFrame = {
-    val books = pqTrainedBooks(spark, dir, base)
+    val books = pqTrainedBooks(spark, dir)
     val (labelsLit, matrixLit) = ivfCentroidLits(spark, dir)
     val codeCols = (0 until PqM).map { s =>
       VectorFunctions.nearestCentroidIdx(
@@ -677,7 +682,12 @@ object Similarity {
         round(d2(col("l.embedding"), col("r.embedding")), 6).as("d2_orig"),
         round(d2(col("l.y"), col("r.y")), 6).as("d2_proj"))
       .select(col("id_a"), col("id_b"), col("d2_orig"), col("d2_proj"),
-        expr(s"CAST(round(d2_proj * 3 * 1000000 / ($JlK * d2_orig)) AS BIGINT)")
+        // d2_orig = 0 (identical query pair) pins NULL on both engines —
+        // Spark's non-ANSI /0 yields NULL but DuckDB computes inf and
+        // fails the BIGINT cast, so the guard must be explicit
+        expr(s"""CASE WHEN d2_orig = 0 THEN CAST(NULL AS BIGINT)
+                |ELSE CAST(round(d2_proj * 3 * 1000000 / ($JlK * d2_orig)) AS BIGINT)
+                |END""".stripMargin)
           .as("ratio_micros"))
       .orderBy("id_a", "id_b")
   }
@@ -712,7 +722,9 @@ object Similarity {
        |  FROM proj l JOIN proj r ON l.vec_id < r.vec_id
        |)
        |SELECT id_a, id_b, d2_orig, d2_proj,
-       |       CAST(round(d2_proj * 3 * 1000000 / ($JlK * d2_orig)) AS BIGINT) AS ratio_micros
+       |       CASE WHEN d2_orig = 0 THEN NULL
+       |            ELSE CAST(round(d2_proj * 3 * 1000000 / ($JlK * d2_orig)) AS BIGINT)
+       |       END AS ratio_micros
        |FROM pairs ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -854,7 +854,8 @@ object TextAnalysis {
     * and broadcast margins re-attach. */
   def coocPmi(spark: SparkSession, dir: String): DataFrame = {
     val toksed = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"),
+        posexplode(filter(toks(col("text")), t => t =!= "")).as(Seq("pos", "w")))
     val left = toksed.select(col("doc_id"),
       explode(array(col("pos") + 1, col("pos") + 2)).as("pos"), col("w").as("w1"))
     val pairs = left
