@@ -59,13 +59,27 @@ object ScaleProbe {
     alpha.drop(shift) + alpha.take(shift)
 
   /** Fixed non-rotation letter permutation (keyboard order) for the
-    * third replica tier: composing it with a Caesar shift yields 26
-    * bijections distinct from every plain or reversed Caesar, so the
-    * document cipher stays injective through k = 78 (it was injective
-    * only through 52 before — at 64× replicas 52+ textually duplicated
-    * replicas 26+ and manufactured cross-replica near-dup pairs,
-    * observed as dedup_minhash 64× rows at 1.69× the linear count). */
+    * replica tiers past the Caesar/reverse pair: tier t ≥ 2 applies
+    * this permutation t−1 times on top of the Caesar shift. The
+    * permutation has order 42 and none of its powers 1..12 is a
+    * Caesar rotation (verified), so `scramble^p ∘ caesar_c` is a
+    * distinct alphabet bijection for every (p ≤ 8, c) pair and the
+    * document cipher stays injective through k = 260 — the r17 scheme
+    * applied it at most once and was injective only through 78, which
+    * the 256× probes this round would overrun (replicas 78+ would
+    * textually duplicate earlier tiers and manufacture cross-replica
+    * near-dup pairs, the same artifact the k = 52 cycle caused at 64×
+    * before it was caught). */
   private val scrambleLower = "qwertyuiopasdfghjklzxcvbnm"
+
+  /** [[scrambleLower]] composed with itself `p` times as a translate
+    * target alphabet (p = 0 → identity). */
+  private def scramblePow(p: Int): String = {
+    var out = lower
+    var i = 0
+    while (i < p) { out = out.map(c => scrambleLower(c - 'a')); i += 1 }
+    out
+  }
 
   /** One perturbed replica of a base table. */
   private[graft] def replica(name: String, base: DataFrame, r: Int): DataFrame = {
@@ -74,29 +88,50 @@ object ScaleProbe {
       case "documents" =>
         // Caesar alone cycles with period 26 — replica 26 would be
         // byte-identical to replica 0 and manufacture cross-replica
-        // near-dup pairs (observed: 54× rows at 32×). Tier 1 (r in
-        // [26, 52)) reverses the text; tier 2 (r in [52, 78)) also
-        // applies the fixed scramble permutation, keeping the map
-        // injective through k = 78.
-        val sh = (r * 7) % 26
+        // near-dup pairs (observed: 54× rows at 32×). Tier t = r/26:
+        // tier 0 is the plain Caesar family, tier 1 reverses the text,
+        // tiers 2..9 additionally apply scramble^(t−1) — injective
+        // through k = 260 (see [[scrambleLower]]); tiers 0–2 are
+        // bit-identical to the r17 scheme so prior probe rows stay
+        // comparable.
+        val sh   = (r * 7) % 26
+        val tier = r / 26
+        require(tier < 10, s"document cipher family exhausted at replica $r (injective through 259)")
         val ciphered =
           if (sh == 0) col("text")
           else translate(col("text"), lower + upper, shifted(lower, sh) + shifted(upper, sh))
         val scrambled =
-          if (r >= 52)
-            translate(ciphered, lower + upper, scrambleLower + scrambleLower.toUpperCase)
-          else ciphered
+          if (tier < 2) ciphered
+          else {
+            val a = scramblePow(tier - 1)
+            translate(ciphered, lower + upper, a + a.toUpperCase)
+          }
         base
           .withColumn("doc_id", col("doc_id") + off)
-          .withColumn("text", if (r >= 26) reverse(scrambled) else scrambled)
+          .withColumn("text", if (tier >= 1) reverse(scrambled) else scrambled)
       case "embeddings" =>
+        // rotation alone cycles with period dim=64 — replica 64 would
+        // duplicate replica 0's vectors and manufacture cross-replica
+        // exact near-dups (the document-cipher artifact's embedding
+        // twin). Tier r/64 adds a norm-preserving sign-flip pattern
+        // (none / odd idx / even idx / all): flip-tier pairs sit at
+        // cosine ≈ 0 (or −1) — injective through k = 256.
         val dim = 64
         val sh = r % dim
+        val rotated =
+          if (sh == 0) col("embedding")
+          else concat(slice(col("embedding"), sh + 1, dim - sh), slice(col("embedding"), 1, sh))
+        val flipped = r / dim match {
+          case 0 => rotated
+          case 1 => transform(rotated, (x, i) => when(i % 2 === 1, -x).otherwise(x))
+          case 2 => transform(rotated, (x, i) => when(i % 2 === 0, -x).otherwise(x))
+          case 3 => transform(rotated, x => -x)
+          case t => throw new IllegalArgumentException(
+            s"embedding perturbation family exhausted at replica $r (tier $t)")
+        }
         base
           .withColumn("vec_id", col("vec_id") + off)
-          .withColumn("embedding",
-            if (sh == 0) col("embedding")
-            else concat(slice(col("embedding"), sh + 1, dim - sh), slice(col("embedding"), 1, sh)))
+          .withColumn("embedding", flipped)
       case "events" =>
         base
           .withColumn("event_id", col("event_id") + off)
@@ -198,6 +233,17 @@ object ScaleProbe {
     "weighted_median", "blocklist_filter", "user_cf", "hilbert_layout",
     "lift_deciles", "cooc_pmi")
 
+  /** Probe-only variants — scale-shape diagnostics deliberately NOT
+    * served queries (no oracle row, never in SparkEntry.queries):
+    * the node-GROWING k_truss fixture (the served query's fixed
+    * 997-node space saturates under replica scaling, so its probe
+    * curve measured densification, not the peel) and the quarantined
+    * fixed-nlist kNN knee shape kept for regression comparison. */
+  private[graft] val probeOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_truss_grown" -> ((s: SparkSession, d: String) => ops.Graph.kTrussGrown(s, d)),
+    "knn_graph_fixed_nlist" ->
+      ((s: SparkSession, d: String) => ops.Similarity.knnGraphFixedNlist(s, d)))
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,8,32")
@@ -215,6 +261,13 @@ object ScaleProbe {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // probe-only: the bounded streaming runs verify through a MEMORY
+      // sink, which ships every output row to the driver as task
+      // results — at 256× the sessionize output (~24M rows) crosses the
+      // 1 g default and kills the run. A production stream writes to a
+      // real sink; raising the cap keeps the harness able to measure
+      // the operator's state work at the top multiplier.
+      .config("spark.driver.maxResultSize", "8g")
     // diagnostic overrides, e.g. "spark.sql.autoBroadcastJoinThreshold=100m"
     // to test whether a knee is a broadcast->shuffle plan transition
     val spark = sys.env.get("SPARK_GRAFT_SCALE_CONF")
@@ -235,8 +288,8 @@ object ScaleProbe {
     // results: (query, mult) -> (sec, rows, planNodes, heapMb)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long, Int, Long)]
     for (q <- queries) {
-      val fn = SparkEntry.queries.getOrElse(q,
-        throw new IllegalArgumentException(s"unknown query $q"))
+      val fn = SparkEntry.queries.getOrElse(q, probeOnly.getOrElse(q,
+        throw new IllegalArgumentException(s"unknown query $q")))
       // warmup at the smallest mult: pays codegen/JIT once so the
       // measured points are steady-state compute, not compilation
       try fn(spark, dirsByMult.head._2).write.format("noop").mode("overwrite").save()

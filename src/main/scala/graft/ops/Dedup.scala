@@ -350,16 +350,41 @@ object Dedup {
     * stage's parallelism tracks candidate VOLUME. */
   private val VerifyRowsPerTask = 25000L
 
-  /** Sizes the verify stage to the measured candidate volume. The
-    * candidate pair set is ids-only (tiny BYTES) but each pair costs
-    * heavy CPU downstream, so partitioning must track candidate ROWS:
-    * AQE coalesces by bytes (blind to compute cost) and can only shrink
-    * FROM the initial number — a fixed `defaultParallelism` repartition
-    * was the round-16 `prefix_jaccard_join` knee (25 → 73 µs/row at
-    * 32×; the conf probe that doubled the partition count halved the
-    * stage, PERF.md pass 12/16). The checkpoint materializes the
-    * distinct pair set once, so the sizing count() is a free scan of
-    * the checkpoint blocks, not a recompute of the self-join.
+  /** Catalyst's no-job input-size signal: the optimized plan's
+    * `sizeInBytes` estimate (file-stat-derived for parquet scans,
+    * propagated through union/project). Order-of-magnitude accurate,
+    * which is all the [[SizeGateBytes]] gate needs. */
+  private def statsBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Input-size gate for the verify-stage sizing job. BELOW it the
+    * verify stage just uses `defaultParallelism` — NO sizing job at
+    * all: at fixture scale the candidate volume is far under what
+    * `defaultParallelism × VerifyRowsPerTask` absorbs, and the r17
+    * unconditional checkpoint+count's ~0.5 s fixed cost was the only
+    * >30% bench regression vs r15 (`ngram_jaccard` 1.54 → 2.11 s at
+    * sf0.1). ABOVE it the EXACT candidate count sizes the stage — the
+    * two extra jobs are noise at that scale, and exactness matters: a
+    * jobless ΣC(c,2) bucket-stats upper bound was measured DOUBLING
+    * prefix_jaccard at sf0.1 (it cannot see the PPJoin positional
+    * filter, so it drove the verify exchange to the 4096-part cap;
+    * the LSH variant overcounts band multiplicity up to NumBands=32×).
+    * Measured stats at the gated callsites: ~0.5 MB at sf0.1,
+    * ~3.9 MB at the 8× replica, ~15.8 MB at 32× — 2 MB keeps the
+    * serving scale jobless and every probed multiplier exactly
+    * sized. */
+  private val SizeGateBytes = BigInt(2L << 20)
+
+  /** Sizes the verify stage to the candidate volume. The candidate
+    * pair set is ids-only (tiny BYTES) but each pair costs heavy CPU
+    * downstream, so partitioning must track candidate ROWS: AQE
+    * coalesces by bytes (blind to compute cost) and can only shrink
+    * FROM the initial number — a fixed `defaultParallelism`
+    * repartition was the round-16 `prefix_jaccard_join` knee (25 → 73
+    * µs/row at 32×). Below the [[SizeGateBytes]] input gate this is
+    * a plain floor-width repartition with no sizing job; above it the
+    * checkpoint materializes the distinct pair set once and the exact
+    * count sets the width.
     *
     * Returns the partition count too: the verify pipeline is TWO
     * attach joins (id_a then id_b) and the per-pair compute runs after
@@ -368,12 +393,16 @@ object Dedup {
     * compute stage at the session default (the first, insufficient,
     * round-17 fix attempt: probe showed 32× unchanged at 211 s because
     * the intersect ran in the 16-partition post-join stage). */
-  private def sizedForVerify(candidates: DataFrame, key: String): (DataFrame, Int) = {
-    val ckpt = candidates.localCheckpoint()
-    val floor = ckpt.sparkSession.sparkContext.defaultParallelism.toLong
-    val parts = math.min(4096L,
-      math.max(floor, (ckpt.count() + VerifyRowsPerTask - 1) / VerifyRowsPerTask)).toInt
-    (ckpt.repartition(parts, col(key)), parts)
+  private def sizedForVerify(
+      candidates: DataFrame, key: String, inputBytes: BigInt): (DataFrame, Int) = {
+    val floor = candidates.sparkSession.sparkContext.defaultParallelism
+    if (inputBytes < SizeGateBytes) (candidates.repartition(floor, col(key)), floor)
+    else {
+      val ckpt = candidates.localCheckpoint()
+      val parts = math.min(4096L,
+        math.max(floor.toLong, (ckpt.count() + VerifyRowsPerTask - 1) / VerifyRowsPerTask)).toInt
+      (ckpt.repartition(parts, col(key)), parts)
+    }
   }
 
   private def lshCandidatesVerified(
@@ -394,7 +423,7 @@ object Dedup {
             col(s"l.$idCol") < col(s"r.$idCol"))
         .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
         .distinct(),
-      "id_a")
+      "id_a", statsBytes(docs0))
     def shinglesOf(t: Column): Column =
       if (wordGrams) wordShinglesDistinct(t, n) else charShinglesDistinct(t, n)
     // Verify attaches TEXTS to the pair set and rebuilds each side's
@@ -577,7 +606,8 @@ object Dedup {
     * candidate volume ([[sizedForVerify]]). Same corpus/subset as
     * ngram_jaccard. */
   def prefixJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
-    val toksed = nearDupCorpus(spark, dir).filter(col("doc_id") % 5 === 0)
+    val corpus = nearDupCorpus(spark, dir).filter(col("doc_id") % 5 === 0)
+    val toksed = corpus
       .select(col("doc_id"),
         array_distinct(filter(split(col("text"), " "), x => x =!= "")).as("ts"))
       .filter(size(col("ts")) > 0)
@@ -615,7 +645,7 @@ object Dedup {
             ubound >= alpha)
         .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
         .distinct(),
-      "id_a")
+      "id_a", statsBytes(corpus))
     candidates
       .join(ranked.select(col("doc_id").as("id_a"), col("rs").as("ra")), "id_a")
       // the intersect compute runs after the SECOND attach join — size
@@ -958,6 +988,87 @@ object Dedup {
        |  FROM grams gr JOIN flags f ON gr.h = f.h GROUP BY doc_id
        |) g ON d.doc_id = g.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Arbitrary-length EXACT duplicated-span extraction — the
+    * deduplicate-text-datasets ExactSubstr operator (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * where [[substringDup]] COUNTS duplicated fixed windows per doc,
+    * this emits the maximal duplicated spans THEMSELVES — per
+    * document, every maximal run of positions whose
+    * [[GramLen]]-code-point window occurs at ≥2 distinct (doc, pos)
+    * sites in the corpus (self-repeats included, the Lee et al.
+    * convention), merged gaps-and-islands style into
+    * (span_start, span_len) ranges. A span duplicated as a whole has
+    * every window duplicated, so recall over true duplicated spans of
+    * length ≥ GramLen is exact; chained overlaps can merge adjacent
+    * duplicated regions (the documented ExactSubstr over-merge — the
+    * merged range is still 100% covered by duplicated windows).
+    * Corpus: [[containCorpus]] — every doc plus its mid-slice copy,
+    * so arbitrary-length planted spans exist by construction.
+    *
+    * Scale shape (the paper's suffix array, distributed): text
+    * reduces to (doc_id, pos, h) longs in ONE codegen'd rolling-hash
+    * pass ([[gramHashesCol]] — fixed-width prefix grouping via hash
+    * stands in for the lexicographic suffix sort; within-group
+    * extension is the island merge); the duplicated flag is
+    * count ≥ 2 over the h-keyed window (one sort-exchange, the
+    * substring_dup one-pass convention — no join-back, no second
+    * corpus consumption); the island merge is a doc-keyed window over
+    * the SURVIVING duplicated positions only. No text ever enters a
+    * shuffle. Hash collisions are the documented approximation; the
+    * oracle computes the identical hash, so the gate stays exact. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansOn(containCorpus(spark, dir), GramLen)
+
+  /** Span extraction over an arbitrary (doc_id, text) table — split
+    * out so specs can drive it with hand-planted duplicate spans. */
+  private[graft] def dupSpansOn(docs: DataFrame, l: Int): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), posexplode(gramHashesCol(col("text"), l)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1L).as("pos"), col("h"))
+    val dup = pos
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") >= 2)
+    dup
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + l).cast("long").as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val dupSpansSql: String =
+    s"""WITH toksed AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string(w[greatest(1, CAST(floor(len(w) * 0.2) AS INT)) :
+       |      greatest(1, CAST(floor(len(w) * 0.2) AS INT)) +
+       |      greatest(1, CAST(floor(len(w) * 0.5) AS INT)) - 1], ' ')
+       |  FROM toksed
+       |), grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(CAST(i AS INT), CAST(i AS INT) + ${GramLen - 1}),
+       |        j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM corpus, LATERAL (SELECT unnest(generate_series(1, length(text) - ${GramLen - 1})) AS i)
+       |  WHERE length(text) >= $GramLen
+       |), flagged AS (
+       |  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM grams
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM flagged WHERE c >= 2
+       |)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |       CAST(max(pos) - min(pos) + $GramLen AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
 
   /** containment threshold and candidate-anchor count of
     * [[containmentDup]]. */
@@ -1539,6 +1650,7 @@ object Dedup {
         |            CAST(b.embedding AS DOUBLE[])), 4) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin)(embeddingNearDup),
     QueryDef.sql("substring_dup", substringDupSql)(substringDup),
+    QueryDef.sql("dup_spans", dupSpansSql)(dupSpans),
     QueryDef.sql("containment_dup", containmentDupSql)(containmentDup),
   )
 }

@@ -424,6 +424,32 @@ object Graph {
   def kTruss(spark: SparkSession, dir: String): DataFrame =
     kTrussOn(trussEdges(spark, dir), KTrussK, KTrussRounds)
 
+  /** Probe-only node-GROWING [[kTruss]] fixture (not a served query —
+    * [[kTruss]] is unchanged). The served fixture's fixed 997-node
+    * space saturates under replica scaling: at the 32× probe the edge
+    * set sits within 0.01% of the complete graph, so the measured
+    * super-linear slope was the densification artifact, not the peel.
+    * Here each replica stride (ScaleProbe offsets `o_orderkey` by
+    * r·10⁷) maps to its OWN disjoint 997-node block — at 1× the graph
+    * is byte-identical to [[trussEdges]]'s; at k× it is k
+    * statistically identical communities, so nodes grow with the data
+    * at CONSTANT density and the probe curve measures the operator
+    * (expected ~linear: the wedge join decomposes per community). This
+    * is also the honest 100 TB shape — real corpus growth at constant
+    * density adds communities, not edges into a fixed node set. */
+  private[graft] def kTrussGrown(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(spark, dir)
+      .select(expr("o_orderkey div 10000000").as("blk"),
+        (col("o_custkey") % TrussMod).as("a0"),
+        ((col("o_orderkey") % 10000000L) % TrussMod).as("b0"))
+      .select((col("blk") * TrussMod + col("a0")).as("a"),
+        (col("blk") * TrussMod + col("b0")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    kTrussOn(e, KTrussK, KTrussRounds)
+  }
+
   /** Bounded k-truss peel over an arbitrary canonical u<v edge table —
     * split out so specs can drive it with a hand-checkable graph. */
   private[graft] def kTrussOn(edgesDf: DataFrame, k: Int, rounds: Int): DataFrame = {

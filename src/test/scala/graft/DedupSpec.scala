@@ -209,6 +209,25 @@ class DedupSpec extends SparkSpec {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("dup spans merges duplicated windows into maximal spans, self-repeats included") {
+    import spark.implicits._
+    val shared = "0123456789" * 3 // one 30-char span shared by docs 1 and 2
+    val docs = Seq(
+      (1L, "a" * 20 + shared),
+      (2L, "b" * 20 + shared),
+      (3L, "c" * 50), // 21 identical windows in ONE doc: self-repeats
+      // count toward duplication here (Lee et al.), unlike
+      // substring_dup's cross-doc-only flag
+      (4L, "too short")) // under the window length: no grams, no row
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpansOn(docs, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 21L, 30L), // exactly the planted shared span
+      (2L, 21L, 30L),
+      (3L, 1L, 50L))) // the whole self-repeating doc merges to one span
+  }
+
   test("containment finds every planted mid-slice pair; the relation is asymmetric") {
     import org.apache.spark.sql.functions._
     val out = Dedup.containmentDup(spark, sfDir).cache()

@@ -93,19 +93,38 @@ class ScaleSpec extends SparkSpec {
       s"q1_agg shuffled $records of $nRows rows — map-side combine lost")
   }
 
-  test("document cipher tiers stay disjoint through k = 78") {
+  test("document cipher tiers stay disjoint through k = 256") {
     import org.apache.spark.sql.functions._
-    // same Caesar shift recurs at r, r+26, r+52 — the reversal (tier 1)
-    // and scramble∘reversal (tier 2) must keep those replicas textually
-    // disjoint, else 64×+ sweeps manufacture cross-replica near-dups
-    // (observed pre-fix: dedup_minhash 64× rows at 1.69× linear)
+    // same Caesar shift recurs at r, r+26, r+52, … — the reversal
+    // (tier 1) and scramble-power tiers (2..9) must keep those replicas
+    // textually disjoint, else 64×+/256× sweeps manufacture
+    // cross-replica near-dups (observed pre-fix: dedup_minhash 64× rows
+    // at 1.69× linear). Sampled pairs cover every tier plus the
+    // same-shift column through all ten tiers.
     val base = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
-    val texts = Seq(0, 26, 52, 7, 33, 59).map { r =>
+    val sameShift = (0 until 10).map(_ * 26 + 7)
+    val tierEdges = Seq(0, 25, 26, 51, 52, 77, 78, 130, 181, 233, 255)
+    val texts = (sameShift ++ tierEdges).distinct.map { r =>
       r -> ScaleProbe.replica("documents", base, r)
         .select("text").collect().map(_.getString(0)).toSet
     }
     for ((ra, ta) <- texts; (rb, tb) <- texts if ra < rb)
       assert(ta.intersect(tb).isEmpty, s"replicas $ra and $rb share texts")
+  }
+
+  test("embedding perturbation tiers stay disjoint through k = 256") {
+    import org.apache.spark.sql.functions._
+    // rotation alone cycles at r = 64: the sign-flip tiers must keep
+    // same-rotation replicas (r, r+64, r+128, r+192) pointing in
+    // different directions, else embedding near-dup sweeps past 64×
+    // manufacture cross-replica exact pairs
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
+    val vecs = Seq(3, 67, 131, 195, 0, 64, 128, 192).map { r =>
+      r -> ScaleProbe.replica("embeddings", base, r)
+        .select("embedding").collect().map(_.getSeq[Float](0).toList).toSet
+    }
+    for ((ra, va) <- vecs; (rb, vb) <- vecs if ra < rb)
+      assert(va.intersect(vb).isEmpty, s"replicas $ra and $rb share embeddings")
   }
 
   test("ScaleProbe synthesis: replicas are disjoint, content-perturbed, workload-independent") {
