@@ -231,7 +231,9 @@ object ScaleProbe {
     // and brier is cells-sized, probed once to pin that
     "spearman_corr", "kendall_tau", "rolling_ols", "brier_decomposition",
     "weighted_median", "blocklist_filter", "user_cf", "hilbert_layout",
-    "lift_deciles", "cooc_pmi")
+    "lift_deciles", "cooc_pmi",
+    // round-18 addition: the ExactSubstr maximal-span extractor
+    "dup_spans")
 
   /** Probe-only variants — scale-shape diagnostics deliberately NOT
     * served queries (no oracle row, never in SparkEntry.queries):
