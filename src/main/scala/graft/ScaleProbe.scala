@@ -232,8 +232,9 @@ object ScaleProbe {
     "spearman_corr", "kendall_tau", "rolling_ols", "brier_decomposition",
     "weighted_median", "blocklist_filter", "user_cf", "hilbert_layout",
     "lift_deciles", "cooc_pmi",
-    // round-18 addition: the ExactSubstr maximal-span extractor
-    "dup_spans")
+    // round-18 additions: the ExactSubstr maximal-span extractor and
+    // the corpus-wide top-duplicated-spans report
+    "dup_spans", "dup_span_report")
 
   /** Probe-only variants — scale-shape diagnostics deliberately NOT
     * served queries (no oracle row, never in SparkEntry.queries):

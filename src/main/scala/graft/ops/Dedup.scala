@@ -1039,6 +1039,83 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** [[dupSpanReport]] size. */
+  val SpanReportK = 20
+
+  /** Corpus-wide TOP-DUPLICATED-SPANS report — the memorization-risk
+    * table a dedup pipeline prints before training (Lee et al. 2022's
+    * most-memorized-strings analysis): the [[SpanReportK]] most
+    * frequent [[GramLen]]-code-point windows across the RAW documents
+    * table (natural repetition only — no constructed copies), each
+    * with its occurrence count, distinct-document count, a
+    * deterministic sample site (min doc, then min pos within it) and
+    * the literal span text. Ordered by count desc with the window
+    * hash as tiebreak.
+    *
+    * Scale shape: the corpus reduces to (doc_id, pos, h) longs in the
+    * one codegen'd rolling-hash pass; a two-level aggregation
+    * ((h, doc) → (h)) is partial-aggregated at both levels, the top-K
+    * is a TakeOrdered (per-partition top-K, merge — no full sort),
+    * and the sample-site/text attach joins touch only the K winner
+    * rows (broadcast-sized). Text appears in no corpus-wide shuffle —
+    * only the K sampled substrings are ever extracted. */
+  def dupSpanReport(spark: SparkSession, dir: String): DataFrame =
+    dupSpanReportOn(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      GramLen, SpanReportK)
+
+  /** Report over an arbitrary (doc_id, text) table — split out so
+    * specs can drive it with hand-planted repeats. */
+  private[graft] def dupSpanReportOn(docs: DataFrame, l: Int, k: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), posexplode(gramHashesCol(col("text"), l)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1L).as("pos"), col("h"))
+    val perDoc = grams.groupBy("h", "doc_id")
+      .agg(count(lit(1)).as("cnt"), min("pos").as("pos_min"))
+    val top = perDoc.groupBy("h")
+      .agg(sum("cnt").as("n_occ"), count(lit(1)).as("n_docs"),
+        min("doc_id").as("sample_doc"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("h"))
+      .limit(k)
+    top
+      .join(perDoc.select(col("h"), col("doc_id").as("sample_doc"), col("pos_min")),
+        Seq("h", "sample_doc"))
+      .join(docs.select(col("doc_id").as("sample_doc"), col("text")), "sample_doc")
+      .select(col("h"), col("n_occ"), col("n_docs"), col("sample_doc"),
+        col("pos_min").as("sample_pos"),
+        expr(s"substring(text, CAST(pos_min AS INT), $l)").as("span_text"))
+      .orderBy(col("n_occ").desc, col("h"))
+  }
+
+  private val dupSpanReportSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(CAST(i AS INT), CAST(i AS INT) + ${GramLen - 1}),
+       |        j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - ${GramLen - 1})) AS i)
+       |  WHERE length(text) >= $GramLen
+       |), per_doc AS (
+       |  SELECT h, doc_id, count(*) AS cnt, min(pos) AS pos_min
+       |  FROM grams GROUP BY h, doc_id
+       |), top AS (
+       |  SELECT h, CAST(sum(cnt) AS BIGINT) AS n_occ,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         min(doc_id) AS sample_doc
+       |  FROM per_doc GROUP BY h
+       |  HAVING sum(cnt) >= 2
+       |  ORDER BY n_occ DESC, h LIMIT $SpanReportK
+       |)
+       |SELECT t.h AS h, t.n_occ, t.n_docs, t.sample_doc,
+       |       CAST(p.pos_min AS BIGINT) AS sample_pos,
+       |       substr(d.text, CAST(p.pos_min AS INT), $GramLen) AS span_text
+       |FROM top t
+       |JOIN per_doc p ON p.h = t.h AND p.doc_id = t.sample_doc
+       |JOIN documents d ON d.doc_id = t.sample_doc
+       |ORDER BY n_occ DESC, t.h""".stripMargin
+
   private val dupSpansSql: String =
     s"""WITH toksed AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1651,6 +1728,7 @@ object Dedup {
         |ORDER BY id_a, id_b""".stripMargin)(embeddingNearDup),
     QueryDef.sql("substring_dup", substringDupSql)(substringDup),
     QueryDef.sql("dup_spans", dupSpansSql)(dupSpans),
+    QueryDef.sql("dup_span_report", dupSpanReportSql)(dupSpanReport),
     QueryDef.sql("containment_dup", containmentDupSql)(containmentDup),
   )
 }

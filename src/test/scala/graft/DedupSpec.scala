@@ -228,6 +228,22 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 50L))) // the whole self-repeating doc merges to one span
   }
 
+  test("dup span report ranks repeated windows, counts docs, and samples the min site") {
+    import spark.implicits._
+    val shared = "0123456789" * 3
+    val docs = Seq(
+      (1L, "a" * 20 + shared), // shared window at pos 21 in docs 1 and 2
+      (2L, "b" * 20 + shared),
+      (3L, "c" * 50)) // one 30-char window repeated at 21 positions
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanReportOn(docs, 30, 20).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toSeq
+    assert(got == Seq(
+      (21L, 1L, 3L, 1L, "c" * 30), // self-repeats rank first by occurrence
+      (2L, 2L, 1L, 21L, shared))) // cross-doc pair: sample = (min doc, its min pos)
+  }
+
   test("containment finds every planted mid-slice pair; the relation is asymmetric") {
     import org.apache.spark.sql.functions._
     val out = Dedup.containmentDup(spark, sfDir).cache()

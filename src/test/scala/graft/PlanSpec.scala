@@ -690,4 +690,28 @@ class PlanSpec extends SparkSpec {
     assert(pt.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
       "permutation_test must not plan window functions")
   }
+
+  test("round-18 span ops: hash-keyed windows only, TakeOrdered report, text out of wide shuffles") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // dup_spans: both windows are keyed (h for the dup flag, doc_id for
+    // the island merge) — a global window here would funnel every
+    // corpus position through one task
+    val ds = SparkEntry.queries("dup_spans")(spark, sfDir).queryExecution
+    val dsw = ds.optimizedPlan.collect { case w: LWindow => w }
+    assert(dsw.nonEmpty, "dup_spans: expected the h-keyed dup-flag window")
+    dsw.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "dup_spans: global window funnels all positions through one task"))
+    val dsP = ds.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!dsP.contains("CartesianProduct"), "dup_spans planned a cartesian")
+    // the corpus-wide exchanges carry (doc_id, pos, h) longs — document
+    // text must never enter a hash shuffle (it re-attaches nowhere)
+    val dsExchanges = dsP.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+    assert(dsExchanges.forall(!_.contains("text")), "dup_spans shuffled document text")
+    // dup_span_report: the K-cut must plan TakeOrderedAndProject (per-
+    // partition top-K + merge), never a global sort of the hash table
+    val rep = SparkEntry.queries("dup_span_report")(spark, sfDir)
+    rep.collect()
+    assert(rep.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "dup_span_report top-K must be TakeOrdered")
+  }
 }
