@@ -1249,6 +1249,78 @@ object Dedup {
        |WHERE round(CAST(i.n_inter AS DOUBLE) / s.n, 6) >= $ContainThresh
        |ORDER BY src_id, host_id""".stripMargin
 
+  /** n-gram order for the cross-document novelty signal. */
+  private val NoveltyN = 4
+
+  /** Cross-document n-gram NOVELTY: per document, the fraction of its
+    * distinct [[NoveltyN]]-word shingles that occur in NO other
+    * document — the corpus-global "how much of this page is its own"
+    * quality signal (RefinedWeb-style duplicated-n-gram mass, inverted).
+    * It is the complement the existing passes can't see:
+    * [[Curation.repetitionQuality repetition_quality]] is INTRA-doc,
+    * the near-dup pair ops flag whole documents, and [[lineDedup]]
+    * needs exact line reuse — partial cross-page copying (templated
+    * paragraphs, syndicated fragments) surfaces only here. Runs on
+    * [[nearDupCorpus]] so the fixture plants known low-novelty rows
+    * (each truncated twin shares every shingle with its base doc).
+    *
+    * Scale shape (the [[lineDedup]] convention): the corpus-frequency
+    * shuffle carries (md5, doc_id) — 16-byte keys, never shingle text;
+    * the frequency table is a partial-aggregated groupBy on the hash;
+    * the verdict join re-uses the same hash partitioning (equi-join on
+    * the groupBy key — no second shuffle of the gram table) and the
+    * per-doc rollup is the only other exchange. No window, no driver
+    * state; a boilerplate shingle shared by a billion pages is one hot
+    * count cell (AQE skew territory), never a join explosion, because
+    * only the (hash → n_docs) COUNT flows back, not the doc pairs. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    val grams = corpus
+      .select(col("doc_id"),
+        explode(wordShinglesDistinct(col("text"), NoveltyN)).as("ng"))
+      .select(col("doc_id"), md5(col("ng")).as("h"))
+    val counts = grams.groupBy("h").agg(count(lit(1)).as("n_docs"))
+    val per = grams.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_novel"))
+    corpus.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_ngrams").isNotNull,
+          expr("CAST((CAST(n_novel AS DECIMAL(38,0)) * 1000000) div n_ngrams AS BIGINT)"))
+          .as("novelty_micros"))
+      .orderBy("doc_id")
+  }
+
+  private val ngramNoveltySql: String =
+    s"""WITH $corpusSql,
+       |grams AS (
+       |  SELECT doc_id, md5(ng) AS h FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(
+       |             generate_series(1, len(string_split(text, ' ')) - ${NoveltyN - 1}),
+       |             i -> array_to_string(list_slice(string_split(text, ' '), i, i + ${NoveltyN - 1}), ' ')))) AS ng
+       |    FROM corpus WHERE len(string_split(text, ' ')) >= $NoveltyN)
+       |), counts AS (
+       |  SELECT h, count(*) AS n_docs FROM grams GROUP BY h
+       |), per AS (
+       |  SELECT g.doc_id, count(*) AS n_ngrams,
+       |         sum(CASE WHEN c.n_docs = 1 THEN 1 ELSE 0 END) AS n_novel
+       |  FROM grams g JOIN counts c USING (h) GROUP BY g.doc_id
+       |)
+       |SELECT c.doc_id,
+       |  CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       |  CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CASE WHEN p.n_ngrams IS NOT NULL
+       |       THEN CAST((CAST(p.n_novel AS HUGEINT) * 1000000) // p.n_ngrams AS BIGINT) END
+       |    AS novelty_micros
+       |FROM corpus c LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** edit-distance threshold for fuzzy name matching. */
   val MaxEditDist = 3
 
@@ -1730,5 +1802,6 @@ object Dedup {
     QueryDef.sql("dup_spans", dupSpansSql)(dupSpans),
     QueryDef.sql("dup_span_report", dupSpanReportSql)(dupSpanReport),
     QueryDef.sql("containment_dup", containmentDupSql)(containmentDup),
+    QueryDef.sql("ngram_novelty", ngramNoveltySql)(ngramNovelty),
   )
 }

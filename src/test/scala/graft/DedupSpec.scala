@@ -439,4 +439,34 @@ class DedupSpec extends SparkSpec {
     assert(minors.max + 8 <= majors.min,
       s"hamming gap too narrow: minor max ${minors.max} vs major min ${majors.min}")
   }
+
+  test("ngram_novelty: every truncated twin is zero-novel; ratios are exact") {
+    val rows = Dedup.ngramNovelty(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // corpus = base docs ∪ truncated twins: one output row per corpus doc
+    val base  = rows.filter(_._1 < 1000000L)
+    val twins = rows.filter(_._1 >= 1000000L)
+    assert(base.nonEmpty && twins.nonEmpty && rows.length == base.length + twins.length)
+    // a twin's shingle set is a subset of its base doc's → nothing it
+    // contains is corpus-unique, no matter what the other docs hold
+    twins.foreach { case (id, n, novel, micros) =>
+      assert(novel == 0L, s"twin $id has $novel novel shingles")
+      if (n > 0) assert(micros.contains(0L)) else assert(micros.isEmpty)
+    }
+    // base docs with a shingled twin share their prefix shingles with it
+    // (non-novel), so none can be fully novel while twins exist
+    val twinned = twins.filter(_._2 > 0).map(_._1 - 1000000L).toSet
+    base.filter(r => twinned.contains(r._1)).foreach { case (id, n, novel, _) =>
+      assert(novel < n, s"base doc $id claims full novelty despite twin overlap")
+    }
+    // exact-ratio arithmetic + bounds on every row
+    rows.foreach { case (id, n, novel, micros) =>
+      assert(novel >= 0 && novel <= n)
+      if (n == 0) assert(micros.isEmpty, s"doc $id: micros on an unshingled doc")
+      else assert(micros.contains(novel * 1000000L / n), s"doc $id ratio drift")
+    }
+    // the fixture must exercise both tails: some novelty exists somewhere
+    assert(rows.exists(_._3 > 0), "fixture produced zero novel shingles anywhere")
+  }
 }
