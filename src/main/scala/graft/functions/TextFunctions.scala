@@ -662,6 +662,19 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Md5Lower64(string) -> long: the oracle engine's `md5_number_lower`
+  * (last 8 md5 bytes, little-endian) as a scalar column — the
+  * SQL-recomputable 64-bit string hash for operators whose oracle must
+  * replay hash values exactly (see `TextMath.md5Lower64`). Codegen'd. */
+case class Md5Lower64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextMath.md5Lower64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextMath.md5Lower64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHashCharGrams(string, n, k) -> array<long>: fused
   * shingle-and-minhash (see `TextMath.minhashCharGrams`), codegen'd. */
 case class MinHashCharGrams(child: Expression, n: Int, k: Int) extends UnaryExpression {
@@ -725,6 +738,10 @@ object TextFunctions {
 
   def simhashMd5(toks: Column): Column =
     ColumnBridge.column(SimHashMd5(ColumnBridge.expression(toks)))
+
+  /** oracle-recomputable 64-bit string hash (md5_number_lower). */
+  def md5Lower64Col(s: Column): Column =
+    ColumnBridge.column(Md5Lower64(ColumnBridge.expression(s)))
 
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))

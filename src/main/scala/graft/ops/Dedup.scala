@@ -1321,6 +1321,199 @@ object Dedup {
        |FROM corpus c LEFT JOIN per p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- LSH parameter tuning
+
+  /** fixed sample width for the tuning matrix: base-doc ids < this (and
+    * their twins) regardless of corpus size — parameter tuning runs on a
+    * bounded sample by design (the ann_recall_matrix convention), so the
+    * brute-force truth side stays O(sample²) CONSTANT at any corpus SF. */
+  private val TuneSampleDocs = 120L
+
+  /** total minhashes shared by every tuning config (b·r ≤ 24). */
+  private val TuneK = 24
+
+  /** the (bands, rows-per-band) frontier under test, steep→shallow. */
+  private val TuneConfigs = Seq((24, 1), (12, 2), (8, 3), (6, 4), (4, 6))
+
+  /** minhash permutation modulus — the RollingHash 1e9+7 convention:
+    * small enough that aᵢ·m never leaves signed-64 range, so BOTH
+    * engines run the identical plain-integer arithmetic (no HUGEINT /
+    * DECIMAL asymmetry to keep in sync). */
+  private val TuneMod = 1000000007L
+
+  /** 2⁶⁴ mod [[TuneMod]]: md5_number_lower is UNSIGNED in the oracle
+    * engine but lands signed in the JVM — a negative h means the true
+    * value is h + 2⁶⁴, so its residue needs this correction term. */
+  private val TuneC64 = 582344008L
+
+  /** signed md5 long → the unsigned value's residue mod [[TuneMod]]. */
+  private def tuneResidue(h: Column): Column =
+    pmod(pmod(h, lit(TuneMod)) + when(h < 0, lit(TuneC64)).otherwise(lit(0L)), lit(TuneMod))
+
+  /** theoretical P(candidate) for a pair at exactly the [[JaccardThreshold]]
+    * under (b bands × r rows): 1−(1−τʳ)ᵇ. Configs are compile-time
+    * literals, so the value is computed HERE and embedded as the same
+    * literal in both the Spark plan and the oracle SQL — zero
+    * cross-engine libm exposure. */
+  private def tuneExpectedMicros(b: Int, r: Int): Long =
+    math.round((1.0 - math.pow(1.0 - math.pow(JaccardThreshold, r), b)) * 1000000)
+
+  /** MinHash-LSH PARAMETER TUNING as an operator — the dedup twin of
+    * [[Similarity.annRecallMatrix ann_recall_matrix]]: before a corpus
+    * commits 100 TB of compute to a banding choice, it measures the
+    * precision/recall frontier of candidate (bands × rows-per-band)
+    * splits on a sample of its own data, against brute-force Jaccard
+    * ground truth, beside the theoretical S-curve value at the
+    * threshold. One row per config: measured candidate volume (the
+    * cost axis), measured hits/precision/recall (the quality axes),
+    * and the analytic detection probability the banding math predicts.
+    *
+    * The signature here is deliberately NOT the serving pipeline's
+    * xxhash kernel: tuning must be oracle-replayable END-TO-END
+    * (candidate sets depend on the actual hash draws), so shingles
+    * hash via [[graft.functions.TextFunctions.md5Lower64Col]] (the
+    * engine-portable md5 convention dedup_simhash pinned) and the k
+    * permutations are (aᵢ·m+bᵢ) mod 1e9+7 in plain signed-64 integer
+    * arithmetic both engines execute identically. Banding STRUCTURE
+    * (slice → band key → bucket equi-join → distinct pairs → verified
+    * against exact jaccard) is exactly the serving pipeline's.
+    *
+    * Scale shape: everything downstream of the sample filter is
+    * bounded by [[TuneSampleDocs]] — a fixed-size frame at any corpus
+    * size (the filter pushes to the scan); the brute-force truth join
+    * is the designed one-off cost of parameter selection, quadratic in
+    * the SAMPLE, constant in the corpus. */
+  def lshTuningMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val n = 3
+    val sample = nearDupCorpus(spark, dir)
+      .filter(pmod(col("doc_id"), lit(1000000L)) < TuneSampleDocs)
+      .filter(hasWindow(wordGrams = true, n))
+    // (doc_id, distinct shingles): feeds the signature pass and both
+    // brute-force truth sides
+    val withSh = sample
+      .select(col("doc_id"), wordShinglesDistinct(col("text"), n).as("sh"))
+      .localCheckpoint()
+    val sigs = withSh
+      .select(col("doc_id"),
+        transform(col("sh"), s => tuneResidue(md5Lower64Col(s))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(TuneK - 1)), i =>
+          array_min(transform(col("m"), x =>
+            pmod((lit(2654435761L) + lit(40503L) * i) * x + (lit(97L) * i + lit(13L)),
+              lit(TuneMod))))).as("sig"))
+    val bandRows = TuneConfigs.map { case (b, r) =>
+      sigs.select(
+        lit(b).cast("long").as("n_bands"),
+        lit(r).cast("long").as("rows_per_band"),
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(b - 1)), j =>
+          struct(j.as("band"),
+            concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
+              x => x.cast("string"))).as("key")))).as("bk"))
+        .select(col("n_bands"), col("rows_per_band"), col("doc_id"),
+          col("bk.band"), col("bk.key"))
+    }.reduce(_ unionAll _)
+    val cands = bandRows.as("l")
+      .join(bandRows.as("r"),
+        col("l.n_bands") === col("r.n_bands") && col("l.band") === col("r.band") &&
+          col("l.key") === col("r.key") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.n_bands").as("n_bands"), col("l.rows_per_band").as("rows_per_band"),
+        col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    val truth = withSh.as("a")
+      .join(withSh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(jaccardDistinctCol(col("a.sh"), col("b.sh")) >= JaccardThreshold)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .localCheckpoint()
+    val nTruth = truth.count() // bounded: ≤ C(2·TuneSampleDocs, 2)
+    require(nTruth > 0, "tuning sample carries no true near-dup pairs")
+    val agg = cands
+      .join(truth.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy("n_bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    import spark.implicits._
+    val cfgDf = TuneConfigs
+      .map { case (b, r) => (b.toLong, r.toLong, tuneExpectedMicros(b, r)) }
+      .toDF("n_bands", "rows_per_band", "expected_detect_micros")
+    cfgDf
+      .join(agg, Seq("n_bands", "rows_per_band"), "left")
+      .select(
+        col("n_bands"), col("rows_per_band"), col("expected_detect_micros"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(nTruth).as("n_truth"))
+      .select(
+        col("n_bands"), col("rows_per_band"), col("expected_detect_micros"),
+        col("n_candidates"), col("n_hits"), col("n_truth"),
+        when(col("n_candidates") > 0,
+          expr("CAST((CAST(n_hits AS DECIMAL(38,0)) * 1000000) div n_candidates AS BIGINT)"))
+          .as("precision_micros"),
+        expr("CAST((CAST(n_hits AS DECIMAL(38,0)) * 1000000) div n_truth AS BIGINT)")
+          .as("recall_micros"))
+      .orderBy(desc("n_bands"))
+  }
+
+  private lazy val lshTuningMatrixSql: String = {
+    val cfgValues = TuneConfigs
+      .map { case (b, r) => s"($b, $r, ${tuneExpectedMicros(b, r)})" }
+      .mkString(", ")
+    s"""WITH $corpusSql,
+       |sample AS (
+       |  SELECT doc_id, text FROM corpus
+       |  WHERE doc_id % 1000000 < $TuneSampleDocs
+       |    AND len(string_split(text, ' ')) >= 3
+       |), shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |           generate_series(1, len(string_split(text, ' ')) - 2),
+       |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+       |  FROM sample
+       |), ms AS (
+       |  SELECT doc_id,
+       |         list_transform(sh, s -> CAST(md5_number_lower(s) % $TuneMod AS BIGINT)) AS m
+       |  FROM shs
+       |), sigs AS (
+       |  SELECT doc_id, list_transform(generate_series(0, ${TuneK - 1}), i ->
+       |           list_min(list_transform(m, x ->
+       |             ((2654435761 + 40503 * i) * x + (97 * i + 13)) % $TuneMod))) AS sig
+       |  FROM ms
+       |), cfgs AS (
+       |  SELECT * FROM (VALUES $cfgValues) AS t(b, r, expected_detect_micros)
+       |), bandrows AS (
+       |  SELECT c.b, c.r, s.doc_id, u.j,
+       |         array_to_string(list_slice(sig, u.j * c.r + 1, u.j * c.r + c.r), ',') AS key
+       |  FROM sigs s CROSS JOIN cfgs c
+       |       CROSS JOIN unnest(generate_series(0, c.b - 1)) AS u(j)
+       |), cands AS (
+       |  SELECT DISTINCT l.b, l.r, l.doc_id AS id_a, rr.doc_id AS id_b
+       |  FROM bandrows l JOIN bandrows rr
+       |    ON l.b = rr.b AND l.j = rr.j AND l.key = rr.key AND l.doc_id < rr.doc_id
+       |), truth AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardThreshold
+       |), agg AS (
+       |  SELECT c.b, c.r, count(*) AS n_candidates,
+       |         sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+       |  FROM cands c LEFT JOIN truth t USING (id_a, id_b)
+       |  GROUP BY c.b, c.r
+       |), nt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT CAST(e.b AS BIGINT) AS n_bands,
+       |  CAST(e.r AS BIGINT) AS rows_per_band,
+       |  CAST(e.expected_detect_micros AS BIGINT) AS expected_detect_micros,
+       |  CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(nt.n_truth AS BIGINT) AS n_truth,
+       |  CASE WHEN coalesce(a.n_candidates, 0) > 0
+       |       THEN CAST((CAST(coalesce(a.n_hits, 0) AS HUGEINT) * 1000000)
+       |                 // a.n_candidates AS BIGINT) END AS precision_micros,
+       |  CAST((CAST(coalesce(a.n_hits, 0) AS HUGEINT) * 1000000) // nt.n_truth AS BIGINT)
+       |    AS recall_micros
+       |FROM cfgs e LEFT JOIN agg a ON a.b = e.b AND a.r = e.r CROSS JOIN nt
+       |ORDER BY n_bands DESC""".stripMargin
+  }
+
   /** edit-distance threshold for fuzzy name matching. */
   val MaxEditDist = 3
 
@@ -1803,5 +1996,6 @@ object Dedup {
     QueryDef.sql("dup_span_report", dupSpanReportSql)(dupSpanReport),
     QueryDef.sql("containment_dup", containmentDupSql)(containmentDup),
     QueryDef.sql("ngram_novelty", ngramNoveltySql)(ngramNovelty),
+    QueryDef.sql("lsh_tuning_matrix", lshTuningMatrixSql)(lshTuningMatrix),
   )
 }

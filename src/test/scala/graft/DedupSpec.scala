@@ -469,4 +469,29 @@ class DedupSpec extends SparkSpec {
     // the fixture must exercise both tails: some novelty exists somewhere
     assert(rows.exists(_._3 > 0), "fixture produced zero novel shingles anywhere")
   }
+
+  test("lsh_tuning_matrix: banding containment chains and bounds hold") {
+    val rows = Dedup.lshTuningMatrix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set((24L, 1L), (12L, 2L), (8L, 3L), (6L, 4L), (4L, 6L)))
+    val truths = rows.values.map(_._3).toSet
+    assert(truths.size == 1 && truths.head > 0, "n_truth must be constant and nonzero")
+    rows.foreach { case (cfg, (cands, hits, truth)) =>
+      assert(hits <= cands && hits <= truth, s"$cfg: hits exceed candidates or truth")
+    }
+    // a width-(c·r) band match implies all c constituent width-r bands
+    // match (slices align at offsets 0, c·r, 2c·r, …), so candidate sets
+    // nest along aligned config chains — counts and hits both monotone
+    def leq(fine: (Long, Long), coarse: (Long, Long)): Unit = {
+      assert(rows(coarse)._1 <= rows(fine)._1,
+        s"$coarse candidates exceed $fine despite banding containment")
+      assert(rows(coarse)._2 <= rows(fine)._2,
+        s"$coarse hits exceed $fine despite banding containment")
+    }
+    leq((24L, 1L), (12L, 2L)); leq((12L, 2L), (6L, 4L))
+    leq((24L, 1L), (8L, 3L));  leq((8L, 3L), (4L, 6L))
+    // the steep end must actually find near-dups on this fixture
+    assert(rows((24L, 1L))._2 > 0, "steepest config found no true pair")
+  }
 }
