@@ -377,6 +377,105 @@ object Centroids {
        |$selects ORDER BY round""".stripMargin
   }
 
+  /** Simplified (centroid-based) SILHOUETTE of the kmeans clustering —
+    * the missing internal quality metric beside kmeans_embed's inertia
+    * curve: per point, a = distance to its own centroid, b = distance
+    * to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; per
+    * cluster the exact-integer sum and the mean. The full silhouette
+    * is O(n²) pairwise and impossible at corpus scale; the simplified
+    * form (Hruschka et al.) replaces mean-to-cluster distances with
+    * centroid distances and is the one a 100 TB pipeline can actually
+    * run: with k·dim literal centroids the whole per-point computation
+    * — k distances, argmin, runner-up — is a ZERO-SHUFFLE codegen'd
+    * scan, and the only exchange is the final k-row rollup.
+    *
+    * Determinism: distances are sqrt of the kmeans-pinned sqDist
+    * doubles (fixed-order accumulation, both engines bit-equal); each
+    * point's s converts to exact integer micros BEFORE the
+    * order-insensitive sum (the inertia convention); ties in the
+    * nearest-centroid argmin break to the lowest cluster id on both
+    * engines; the mean divides the two exact integers as doubles and
+    * rounds to 6dp (no floored integer division — silhouette sums can
+    * be negative and `div`/`//` disagree on negative floors). */
+  def silhouetteSimplified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val base  = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = lloydUpdate(assignWith(base, seedCents(base, KmeansK)))
+    val ids   = typedLit(cents.map(_._1))
+    val m     = typedLit(cents.map(_._2))
+    val k     = cents.length
+    val idx   = graft.functions.VectorFunctions.nearestCentroidIdx(col("embedding"), m)
+    val dists = transform(sequence(lit(1), lit(k)), c =>
+      sqrt(VectorFunctions.sqDist(col("embedding"), element_at(m, c))))
+    val perPoint = base
+      .withColumn("idx", idx)
+      .withColumn("cluster", element_at(ids, col("idx") + 1))
+      .withColumn("dists", dists)
+      .withColumn("a", element_at(col("dists"), col("idx") + 1))
+      .withColumn("b", array_min(transform(sequence(lit(1), lit(k)), c =>
+        when(c === col("idx") + 1, lit(Double.MaxValue))
+          .otherwise(element_at(col("dists"), c)))))
+      .withColumn("sm",
+        when(greatest(col("a"), col("b")) > 0,
+          round((col("b") - col("a")) / greatest(col("a"), col("b")) * 1e6).cast("long"))
+          .otherwise(lit(0L)))
+    perPoint.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("sm")).as("sum_silhouette_micros"))
+      .select(col("cluster"), col("n_members"), col("sum_silhouette_micros"),
+        round(col("sum_silhouette_micros") / col("n_members") / 1e6, 6)
+          .as("mean_silhouette"))
+      .orderBy("cluster")
+  }
+
+  private val silhouetteSql: String = {
+    val sq =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, $Dim), d ->
+         |    (CAST(e.embedding[d] AS DOUBLE) - c.c[d]) * (CAST(e.embedding[d] AS DOUBLE) - c.c[d]))),
+         |  (a, v) -> a + v)""".stripMargin
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM embeddings WHERE vec_id < $KmeansK
+       |), a0 AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $sq ASC, c.cluster ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents0 c) t
+       |  WHERE rn = 1
+       |), cents1 AS MATERIALIZED (
+       |  SELECT cluster, list(avg_val ORDER BY d) AS c FROM (
+       |    SELECT cluster, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS avg_val
+       |    FROM a0, (SELECT unnest(generate_series(1, $Dim)) AS d) dims
+       |    GROUP BY cluster, d) t
+       |  GROUP BY cluster
+       |), pd AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cluster, sqrt($sq) AS d
+       |  FROM embeddings e CROSS JOIN cents1 c
+       |), asg AS (
+       |  SELECT vec_id, cluster AS own_cluster, d AS a FROM (
+       |    SELECT vec_id, cluster, d,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+       |    FROM pd) t
+       |  WHERE rn = 1
+       |), bb AS (
+       |  SELECT p.vec_id, min(p.d) AS b
+       |  FROM pd p JOIN asg s ON p.vec_id = s.vec_id AND p.cluster <> s.own_cluster
+       |  GROUP BY p.vec_id
+       |), sm AS (
+       |  SELECT asg.own_cluster AS cluster,
+       |         CASE WHEN greatest(asg.a, bb.b) > 0
+       |              THEN CAST(round((bb.b - asg.a) / greatest(asg.a, bb.b) * 1000000) AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS s
+       |  FROM asg JOIN bb USING (vec_id)
+       |)
+       |SELECT CAST(cluster AS BIGINT) AS cluster,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(s) AS BIGINT) AS sum_silhouette_micros,
+       |  round(CAST(sum(s) AS DOUBLE) / count(*) / 1000000, 6) AS mean_silhouette
+       |FROM sm GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   private val PcaIters = 3
 
   /** Dominant principal direction of the embedding corpus via
@@ -906,5 +1005,6 @@ object Centroids {
         |GROUP BY label, d ORDER BY label, dim""".stripMargin)(labelCentroids),
     QueryDef.sql("kmeans_embed", kmeansSql)(kmeansEmbed),
     QueryDef.sql("kmeans_train", kmeansTrainSql)(kmeansTrain),
+    QueryDef.sql("silhouette_simplified", silhouetteSql)(silhouetteSimplified),
   )
 }

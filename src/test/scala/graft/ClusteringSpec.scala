@@ -184,4 +184,26 @@ class ClusteringSpec extends SparkSpec {
     val sses = got.map(r => BigInt(r._4))
     sses.sliding(2).foreach { case Seq(a, b) => assert(b <= a, s"SSE rose: $a -> $b") }
   }
+
+  test("silhouette_simplified: non-negative by construction, exact arithmetic, partition") {
+    val rows = Centroids.silhouetteSimplified(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == total, "cluster sizes must partition the corpus")
+    assert(rows.map(_._1).toSet.subsetOf((0L until Centroids.KmeansK.toLong).toSet))
+    rows.foreach { case (c, n, sumMicros, mean) =>
+      // a point's own centroid is its argmin, so a <= b and s >= 0 — the
+      // simplified silhouette can never go negative under this assignment
+      assert(sumMicros >= 0L, s"cluster $c: negative silhouette sum")
+      assert(sumMicros <= n * 1000000L, s"cluster $c: silhouette above 1")
+      // the mean column is exactly the row's own sum/n rounded to 6dp
+      val expect = BigDecimal(sumMicros.toDouble / n / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(mean == expect, s"cluster $c: mean $mean != $expect")
+    }
+    // separation exists on this fixture: silhouette is not uniformly zero
+    assert(rows.map(_._3).sum > 0L, "all-zero silhouette means degenerate clustering")
+    assert(Centroids.silhouetteSimplified(spark, sfDir).collect().toSeq ==
+      Centroids.silhouetteSimplified(spark, sfDir).collect().toSeq, "non-deterministic")
+  }
 }
