@@ -905,6 +905,112 @@ object Graph {
     res
   }
 
+  /** return-step penalty multiplier (≈ node2vec p = 4). */
+  private val N2vP = 4L
+
+  /** outward-step penalty multiplier (≈ node2vec q = 2). */
+  private val N2vQ = 2L
+
+  /** node2vec-style SECOND-ORDER biased walks (Grover & Leskovec 2016)
+    * — the walk corpus behind structural graph embeddings, where the
+    * next hop depends on the PREVIOUS node: returning to it is
+    * discouraged (×[[N2vP]]), staying in its neighborhood is favored
+    * (×1), and leaving it costs ×[[N2vQ]]. The random draw is
+    * derandomized the [[randomWalks]] way — per-candidate hash key,
+    * argmin — with the key MULTIPLIED by the class weight, so the bias
+    * ordering is reproducible under any partitioning and replayable in
+    * plain SQL (key < 4·10⁶, no overflow on either engine; this is a
+    * bias-monotone derandomization, not a sampler — the property a
+    * deterministic training-data pipeline actually wants).
+    *
+    * Scale shape per step (the second-order delta over randomWalks):
+    * one frontier-degree equi-join on the node key, PLUS one left
+    * equi-join of the candidate set against the edge table on
+    * (prev, candidate) — the "is the candidate in the previous node's
+    * neighborhood" probe that makes the walk second-order. Both are
+    * key joins over (walker × degree) rows, never a traversal; state
+    * per walker is (prev, cur) — O(1). At 100 TB-graph scale the edge
+    * table is the bucketed/persisted side and each step's probe reuses
+    * its partitioning. */
+  def node2vecWalks(spark: SparkSession, dir: String): DataFrame =
+    node2vecWalksOn(rawEdges(spark, dir, 211L, 197L), WalkSteps)
+
+  def node2vecWalksOn(edgesDf: DataFrame, steps: Int): DataFrame = {
+    val e = symmetrize(edgesDf).cache()
+    val starts = e.select(col("src").as("start")).distinct()
+    var out = starts.select(col("start"), lit(0L).as("step"), col("start").as("node"))
+    // step 1 has no previous node: uniform hash argmin (randomWalks)
+    var cur = starts.select(col("start"), col("start").as("node"))
+      .join(e, col("node") === col("src"))
+      .select(col("start"),
+        struct(walkHash(col("node"), col("dst"), 1).as("h"), col("dst").as("n")).as("hn"))
+      .groupBy("start").agg(min("hn").as("hn"))
+      .select(col("start"), col("start").as("prev"), col("hn.n").as("node"))
+      .localCheckpoint()
+    var frames = List(cur)
+    out = out.union(cur.select(col("start"), lit(1L).as("step"), col("node")))
+    for (t <- 2 to steps) {
+      val cand = cur.join(e, col("node") === col("src"))
+        .select(col("start"), col("prev"), col("node"), col("dst").as("x"))
+      val near = e.select(col("src").as("prev"), col("dst").as("x"), lit(1).as("isn"))
+      cur = cand.join(near, Seq("prev", "x"), "left")
+        .withColumn("m",
+          when(col("x") === col("prev"), lit(N2vP))
+            .when(col("isn").isNotNull, lit(1L))
+            .otherwise(lit(N2vQ)))
+        .select(col("start"), col("node"),
+          struct((walkHash(col("node"), col("x"), t) * col("m")).as("h"),
+            col("x").as("n")).as("hn"))
+        .groupBy("start")
+        .agg(min("hn").as("hn"), min("node").as("prev")) // node is per-walker unique
+        .select(col("start"), col("prev"), col("hn.n").as("node"))
+        .localCheckpoint()
+      frames = cur :: frames
+      out = out.union(cur.select(col("start"), lit(t.toLong).as("step"), col("node")))
+    }
+    val res = out.orderBy("start", "step").localCheckpoint()
+    frames.foreach(Checkpoints.free)
+    e.unpersist()
+    res
+  }
+
+  private val node2vecSql: String = {
+    val base =
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT (o_custkey % 211) AS src, (o_orderkey % 197) AS dst FROM orders
+         |  WHERE (o_custkey % 211) <> (o_orderkey % 197)
+         |), e AS (
+         |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+         |), w0 AS (SELECT DISTINCT src AS start, src AS node FROM e),
+         |w1 AS (
+         |  SELECT start, start AS prev, node FROM (
+         |    SELECT w.start, e.dst AS node,
+         |      row_number() OVER (PARTITION BY w.start ORDER BY
+         |        ((w.node * 211 + e.dst) * 10 + 1) % 1000003 * 2654435761 % 1000003,
+         |        e.dst) AS rn
+         |    FROM w0 w JOIN e ON e.src = w.node
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    val steps = (2 to WalkSteps).map { t =>
+      s"""w$t AS (
+         |  SELECT start, prev2 AS prev, node FROM (
+         |    SELECT w.start, w.node AS prev2, e.dst AS node,
+         |      row_number() OVER (PARTITION BY w.start ORDER BY
+         |        (((w.node * 211 + e.dst) * 10 + $t) % 1000003 * 2654435761 % 1000003)
+         |          * (CASE WHEN e.dst = w.prev THEN $N2vP
+         |                  WHEN nb.src IS NOT NULL THEN 1 ELSE $N2vQ END),
+         |        e.dst) AS rn
+         |    FROM w${t - 1} w JOIN e ON e.src = w.node
+         |    LEFT JOIN e nb ON nb.src = w.prev AND nb.dst = e.dst
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (s"SELECT start, CAST(0 AS BIGINT) AS step, node FROM w0" +:
+      (1 to WalkSteps).map(t => s"SELECT start, CAST($t AS BIGINT) AS step, node FROM w$t"))
+      .mkString(" UNION ALL ")
+    s"$base,\n$steps\n$unions ORDER BY start, step"
+  }
+
   private val walksSql: String = {
     val base =
       s"""WITH e0 AS (
@@ -1983,6 +2089,7 @@ object Graph {
     QueryDef.sql("bfs_distances", bfsSql)(bfsDistances),
     QueryDef.sql("betweenness_sampled", betweennessSql)(betweenness),
     QueryDef.sql("random_walks", walksSql)(randomWalks),
+    QueryDef.sql("node2vec_walks", node2vecSql)(node2vecWalks),
     QueryDef.sql("sssp_weighted", ssspSql)(ssspWeighted),
     QueryDef.sql("lpa_communities", lpaSql)(lpaCommunities),
     QueryDef.sql("kcore_decompose", kcoreSql)(kcoreDecompose),

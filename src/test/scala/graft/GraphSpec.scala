@@ -354,6 +354,51 @@ class GraphSpec extends SparkSpec {
     assert(run().toSet == w.toSet, "walks must be reproducible")
   }
 
+  test("node2vec walks replay exactly under the documented biased argmin") {
+    // petersen-ish mixed graph: triangles (return/in/out all exercised)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (2L, 5L), (1L, 7L), (7L, 8L), (8L, 1L))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).toSet
+    }
+    def h(cur: Long, nbr: Long, step: Int): Long =
+      ((cur * 211L + nbr) * 10L + step) % 1000003L * 2654435761L % 1000003L
+    val steps = 4
+    val expect = adj.keys.toSeq.sorted.flatMap { s =>
+      var prev = -1L
+      var cur  = s
+      (0 to steps).map { t =>
+        val row = (s, t.toLong, cur)
+        if (t < steps) {
+          val next =
+            if (t == 0) adj(cur).minBy(x => (h(cur, x, 1), x))
+            else adj(cur).minBy { x =>
+              val m = if (x == prev) 4L else if (adj(prev)(x)) 1L else 2L
+              (h(cur, x, t + 1) * m, x)
+            }
+          prev = cur; cur = next
+        }
+        row
+      }
+    }.toSet
+    val got = Graph.node2vecWalksOn(edges.toDF("src", "dst"), steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"divergence: got-extra=${got -- expect} missing=${expect -- got}")
+  }
+
+  test("node2vec second-order bias diverges from the uniform walk on the fixture") {
+    val uni = SparkEntry.queries("random_walks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val n2v = SparkEntry.queries("node2vec_walks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // same walkers, same lengths, same step-0/1 prefix rows…
+    assert(n2v.map(_._1) == uni.map(_._1))
+    assert(n2v.filter(_._2 <= 1L) == uni.filter(_._2 <= 1L),
+      "steps 0-1 have no second-order state and must agree")
+    // …but the bias must change at least one later hop
+    assert(n2v != uni, "biased walk identical to uniform — the bias is dead code")
+  }
+
   test("louvain move sweep matches hand-derived gains on the barbell graph") {
     // K3 {1,2,3} — bridge 3–4 — K3 {4,5,6}; m = 7, 2m = 14.
     // One LPA round from singleton labels (most frequent neighbor
