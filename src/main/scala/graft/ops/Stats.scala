@@ -723,9 +723,13 @@ object Stats {
     * bound (welch_t posture): S_g²·10⁶ is wrap-free to ~10³⁸ and each
     * quantized term to ~9·10¹⁸ — comfortable for cents sums out to
     * ~10¹⁵ (a 100 TB stream's worth). */
-  def anovaF(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), cents(col("value")).as("v"))
+  /** anova_f's exact-integer one-way variance decomposition over a
+    * (event_type, v: long) frame, factored so [[leveneTest]] can run
+    * the IDENTICAL arithmetic on its |deviation| transform (Levene's W
+    * is literally the one-way F computed on transformed values). The
+    * caller guarantees |v| stays in the cents magnitude band the
+    * DECIMAL(38,0) analysis below assumes. */
+  private def anovaCore(ev: DataFrame, statName: String): DataFrame = {
     val g = ev.groupBy("event_type").agg(
       count(lit(1)).as("n_g"), sum("v").as("s_g"),
       sum(col("v") * col("v")).as("ss_g"))
@@ -751,13 +755,19 @@ object Stats {
                |ELSE CAST(CASE WHEN ssb_micros < 0 THEN -1 ELSE 1 END *
                |  ((abs(ssb_micros) * (n - k)) div
                |   (((k - 1) * ssw_micros) div 1000000)) AS BIGINT)
-               |END""".stripMargin).as("f_micros"))
+               |END""".stripMargin).as(statName))
   }
 
-  private val anovaFSql: String =
-    """WITH ev AS (
-      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
-      |), g AS (
+  def anovaF(spark: SparkSession, dir: String): DataFrame =
+    anovaCore(
+      Tables.events(spark, dir)
+        .select(col("event_type"), cents(col("value")).as("v")),
+      "f_micros")
+
+  /** the SQL twin of [[anovaCore]] — `evCtes` must end in a relation
+    * `ev(event_type, v)` (plus any CTEs it needs, no leading WITH). */
+  private def anovaCoreSql(evCtes: String, statName: String): String =
+    s"""WITH $evCtes, g AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
       |         CAST(sum(v) AS BIGINT) AS s_g, CAST(sum(v * v) AS BIGINT) AS ss_g
       |  FROM ev GROUP BY event_type
@@ -779,8 +789,57 @@ object Stats {
       |            ELSE CAST(CASE WHEN ssb_micros < 0 THEN -1 ELSE 1 END *
       |              ((abs(ssb_micros) * (n - k)) //
       |               (((k - 1) * ssw_micros) // 1000000)) AS BIGINT)
-      |       END AS f_micros
+      |       END AS $statName
       |FROM c""".stripMargin
+
+  private val anovaFSql: String = anovaCoreSql(
+    """ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+      |)""".stripMargin,
+    "f_micros")
+
+  /** Levene's variance-homogeneity test (mean-centered, Levene 1960) —
+    * the PRECONDITION check for [[anovaF]]: the one-way F assumes equal
+    * group variances, and this is the test that validates (or vetoes)
+    * that assumption on the same (event_type, value) layout. W is
+    * computed as the one-way F statistic of the transformed values
+    * z = |x − x̄_group|, so it reuses [[anovaCore]] verbatim.
+    *
+    * Exactness: the group mean is a rational S/n, so the deviation is
+    * computed as |n·x − S| div n in DECIMAL(38,0) — an exact
+    * cents-quantized z (same magnitude band as the input, keeping
+    * every downstream DECIMAL(38)/HUGEINT bound of the anova core
+    * valid). Mean-centering (not the Brown–Forsythe median) is the
+    * deliberate scale choice: it needs only the (n, Σ) group moments —
+    * one partial-aggregated pass plus a k-row broadcast re-attach —
+    * where an exact median would cost a per-group rank selection.
+    *
+    * Scale shape: two aggregation passes over reduced forms and one
+    * broadcast join of a k-row moment table; no window, no driver
+    * state beyond the k-row final frame. */
+  def leveneTest(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val moments = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_g"), sum("v").as("s_g"))
+    val z = base.join(broadcast(moments), "event_type")
+      .select(col("event_type"),
+        expr("CAST(abs(CAST(n_g AS DECIMAL(38,0)) * v - s_g) div n_g AS BIGINT)").as("v"))
+    anovaCore(z, "w_micros")
+  }
+
+  private val leveneSql: String = anovaCoreSql(
+    """base AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+      |), g0 AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(v) AS BIGINT) AS s_g
+      |  FROM base GROUP BY event_type
+      |), ev AS (
+      |  SELECT b.event_type,
+      |         CAST(abs(CAST(g0.n_g AS HUGEINT) * b.v - g0.s_g) // g0.n_g AS BIGINT) AS v
+      |  FROM base b JOIN g0 USING (event_type)
+      |)""".stripMargin,
+    "w_micros")
 
   /** ROC AUC of the cheap bigram-LM quality score
     * ([[TextAnalysis.lmBigramScore]]'s per-doc `avg_micros`) as a
@@ -3120,6 +3179,7 @@ object Stats {
     QueryDef.sql("cuped_adjust", cupedSql)(cupedAdjust),
     QueryDef.sql("seasonal_decompose", seasonalSql)(seasonalDecompose),
     QueryDef.sql("anova_f", anovaFSql)(anovaF),
+    QueryDef.sql("levene_test", leveneSql)(leveneTest),
     QueryDef.sql("roc_auc", rocAucSql)(rocAuc),
     QueryDef.sql("pr_auc", prAucSql)(prAuc),
     QueryDef.sql("mutual_info", mutualInfoSql)(mutualInfo),

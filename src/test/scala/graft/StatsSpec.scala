@@ -78,6 +78,36 @@ class StatsSpec extends SparkSpec {
     assert(expSsb > 0 && expSsw > 0)
   }
 
+  test("levene_test matches the driver-side z-transform decomposition at sf0.001") {
+    val row = Stats.leveneTest(spark, sfDir).collect().head
+    val (k, n) = (row.getLong(0), row.getLong(1))
+    val (ssb, ssw) = (BigInt(row.getString(2)), BigInt(row.getString(3)))
+    val w = row.getLong(4)
+    // replay: cents → group (n, Σ) moments → z = |n·x − S| div n →
+    // the identical anova core on z
+    val vals = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+    val groups = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(k == groups.size.toLong && n == vals.length.toLong)
+    val zs = groups.toSeq.flatMap { case (et, xs) =>
+      val (ng, sg) = (BigInt(xs.length), xs.sum)
+      xs.map(x => et -> (ng * x - sg).abs / ng)
+    }
+    val zg = zs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val a  = zg.values.map(z => (z.sum * z.sum * 1000000) / z.length).sum
+    val t  = zs.map(_._2).sum
+    val ss = zs.map(z => z._2 * z._2).sum
+    val expSsb = a - (t * t * 1000000) / n
+    val expSsw = ss * 1000000 - a
+    assert(ssb == expSsb, "ssb_micros")
+    assert(ssw == expSsw, "ssw_micros")
+    val den = ((k - 1) * expSsw) / 1000000
+    val expW = (expSsb.abs * (n - k)) / den * expSsb.signum
+    assert(w == expW.toLong, "w_micros")
+    assert(expSsw > 0, "within-group deviation spread must be real")
+  }
+
   test("volume_trend matches the driver-side exact-rational slope at sf0.001") {
     val got = Stats.volumeTrend(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
