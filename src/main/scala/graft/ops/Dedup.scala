@@ -768,6 +768,69 @@ object Dedup {
     prof.unionAll(singletons).orderBy("octave")
   }
 
+  /** SOFT dedup: keep EVERY document, downweight each by its near-dup
+    * cluster size — the training-mixture alternative to
+    * [[dedupClusterKeepBest]] dropping n−1 of every n-clone family
+    * (SlimPajama-style hard dedup loses paraphrase diversity; the soft
+    * form preserves it while keeping each content family's total
+    * sampling mass at one document's worth: weight = ⌊10⁶/size⌋
+    * micros, singletons at exactly 10⁶). The output is the per-doc
+    * weight table a deterministic sampler ([[Curation.weightedSample]]
+    * shape) multiplies into its keys.
+    *
+    * Scale shape: rides the memoized [[clusterLabels]] table (no
+    * second CC run — the dedup_clusters convention); one size rollup
+    * on the rep key, one re-attach join, and a left join back to the
+    * corpus id scan for the singleton rows. Nothing here ever touches
+    * text. */
+  def dedupSoftWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val sizes  = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    val lbl = labels.join(sizes, "rep")
+      .select(col("id").as("doc_id"), col("rep"), col("cluster_size"))
+    nearDupCorpus(spark, dir).select(col("doc_id"))
+      .join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_micros",
+        expr("CAST(1000000 div cluster_size AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val dedupSoftWeightsSql: String =
+    s"""WITH RECURSIVE $corpusSql, $shingleSql,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |lbl AS (
+       |  SELECT src AS id, least(src, min(dst)) AS rep FROM reach GROUP BY src
+       |),
+       |sz AS (
+       |  SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size FROM lbl GROUP BY rep
+       |)
+       |SELECT c.doc_id,
+       |  coalesce(l.rep, c.doc_id) AS cluster_rep,
+       |  coalesce(s.cluster_size, 1) AS cluster_size,
+       |  CAST(1000000 // coalesce(s.cluster_size, 1) AS BIGINT) AS weight_micros
+       |FROM corpus c
+       |LEFT JOIN lbl l ON l.id = c.doc_id
+       |LEFT JOIN sz s ON s.rep = l.rep
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Converged connected-component labels (id → rep = component min id)
     * over the MinHash near-dup pair graph — the shared core of
     * [[dedupClusters]] (cluster census) and [[dedupClusterKeepBest]]
@@ -1997,5 +2060,6 @@ object Dedup {
     QueryDef.sql("containment_dup", containmentDupSql)(containmentDup),
     QueryDef.sql("ngram_novelty", ngramNoveltySql)(ngramNovelty),
     QueryDef.sql("lsh_tuning_matrix", lshTuningMatrixSql)(lshTuningMatrix),
+    QueryDef.sql("dedup_soft_weights", dedupSoftWeightsSql)(dedupSoftWeights),
   )
 }

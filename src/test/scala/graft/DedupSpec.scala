@@ -494,4 +494,29 @@ class DedupSpec extends SparkSpec {
     // the steep end must actually find near-dups on this fixture
     assert(rows((24L, 1L))._2 > 0, "steepest config found no true pair")
   }
+
+  test("dedup_soft_weights: every doc kept, family mass ≈ 1, consistent with the census") {
+    val rows = Dedup.dedupSoftWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpusN = Dedup.nearDupCorpus(spark, sfDir).count()
+    assert(rows.length.toLong == corpusN, "soft dedup must keep every document")
+    // per-row arithmetic: weight is exactly floor(1e6 / size)
+    rows.foreach { case (id, rep, sz, w) =>
+      assert(sz >= 1 && w == 1000000L / sz, s"doc $id weight drift")
+      assert((sz == 1) == (rep == id) || sz > 1, s"doc $id singleton shape")
+    }
+    // cluster sizes agree with the dedup_clusters census row-for-row
+    val census = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mine = rows.filter(_._3 > 1).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(mine == census.filter(_._2 > 1), "cluster sizes diverge from the census")
+    // each multi-doc family's total mass is ≤ 1 doc and > 1 − size·ulp
+    rows.groupBy(_._2).foreach { case (rep, fam) =>
+      val mass = fam.map(_._4).sum
+      assert(mass <= 1000000L, s"family $rep oversamples")
+      assert(mass > 1000000L - fam.length, s"family $rep loses more than floor residue")
+    }
+    // fixture actually has multi-doc families AND singletons
+    assert(rows.exists(_._3 > 1) && rows.exists(_._3 == 1))
+  }
 }
