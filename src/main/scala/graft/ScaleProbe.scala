@@ -234,7 +234,12 @@ object ScaleProbe {
     "lift_deciles", "cooc_pmi",
     // round-18 additions: the ExactSubstr maximal-span extractor and
     // the corpus-wide top-duplicated-spans report
-    "dup_spans", "dup_span_report")
+    "dup_spans", "dup_span_report",
+    // round-18 second batch: corpus-frequency novelty (two hash-keyed
+    // aggs + joins over the gram table), cluster-riding soft weights,
+    // and the second-order walk (per-step candidate×neighborhood probe
+    // join over a densifying replica graph)
+    "ngram_novelty", "dedup_soft_weights", "node2vec_walks")
 
   /** Probe-only variants — scale-shape diagnostics deliberately NOT
     * served queries (no oracle row, never in SparkEntry.queries):

@@ -1327,35 +1327,44 @@ object Dedup {
     * [[nearDupCorpus]] so the fixture plants known low-novelty rows
     * (each truncated twin shares every shingle with its base doc).
     *
-    * Scale shape (the [[lineDedup]] convention): the corpus-frequency
-    * shuffle carries (md5, doc_id) — 16-byte keys, never shingle text;
-    * the frequency table is a partial-aggregated groupBy on the hash;
-    * the verdict join re-uses the same hash partitioning (equi-join on
-    * the groupBy key — no second shuffle of the gram table) and the
-    * per-doc rollup is the only other exchange. No window, no driver
-    * state; a boilerplate shingle shared by a billion pages is one hot
-    * count cell (AQE skew territory), never a join explosion, because
-    * only the (hash → n_docs) COUNT flows back, not the doc pairs. */
+    * Scale shape (an OWNER-ATTRIBUTION pass, no big join): the gram
+    * table carries (doc_id, 64-bit hash) — never shingle text (the
+    * lineDedup key discipline, narrowed from md5-hex to
+    * `md5Lower64Col`'s 8 bytes); a corpus-unique gram's frequency cell
+    * (count = 1) already NAMES its only document via min(doc_id), so
+    * per-doc novel counts come from re-grouping the count-1 CELLS by
+    * owner — the corpus-sized gram table is aggregated twice (once per
+    * key) and never self-joined (the first form's counts⋈grams
+    * sort-merge join was the measured 32× knee: 4.7 → 68.3 s for 4×
+    * data; this shape re-probed 0.85/2.4/5.2 s at 1/8/32×, sub-linear
+    * with flat heap). A boilerplate
+    * shingle shared by a billion pages is one hot count cell (AQE skew
+    * territory), never a join explosion. Hash-level semantics: a
+    * 64-bit collision merges two grams' cells identically on both
+    * engines (~10⁻⁴ odds at 10⁸ distinct grams — and the oracle
+    * replays the same md5_number_lower values, so the gate is exact
+    * regardless). */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(spark, dir)
     val grams = corpus
       .select(col("doc_id"),
         explode(wordShinglesDistinct(col("text"), NoveltyN)).as("ng"))
-      .select(col("doc_id"), md5(col("ng")).as("h"))
-    val counts = grams.groupBy("h").agg(count(lit(1)).as("n_docs"))
-    val per = grams.join(counts, "h")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_ngrams"),
-        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), md5Lower64Col(col("ng")).as("h"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+    val novel = grams.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("doc_id"))
+      .filter(col("n_docs") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
     corpus.select(col("doc_id"))
-      .join(per, Seq("doc_id"), "left")
+      .join(sizes, Seq("doc_id"), "left")
+      .join(novel, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_ngrams").isNotNull, coalesce(col("n_novel"), lit(0L)))
+          .otherwise(lit(0L)).as("n_novel"),
         when(col("n_ngrams").isNotNull,
-          expr("CAST((CAST(n_novel AS DECIMAL(38,0)) * 1000000) div n_ngrams AS BIGINT)"))
+          expr("CAST((CAST(coalesce(n_novel, 0) AS DECIMAL(38,0)) * 1000000) div n_ngrams AS BIGINT)"))
           .as("novelty_micros"))
       .orderBy("doc_id")
   }
@@ -1363,26 +1372,27 @@ object Dedup {
   private val ngramNoveltySql: String =
     s"""WITH $corpusSql,
        |grams AS (
-       |  SELECT doc_id, md5(ng) AS h FROM (
+       |  SELECT doc_id, md5_number_lower(ng) AS h FROM (
        |    SELECT doc_id, unnest(list_distinct(list_transform(
        |             generate_series(1, len(string_split(text, ' ')) - ${NoveltyN - 1}),
        |             i -> array_to_string(list_slice(string_split(text, ' '), i, i + ${NoveltyN - 1}), ' ')))) AS ng
        |    FROM corpus WHERE len(string_split(text, ' ')) >= $NoveltyN)
-       |), counts AS (
-       |  SELECT h, count(*) AS n_docs FROM grams GROUP BY h
-       |), per AS (
-       |  SELECT g.doc_id, count(*) AS n_ngrams,
-       |         sum(CASE WHEN c.n_docs = 1 THEN 1 ELSE 0 END) AS n_novel
-       |  FROM grams g JOIN counts c USING (h) GROUP BY g.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_ngrams FROM grams GROUP BY doc_id
+       |), novel AS (
+       |  SELECT doc_id, count(*) AS n_novel FROM (
+       |    SELECT h, count(*) AS n_docs, min(doc_id) AS doc_id FROM grams GROUP BY h
+       |  ) cells WHERE n_docs = 1 GROUP BY doc_id
        |)
        |SELECT c.doc_id,
-       |  CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
-       |  CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
-       |  CASE WHEN p.n_ngrams IS NOT NULL
-       |       THEN CAST((CAST(p.n_novel AS HUGEINT) * 1000000) // p.n_ngrams AS BIGINT) END
+       |  CAST(coalesce(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       |  CAST(CASE WHEN s.n_ngrams IS NOT NULL THEN coalesce(nv.n_novel, 0) ELSE 0 END AS BIGINT)
+       |    AS n_novel,
+       |  CASE WHEN s.n_ngrams IS NOT NULL
+       |       THEN CAST((CAST(coalesce(nv.n_novel, 0) AS HUGEINT) * 1000000) // s.n_ngrams AS BIGINT) END
        |    AS novelty_micros
-       |FROM corpus c LEFT JOIN per p USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |FROM corpus c LEFT JOIN sizes s USING (doc_id) LEFT JOIN novel nv USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
 
   // ------------------------------------------------- LSH parameter tuning
 
@@ -1448,8 +1458,16 @@ object Dedup {
     * the SAMPLE, constant in the corpus. */
   def lshTuningMatrix(spark: SparkSession, dir: String): DataFrame = {
     val n = 3
+    // doc_id < 2e6 pins the sample to the FIRST corpus block (base ids
+    // < 1e6 plus their twins): without it, any id-striped growth whose
+    // stride is ≡ 0 mod 1e6 (the probe replicas' 10⁷) leaks every
+    // stripe's low ids into the "fixed" sample and the truth join goes
+    // quadratic in corpus size — the probe caught exactly that (24.9 s
+    // at 32×; 1.3/1.5/3.0 s at 1/8/32× after the gate, the residue
+    // being the corpus scan under the non-pushable pmod filter)
     val sample = nearDupCorpus(spark, dir)
-      .filter(pmod(col("doc_id"), lit(1000000L)) < TuneSampleDocs)
+      .filter(pmod(col("doc_id"), lit(1000000L)) < TuneSampleDocs &&
+        col("doc_id") < 2000000L)
       .filter(hasWindow(wordGrams = true, n))
     // (doc_id, distinct shingles): feeds the signature pass and both
     // brute-force truth sides
@@ -1524,7 +1542,7 @@ object Dedup {
     s"""WITH $corpusSql,
        |sample AS (
        |  SELECT doc_id, text FROM corpus
-       |  WHERE doc_id % 1000000 < $TuneSampleDocs
+       |  WHERE doc_id % 1000000 < $TuneSampleDocs AND doc_id < 2000000
        |    AND len(string_split(text, ' ')) >= 3
        |), shs AS (
        |  SELECT doc_id, list_distinct(list_transform(
