@@ -714,4 +714,20 @@ class PlanSpec extends SparkSpec {
     assert(rep.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       "dup_span_report top-K must be TakeOrdered")
   }
+
+  test("round-18 novelty/weights: 8-byte gram keys only, no cartesian, text out of shuffles") {
+    // ngram_novelty: the corpus-sized gram table is aggregated (owner
+    // attribution), never self-joined, and its shuffles carry
+    // (doc_id, 64-bit hash) longs — neither shingle strings nor text
+    val nn = planOf("ngram_novelty")
+    assert(!nn.contains("CartesianProduct"), "ngram_novelty planned a cartesian")
+    val nnEx = nn.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(nnEx.nonEmpty && nnEx.forall(l => !l.contains("text") && !l.contains("ng#")),
+      "ngram_novelty shuffled text or raw shingles instead of 8-byte hashes")
+    // dedup_soft_weights: id-table joins only — text never shuffles
+    val sw = planOf("dedup_soft_weights")
+    assert(!sw.contains("CartesianProduct"), "dedup_soft_weights planned a cartesian")
+    assert(sw.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+      .forall(!_.contains("text")), "dedup_soft_weights shuffled document text")
+  }
 }
