@@ -361,7 +361,60 @@ object Multimodal {
        |FROM a GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** 1-in-N sampling modulus for the blob-file staging (bounded file
+    * count at any fixture SF — the staging is harness plumbing, see
+    * [[binaryFileIngest]]). */
+  private val IngestMod = 10L
+
+  /** Spark's `binaryFile` SOURCE as an operator — the ingest path a
+    * multimodal pipeline actually starts from: media lands as FILES in
+    * object storage, and the first Spark stage is a distributed
+    * binary-file scan yielding (path, length, content) rows that feed
+    * the binary-column plumbing above ([[mediaMeta]] etc.). The query
+    * reads a staged directory of per-doc blob files and emits each
+    * asset's identity (id parsed from the file name), byte length, and
+    * content digest — proving the bytes survive the file round-trip
+    * exactly (the md5 hash-gates against the base table).
+    *
+    * Staging note: materializing the sampled payloads as real files is
+    * TEST-HARNESS plumbing (collect of a 1-in-[[IngestMod]] sample —
+    * bounded), not the operator; in production the files already
+    * exist. The operator is the `format("binaryFile")` scan, which is
+    * a real distributed source: executor-side file reads, one
+    * partition per file group, `length`/`path` served from listing
+    * metadata without touching content, and a pushable
+    * `pathGlobFilter`. At 100 TB the same plan reads the bucket
+    * listing instead of a temp dir. */
+  def binaryFileIngest(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("graft-binfiles") { tmp =>
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % IngestMod === 0)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, f"doc_${r.getLong(0)}%012d.bin"),
+            r.getAs[Array[Byte]](1))
+          ()
+        }
+      spark.read.format("binaryFile").load(tmp)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint() // must outlive the temp dir
+    }
+
+  private val binaryFileIngestSql: String =
+    s"""SELECT doc_id,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  md5(text) AS payload_md5
+       |FROM documents WHERE doc_id % $IngestMod = 0
+       |ORDER BY doc_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef.sql("binary_file_ingest", binaryFileIngestSql)(binaryFileIngest),
     QueryDef.sql("media_neardup", mediaNearDupSql)(mediaNearDup),
     QueryDef.sql("media_phash", mediaPhashSql)(mediaPhash),
     QueryDef.sql("media_shard_manifest", mediaShardManifestSql)(mediaShardManifest),

@@ -135,4 +135,22 @@ class SourcesSpec extends SparkSpec {
     assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
     assert(ev.count() > 0)
   }
+
+  test("binaryFile ingest round-trips every staged blob byte-exactly") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Multimodal.binaryFileIngest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // in-engine reference digests/lengths from the same sampled payloads
+    val expect = tables.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("long"),
+        md5(encode(col("text"), "utf-8")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.nonEmpty && got.toSeq == expect.toSeq,
+      "binaryFile round-trip lost or corrupted a payload")
+    // the result must survive its temp dir (localCheckpoint contract)
+    assert(graft.ops.Multimodal.binaryFileIngest(spark, sfDir).count() == expect.length.toLong)
+  }
 }
