@@ -249,6 +249,7 @@ object ScaleProbe {
     * fixed-nlist kNN knee shape kept for regression comparison. */
   private[graft] val probeOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_truss_grown" -> ((s: SparkSession, d: String) => ops.Graph.kTrussGrown(s, d)),
+    "node2vec_grown" -> ((s: SparkSession, d: String) => ops.Graph.node2vecGrown(s, d)),
     "knn_graph_fixed_nlist" ->
       ((s: SparkSession, d: String) => ops.Similarity.knnGraphFixedNlist(s, d)))
 

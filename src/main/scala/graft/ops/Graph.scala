@@ -974,6 +974,24 @@ object Graph {
     res
   }
 
+  /** Probe-only node-GROWING node2vec fixture (the k_truss_grown
+    * device): the replica id stride (10⁷) becomes a block index and
+    * each block gets its own disjoint 211-node community, so walker
+    * count — the operator's honest scale axis — grows with data
+    * instead of the fixed space densifying (the served query keeps the
+    * reference-parity modulus; this variant exists so the probe curve
+    * measures the walk, not replica densification). */
+  private[graft] def node2vecGrown(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(spark, dir)
+      .select(expr("o_orderkey div 10000000").as("blk"),
+        (col("o_custkey") % 211L).as("a0"),
+        ((col("o_orderkey") % 10000000L) % 197L).as("b0"))
+      .select((col("blk") * 211L + col("a0")).as("src"),
+        (col("blk") * 211L + col("b0")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    node2vecWalksOn(e, WalkSteps)
+  }
+
   private val node2vecSql: String = {
     val base =
       s"""WITH e0 AS (
