@@ -39,6 +39,64 @@ object Events {
         col("p").getField("k").as("k_path"),
         col("p").getField("k").as("k_struct"))
 
+  /** Spark 4 VARIANT path (`parse_json` → `variant_get`) — the
+    * semi-structured columnar type that supersedes string-JSON
+    * re-parsing: one parse to the binary Variant encoding, then typed
+    * path extraction (nested object, array index, missing-path NULL)
+    * without touching the text again. Distinct from [[jsonFuncs]]'
+    * schema-ful `from_json`: Variant needs NO declared schema, which
+    * is the semi-structured ingestion reality (heterogeneous
+    * event payloads). The fixture `props` is a flat `{"k": N}`, so
+    * (the pii_redact convention) a deterministic NESTED document is
+    * synthesized per event from base columns — identically in the
+    * oracle, which extracts the same paths with DuckDB's JSON
+    * functions; the hash gate certifies Variant extraction semantics
+    * equal classic JSON-path semantics on every row, including the
+    * missing-path NULL.
+    *
+    * Scale shape: per-row parse + extractions, no shuffle but the
+    * final sort — scan speed; at 100 TB the variant column would be
+    * the stored format and the parse disappears into ingestion. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame = {
+    val js = concat(
+      lit("{\"p\": "), col("props"),
+      lit(", \"u\": {\"id\": "), col("user_id").cast("string"),
+      lit(", \"tier\": "), (col("user_id") % 5).cast("string"),
+      lit("}, \"tags\": [\""), col("event_type"),
+      lit("\", \"x\"], \"m\": "), cents(col("value")).cast("string"),
+      lit("}"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .orderBy("event_id")
+      .withColumn("v", parse_json(js))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.p.k", "bigint").as("k"),
+        variant_get(col("v"), "$.u.tier", "bigint").as("tier"),
+        variant_get(col("v"), "$.tags[0]", "string").as("tag0"),
+        variant_get(col("v"), "$.m", "bigint").as("m_cents"),
+        variant_get(col("v"), "$.absent", "bigint").as("missing"))
+  }
+
+  private val variantExtractSql: String =
+    """WITH synth AS (
+      |  SELECT event_id,
+      |    '{"p": ' || props || ', "u": {"id": ' || CAST(user_id AS VARCHAR)
+      |      || ', "tier": ' || CAST(user_id % 5 AS VARCHAR)
+      |      || '}, "tags": ["' || event_type
+      |      || '", "x"], "m": ' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+      |      || '}' AS js
+      |  FROM events
+      |)
+      |SELECT event_id,
+      |  CAST(json_extract(js, '$.p.k') AS BIGINT) AS k,
+      |  CAST(json_extract(js, '$.u.tier') AS BIGINT) AS tier,
+      |  json_extract_string(js, '$.tags[0]') AS tag0,
+      |  CAST(json_extract(js, '$.m') AS BIGINT) AS m_cents,
+      |  CAST(json_extract(js, '$.absent') AS BIGINT) AS missing
+      |FROM synth ORDER BY event_id""".stripMargin
+
   /** tumbling 1-hour windows via Spark's native window(); start emitted
     * as epoch ms. Partial aggregation applies — scales like any groupBy.
     * Core shared with the streaming twin (`Streams.tumblingAgg`). */
@@ -961,6 +1019,7 @@ object Events {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
         |FROM events ORDER BY event_id""".stripMargin)(jsonFuncs),
+    QueryDef.sql("variant_extract", variantExtractSql)(variantExtract),
     QueryDef.sql("stream_tumbling", tumblingOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedTumbling(s, d)),
     // three-micro-batch late-data run (on-time minus carrier, carrier,

@@ -169,4 +169,28 @@ class EventsSpec extends SparkSpec {
     types.foreach(t => assert(math.abs(next(t) - pi(t)) <= 2L,
       s"type $t still moving: ${pi(t)} -> ${next(t)}"))
   }
+
+  test("variant_extract agrees with the schema-ful classic path row-for-row") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Events.variantExtract(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.isNullAt(5)))
+    assert(got.nonEmpty)
+    // every missing-path extraction is NULL; tag0 replays event_type
+    assert(got.forall(_._6), "missing-path variant_get must be NULL")
+    // classic reference: same values straight from the base columns
+    val ref = tables.Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long"),
+        (col("user_id") % 5).cast("long"),
+        col("event_type"),
+        graft.functions.TextFunctions.cents(col("value")))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), true))
+      .sortBy(_._1)
+    assert(got.toSeq == ref.toSeq, "variant path diverged from the classic JSON path")
+  }
 }
