@@ -1020,6 +1020,27 @@ object Events {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
         |FROM events ORDER BY event_id""".stripMargin)(jsonFuncs),
     QueryDef.sql("variant_extract", variantExtractSql)(variantExtract),
+    // the Spark 4 StatefulProcessor (transformWithState) surface over
+    // the real engine + RocksDB store; single-batch bounded run ≡ the
+    // batch GROUP BY with (ts, event_id)-ordered last-event selection
+    QueryDef.sql("stream_transform_state",
+      """WITH ev AS (
+        |  SELECT event_id, ts, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), lastp AS (
+        |  SELECT user_id, event_id AS last_event_id FROM (
+        |    SELECT user_id, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) t WHERE rn = 1
+        |), agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents, CAST(max(cents) AS BIGINT) AS max_cents
+        |  FROM ev GROUP BY user_id
+        |)
+        |SELECT a.user_id, a.n_events, a.sum_cents, a.max_cents, l.last_event_id,
+        |  CAST(least(3, a.n_events) AS BIGINT) AS n_recent
+        |FROM agg a JOIN lastp l USING (user_id) ORDER BY user_id""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedTransformState(s, d)),
     QueryDef.sql("stream_tumbling", tumblingOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedTumbling(s, d)),
     // three-micro-batch late-data run (on-time minus carrier, carrier,

@@ -885,4 +885,86 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class TwsAgg(n: Long, sumCents: Long, maxCents: Long, lastMs: Long, lastId: Long)
+  final case class TwsOut(
+      user_id: Long, n_events: Long, sum_cents: Long, max_cents: Long,
+      last_event_id: Long, n_recent: Long)
+
+  /** [[transformWithStateStream]]'s processor: the Spark 4
+    * `StatefulProcessor` API (the arbitrary-state surface superseding
+    * `flatMapGroupsWithState`), exercised with its distinguishing
+    * feature — MULTIPLE NAMED state variables per key, each its own
+    * column family in the store: a `ValueState` carrying the running
+    * per-user aggregate and a `ListState` ring of the most recent
+    * event ids (capped at [[TwsRecentCap]] — a production dedup/replay
+    * buffer shape; `ListState.put` rewrites the capped window, so
+    * state stays O(1) per key forever). Emits one row per key per
+    * batch with the post-batch aggregate — on the bounded single-batch
+    * fixture that is exactly the batch GROUP BY the oracle states. */
+  private val TwsRecentCap = 3
+
+  private class UserAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TwsOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState, ListState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    @transient private var agg: ValueState[TwsAgg]  = _
+    @transient private var recent: ListState[Long]  = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[TwsAgg](
+        "agg", Encoders.product[TwsAgg], TTLConfig.NONE)
+      recent = getHandle.getListState[Long](
+        "recent", Encoders.scalaLong.asInstanceOf[Encoder[Long]], TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TwsOut] = {
+      // per-key (ts, id) total order inside the batch — the same
+      // in-order-arrival contract every stateful op here documents
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var s = if (agg.exists()) agg.get()
+              else TwsAgg(0L, 0L, Long.MinValue, Long.MinValue, 0L)
+      var ring = recent.get().toList
+      sorted.foreach { e =>
+        val cents = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        val ms = e.ts.getTime
+        s = TwsAgg(s.n + 1L, s.sumCents + cents, math.max(s.maxCents, cents),
+          ms, e.event_id)
+        ring = (e.event_id :: ring).take(TwsRecentCap)
+      }
+      agg.update(s)
+      recent.clear()
+      recent.put(ring.toArray)
+      Iterator.single(TwsOut(key, s.n, s.sumCents, s.maxCents, s.lastId, ring.length.toLong))
+    }
+  }
+
+  /** Per-user running aggregate through the NEW `transformWithState`
+    * API over the real engine (requires the RocksDB provider — the
+    * conf is toggled around the run exactly like
+    * [[runBoundedSessionWindowRocks]]). Oracle = the plain batch
+    * GROUP BY with a (ts, event_id)-ordered last-event selection. */
+  def runBoundedTransformState(spark: SparkSession, dir: String): DataFrame =
+    transformStateRun(spark, dir).result
+
+  private[graft] def transformStateRun(spark: SparkSession, dir: String): BoundedRun = {
+    import spark.implicits._
+    val key   = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = graft.tables.Tables.eventsStream(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val out = ev.groupByKey(_.user_id)
+        .transformWithState(new UserAggProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      runBoundedRun(spark, "stream_transform_state", out.toDF(),
+        OutputMode.Append(), Seq("user_id"))
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }

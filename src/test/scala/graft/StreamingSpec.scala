@@ -476,4 +476,27 @@ class StreamingSpec extends SparkSpec {
         s"changelog emitted $got")
     } finally { query.stop(); spark.catalog.dropTempView("changelog_out"); () }
   }
+
+  test("transformWithState runs on rocksdb and matches the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val run = Streams.transformStateRun(spark, sfDir)
+    val got = run.result.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // the new API requires (and must actually be served by) RocksDB
+    assert(run.stateCustomMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"expected rocksdb metrics, got: ${run.stateCustomMetrics}")
+    // batch reference: plain GROUP BY + ordered last-event selection
+    val ev = tables.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        graft.functions.TextFunctions.cents(col("value")).as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._3).map { case (uid, rows) =>
+      val last = rows.maxBy(r => (r._2, r._1))
+      (uid, rows.length.toLong, rows.map(_._4).sum, rows.map(_._4).max,
+        last._1, math.min(3L, rows.length.toLong))
+    }.toSeq.sortBy(_._1)
+    assert(got == expect, "transformWithState diverged from the batch aggregate")
+  }
 }
