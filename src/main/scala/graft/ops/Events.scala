@@ -1041,6 +1041,30 @@ object Events {
         |  CAST(least(3, a.n_events) AS BIGINT) AS n_recent
         |FROM agg a JOIN lastp l USING (user_id) ORDER BY user_id""".stripMargin)(
       (s, d) => graft.streaming.Streams.runBoundedTransformState(s, d)),
+    // initial-state bootstrap: batch baseline (even ids) + stream (odd
+    // ids) must compose to EXACTLY the one-shot aggregate over all
+    // events — the oracle states the whole, restricted to users that
+    // actually streamed a row (no-input keys emit nothing)
+    QueryDef.sql("stream_state_bootstrap",
+      """WITH ev AS (
+        |  SELECT event_id, ts, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), streamed AS (
+        |  SELECT DISTINCT user_id FROM ev WHERE event_id % 2 = 1
+        |), lastp AS (
+        |  SELECT user_id, event_id AS last_event_id FROM (
+        |    SELECT user_id, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) t WHERE rn = 1
+        |), agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents, CAST(max(cents) AS BIGINT) AS max_cents
+        |  FROM ev GROUP BY user_id
+        |)
+        |SELECT a.user_id, a.n_events, a.sum_cents, a.max_cents, l.last_event_id
+        |FROM agg a JOIN lastp l USING (user_id) JOIN streamed s USING (user_id)
+        |ORDER BY a.user_id""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedStateBootstrap(s, d)),
     QueryDef.sql("stream_tumbling", tumblingOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedTumbling(s, d)),
     // three-micro-batch late-data run (on-time minus carrier, carrier,

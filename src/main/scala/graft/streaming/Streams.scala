@@ -941,6 +941,103 @@ object Streams {
     }
   }
 
+  final case class BootAgg(n: Long, sumCents: Long, maxCents: Long, lastMs: Long, lastId: Long)
+  final case class BootOut(
+      user_id: Long, n_events: Long, sum_cents: Long, max_cents: Long, last_event_id: Long)
+
+  /** [[runBoundedStateBootstrap]]'s processor: the INITIAL-STATE
+    * variant of the Spark 4 API — `handleInitialState` seeds each
+    * key's store from a batch-computed baseline BEFORE the first
+    * micro-batch, the warm-start shape a production migration runs
+    * when a streaming job takes over from a nightly batch (state is
+    * bootstrapped from yesterday's aggregate table, not replayed from
+    * the beginning of time). */
+  private class BootstrapProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, BootOut, BootAgg] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var agg: ValueState[BootAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[BootAgg](
+        "agg", Encoders.product[BootAgg], TTLConfig.NONE)
+    }
+    override def handleInitialState(
+        key: Long, initialState: BootAgg,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      agg.update(initialState)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[BootOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var s = if (agg.exists()) agg.get()
+              else BootAgg(0L, 0L, Long.MinValue, Long.MinValue, 0L)
+      sorted.foreach { e =>
+        val cents = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        val ms = e.ts.getTime
+        // last = max by (ts, id) across BOTH halves: the baseline's
+        // last survives unless a stream row genuinely supersedes it
+        val isLater = ms > s.lastMs || (ms == s.lastMs && e.event_id > s.lastId)
+        s = BootAgg(s.n + 1L, s.sumCents + cents, math.max(s.maxCents, cents),
+          if (isLater) ms else s.lastMs, if (isLater) e.event_id else s.lastId)
+      }
+      agg.update(s)
+      Iterator.single(BootOut(key, s.n, s.sumCents, s.maxCents, s.lastId))
+    }
+  }
+
+  /** State BOOTSTRAP through `transformWithState`'s initial-state
+    * surface: the even-id half of the fixture plays "yesterday" —
+    * batch-aggregated into a per-user baseline — and the odd-id half
+    * streams on top of the seeded store. The composition must equal
+    * the one-shot batch aggregate over ALL events, which is exactly
+    * what the oracle states — so the hash gate proves the
+    * bootstrap+stream path is EXACTLY equivalent to full recompute
+    * (the property that makes warm-start migration safe). Users whose
+    * events are all in the baseline emit nothing (no input rows), so
+    * the oracle restricts to users with at least one odd-id event. */
+  def runBoundedStateBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key   = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // "yesterday": batch-side per-user baseline over the even half
+      val baseline = graft.tables.Tables.events(spark, dir)
+        .filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)]
+        .groupByKey(_._3)
+        .mapGroups { (uid, it) =>
+          val rows = it.toSeq.sortBy(r => (r._2.getTime, r._1))
+          var s = BootAgg(0L, 0L, Long.MinValue, Long.MinValue, 0L)
+          rows.foreach { r =>
+            val cents = java.math.BigDecimal.valueOf(r._4 * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            s = BootAgg(s.n + 1L, s.sumCents + cents, math.max(s.maxCents, cents),
+              r._2.getTime, r._1)
+          }
+          (uid, s)
+        }
+      val initial = baseline.groupByKey(_._1).mapValues(_._2)
+      // "today": the odd half arrives as the stream
+      val ev = graft.tables.Tables.eventsStream(spark, dir)
+        .filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val out = ev.groupByKey(_.user_id)
+        .transformWithState(new BootstrapProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          initial)
+      runBounded(spark, "stream_state_bootstrap", out.toDF(),
+        OutputMode.Append(), Seq("user_id"))
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Per-user running aggregate through the NEW `transformWithState`
     * API over the real engine (requires the RocksDB provider — the
     * conf is toggled around the run exactly like

@@ -499,4 +499,31 @@ class StreamingSpec extends SparkSpec {
     }.toSeq.sortBy(_._1)
     assert(got == expect, "transformWithState diverged from the batch aggregate")
   }
+
+  test("initial-state bootstrap composes to exactly the full batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.runBoundedStateBootstrap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val ev = tables.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        graft.functions.TextFunctions.cents(col("value")).as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._3)
+      .filter(_._2.exists(_._1 % 2 == 1)) // only users with a streamed row emit
+      .map { case (uid, rows) =>
+        val last = rows.maxBy(r => (r._2, r._1))
+        (uid, rows.length.toLong, rows.map(_._4).sum, rows.map(_._4).max, last._1)
+      }.toSeq.sortBy(_._1)
+    assert(got == expect, "bootstrap+stream != one-shot batch aggregate")
+    // the seeded state genuinely contributed: at least one user's count
+    // exceeds what its streamed (odd-id) rows alone could produce
+    val oddCounts = ev.filter(_._1 % 2 == 1).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    assert(got.exists { case (uid, n, _, _, _) => n > oddCounts.getOrElse(uid, 0L) },
+      "no user shows baseline contribution — initial state was never read")
+    // and at least one user's LAST event lives in the baseline half
+    // (the max-by-(ts,id) merge, not a stream-side overwrite)
+    assert(got.exists(_._5 % 2 == 0),
+      "no baseline-half last_event_id survived the merge")
+  }
 }
