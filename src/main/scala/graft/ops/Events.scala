@@ -1065,6 +1065,19 @@ object Events {
         |FROM agg a JOIN lastp l USING (user_id) JOIN streamed s USING (user_id)
         |ORDER BY a.user_id""".stripMargin)(
       (s, d) => graft.streaming.Streams.runBoundedStateBootstrap(s, d)),
+    // foreachBatch merge-upsert: four maxFilesPerTrigger=1 micro-batch
+    // merges must compose to the one-shot per-user latest row
+    QueryDef.sql("stream_foreach_merge",
+      """SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS last_ms,
+        |       event_id AS last_event_id,
+        |       CAST(round(value * 100) AS BIGINT) AS last_value_cents
+        |FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedForeachMerge(s, d)),
     QueryDef.sql("stream_tumbling", tumblingOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedTumbling(s, d)),
     // three-micro-batch late-data run (on-time minus carrier, carrier,

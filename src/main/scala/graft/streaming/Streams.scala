@@ -886,6 +886,75 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** STREAMING MERGE-UPSERT via `foreachBatch` — the canonical
+    * streaming→lake pattern nothing else here covers: each micro-batch
+    * upserts "latest row per key" into an on-disk parquet table, and
+    * the table after the LAST batch must equal the one-shot batch
+    * answer. The fixture stages the event corpus as four source files
+    * and drives them through `maxFilesPerTrigger=1`, so the run is a
+    * genuine FOUR-merge composition (order-insensitive by
+    * construction: the merge keeps the (ms, event_id)-max struct per
+    * user, an idempotent, commutative upsert — exactly why this shape
+    * is restart-safe in production). Each merge writes a VERSIONED
+    * table dir and reads only the previous version + the batch — the
+    * rolling-state cost, never a source rescan; a lakehouse MERGE
+    * INTO replaces the version-swap with a transactional commit but
+    * the dataflow is identical.
+    *
+    * Oracle: per-user argmax by (ts, event_id) over all events. */
+  def runBoundedForeachMerge(spark: SparkSession, dir: String): DataFrame =
+    foreachMergeRun(spark, dir)._1
+
+  /** (result, number of micro-batch merges) — the count lets the spec
+    * prove the run was a genuine multi-merge composition. */
+  private[graft] def foreachMergeRun(spark: SparkSession, dir: String): (DataFrame, Long) =
+    graft.ops.withTempDir("graft-femerge") { tmp =>
+      val srcDir   = s"$tmp/src"
+      val tableDir = s"$tmp/table"
+      val events = graft.tables.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "value")
+      (0L until 4L).foreach { b =>
+        events.filter(pmod(col("event_id"), lit(4L)) === b)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val partKey   = "spark.sql.shuffle.partitions"
+      val savedPart = spark.conf.getOption(partKey)
+      spark.conf.set(partKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+      try {
+        def latestPerUser(df: DataFrame): DataFrame = df
+          .groupBy("user_id")
+          .agg(max(struct(col("ms"), col("event_id"), col("cents"))).as("s"))
+          .select(col("user_id"), col("s.ms").as("ms"),
+            col("s.event_id").as("event_id"), col("s.cents").as("cents"))
+        var version = -1L
+        val src = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = src.writeStream
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val b = latestPerUser(batch.select(
+              col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+              graft.functions.TextFunctions.cents(col("value")).as("cents")))
+            val merged =
+              if (version < 0) b
+              else latestPerUser(
+                spark.read.parquet(s"$tableDir/v$version").unionByName(b))
+            merged.write.mode("overwrite").parquet(s"$tableDir/v$id")
+            version = id
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(version >= 0, "foreachBatch never fired")
+        val res = spark.read.parquet(s"$tableDir/v$version")
+          .select(col("user_id"), col("ms").as("last_ms"),
+            col("event_id").as("last_event_id"), col("cents").as("last_value_cents"))
+          .orderBy("user_id")
+          .localCheckpoint() // must outlive the temp dir
+        (res, version + 1L)
+      } finally savedPart.fold(spark.conf.unset(partKey))(spark.conf.set(partKey, _))
+    }
+
   final case class TwsAgg(n: Long, sumCents: Long, maxCents: Long, lastMs: Long, lastId: Long)
   final case class TwsOut(
       user_id: Long, n_events: Long, sum_cents: Long, max_cents: Long,

@@ -526,4 +526,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._5 % 2 == 0),
       "no baseline-half last_event_id survived the merge")
   }
+
+  test("foreachBatch merge: four successive upserts compose to the batch argmax") {
+    import org.apache.spark.sql.functions._
+    val (resDf, nBatches) = Streams.foreachMergeRun(spark, sfDir)
+    // the whole point is the MULTI-batch composition: maxFilesPerTrigger=1
+    // over the four staged source files must drive four separate merges
+    assert(nBatches == 4L, s"expected 4 micro-batch merges, ran $nBatches")
+    val got = resDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expect = tables.Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"), col("user_id"),
+        graft.functions.TextFunctions.cents(col("value")).as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._3).map { case (uid, rows) =>
+        val last = rows.maxBy(r => (r._2, r._1))
+        (uid, last._2, last._1, last._4)
+      }.toSeq.sortBy(_._1)
+    assert(got == expect, "merged table diverged from the one-shot batch argmax")
+  }
 }
