@@ -250,6 +250,7 @@ object ScaleProbe {
   private[graft] val probeOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_truss_grown" -> ((s: SparkSession, d: String) => ops.Graph.kTrussGrown(s, d)),
     "node2vec_grown" -> ((s: SparkSession, d: String) => ops.Graph.node2vecGrown(s, d)),
+    "link_predict_grown" -> ((s: SparkSession, d: String) => ops.Graph.linkPredictGrown(s, d)),
     "knn_graph_fixed_nlist" ->
       ((s: SparkSession, d: String) => ops.Similarity.knnGraphFixedNlist(s, d)))
 

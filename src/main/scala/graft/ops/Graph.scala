@@ -255,6 +255,26 @@ object Graph {
   /** Undirected simple graph for triangle counting: canonical (u<v)
     * distinct edges over the same orders-derived node space PageRank
     * uses, just sparser. */
+  /** Probe-only node-GROWING link-prediction fixture (the k_truss_grown
+    * device over [[triEdges]]' node space): each replica stride gets
+    * its own disjoint [[TriMod]]-node community at constant density —
+    * without it the fixed space densifies to COMPLETE under replica
+    * scaling and the non-edge set the predictor scores goes EMPTY
+    * (measured: 0 rows at 64×), a degenerate point that says nothing
+    * about the operator. */
+  private[graft] def linkPredictGrown(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(spark, dir)
+      .select(expr("o_orderkey div 10000000").as("blk"),
+        (col("o_custkey") % TriMod).as("a0"),
+        ((col("o_orderkey") % 10000000L) % TriMod).as("b0"))
+      .select((col("blk") * TriMod + col("a0")).as("a"),
+        (col("blk") * TriMod + col("b0")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    linkPredictOn(e)
+  }
+
   private[graft] def triEdges(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select((col("o_custkey") % TriMod).as("a"), (col("o_orderkey") % TriMod).as("b"))
