@@ -239,7 +239,10 @@ object ScaleProbe {
     // aggs + joins over the gram table), cluster-riding soft weights,
     // and the second-order walk (per-step candidate×neighborhood probe
     // join over a densifying replica graph)
-    "ngram_novelty", "dedup_soft_weights", "node2vec_walks")
+    "ngram_novelty", "dedup_soft_weights", "node2vec_walks",
+    // round-19: the re-shaped RFM quintile census (was the r18 verdict's
+    // one flagged global-ntile scale-killer; now prefix-scan ranks)
+    "rfm_segments")
 
   /** Probe-only variants — scale-shape diagnostics deliberately NOT
     * served queries (no oracle row, never in SparkEntry.queries):

@@ -450,12 +450,16 @@ object Centroids {
        |    GROUP BY cluster, d) t
        |  GROUP BY cluster
        |), pd AS MATERIALIZED (
-       |  SELECT e.vec_id, c.cluster, sqrt($sq) AS d
+       |  SELECT e.vec_id, c.cluster, $sq AS sqd, sqrt($sq) AS d
        |  FROM embeddings e CROSS JOIN cents1 c
        |), asg AS (
+       |  -- argmin in SQUARED space (sqd), matching Spark's
+       |  -- NearestCentroidIdx: two distinct squared distances can
+       |  -- collapse under sqrt, so ordering on d could tie-break to a
+       |  -- different owner than the strictly-smaller-sqd argmin.
        |  SELECT vec_id, cluster AS own_cluster, d AS a FROM (
        |    SELECT vec_id, cluster, d,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY sqd ASC, cluster ASC) AS rn
        |    FROM pd) t
        |  WHERE rn = 1
        |), bb AS (

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics — PageRank as the canonical repeated
@@ -1915,11 +1916,19 @@ object Graph {
     * behind recommend-a-friend / suggest-a-citation, and the graph
     * family's second wedge consumer beside [[triangleCountOn]].
     *
-    * Scale shape: one symmetrized adjacency pass, a broadcastable
-    * degree attach, then the wedge self-EQUI-join on the center id
-    * restricted to deg ≤ [[LpDegCap]] centers — per-center work is
-    * bounded by C(cap, 2), so total wedges are ≤ cap·m regardless of
-    * skew (the hot-hub h² blowup is designed out, see [[LpDegCap]]).
+    * Scale shape (re-shaped round 19 — the degree attach was a
+    * groupBy + SMJ that shuffled the adjacency relation TWICE, the
+    * suite's heaviest linear constant at 32×/64× grown): the degree
+    * now folds into the wedge generation as a count over the c-keyed
+    * window — ONE hash shuffle of the adjacency computes deg, filter,
+    * and aa_term in place, and because the window leaves the frame
+    * hash-partitioned AND sorted on c (both preserved through the
+    * localCheckpoint's LogicalRDD), the wedge self-EQUI-join on the
+    * center id plans exchange-free and sort-free. Per-center work is
+    * bounded by C(cap, 2) via deg ≤ [[LpDegCap]], so total wedges are
+    * ≤ cap·m regardless of skew (the hot-hub h² blowup is designed
+    * out, see [[LpDegCap]]; the pre-filter window only COUNTS a hub's
+    * rows — linear — before dropping them).
     * Each AA witness term is quantized to integral micros of
     * 1/ln(deg) BEFORE the sum (the tfidf ln convention: one double
     * division of exact ints, correctly rounded on both engines, then
@@ -1931,14 +1940,15 @@ object Graph {
     val ec = edgesDf.localCheckpoint() // feeds adjacency + the anti-join
     val adj = ec.select(col("u").as("c"), col("v").as("nbr"))
       .union(ec.select(col("v").as("c"), col("u").as("nbr")))
-    val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
-    // per-center AA witness term, computed once per adjacency row;
-    // deg ≥ 2 is implied by the wedge join (a deg-1 center forms none)
-    val adjW = adj.join(deg, "c")
+    // per-center AA witness term, computed once per adjacency row via
+    // the c-keyed window count (deg ≥ 2 is implied by the wedge join:
+    // a deg-1 center forms none) — one shuffle, no degree join
+    val adjW = adj
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("c")))
       .filter(col("deg") <= LpDegCap && col("deg") >= 2)
       .select(col("c"), col("nbr"),
         round(lit(1000000.0) / log(col("deg"))).cast("long").as("aa_term"))
-      .localCheckpoint() // both wedge arms read it
+      .localCheckpoint() // both wedge arms read it, partitioning preserved
     val wedges = adjW.as("a")
       .join(adjW.as("b"), col("a.c") === col("b.c") && col("a.nbr") < col("b.nbr"))
       .select(col("a.nbr").as("x"), col("b.nbr").as("y"), col("a.aa_term").as("t"))

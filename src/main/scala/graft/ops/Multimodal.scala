@@ -361,10 +361,14 @@ object Multimodal {
        |FROM a GROUP BY shard ORDER BY shard""".stripMargin
   }
 
-  /** 1-in-N sampling modulus for the blob-file staging (bounded file
-    * count at any fixture SF — the staging is harness plumbing, see
-    * [[binaryFileIngest]]). */
-  private val IngestMod = 10L
+  /** 1-in-N sampling modulus for the blob-file staging (see
+    * [[binaryFileIngest]]). The modulus alone scales linearly with the
+    * corpus, so [[IngestIdCap]] bounds the staged set ABSOLUTELY —
+    * the same absolute-id gate `lsh_tuning_matrix` uses: at most
+    * IngestIdCap/IngestMod = 10k files / ~10 MB collected to the
+    * driver regardless of SF. */
+  private val IngestMod   = 10L
+  private val IngestIdCap = 100000L
 
   /** Spark's `binaryFile` SOURCE as an operator — the ingest path a
     * multimodal pipeline actually starts from: media lands as FILES in
@@ -377,8 +381,9 @@ object Multimodal {
     * exactly (the md5 hash-gates against the base table).
     *
     * Staging note: materializing the sampled payloads as real files is
-    * TEST-HARNESS plumbing (collect of a 1-in-[[IngestMod]] sample —
-    * bounded), not the operator; in production the files already
+    * TEST-HARNESS plumbing (collect of a 1-in-[[IngestMod]] sample
+    * under the absolute [[IngestIdCap]] id gate — ≤10k files at ANY
+    * SF), not the operator; in production the files already
     * exist. The operator is the `format("binaryFile")` scan, which is
     * a real distributed source: executor-side file reads, one
     * partition per file group, `length`/`path` served from listing
@@ -388,7 +393,7 @@ object Multimodal {
   def binaryFileIngest(spark: SparkSession, dir: String): DataFrame =
     withTempDir("graft-binfiles") { tmp =>
       Tables.documents(spark, dir)
-        .filter(col("doc_id") % IngestMod === 0)
+        .filter(col("doc_id") % IngestMod === 0 && col("doc_id") < IngestIdCap)
         .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
         .collect()
         .foreach { r =>
@@ -410,7 +415,7 @@ object Multimodal {
     s"""SELECT doc_id,
        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        |  md5(text) AS payload_md5
-       |FROM documents WHERE doc_id % $IngestMod = 0
+       |FROM documents WHERE doc_id % $IngestMod = 0 AND doc_id < $IngestIdCap
        |ORDER BY doc_id""".stripMargin
 
   val entries: Seq[QueryDef] = Seq(

@@ -2316,31 +2316,69 @@ object Stats {
     * signed rho² in picos via the [[corrMatrix]] two-floor-division
     * convention — no square root, hash-exact.
     *
-    * Scale shape: per-column ranks come from DISTINCT-value cells
-    * cumulated with the per-range-partition offset scan
-    * ([[cumulateCells]] — no global-order window ever sees rows), then
-    * re-attach by value equi-join; one partial-aggregated pass forms
-    * every Σr/Σr²/Σrᵢrⱼ in DECIMAL(38). Doubled ranks ≤ 2n keep
+    * Scale shape (fused round 19 — was four independent
+    * [[cumulateCellsHandle]] passes, i.e. 4 corpus scans + 4 hash-agg
+    * shuffles + 4 range-partition sorts): ONE shared sorted scan now
+    * emits all four cumulations. The corpus unpivots to (col, v)
+    * tagged values in a single codegen'd pass, partial-aggregates to
+    * per-(col, DISTINCT-value) cells, range-partitions ONCE on
+    * (col, v) — ascending ranges to ascending pids, so a (pid, col)
+    * cell's offset is the sum of earlier partitions' per-col totals, a
+    * collected parts×4-row table — and the local cumulation window
+    * runs per (pid, col), never a global order (the `mixtureSample`
+    * per-(pid, lang) precedent). Ranks then re-attach by value
+    * equi-join (the 3 small-domain columns broadcast under AQE; price
+    * is the one cells≈corpus join) and one partial-aggregated pass
+    * forms every Σr/Σr²/Σrᵢrⱼ in DECIMAL(38). Doubled ranks ≤ 2n keep
     * |cov|·10⁶ inside DECIMAL(38) to n ≈ 10⁷'⁵; beyond that a
     * production deployment coarsens ranks to rank-buckets (the
     * documented corr_matrix convention), noted not faked. */
   def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
-    // NO checkpoint on the projected base: it has five consumers (four
-    // rank-cell scans + the join base), but each is one cheap codegen'd
+    // NO checkpoint on the projected base: it has two consumers (the
+    // unpivot cell scan + the join base), each one cheap codegen'd
     // parquet re-scan — the scale-correct trade (scans fan out across
     // executors; a pinned corpus-sized frame eats their memory)
     val src = Tables.lineitem(spark, dir).select(
       cents(col("l_discount")).as("disc"), cents(col("l_extendedprice")).as("price"),
       cents(col("l_quantity")).as("qty"), cents(col("l_tax")).as("tax"))
-    val (ranked, cellHandles) =
-      CorrCols.foldLeft((src, List.empty[DataFrame])) { case ((df, hs), c) =>
-        val cells = src.groupBy(col(c).as("v"))
-          .agg(count(lit(1)).as("na")).withColumn("nb", lit(0L))
-        val (cum, _, _, h) = cumulateCellsHandle(cells)
-        (df.join(
-          cum.select(col("v").as(c), (lit(2L) * col("ca") - col("na") + 1L).as(s"r_$c")),
-          Seq(c)), h :: hs)
-      }
+    // ONE unpivoted pass -> (col, v, cnt) cells for all four measures
+    val cells = src
+      .select(explode(array(CorrCols.map(c =>
+        struct(lit(c).as("c"), col(c).as("v"))): _*)).as("cv"))
+      .groupBy(col("cv.c").as("c"), col("cv.v").as("v"))
+      .agg(count(lit(1)).as("na"))
+    // ONE range partition on (c, v) + per-(pid, c) local cumulation
+    val parted = cells
+      .repartitionByRange(ScanPartitions, col("c"), col("v"))
+      .sortWithinPartitions("c", "v")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids before they are used twice
+    val ptots = parted.groupBy("pid", "c").agg(sum("na").as("ta"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+      .sortBy(_._1._1)
+    val offByCol: Map[String, Map[Int, Long]] = CorrCols.map { c =>
+      var acc = 0L
+      c -> ptots.collect { case ((pid, `c`), ta) => val o = pid -> acc; acc += ta; o }.toMap
+    }.toMap
+    val offExpr = CorrCols.tail.foldLeft(
+      when(col("c") === CorrCols.head,
+        element_at(typedLit(offByCol(CorrCols.head)), col("pid")))) { (e, c) =>
+      e.when(col("c") === c, element_at(typedLit(offByCol(c)), col("pid")))
+    }
+    val w = Window.partitionBy("pid", "c").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rankCells = parted
+      .withColumn("ca", offExpr + sum("na").over(w))
+      .select(col("c"), col("v"),
+        (lit(2L) * col("ca") - col("na") + 1L).as("r"))
+      .localCheckpoint() // four filtered re-reads below
+    Checkpoints.free(parted)
+    val ranked = CorrCols.foldLeft(src) { (df, c) =>
+      df.join(
+        rankCells.filter(col("c") === c).select(col("v").as(c), col("r").as(s"r_$c")),
+        Seq(c))
+    }
+    val cellHandles = List(rankCells)
     val aggCols: Seq[Column] =
       count(lit(1)).as("n") +: (
         CorrCols.map(c => sum(col(s"r_$c").cast("decimal(38,0)")).as(s"s_$c")) ++

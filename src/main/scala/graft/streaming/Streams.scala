@@ -926,7 +926,11 @@ object Streams {
           .agg(max(struct(col("ms"), col("event_id"), col("cents"))).as("s"))
           .select(col("user_id"), col("s.ms").as("ms"),
             col("s.event_id").as("event_id"), col("s.cents").as("cents"))
-        var version = -1L
+        // written on the stream-execution thread (foreachBatch), read on
+        // the caller thread after awaitTermination(): AtomicLong gives
+        // explicit cross-thread visibility instead of leaning on
+        // StreamExecution's internal locking.
+        val version = new java.util.concurrent.atomic.AtomicLong(-1L)
         val src = spark.readStream.schema(events.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val q = src.writeStream
@@ -934,24 +938,26 @@ object Streams {
             val b = latestPerUser(batch.select(
               col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
               graft.functions.TextFunctions.cents(col("value")).as("cents")))
+            val v = version.get()
             val merged =
-              if (version < 0) b
+              if (v < 0) b
               else latestPerUser(
-                spark.read.parquet(s"$tableDir/v$version").unionByName(b))
+                spark.read.parquet(s"$tableDir/v$v").unionByName(b))
             merged.write.mode("overwrite").parquet(s"$tableDir/v$id")
-            version = id
+            version.set(id)
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        require(version >= 0, "foreachBatch never fired")
-        val res = spark.read.parquet(s"$tableDir/v$version")
+        val finalVersion = version.get()
+        require(finalVersion >= 0, "foreachBatch never fired")
+        val res = spark.read.parquet(s"$tableDir/v$finalVersion")
           .select(col("user_id"), col("ms").as("last_ms"),
             col("event_id").as("last_event_id"), col("cents").as("last_value_cents"))
           .orderBy("user_id")
           .localCheckpoint() // must outlive the temp dir
-        (res, version + 1L)
+        (res, finalVersion + 1L)
       } finally savedPart.fold(spark.conf.unset(partKey))(spark.conf.set(partKey, _))
     }
 

@@ -715,6 +715,21 @@ class PlanSpec extends SparkSpec {
       "dup_span_report top-K must be TakeOrdered")
   }
 
+  test("rfm_segments: every window is pid-partitioned — no global ntile funnel") {
+    // the r18 verdict's one flagged scale-killer: three partitionBy-less
+    // ntile(5) windows serialized the customer census through one task.
+    // The re-shaped query ranks via the range-partitioned prefix scan:
+    // every surviving Window must carry the pid partition key.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("rfm_segments")(spark, sfDir).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the pid-keyed local-rank windows")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window funnels the customer census through one task: $w"))
+    assert(!qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      .contains("CartesianProduct"), "rfm_segments planned a cartesian")
+  }
+
   test("round-18 novelty/weights: 8-byte gram keys only, no cartesian, text out of shuffles") {
     // ngram_novelty: the corpus-sized gram table is aggregated (owner
     // attribution), never self-joined, and its shuffles carry
