@@ -241,8 +241,10 @@ object ScaleProbe {
     // join over a densifying replica graph)
     "ngram_novelty", "dedup_soft_weights", "node2vec_walks",
     // round-19: the re-shaped RFM quintile census (was the r18 verdict's
-    // one flagged global-ntile scale-killer; now prefix-scan ranks)
-    "rfm_segments")
+    // one flagged global-ntile scale-killer; now prefix-scan ranks), and
+    // the per-pair ExactSubstr maximal-span extractor (seed join +
+    // diagonal islands — the fan-out-bearing new op of the round)
+    "rfm_segments", "dup_pair_spans")
 
   /** Probe-only variants — scale-shape diagnostics deliberately NOT
     * served queries (no oracle row, never in SparkEntry.queries):

@@ -1210,6 +1210,123 @@ object Dedup {
        |FROM isl GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** [[dupPairSpans]] parameters: minimum reported span length (two
+    * window widths, so every reported pair shares an arbitrary-length
+    * region strictly longer than the seed window) and the seed-gram
+    * corpus-frequency cap bounding pair fan-out per site. */
+  val PairSpanMin = 2 * GramLen
+  val PairFreqCap = 32
+
+  /** Maximal duplicated span PER DOCUMENT PAIR — the full
+    * deduplicate-text-datasets ExactSubstr semantics (Lee et al. 2022:
+    * report the longest shared span for each offending pair, not just
+    * per-doc coverage like [[dupSpans]]): for every document pair
+    * (x < y) sharing an exact code-point run of ≥ [[PairSpanMin]]
+    * chars, emit the pair, the run's length, and its start offset in
+    * BOTH documents. The suffix-automaton longest-match is computed
+    * distributed: a shared [[GramLen]]-window seed match at (px, py)
+    * lies on the DIAGONAL d = px − py, and a maximal common run of
+    * length m contributes exactly m − GramLen + 1 consecutive seeds
+    * on that one diagonal — so per-pair maximal spans are
+    * gaps-and-islands runs per (x, y, d), the same merge [[dupSpans]]
+    * does per doc, and the longest island IS the longest common
+    * substring (≥ the window width) of the pair.
+    *
+    * Scale shape: text reduces to (doc_id, pos, h) longs in the one
+    * codegen'd rolling-hash pass; seed matching is an h-keyed
+    * self-EQUI-join restricted to grams with corpus frequency ≤
+    * [[PairFreqCap]] via the h-keyed window count (the LpDegCap cut:
+    * a boilerplate window shared by thousands of sites fans out
+    * quadratically exactly where per-pair spans are least
+    * informative — production ExactSubstr applies the same seed cap);
+    * islands run per (x, y, d) — high-cardinality composite keys,
+    * never a global window; the per-pair argmax is one
+    * partial-aggregated max-struct with the deterministic tie-break
+    * (longest, then smallest x_start, then smallest y_start). No text
+    * enters any shuffle. Corpus: [[containCorpus]], so
+    * arbitrary-length planted cross-doc spans exist by construction. */
+  def dupPairSpans(spark: SparkSession, dir: String): DataFrame =
+    dupPairSpansOn(containCorpus(spark, dir), GramLen, PairSpanMin, PairFreqCap)
+
+  /** Pair-span extraction over an arbitrary (doc_id, text) table —
+    * split out so specs can drive it with hand-planted spans. */
+  private[graft] def dupPairSpansOn(
+      docs: DataFrame, l: Int, minLen: Int, cap: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), posexplode(gramHashesCol(col("text"), l)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1L).as("pos"), col("h"))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") >= 2 && col("c") <= cap)
+      .drop("c")
+      .localCheckpoint() // both seed-join arms read it
+    val seeds = grams.as("a")
+      .join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        col("a.pos").as("px"), col("b.pos").as("py"))
+    val islands = seeds
+      .withColumn("d", col("px") - col("py"))
+      .withColumn("grp", col("px") -
+        row_number().over(Window.partitionBy("x", "y", "d").orderBy("px")))
+      .groupBy("x", "y", "d", "grp")
+      .agg(min("px").as("xs"), (max("px") - min("px") + l).as("len"))
+    islands
+      .groupBy("x", "y")
+      .agg(max(struct(col("len"),
+        (-col("xs")).as("nxs"), (col("d") - col("xs")).as("nys"))).as("s"))
+      .filter(col("s.len") >= minLen)
+      .select(col("x").as("doc_x"), col("y").as("doc_y"),
+        col("s.len").cast("long").as("span_len"),
+        (-col("s.nxs")).cast("long").as("x_start"),
+        (-col("s.nys")).cast("long").as("y_start"))
+      .orderBy("doc_x", "doc_y")
+  }
+
+  private val dupPairSpansSql: String =
+    s"""WITH toksed AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string(w[greatest(1, CAST(floor(len(w) * 0.2) AS INT)) :
+       |      greatest(1, CAST(floor(len(w) * 0.2) AS INT)) +
+       |      greatest(1, CAST(floor(len(w) * 0.5) AS INT)) - 1], ' ')
+       |  FROM toksed
+       |), grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(CAST(i AS INT), CAST(i AS INT) + ${GramLen - 1}),
+       |        j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM corpus, LATERAL (SELECT unnest(generate_series(1, length(text) - ${GramLen - 1})) AS i)
+       |  WHERE length(text) >= $GramLen
+       |), capped AS (
+       |  SELECT doc_id, pos, h FROM (
+       |    SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS c FROM grams) t
+       |  WHERE c >= 2 AND c <= $PairFreqCap
+       |), seeds AS (
+       |  SELECT a.doc_id AS x, b.doc_id AS y, a.pos AS px, b.pos AS py
+       |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+       |), runs AS (
+       |  SELECT x, y, px - py AS d, px,
+       |         px - row_number() OVER (PARTITION BY x, y, px - py ORDER BY px) AS grp
+       |  FROM seeds
+       |), islands AS (
+       |  SELECT x, y, d, grp, min(px) AS xs,
+       |         max(px) - min(px) + $GramLen AS len
+       |  FROM runs GROUP BY x, y, d, grp
+       |), best AS (
+       |  SELECT x, y, len, xs, xs - d AS ys,
+       |         row_number() OVER (PARTITION BY x, y
+       |           ORDER BY len DESC, xs ASC, (xs - d) ASC) AS rn
+       |  FROM islands
+       |)
+       |SELECT x AS doc_x, y AS doc_y, CAST(len AS BIGINT) AS span_len,
+       |       CAST(xs AS BIGINT) AS x_start, CAST(ys AS BIGINT) AS y_start
+       |FROM best WHERE rn = 1 AND len >= $PairSpanMin
+       |ORDER BY doc_x, doc_y""".stripMargin
+
   /** containment threshold and candidate-anchor count of
     * [[containmentDup]]. */
   val ContainThresh  = 0.9
@@ -2074,6 +2191,7 @@ object Dedup {
         |ORDER BY id_a, id_b""".stripMargin)(embeddingNearDup),
     QueryDef.sql("substring_dup", substringDupSql)(substringDup),
     QueryDef.sql("dup_spans", dupSpansSql)(dupSpans),
+    QueryDef.sql("dup_pair_spans", dupPairSpansSql)(dupPairSpans),
     QueryDef.sql("dup_span_report", dupSpanReportSql)(dupSpanReport),
     QueryDef.sql("containment_dup", containmentDupSql)(containmentDup),
     QueryDef.sql("ngram_novelty", ngramNoveltySql)(ngramNovelty),

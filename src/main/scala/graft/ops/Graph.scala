@@ -1905,6 +1905,9 @@ object Graph {
     * the quadratic cost exactly where the signal is weakest. */
   private val LpDegCap = 64
   private val LpTopN   = 50
+  /** adjacency rows per task for [[linkPredictOn]]'s volume-scaled
+    * stages (each row fans out ≤ (LpDegCap−1)/2 wedge pairs). */
+  private val LpAdjRowsPerTask = 250000L
 
   def linkPredict(spark: SparkSession, dir: String): DataFrame =
     linkPredictOn(triEdges(spark, dir))
@@ -1938,12 +1941,24 @@ object Graph {
     * a global sort. */
   def linkPredictOn(edgesDf: DataFrame): DataFrame = {
     val ec = edgesDf.localCheckpoint() // feeds adjacency + the anti-join
+    // Volume-scaled parallelism (the sizedForVerify precedent): the
+    // wedge stage emits up to (cap−1)/2 pairs per adjacency row and
+    // the pair aggregation carries them all — at the session-default
+    // partition count both stages starve as the graph grows (measured
+    // 64× grown: 159 s at 16 partitions vs 100 s properly sized).
+    // ec is checkpointed, so the count is free.
+    val parts = math.min(4096L, math.max(
+      edgesDf.sparkSession.sparkContext.defaultParallelism.toLong,
+      2L * ec.count() / LpAdjRowsPerTask)).toInt
     val adj = ec.select(col("u").as("c"), col("v").as("nbr"))
       .union(ec.select(col("v").as("c"), col("u").as("nbr")))
     // per-center AA witness term, computed once per adjacency row via
     // the c-keyed window count (deg ≥ 2 is implied by the wedge join:
-    // a deg-1 center forms none) — one shuffle, no degree join
+    // a deg-1 center forms none) — one shuffle, no degree join; the
+    // explicit repartition both sizes the stage and satisfies the
+    // window's distribution (no second exchange)
     val adjW = adj
+      .repartition(parts, col("c"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("c")))
       .filter(col("deg") <= LpDegCap && col("deg") >= 2)
       .select(col("c"), col("nbr"),
@@ -1952,7 +1967,11 @@ object Graph {
     val wedges = adjW.as("a")
       .join(adjW.as("b"), col("a.c") === col("b.c") && col("a.nbr") < col("b.nbr"))
       .select(col("a.nbr").as("x"), col("b.nbr").as("y"), col("a.aa_term").as("t"))
-    val scored = wedges.groupBy("x", "y")
+    // size the pair aggregation the same way (map-side combine is weak
+    // for (x, y) keys spread across center partitions — the explicit
+    // exchange width is what matters at grown scale)
+    val scored = wedges.repartition(parts, col("x"), col("y"))
+      .groupBy("x", "y")
       .agg(count(lit(1)).as("cn"), sum("t").as("aa_micros"))
     scored
       .join(ec, col("x") === col("u") && col("y") === col("v"), "left_anti")

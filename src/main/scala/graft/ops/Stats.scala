@@ -2367,32 +2367,62 @@ object Stats {
     }
     val w = Window.partitionBy("pid", "c").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NOT checkpointed: each join-back filters on the window PARTITION
+    // key c, which Catalyst pushes below the Window — so each of the
+    // four consumers cumulates ONLY its own column's cells straight off
+    // the pinned `parted` checkpoint (total window work = four
+    // per-column passes, with zero extra materialization)
     val rankCells = parted
       .withColumn("ca", offExpr + sum("na").over(w))
       .select(col("c"), col("v"),
         (lit(2L) * col("ca") - col("na") + 1L).as("r"))
-      .localCheckpoint() // four filtered re-reads below
-    Checkpoints.free(parted)
     val ranked = CorrCols.foldLeft(src) { (df, c) =>
       df.join(
         rankCells.filter(col("c") === c).select(col("v").as(c), col("r").as(s"r_$c")),
         Seq(c))
     }
-    val cellHandles = List(rankCells)
+    val cellHandles = List(parted)
+    // Moment sums in EXACT hi/lo long pairs, not per-row DECIMAL(38):
+    // the 64× profile put ~40% of the query in 400M BigDecimal adds
+    // (every partial sum leaves Decimal's compact range within ~150
+    // rows). A doubled-rank product r_x·r_y ≤ 4n² fits a LONG to
+    // n ≈ 1.5e9 — far beyond this query's documented validity cap
+    // (|cov|·10⁶ inside DECIMAL(38) ⇒ n ≈ 10^7.5) — so each product
+    // splits into (p >> 31, p & (2³¹−1)), both sides partial-aggregate
+    // as plain codegen'd long sums (Σlo ≤ n·2³¹ and Σhi ≤ 4n³/2³¹
+    // stay in-range to the same n ≈ 1.5e9), and the exact DECIMAL
+    // moment reassembles as Σhi·2³¹ + Σlo on the final 1-ROW frame.
+    // The n ≤ 1.5e9 envelope is enforced LOUDLY below (the
+    // toLongChecked convention: breach must fail, never silently wrap).
+    val loMask = lit((1L << 31) - 1L)
     val aggCols: Seq[Column] =
       count(lit(1)).as("n") +: (
-        CorrCols.map(c => sum(col(s"r_$c").cast("decimal(38,0)")).as(s"s_$c")) ++
-        (for (x <- CorrCols; y <- CorrCols if x <= y)
-          yield sum(col(s"r_$x").cast("decimal(38,0)") * col(s"r_$y")).as(s"ss_${x}_$y")))
+        CorrCols.map(c => sum(col(s"r_$c")).as(s"s_$c")) ++
+        (for (x <- CorrCols; y <- CorrCols if x <= y) yield {
+          val p = col(s"r_$x") * col(s"r_$y")
+          Seq(sum(shiftright(p, 31)).as(s"hh_${x}_$y"),
+            sum(p.bitwiseAND(loMask)).as(s"ll_${x}_$y"))
+        }).flatten)
     val sums = ranked.agg(aggCols.head, aggCols.tail: _*)
+      // long-envelope guard: products and hi/lo sums are exact to
+      // n ≈ 1.5e9; past it, fail the job loudly (non-ANSI long math
+      // would otherwise wrap silently — while the DuckDB oracle's
+      // HUGEINT keeps going, a hash mismatch at best)
+      .withColumn("n",
+        when(col("n") > 1500000000L,
+          raise_error(lit("spearman_corr exceeds the exact-long moment envelope " +
+            "(n > 1.5e9): coarsen to rank buckets")))
+          .otherwise(col("n")).cast("long"))
       .localCheckpoint() // 1 row; feeds all six pair rows
     cellHandles.foreach(Checkpoints.free) // rank cells dead once sums is pinned
+    def ssDec(x: String, y: String): String =
+      s"(CAST(hh_${x}_$y AS DECIMAL(38,0)) * 2147483648 + ll_${x}_$y)"
     val pairStructs = for (Seq(x, y) <- CorrCols.combinations(2).toSeq) yield
       s"""named_struct(
          |  'col_x', '$x', 'col_y', '$y',
-         |  'cov', CAST(CAST(n AS DECIMAL(38,0)) * ss_${x}_$y - s_$x * s_$y AS DECIMAL(38,0)),
-         |  'vx',  CAST(CAST(n AS DECIMAL(38,0)) * ss_${x}_$x - s_$x * s_$x AS DECIMAL(38,0)),
-         |  'vy',  CAST(CAST(n AS DECIMAL(38,0)) * ss_${y}_$y - s_$y * s_$y AS DECIMAL(38,0)))"""
+         |  'cov', CAST(CAST(n AS DECIMAL(38,0)) * ${ssDec(x, y)} - CAST(s_$x AS DECIMAL(38,0)) * s_$y AS DECIMAL(38,0)),
+         |  'vx',  CAST(CAST(n AS DECIMAL(38,0)) * ${ssDec(x, x)} - CAST(s_$x AS DECIMAL(38,0)) * s_$x AS DECIMAL(38,0)),
+         |  'vy',  CAST(CAST(n AS DECIMAL(38,0)) * ${ssDec(y, y)} - CAST(s_$y AS DECIMAL(38,0)) * s_$y AS DECIMAL(38,0)))"""
         .stripMargin
     sums
       .select(col("n"), explode(expr(s"array(${pairStructs.mkString(", ")})")).as("p"))

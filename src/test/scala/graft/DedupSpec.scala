@@ -228,6 +228,27 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 50L))) // the whole self-repeating doc merges to one span
   }
 
+  test("dup pair spans reports each pair's LONGEST shared span with both start offsets") {
+    import spark.implicits._
+    val s1 = "0123456789" * 8  // 80-char span shared by docs 1 and 2
+    val s2 = "ABCDEFGHIJ" * 9  // 90-char span shared by docs 1 and 3
+    val s4 = "KLMNOPQRST" * 4  // 40 chars: ≥ window, < PairSpanMin → cut
+    val docs = Seq(
+      (1L, "a" * 10 + s1 + "b" * 10 + s2), // s1 at 11, s2 at 101
+      (2L, "c" * 25 + s1),                 // s1 at 26
+      (3L, "d" * 5 + s2 + "e" * 10 + s4),  // s2 at 6
+      (4L, "f" * 40 + s4))                 // pair (3,4) shares only s4
+      .toDF("doc_id", "text")
+    val got = Dedup.dupPairSpansOn(docs, 30, 60, 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // the periodic spans also match on off-by-10 diagonals (shorter
+    // islands); the per-pair argmax must still pick the full run
+    assert(got == Seq(
+      (1L, 2L, 80L, 11L, 26L),
+      (1L, 3L, 90L, 101L, 6L))) // (3,4)'s 40-char span is below PairSpanMin
+  }
+
   test("dup span report ranks repeated windows, counts docs, and samples the min site") {
     import spark.implicits._
     val shared = "0123456789" * 3
