@@ -1078,6 +1078,17 @@ object Events {
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)(
       (s, d) => graft.streaming.Streams.runBoundedForeachMerge(s, d)),
+    // exactly-once idempotent sink: write-audit-publish foreachBatch
+    // under a REAL engine replay (the last stage-1 engine commit is
+    // deleted, so the restarted query re-delivers that batch with the
+    // same id) — the committed table must still be exactly the source
+    // rows; a non-idempotent append sink would duplicate the replayed
+    // batch and fail this hash
+    QueryDef.sql("stream_idempotent_sink",
+      """SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, user_id,
+        |       CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events ORDER BY event_id""".stripMargin)(
+      (s, d) => graft.streaming.Streams.runBoundedIdempotentSink(s, d)),
     QueryDef.sql("stream_tumbling", tumblingOracleSql)(
       (s, d) => graft.streaming.Streams.runBoundedTumbling(s, d)),
     // three-micro-batch late-data run (on-time minus carrier, carrier,

@@ -1006,8 +1006,9 @@ object Relational {
 
   /** zstd-compressed ORC round-trip, driver-checked: a REAL second
     * columnar format through the source/sink path (Spark 4's text
-    * sources cap out at gzip/lz4/snappy and the Avro data-source module
-    * is external, but ORC + zstd ship in-box). ORC stripes are
+    * sources cap out at gzip/lz4/snappy; ORC + zstd ship in-box, and —
+    * found in round 19 — so does the Avro data source, see
+    * [[avroRoundtrip]]). ORC stripes are
     * block-splittable, so one 100 TB dataset scans at full parallelism
     * regardless of file count — unlike stream-compressed JSONL, whose
     * parallelism is capped by the shard layout. Read back with an
@@ -1027,6 +1028,47 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("lang")
+        .localCheckpoint()
+    }
+  }
+
+  /** Avro round-trip, driver-checked — the ROW-MAJOR interchange format
+    * (Kafka + schema-registry pipelines, log shippers, CDC feeds land
+    * data as Avro; a lake ingests it before columnarizing). Earlier
+    * rounds documented Avro as external-module-only; Spark 4 bundles
+    * the ENTIRE Avro file-format stack inside spark-sql
+    * (`AvroFileFormat`/`AvroOutputWriter`/`AvroSerializer`/
+    * `AvroDeserializer`) — only the `DataSourceRegister` service entry
+    * for the "avro" SHORTNAME (and the `to_avro`/`from_avro`
+    * expression classes) stayed in the external module, so the format
+    * is addressed by its fully-qualified class name and works in-box —
+    * this query closes the last source-format gap. Avro container
+    * files are splittable on sync
+    * markers, so a 100 TB ingest directory scans at full parallelism;
+    * deflate compression is asserted on the written shards. Read back
+    * with an explicit schema (inference costs a header pass), then
+    * aggregated; the oracle states the same aggregate over the base
+    * table, so the hash proves the values survived the row-major
+    * round-trip exactly. Temp dir deleted after materialization, like
+    * the csv/ORC round-trips above. */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    withTempDir("graft-avro") { tmp =>
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .write.mode("overwrite").format(AvroFmt)
+        .option("compression", "deflate").save(tmp)
+      val files = new java.io.File(tmp).listFiles()
+      require(files.exists(_.getName.endsWith(".avro")),
+        s"avro_roundtrip: no avro shards written in $tmp")
+      spark.read.format(AvroFmt)
+        .schema("o_orderkey LONG, o_orderstatus STRING, price_cents LONG")
+        .load(tmp)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
         .localCheckpoint()
     }
   }
@@ -2272,6 +2314,11 @@ object Relational {
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(orcZstdRoundtrip),
+    QueryDef.sql("avro_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(avroRoundtrip),
     // fixture-stable date range: events span 2024-01-01..30 at every SF
     QueryDef.sql("partitioned_roundtrip",
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,

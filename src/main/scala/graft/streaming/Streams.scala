@@ -961,6 +961,109 @@ object Streams {
       } finally savedPart.fold(spark.conf.unset(partKey))(spark.conf.set(partKey, _))
     }
 
+  /** Driver entry for the idempotent-sink run: the committed table
+    * contents (see [[idempotentSinkRun]] for the fault-injection proof
+    * shape). */
+  def runBoundedIdempotentSink(spark: SparkSession, dir: String): DataFrame =
+    idempotentSinkRun(spark, dir)._1
+
+  /** EXACTLY-ONCE SINK SEMANTICS beyond plain foreachBatch — the
+    * write-audit-publish idempotent-sink protocol every transactional
+    * streaming sink implements internally (Kafka's transactional
+    * producer, Delta's txn-version table, the file sink's
+    * `_spark_metadata`), built from primitives and PROVEN under a real
+    * replay: foreachBatch may be re-invoked with the SAME batchId
+    * after a crash between the sink write and the engine's commit —
+    * the one window where an append-style sink duplicates data. Here
+    * each batch (1) SKIPS if its commit marker exists (the idempotent
+    * replay path), else (2) writes its rows to a batch-addressed
+    * directory, then (3) atomically publishes the marker; readers
+    * union only PUBLISHED batches.
+    *
+    * The replay is not simulated by hand-calling the callback: stage 1
+    * streams half the source under a checkpoint; then the engine's own
+    * commit record of the LAST stage-1 batch is deleted from
+    * `<ckpt>/commits/` (the documented offsets-ahead-of-commits
+    * recovery state — precisely "crashed after the sink wrote, before
+    * the engine committed"); stage 2 restarts on the same checkpoint,
+    * and the engine RE-EXECUTES that batch with the same id and the
+    * same offsets-pinned input before processing the new files. The
+    * sink's marker check turns the duplicate delivery into a no-op —
+    * the returned replay count proves the replay actually happened,
+    * and the result hash-matches the one-shot batch projection (a
+    * non-idempotent append sink would carry the duplicated batch and
+    * fail the oracle). At scale nothing here is driver-bound: batches
+    * write distributed parquet; only the marker touch is driver-side,
+    * exactly like every production commit protocol. */
+  private[graft] def idempotentSinkRun(
+      spark: SparkSession, dir: String): (DataFrame, Long, Seq[Long], Seq[Long]) =
+    graft.ops.withTempDir("graft-idemsink") { tmp =>
+      val srcDir     = s"$tmp/src"
+      val tableDir   = s"$tmp/table"
+      val ckpt       = s"$tmp/ckpt"
+      val commitsDir = java.nio.file.Paths.get(s"$tmp/sink_commits")
+      java.nio.file.Files.createDirectories(commitsDir)
+      val events = graft.tables.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "value")
+      val replays = new java.util.concurrent.atomic.AtomicLong(0L)
+
+      def addFiles(buckets: Range): Unit = buckets.foreach { b =>
+        events.filter(pmod(col("event_id"), lit(4L)) === b)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      def stage(): Seq[Long] = {
+        val src = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = src.writeStream
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val marker = commitsDir.resolve(f"$id%020d")
+            if (java.nio.file.Files.exists(marker)) {
+              replays.incrementAndGet() // duplicate delivery absorbed
+              ()
+            } else {
+              batch.select(col("event_id"), unix_millis(col("ts")).as("ms"),
+                  col("user_id"),
+                  graft.functions.TextFunctions.cents(col("value")).as("cents"))
+                .write.mode("overwrite").parquet(s"$tableDir/batch_$id") // WRITE
+              java.nio.file.Files.write(marker, Array.emptyByteArray)    // PUBLISH
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.map(_.batchId).toSeq.distinct.sorted
+      }
+
+      val partKey   = "spark.sql.shuffle.partitions"
+      val savedPart = spark.conf.getOption(partKey)
+      spark.conf.set(partKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+      try {
+        addFiles(0 to 1)
+        val b1 = stage()
+        // FAULT INJECTION: drop the engine's commit record of the last
+        // stage-1 batch — the crashed-between-sink-write-and-engine-
+        // commit state the exactly-once protocol exists for
+        require(b1.nonEmpty, "stage 1 ran no batches")
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(s"$ckpt/commits/${b1.max}"))
+        // local-FS detail: ChecksumFs writes a .crc sidecar next to the
+        // commit record; a real crash loses both, so drop it too (left
+        // behind it would collide with the engine's re-commit rename)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$ckpt/commits/.${b1.max}.crc"))
+        addFiles(2 to 3)
+        val b2 = stage() // re-executes batch b1.max, then the new files
+        val committed = java.nio.file.Files.list(commitsDir).iterator().asScala
+          .map(p => s"$tableDir/batch_${p.getFileName.toString.toLong}").toSeq.sorted
+        val res = spark.read.parquet(committed: _*)
+          .orderBy("event_id")
+          .localCheckpoint() // must outlive the temp dir
+        (res, replays.get(), b1, b2)
+      } finally savedPart.fold(spark.conf.unset(partKey))(spark.conf.set(partKey, _))
+    }
+
   final case class TwsAgg(n: Long, sumCents: Long, maxCents: Long, lastMs: Long, lastId: Long)
   final case class TwsOut(
       user_id: Long, n_events: Long, sum_cents: Long, max_cents: Long,
