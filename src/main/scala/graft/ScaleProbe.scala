@@ -155,6 +155,18 @@ object ScaleProbe {
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): String = {
     val dir = s"$outDir/x$k"
     val fs = java.nio.file.Paths.get(dir)
+    // SPARK_GRAFT_SCALE_REUSE=1 skips re-synthesis when a completed
+    // marker exists — the 256× replica set costs minutes to build, and
+    // a probing session re-runs the same multiplier many times. The
+    // marker records (base, k) and is written only AFTER a full synth,
+    // so a crashed build is never reused; default stays rebuild-always.
+    val marker = fs.resolve(s"_SYNTH_OK_${k}_${baseDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    if (sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+        java.nio.file.Files.exists(marker)) {
+      System.err.println(s"[scale] x$k reused from $dir (marker present)")
+      return dir
+    }
+    java.nio.file.Files.deleteIfExists(marker)
     java.nio.file.Files.createDirectories(fs)
     dims.foreach { t =>
       spark.read.parquet(s"$baseDir/$t.parquet")
@@ -177,6 +189,7 @@ object ScaleProbe {
         scaled.write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
     }
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
     dir
   }
 

@@ -66,6 +66,22 @@ object Verify {
     ()
   }
 
+  /** `manifest.json`: the names this run ATTEMPTED (full run = every
+    * registered query), written BEFORE any query executes. This is what
+    * makes the local gate fail-closed: an erred query writes no result
+    * dir (and deletes any stale one), so a dir-glob check would silently
+    * skip it — check.py instead walks the manifest and FAILS any
+    * attempted name with no result dir. Subset runs write the subset
+    * (the attempted set), so a 3-query iteration doesn't read as 336
+    * missing results; `registered` records the full count for audit. */
+  private[graft] def writeManifest(outDir: String, attempted: Seq[String],
+                                   registered: Int): Unit = {
+    val names = attempted.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      s"""{${q("attempted")}: $names, ${q("registered")}: $registered}""")
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query subset (local iteration)
@@ -82,6 +98,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => subset.forall(_.contains(name)) }
+    // manifest first — if the JVM dies mid-run, every unreached query is
+    // a missing dir the checker fails, not a silent absence. A subset
+    // run manifests the names as REQUESTED (not as matched): a typo'd
+    // name selects nothing, writes no dir, and fails the check instead
+    // of silently verifying an empty set.
+    val attempted = subset.fold(selected.map(_._1))(_.toSeq)
+    writeManifest(outDir, attempted, SparkEntry.queries.size)
     val errs = dumpQueries(spark, sfDir, outDir, selected)
     // errors.json is written only on FULL runs: a subset run overwriting
     // it with just the subset's errors would erase every other query's

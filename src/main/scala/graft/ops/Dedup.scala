@@ -1258,7 +1258,13 @@ object Dedup {
       .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("c") >= 2 && col("c") <= cap)
       .drop("c")
-      .localCheckpoint() // both seed-join arms read it
+      // SERIALIZED: this gram table is the whole memory story (3 longs
+      // a row × every text position; 7.1 GB deserialized at 64× grown)
+      // and it is pinned for both seed-join arms, so it can't free
+      // inline — compact bytes bound the heap, and the hash(h)
+      // partitioning + sort metadata ride the LogicalRDD unchanged
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // both seed-join arms read it
     val seeds = grams.as("a")
       .join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

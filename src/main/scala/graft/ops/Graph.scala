@@ -1940,7 +1940,17 @@ object Graph {
     * TakeOrderedAndProject on the (aa desc, x, y) total order — never
     * a global sort. */
   def linkPredictOn(edgesDf: DataFrame): DataFrame = {
-    val ec = edgesDf.localCheckpoint() // feeds adjacency + the anti-join
+    // Both long-lived tables here (ec feeds adjacency + the final
+    // anti-join; adjW feeds both wedge arms) are pinned for the WHOLE
+    // query, so they cannot be freed inline like the random_walks
+    // rounds — instead they checkpoint SERIALIZED (MEMORY_AND_DISK_SER):
+    // the per-block cost drops from deserialized row objects to compact
+    // bytes, bounding the 256×-grown heap that deserialized blocks blew
+    // to 7.4 GB, at the price of a decode on each of the 2-3 reads.
+    // Partitioning/ordering metadata rides the LogicalRDD either way,
+    // so the exchange-free wedge self-join is unchanged (PlanSpec).
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val ec = edgesDf.localCheckpoint(true, ser) // feeds adjacency + the anti-join
     // Volume-scaled parallelism (the sizedForVerify precedent): the
     // wedge stage emits up to (cap−1)/2 pairs per adjacency row and
     // the pair aggregation carries them all — at the session-default
@@ -1963,7 +1973,7 @@ object Graph {
       .filter(col("deg") <= LpDegCap && col("deg") >= 2)
       .select(col("c"), col("nbr"),
         round(lit(1000000.0) / log(col("deg"))).cast("long").as("aa_term"))
-      .localCheckpoint() // both wedge arms read it, partitioning preserved
+      .localCheckpoint(true, ser) // both wedge arms read it, partitioning preserved
     val wedges = adjW.as("a")
       .join(adjW.as("b"), col("a.c") === col("b.c") && col("a.nbr") < col("b.nbr"))
       .select(col("a.nbr").as("x"), col("b.nbr").as("y"), col("a.aa_term").as("t"))

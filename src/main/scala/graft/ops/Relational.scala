@@ -1052,7 +1052,21 @@ object Relational {
     * round-trip exactly. Temp dir deleted after materialization, like
     * the csv/ORC round-trips above. */
   def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // Pinned-Spark assumption, guarded: AvroFileFormat ships inside
+    // spark-sql on this build (4.1.x) but is an INTERNAL class, not a
+    // registered short name — a minor-version bump could move it back
+    // to the external module. Probe the classloader up front so that
+    // failure mode is a named one-line message, not a deep
+    // ClassNotFoundException out of the datasource resolver.
     val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    try Class.forName(AvroFmt, false, Thread.currentThread.getContextClassLoader)
+    catch {
+      case _: ClassNotFoundException =>
+        throw new IllegalStateException(
+          s"avro_roundtrip: $AvroFmt is not on the classpath — this Spark " +
+            "build does not bundle the Avro file format in spark-sql; add " +
+            "the spark-avro module or retire this query")
+    }
     withTempDir("graft-avro") { tmp =>
       Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"),

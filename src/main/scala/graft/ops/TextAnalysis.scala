@@ -228,43 +228,50 @@ object TextAnalysis {
     val toksCol = filter(TextFunctions.tokens(col("text")), t => t =!= "")
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toksCol).as("w"))
-    val words = toks
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .filter(length(col("w")) <= UlmMaxWordLen)
-      .localCheckpoint() // vocabulary-sized; feeds piece counting + encode
-    val startCand = words.select(col("f"), explode(
-        transform(sequence(lit(1), least(lit(UlmPieceMax), length(col("w")))),
-          k => col("w").substr(lit(1), k))).as("s"))
-      .withColumn("st", lit(true))
-    val contCand = words.filter(length(col("w")) >= 2)
-      .select(col("f"), explode(flatten(
-        transform(sequence(lit(1), lit(UlmPieceMax)), k =>
-          when(length(col("w")) - 1 >= k,
-            transform(sequence(lit(2), length(col("w")) - k + 1),
-              i => col("w").substr(i, k)))
-            .otherwise(array().cast("array<string>"))))).as("s"))
-      .withColumn("st", lit(false))
-    val pieces = startCand.union(contCand)
-      .groupBy("st", "s").agg(sum("f").as("c"))
-      .filter(length(col("s")) === 1 || col("c") >= UlmMinCount)
-      .collect()
-    val startV: Set[String] =
-      pieces.collect { case r if r.getBoolean(0) => r.getString(1) }.toSet
-    val contV: Set[String] =
-      pieces.collect { case r if !r.getBoolean(0) => r.getString(1) }.toSet
-    val greedy = udf { (w: String) =>
-      var pos = 0
-      var n   = 0L
-      while (pos < w.length) {
-        var k = math.min(UlmPieceMax, w.length - pos)
-        while (k > 1 && !(if (pos == 0) startV(w.substring(pos, pos + k))
-                          else contV(w.substring(pos, pos + k)))) k -= 1
-        pos += k // k = 1 always matches: singles are coverage-complete
-        n += 1
+    // the trained tokenizer (word → piece count) is a memoized artifact
+    // — see [[memoTokenizer]]; piece-vocabulary training and the greedy
+    // segmentation replay ride the cold run only
+    val wp = memoTokenizer(spark, dir, "wordpiece_np") {
+      val words = toks
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .filter(length(col("w")) <= UlmMaxWordLen)
+        .localCheckpoint() // vocabulary-sized; feeds piece counting + encode
+      val startCand = words.select(col("f"), explode(
+          transform(sequence(lit(1), least(lit(UlmPieceMax), length(col("w")))),
+            k => col("w").substr(lit(1), k))).as("s"))
+        .withColumn("st", lit(true))
+      val contCand = words.filter(length(col("w")) >= 2)
+        .select(col("f"), explode(flatten(
+          transform(sequence(lit(1), lit(UlmPieceMax)), k =>
+            when(length(col("w")) - 1 >= k,
+              transform(sequence(lit(2), length(col("w")) - k + 1),
+                i => col("w").substr(i, k)))
+              .otherwise(array().cast("array<string>"))))).as("s"))
+        .withColumn("st", lit(false))
+      val pieces = startCand.union(contCand)
+        .groupBy("st", "s").agg(sum("f").as("c"))
+        .filter(length(col("s")) === 1 || col("c") >= UlmMinCount)
+        .collect()
+      val startV: Set[String] =
+        pieces.collect { case r if r.getBoolean(0) => r.getString(1) }.toSet
+      val contV: Set[String] =
+        pieces.collect { case r if !r.getBoolean(0) => r.getString(1) }.toSet
+      val greedy = udf { (w: String) =>
+        var pos = 0
+        var n   = 0L
+        while (pos < w.length) {
+          var k = math.min(UlmPieceMax, w.length - pos)
+          while (k > 1 && !(if (pos == 0) startV(w.substring(pos, pos + k))
+                            else contV(w.substring(pos, pos + k)))) k -= 1
+          pos += k // k = 1 always matches: singles are coverage-complete
+          n += 1
+        }
+        n
       }
-      n
+      val out = words.select(col("w"), greedy(col("w")).as("np")).localCheckpoint()
+      Checkpoints.free(words) // training intermediate — the artifact severed it
+      out
     }
-    val wp = words.select(col("w"), greedy(col("w")).as("np"))
     toks.join(broadcast(wp), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"),
@@ -444,6 +451,15 @@ object TextAnalysis {
     * power-iteration shape (pagerank's algebra on a bipartite graph);
     * factor vectors are vocab-/corpus-sized, never cell-sized. */
   def lsaTopic(spark: SparkSession, dir: String): DataFrame = {
+    // SPARK_GRAFT_LSA_DEBUG=1: per-phase wall times on stderr (cells
+    // build vs each sweep) — the phase-profile diagnostic that splits
+    // "the sweeps got slower" from "the cells checkpoint is evicting"
+    val debug = sys.env.get("SPARK_GRAFT_LSA_DEBUG").contains("1")
+    var t0 = System.nanoTime()
+    def mark(phase: String): Unit = if (debug) {
+      System.err.println(f"[lsa] $phase: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val tf = docs.select(col("doc_id"),
         explode(filter(toks(col("text")), t => t =!= "")).as("term"))
@@ -455,10 +471,11 @@ object TextAnalysis {
         (col("tf") * expr("CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)"))
           .as("a"))
       .localCheckpoint() // feeds every half-step
+    mark("cells checkpoint")
     var v = cells.select(col("term")).distinct()
       .select(col("term"), lit(1000000L).as("v"))
       .localCheckpoint()
-    (1 to LsaIters).foreach { _ =>
+    (1 to LsaIters).foreach { it =>
       val u0 = cells.join(v, "term")
         .groupBy("doc_id")
         .agg(expr("CAST(sum(CAST(a AS DECIMAL(38,0)) * v) div 1000000 AS DECIMAL(38,0))").as("u"))
@@ -477,6 +494,7 @@ object TextAnalysis {
         .localCheckpoint()
       Checkpoints.free(prev)
       Checkpoints.free(u)
+      mark(s"sweep $it")
     }
     v.orderBy(desc("v"), col("term"))
       .limit(20)
@@ -1260,6 +1278,29 @@ object TextAnalysis {
   /** Drop the memoized LM score tables (bench-pass hygiene). */
   def clearLmScoreCache(): Unit = lmScoreCache.clear()
 
+  /** Memoized TOKENIZER artifacts per (session, dir, tag): the BPE
+    * per-word token counts ([[bpeEncode]]) and the wordpiece per-word
+    * piece counts ([[wordpieceEncode]]). In production a tokenizer is
+    * trained ONCE and serves every encode after — the trained table is
+    * a persisted artifact, exactly the quantizer-codebook argument
+    * (`Similarity.artifactCache`) for the text family. Both artifacts
+    * are vocabulary-sized localCheckpoints (block-manager storage that
+    * distributes on a cluster), so serving is scan + one vocab join.
+    * The bench evicts this cache before each measured pass (training
+    * stays in the headline number) and quantifies the split in
+    * `bench_detail.json`'s train_serve_split. */
+  private val tokenizerCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Drop the memoized tokenizer artifacts (bench-pass hygiene). */
+  def clearTokenizerCache(): Unit = tokenizerCache.clear()
+
+  private def memoTokenizer(spark: SparkSession, dir: String, tag: String)(
+      compute: => DataFrame): DataFrame = {
+    tokenizerCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    tokenizerCache.getOrElseUpdate((spark, dir, tag), compute)
+  }
+
   private def computeLmBigramScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // vocabulary-sized; feeds V and the w1 join
@@ -1848,15 +1889,23 @@ object TextAnalysis {
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .localCheckpoint() // feeds the vocabulary derivation AND the final join
 
-    val words = docWords.groupBy("w").agg(sum("c").as("f"))
-    val sym0 = words
-      .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("f"))
-      .localCheckpoint()
-    val sym1 = applyMerge(sym0, pairCounts(sym0))
-    val sym2 = applyMerge(sym1, pairCounts(sym1))
-    val sym3 = applyMerge(sym2, pairCounts(sym2))
-    val vocab = sym3.select(col("w"),
-      (length(col("s")) - length(replace(col("s"), lit("<"), lit("")))).cast("long").as("toks"))
+    // the trained tokenizer (word → token count) is a memoized artifact
+    // — see [[memoTokenizer]]; training rides the cold run, every warm
+    // encode is corpus scan + vocab join only
+    val vocab = memoTokenizer(spark, dir, "bpe_vocab") {
+      val words = docWords.groupBy("w").agg(sum("c").as("f"))
+      val sym0 = words
+        .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("f"))
+        .localCheckpoint()
+      val sym1 = applyMerge(sym0, pairCounts(sym0))
+      val sym2 = applyMerge(sym1, pairCounts(sym1))
+      val sym3 = applyMerge(sym2, pairCounts(sym2))
+      val out = sym3.select(col("w"),
+        (length(col("s")) - length(replace(col("s"), lit("<"), lit("")))).cast("long").as("toks"))
+        .localCheckpoint()
+      Checkpoints.free(sym0) // training intermediates — the artifact severed them
+      out
+    }
 
     // no broadcast hint: AQE broadcasts the vocabulary when it is small
     // enough and falls back to a shuffle join when a 100 TB corpus's

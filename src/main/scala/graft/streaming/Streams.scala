@@ -1011,7 +1011,7 @@ object Streams {
         events.filter(pmod(col("event_id"), lit(4L)) === b)
           .coalesce(1).write.mode("append").parquet(srcDir)
       }
-      def stage(): Seq[Long] = {
+      def stage(): Unit = {
         val src = spark.readStream.schema(events.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val q = src.writeStream
@@ -1033,7 +1033,22 @@ object Streams {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        q.recentProgress.map(_.batchId).toSeq.distinct.sorted
+      }
+      // Batch-id evidence comes from the ENGINE's durable commit log
+      // (`<ckpt>/commits/`, one numeric file per committed batch), not
+      // `recentProgress` — progress is a ring buffer capped at
+      // spark.sql.streaming.numRecentProgressUpdates (100), so a long
+      // stage would silently drop early ids and void the replay proof.
+      // A stage's ids are the commit-log delta across its run.
+      def engineCommits(): Set[Long] = {
+        val d = java.nio.file.Paths.get(s"$ckpt/commits")
+        if (!java.nio.file.Files.isDirectory(d)) Set.empty
+        else {
+          val s = java.nio.file.Files.list(d)
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
+          finally s.close()
+        }
       }
 
       val partKey   = "spark.sql.shuffle.partitions"
@@ -1041,7 +1056,9 @@ object Streams {
       spark.conf.set(partKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
       try {
         addFiles(0 to 1)
-        val b1 = stage()
+        stage()
+        val c1 = engineCommits()
+        val b1 = c1.toSeq.sorted
         // FAULT INJECTION: drop the engine's commit record of the last
         // stage-1 batch — the crashed-between-sink-write-and-engine-
         // commit state the exactly-once protocol exists for
@@ -1053,10 +1070,18 @@ object Streams {
         // behind it would collide with the engine's re-commit rename)
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(s"$ckpt/commits/.${b1.max}.crc"))
+        val survivors = c1 - b1.max // commit records still on disk
         addFiles(2 to 3)
-        val b2 = stage() // re-executes batch b1.max, then the new files
-        val committed = java.nio.file.Files.list(commitsDir).iterator().asScala
-          .map(p => s"$tableDir/batch_${p.getFileName.toString.toLong}").toSeq.sorted
+        stage() // re-executes batch b1.max, then the new files
+        // stage 2's ids = records the ENGINE (re-)wrote this stage:
+        // everything now committed minus what survived the injection —
+        // includes the re-committed b1.max iff the replay really ran
+        val b2 = (engineCommits() -- survivors).toSeq.sorted
+        val committedList = java.nio.file.Files.list(commitsDir)
+        val committed =
+          try committedList.iterator().asScala
+            .map(p => s"$tableDir/batch_${p.getFileName.toString.toLong}").toSeq.sorted
+          finally committedList.close()
         val res = spark.read.parquet(committed: _*)
           .orderBy("event_id")
           .localCheckpoint() // must outlive the temp dir

@@ -428,12 +428,17 @@ class PlanSpec extends SparkSpec {
       "the n_sources threshold rows must broadcast back to the corpus scan")
   }
 
-  test("bpe_encode keeps merge work off the corpus: no window, merges broadcast") {
+  test("bpe_encode serves from the trained-vocab artifact: no merge work in the plan") {
     val p = planOf("bpe_encode")
     assert(!p.contains("Window"), "encode must not plan any window")
     assert(!p.contains("CartesianProduct"), "1-row merge pair planned cartesian")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "merge pairs must reach the vocabulary via broadcast")
+    // round 20: the vocab is a memoized trained artifact (localCheckpoint
+    // LogicalRDD) — the merge-pair broadcast chain lives in the TRAINING
+    // run, never in the serving plan, which is corpus scan + vocab join
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "merge work leaked back into the serving plan")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "the trained vocab artifact (checkpoint scan) is missing from the serving plan")
   }
 
   test("ann_lsh_multi: OR-union via one (table, code) equi-join — no cartesian, no BNLJ") {

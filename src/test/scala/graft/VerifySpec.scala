@@ -53,4 +53,15 @@ class VerifySpec extends SparkSpec {
     Verify.writeErrors(tmp, Map.empty)
     assert(Files.readString(Paths.get(s"$tmp/errors.json")) == "{}")
   }
+
+  test("manifest.json lists the attempted names — the fail-closed contract") {
+    // check.py walks manifest ∪ result dirs and FAILS any attempted name
+    // with no dir, so an erred (dir-deleted) or never-reached query can
+    // no longer read as green in a dir-glob; this pins the writer side
+    val tmp = Files.createTempDirectory("graft-verify-manifest").toString
+    Verify.writeManifest(tmp, Seq("b_query", "a_query"), 339)
+    val json = Files.readString(Paths.get(s"$tmp/manifest.json"))
+    assert(json ==
+      """{"attempted": ["a_query","b_query"], "registered": 339}""")
+  }
 }

@@ -110,14 +110,39 @@ def main(sf_dir: str, out_dir: str) -> int:
     verdicts = {}
 
     def record(name, rows_match=False, schema_match=False, hash_match=False,
-               spark_rows=None, oracle_rows=None, err=None):
+               spark_rows=None, oracle_rows=None, err=None, rows_only=False):
         verdicts[name] = {"rows_match": rows_match, "schema_match": schema_match,
                           "hash_match": hash_match, "spark_rows": spark_rows,
                           "oracle_rows": oracle_rows, "err": err}
+        if rows_only:
+            # no hash comparison ran — never let the artifact claim one did
+            verdicts[name]["rows_only"] = True
 
-    names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*")
-                   if not d.endswith(".json"))
+    # Fail-closed: walk the union of result dirs found and the manifest
+    # Verify wrote (the names it ATTEMPTED). An erred query writes no
+    # dir — a dir-only glob would silently skip it and print ALL GREEN
+    # on a red run (the observed subset-run footgun). Manifest names
+    # with no result dir are hard FAILURES here.
+    found = set(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*")
+                if not d.endswith(".json"))
+    manifest_path = f"{out_dir}/manifest.json"
+    attempted = set()
+    registered = None
+    if os.path.exists(manifest_path):
+        m = json.load(open(manifest_path))
+        attempted = set(m["attempted"])
+        registered = m.get("registered")
+    else:
+        print("WARN: no manifest.json in dump dir — missing-result "
+              "detection is OFF (pre-manifest dump?)")
+    names = sorted(found | attempted)
     for name in names:
+        if name not in found:
+            print(f"FAIL {name}: attempted but no result dir "
+                  f"(query erred during Verify — see its stderr line)")
+            record(name, err="no result dir: query erred during Verify")
+            failures += 1
+            continue
         try:
             spark_tbl = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
@@ -128,8 +153,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         if name not in oracle:
             ok = spark_tbl.num_rows > 0
             print(f"{'OK  ' if ok else 'FAIL'} {name}: rows-only rows={spark_tbl.num_rows}")
-            record(name, rows_match=ok, schema_match=ok, hash_match=ok,
-                   spark_rows=spark_tbl.num_rows,
+            # hash_match stays False: no hash comparison ran, and the
+            # committed artifact must not overstate coverage vs a driver
+            # artifact diff — rows_only marks the weaker check
+            record(name, rows_match=ok, schema_match=ok, hash_match=False,
+                   spark_rows=spark_tbl.num_rows, rows_only=True,
                    err=None if ok else "rows-only check: 0 rows")
             failures += 0 if ok else 1
             continue
@@ -193,12 +221,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"OK   {name}: {len(g)} rows")
             record(name, rows_match=True, schema_match=True, hash_match=True,
                    spark_rows=len(g), oracle_rows=len(w))
-    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "..", "CORRECTNESS_local.json")
-    with open(local_path, "w") as f:
-        json.dump(verdicts, f, indent=1, sort_keys=True)
-        f.write("\n")
-    print(f"\nwrote {len(verdicts)} verdicts -> CORRECTNESS_local.json")
+    # the committed local record is the FULL-run artifact — a subset
+    # iteration must not overwrite 339 verdicts with 3 (observed while
+    # testing the manifest gate); full = manifest covers every
+    # registered query (pre-manifest dumps keep the old always-write)
+    full_run = registered is None or len(attempted) >= registered
+    if full_run:
+        local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "..", "CORRECTNESS_local.json")
+        with open(local_path, "w") as f:
+            json.dump(verdicts, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"\nwrote {len(verdicts)} verdicts -> CORRECTNESS_local.json")
+    else:
+        print(f"\nsubset run ({len(attempted)}/{registered} attempted) — "
+              "CORRECTNESS_local.json NOT rewritten")
     print(f"{'ALL GREEN' if failures == 0 else str(failures) + ' FAILURES'}")
     return 1 if failures else 0
 
