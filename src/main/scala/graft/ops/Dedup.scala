@@ -1248,13 +1248,32 @@ object Dedup {
   def dupPairSpans(spark: SparkSession, dir: String): DataFrame =
     dupPairSpansOn(containCorpus(spark, dir), GramLen, PairSpanMin, PairFreqCap)
 
+  /** Gram-table rows per task for [[dupPairSpansOn]]'s volume-scaled
+    * stages: the gram table is every text position (3 longs a row), so
+    * at the session default partition count a grown corpus packs
+    * GB-sized per-partition checkpoint blocks — the 256× probe OOM'd
+    * on concurrent block puts at 16 partitions (sizing, not shape; the
+    * LpAdjRowsPerTask lesson). ~4M rows ≈ 50 MB serialized blocks. */
+  private val PairGramRowsPerTask = 4000000L
+
   /** Pair-span extraction over an arbitrary (doc_id, text) table —
     * split out so specs can drive it with hand-planted spans. */
   private[graft] def dupPairSpansOn(
       docs: DataFrame, l: Int, minLen: Int, cap: Int): DataFrame = {
+    // volume-scaled parallelism from one cheap single-column aggregate
+    // (gram count = Σ max(len − l + 1, 0) — exact, not sampled)
+    val nPos = Option(docs
+      .agg(sum(greatest(length(col("text")) - (l - 1), lit(0)))).first.get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val parts = math.min(4096L, math.max(
+      docs.sparkSession.sparkContext.defaultParallelism.toLong,
+      nPos / PairGramRowsPerTask)).toInt
     val grams = docs
       .select(col("doc_id"), posexplode(gramHashesCol(col("text"), l)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1L).as("pos"), col("h"))
+      // the explicit repartition both sizes the stage and satisfies the
+      // window's hash(h) distribution — no second exchange
+      .repartition(parts, col("h"))
       .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("c") >= 2 && col("c") <= cap)
       .drop("c")
@@ -1272,6 +1291,10 @@ object Dedup {
         col("a.pos").as("px"), col("b.pos").as("py"))
     val islands = seeds
       .withColumn("d", col("px") - col("py"))
+      // size the island window like the gram stage: seed fan-out is
+      // gram-table-scaled (≤ cap per site), and the (x, y, d) window at
+      // the session default would funnel it through a handful of sorts
+      .repartition(parts, col("x"), col("y"), col("d"))
       .withColumn("grp", col("px") -
         row_number().over(Window.partitionBy("x", "y", "d").orderBy("px")))
       .groupBy("x", "y", "d", "grp")

@@ -470,7 +470,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"),
         (col("tf") * expr("CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)"))
           .as("a"))
-      .localCheckpoint() // feeds every half-step
+      // SERIALIZED: the cell table is pinned for all 12 half-steps and
+      // is the whole memory story here (2.6 GB deserialized at 256×
+      // grown, where the measured 64→256 excess was exactly the first-
+      // sweep eviction churn of these blocks spilling to disk) —
+      // compact bytes keep more of it resident and bound the transient
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // feeds every half-step
     mark("cells checkpoint")
     var v = cells.select(col("term")).distinct()
       .select(col("term"), lit(1000000L).as("v"))
