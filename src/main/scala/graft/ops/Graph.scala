@@ -1906,8 +1906,11 @@ object Graph {
   private val LpDegCap = 64
   private val LpTopN   = 50
   /** adjacency rows per task for [[linkPredictOn]]'s volume-scaled
-    * stages (each row fans out ≤ (LpDegCap−1)/2 wedge pairs). */
-  private val LpAdjRowsPerTask = 250000L
+    * stages (each row fans out ≤ (LpDegCap−1)/2 wedge pairs).
+    * Env-overridable for probe experiments only (the r19 conf-override
+    * discipline that separated sizing from shape). */
+  private val LpAdjRowsPerTask = sys.env.get("SPARK_GRAFT_LP_ROWS_PER_TASK")
+    .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(250000L)
 
   def linkPredict(spark: SparkSession, dir: String): DataFrame =
     linkPredictOn(triEdges(spark, dir))
@@ -1957,8 +1960,16 @@ object Graph {
     // partition count both stages starve as the graph grows (measured
     // 64× grown: 159 s at 16 partitions vs 100 s properly sized).
     // ec is checkpointed, so the count is free.
+    // Both-bounded sizing (pass-24 A/B matrix): the volume bound keeps
+    // per-task state under the memory line, and the 3×-cores floor
+    // keeps ≥3 waves of tasks so one coarse straggler can't own the
+    // stage — at 32× grown on 32 cores the volume bound alone collapsed
+    // to parts = cores = ONE wave and measured 2× slower (49.6 vs
+    // 24.6 s) than the balanced width; finer-than-needed tasks at high
+    // volume measured 2× slower the other way (151 vs 74 s at 64× on
+    // 16 cores), so neither bound substitutes for the other.
     val parts = math.min(4096L, math.max(
-      edgesDf.sparkSession.sparkContext.defaultParallelism.toLong,
+      3L * edgesDf.sparkSession.sparkContext.defaultParallelism,
       2L * ec.count() / LpAdjRowsPerTask)).toInt
     val adj = ec.select(col("u").as("c"), col("v").as("nbr"))
       .union(ec.select(col("v").as("c"), col("u").as("nbr")))
