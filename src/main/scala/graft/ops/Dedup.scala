@@ -1265,8 +1265,11 @@ object Dedup {
     val nPos = Option(docs
       .agg(sum(greatest(length(col("text")) - (l - 1), lit(0)))).first.get(0))
       .fold(0L)(_.asInstanceOf[Long])
+    // both-bounded (the linkPredictOn pass-24 lesson): ≥3 waves of
+    // tasks so a coarse straggler can't own the stage, volume-scaled
+    // above that so per-task checkpoint blocks stay ~50 MB
     val parts = math.min(4096L, math.max(
-      docs.sparkSession.sparkContext.defaultParallelism.toLong,
+      3L * docs.sparkSession.sparkContext.defaultParallelism,
       nPos / PairGramRowsPerTask)).toInt
     val grams = docs
       .select(col("doc_id"), posexplode(gramHashesCol(col("text"), l)).as(Seq("p0", "h")))
