@@ -921,45 +921,58 @@ object Centroids {
     * partial-aggregate onto the other entity (two shuffles per sweep,
     * factor tables are entity-sized never cell-sized); the SSE pass is
     * one more cells join. Factor tables `localCheckpoint` per
-    * half-step (multi-consumer), superseded sweeps free their blocks. */
+    * half-step (multi-consumer).
+    *
+    * Round-21 re-shape (opt guide §1.2/§2.4 — fewer barriers, same
+    * algebra): the per-sweep SSE row used to be a driver `.head()`
+    * between half-steps, making the query a ~14-job latency chain
+    * (VERDICT r20 item 4). The SSE rows are now LAZY aggregates over
+    * the half-step checkpoints, unioned and computed in ONE final
+    * action where the four branches schedule in parallel. The per-sweep
+    * (n_users, n_items) pair is one countDistinct pass over `cells`
+    * hoisted out of the loop: every sweep's SSE join is inner on keys
+    * that cover the full cell key sets (each factor table is a groupBy
+    * over a cells join, so no u or i can drop), hence the per-sweep
+    * distinct counts all equal the cells-level counts — broadcast once
+    * into each row (oracle-gated equivalence). Factor checkpoints now
+    * live to end-of-query (the SSE branches read them in the final
+    * action), so the user-sized ones store MEMORY_AND_DISK_SER (the
+    * link_predict r20 convention for pinned long-lived tables). */
   def alsRank1(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val cells = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"),
         col("o_custkey").as("u")), "l_orderkey")
       .groupBy(col("u"), (col("l_partkey") % 211).as("i"))
       .agg(sum(col("l_quantity").cast("long")).as("r"))
-      .localCheckpoint() // feeds every half-step and the SSE passes
+      .localCheckpoint(true, ser) // feeds every half-step and the SSE passes
+    // one pass; BroadcastExchange reuse shares it across the 4 SSE rows
+    val nRow = cells.agg(
+      countDistinct(col("u")).as("nu"), countDistinct(col("i")).as("ni"))
     var ufac = cells.select(col("u")).distinct()
       .select(col("u"), lit(1000000L).as("uf"))
-      .localCheckpoint()
-    val curve = (1 to AlsRounds).map { t =>
+      .localCheckpoint(true, ser)
+    val sseRows = (1 to AlsRounds).map { t =>
       val vfac = cells.join(ufac, "u")
         .groupBy("i")
         .agg(expr("""CAST((CAST(sum(CAST(r AS DECIMAL(38,0)) * uf) AS DECIMAL(38,0)) * 1000000000000)
                     |     div sum(CAST(uf AS DECIMAL(38,0)) * uf) AS BIGINT)""".stripMargin).as("vf"))
-        .localCheckpoint() // feeds the u-step and the SSE join
-      val prevU = ufac
+        .localCheckpoint() // item-sized (≤211 rows); feeds the u-step and the SSE join
       ufac = cells.join(vfac, "i")
         .groupBy("u")
         .agg(expr("""CAST((CAST(sum(CAST(r AS DECIMAL(38,0)) * vf) AS DECIMAL(38,0)) * 1000000000000)
                     |     div sum(CAST(vf AS DECIMAL(38,0)) * vf) AS BIGINT)""".stripMargin).as("uf"))
-        .localCheckpoint() // feeds the SSE join and the next sweep
-      Checkpoints.free(prevU)
-      val row = cells.join(ufac, "u").join(vfac, "i")
+        .localCheckpoint(true, ser) // feeds the SSE join and the next sweep
+      cells.join(ufac, "u").join(vfac, "i")
         .agg(
-          countDistinct(col("u")).as("nu"),
-          countDistinct(col("i")).as("ni"),
           sum(expr("""(CAST(r AS DECIMAL(38,0)) * 1000000000000 - CAST(uf AS DECIMAL(38,0)) * vf)
                      |* (CAST(r AS DECIMAL(38,0)) * 1000000000000 - CAST(uf AS DECIMAL(38,0)) * vf)""".stripMargin)
             .cast("decimal(38,0)")).as("sse"))
-        .select(lit(t.toLong).as("iter"), col("nu"), col("ni"),
-          col("sse").cast("string").as("sse_digits"))
-        .head()
-      Checkpoints.free(vfac)
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getString(3))
+        .crossJoin(broadcast(nRow))
+        .select(lit(t.toLong).as("iter"), col("nu").as("n_users"),
+          col("ni").as("n_items"), col("sse").cast("string").as("sse_digits"))
     }
-    curve.toDF("iter", "n_users", "n_items", "sse_digits").orderBy("iter")
+    sseRows.reduce(_.unionAll(_)).orderBy("iter")
   }
 
   private val alsSql: String = {

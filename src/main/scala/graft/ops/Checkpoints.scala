@@ -27,4 +27,13 @@ object Checkpoints {
     case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
     case _                                             => ()
   }
+
+  /** [[free]] guarded for cache-eviction paths (round-21 ADVICE fix):
+    * artifact caches hold checkpoint handles whose session may already
+    * be stopped — those blocks died with the session and unpersist
+    * would throw; live-session handles must free here or every bench
+    * eviction strands vocabulary-sized blocks for the session
+    * lifetime. */
+  def freeIfLive(df: Dataset[_]): Unit =
+    if (!df.sparkSession.sparkContext.isStopped) free(df)
 }

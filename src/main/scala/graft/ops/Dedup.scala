@@ -849,8 +849,12 @@ object Dedup {
   private val labelsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Drop the memoized cluster-label tables (see [[clusterLabels]]). */
-  def clearLabelsCache(): Unit = labelsCache.clear()
+  /** Drop the memoized cluster-label tables (see [[clusterLabels]]).
+    * Frees the backing checkpoint blocks too (round-21 ADVICE). */
+  def clearLabelsCache(): Unit = {
+    labelsCache.values.foreach(Checkpoints.freeIfLive)
+    labelsCache.clear()
+  }
 
   def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     labelsCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -871,6 +875,13 @@ object Dedup {
     * id either way. Returns (id, rep) for nodes WITH at least one edge;
     * singletons are the caller's left-join concern. */
   private[graft] def ccOn(edges0: DataFrame, maxIters: Int = 20): DataFrame = {
+    // (round-21 note: a lazy-block variant of this loop — self-loop
+    // edges + geometric blocks of un-checkpointed rounds — was built
+    // and MEASURED SLOWER on both deep and shallow consumers (dbscan
+    // 3.8 → 4.9 s, entity_resolve 1.8 → 2.2 s at sf0.1): the eager
+    // per-round shape lets AQE broadcast the node-sized label table
+    // every round so the edge table never re-shuffles, which beats the
+    // saved barriers. Kept as the measured winner.)
     val edges = edges0.localCheckpoint()
     // init = identity fused with the first propagation round: rep0 =
     // min(id, min neighbor). Star components centered on their min id —
@@ -1260,16 +1271,28 @@ object Dedup {
     * split out so specs can drive it with hand-planted spans. */
   private[graft] def dupPairSpansOn(
       docs: DataFrame, l: Int, minLen: Int, cap: Int): DataFrame = {
-    // volume-scaled parallelism from one cheap single-column aggregate
-    // (gram count = Σ max(len − l + 1, 0) — exact, not sampled)
-    val nPos = Option(docs
-      .agg(sum(greatest(length(col("text")) - (l - 1), lit(0)))).first.get(0))
-      .fold(0L)(_.asInstanceOf[Long])
+    // volume-scaled parallelism. The exact gram count (Σ max(len−l+1,0))
+    // is one full corpus scan paid on EVERY invocation — at small
+    // volumes purely to learn that the 3-waves floor dominates anyway
+    // (round-21 ADVICE). So first bound nPos from the optimizer's size
+    // estimate: gram rows ≤ total text chars ≤ uncompressed bytes, and
+    // the plan estimate is scan bytes × compression factor; ×8 covers
+    // parquet text compression ratios with margin. Only when that
+    // conservative bound could EXCEED the floor does the exact
+    // aggregate run (grown corpora — where one extra scan is noise and
+    // exact 50 MB blocks are the thing that matters).
+    val floorParts = 3L * docs.sparkSession.sparkContext.defaultParallelism
+    val nPosBound = docs.queryExecution.optimizedPlan.stats.sizeInBytes * 8
+    val nPos =
+      if (nPosBound / PairGramRowsPerTask <= floorParts) 0L
+      else Option(docs
+        .agg(sum(greatest(length(col("text")) - (l - 1), lit(0)))).first.get(0))
+        .fold(0L)(_.asInstanceOf[Long])
     // both-bounded (the linkPredictOn pass-24 lesson): ≥3 waves of
     // tasks so a coarse straggler can't own the stage, volume-scaled
     // above that so per-task checkpoint blocks stay ~50 MB
     val parts = math.min(4096L, math.max(
-      3L * docs.sparkSession.sparkContext.defaultParallelism,
+      floorParts,
       nPos / PairGramRowsPerTask)).toInt
     val grams = docs
       .select(col("doc_id"), posexplode(gramHashesCol(col("text"), l)).as(Seq("p0", "h")))

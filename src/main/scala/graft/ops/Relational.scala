@@ -488,8 +488,12 @@ object Relational {
     * (within a pass the second of the two percentile queries still
     * reuses it — that cross-query sharing is the design being
     * benchmarked); long-lived multi-session servers can call it on
-    * session teardown. */
-  def clearExactPctCache(): Unit = exactPctCache.clear()
+    * session teardown. Frees the backing checkpoint blocks too
+    * (round-21 ADVICE). */
+  def clearExactPctCache(): Unit = {
+    exactPctCache.values.foreach(Checkpoints.freeIfLive)
+    exactPctCache.clear()
+  }
 
   private def exactPricePercentiles(spark: SparkSession, dir: String): DataFrame = {
     // self-cleaning: entries keyed by a stopped session would otherwise

@@ -1235,13 +1235,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint() // Q·K rows; ground truth for every method
     val bruteN = brute.count()
-    val rows = Seq(
-      "ann_ivf" -> annIvf(spark, dir),
-      "ann_lsh" -> annLsh(spark, dir),
-      "ann_lsh_multi" -> annLshMulti(spark, dir)).map { case (m, df) =>
-      val got = df.select(col("query_id"), col("neighbor_id")).localCheckpoint()
-      val hits = got.join(brute, Seq("query_id", "neighbor_id")).count()
-      (m, got.count(), hits, hits * 1000000L / bruteN)
+    // Round-21 (opt guide §2.6/§1.2): the three methods are independent
+    // pipelines over the same read-only ground truth — run them from a
+    // small thread pool so their stages interleave; and fold the old
+    // (count, join-count) job pair into ONE left-join aggregate. Both
+    // counts are exact as before: (query_id, neighbor_id) is unique on
+    // each side, so the left join preserves retrieved cardinality and
+    // the hit marker sums to the inner-join count.
+    val methods = Seq(
+      "ann_ivf" -> (() => annIvf(spark, dir)),
+      "ann_lsh" -> (() => annLsh(spark, dir)),
+      "ann_lsh_multi" -> (() => annLshMulti(spark, dir)))
+    val rows = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(methods.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(methods.map { case (m, mk) => Future {
+        val r = mk().select(col("query_id"), col("neighbor_id"))
+          .join(brute.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("hits"))
+          .head()
+        (m, r.getLong(0), r.getLong(1), r.getLong(1) * 1000000L / bruteN)
+      }}), 60.minutes)
+      finally pool.shutdown()
     }
     rows.toDF("method", "n_retrieved", "n_hits", "recall_micros")
       .orderBy("method")

@@ -482,6 +482,13 @@ object TextAnalysis {
       .select(col("term"), lit(1000000L).as("v"))
       .localCheckpoint()
     (1 to LsaIters).foreach { it =>
+      // The u half-step stays LAZY inside the sweep's one checkpoint job
+      // (round-21, opt guide §1.2: one barrier per sweep, not two). u0
+      // appears twice in the plan (max arm + stream arm) but both arms
+      // end in the same doc_id aggregate over the same exchange, so
+      // ReuseExchange computes the cells⋈v join and its shuffle once;
+      // only the doc-sized post-shuffle hash agg runs twice — cheaper
+      // than materializing + re-reading a doc-sized checkpoint was.
       val u0 = cells.join(v, "term")
         .groupBy("doc_id")
         .agg(expr("CAST(sum(CAST(a AS DECIMAL(38,0)) * v) div 1000000 AS DECIMAL(38,0))").as("u"))
@@ -489,7 +496,6 @@ object TextAnalysis {
       val u = u0.crossJoin(broadcast(uMax))
         .select(col("doc_id"),
           expr("CAST((u * 1000000) div m AS BIGINT)").as("u"))
-        .localCheckpoint() // doc-sized; feeds the v half-step
       val v0 = cells.join(u, "doc_id")
         .groupBy("term")
         .agg(expr("CAST(sum(CAST(a AS DECIMAL(38,0)) * u) div 1000000 AS DECIMAL(38,0))").as("vv"))
@@ -498,8 +504,7 @@ object TextAnalysis {
       v = v0.crossJoin(broadcast(vMax))
         .select(col("term"), expr("CAST((vv * 1000000) div m AS BIGINT)").as("v"))
         .localCheckpoint()
-      Checkpoints.free(prev)
-      Checkpoints.free(u)
+      Checkpoints.free(prev) // u was lazy inside this sweep's job; only v pins storage
       mark(s"sweep $it")
     }
     v.orderBy(desc("v"), col("term"))
@@ -1281,8 +1286,13 @@ object TextAnalysis {
   private val lmScoreCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Drop the memoized LM score tables (bench-pass hygiene). */
-  def clearLmScoreCache(): Unit = lmScoreCache.clear()
+  /** Drop the memoized LM score tables (bench-pass hygiene). Frees the
+    * backing checkpoint blocks too — dropping only the map reference
+    * stranded a doc-sized block set per eviction (round-21 ADVICE). */
+  def clearLmScoreCache(): Unit = {
+    lmScoreCache.values.foreach(Checkpoints.freeIfLive)
+    lmScoreCache.clear()
+  }
 
   /** Memoized TOKENIZER artifacts per (session, dir, tag): the BPE
     * per-word token counts ([[bpeEncode]]) and the wordpiece per-word
@@ -1298,8 +1308,12 @@ object TextAnalysis {
   private val tokenizerCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  /** Drop the memoized tokenizer artifacts (bench-pass hygiene). */
-  def clearTokenizerCache(): Unit = tokenizerCache.clear()
+  /** Drop the memoized tokenizer artifacts (bench-pass hygiene). Frees
+    * the backing checkpoint blocks too (round-21 ADVICE). */
+  def clearTokenizerCache(): Unit = {
+    tokenizerCache.values.foreach(Checkpoints.freeIfLive)
+    tokenizerCache.clear()
+  }
 
   private def memoTokenizer(spark: SparkSession, dir: String, tag: String)(
       compute: => DataFrame): DataFrame = {
