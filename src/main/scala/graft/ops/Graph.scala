@@ -475,18 +475,22 @@ object Graph {
     var lastSup: Option[DataFrame] = None
     while (round <= rounds && lastSup.isEmpty) {
       val sup = edgeSupportOn(e).localCheckpoint()
-      val kept = sup.filter(col("s") >= k - 2)
-        .select(col("u"), col("v"))
-        .localCheckpoint()
-      if (kept.count() == e.count()) {
+      // probe convergence on the support checkpoint FIRST (one cheap
+      // aggregate) — the converged round (the common case at sf0.1,
+      // where the peel fixes in one pass) used to also pay an
+      // edge-sized `kept` checkpoint it then threw away (round 21)
+      val keptCnt = sup.filter(col("s") >= k - 2).count()
+      if (keptCnt == e.count()) {
         // fixpoint: NO edge died this round, so `sup` — computed on
         // exactly this edge set — already IS the within-truss support
         // the output ships; reusing it saves the full final wedge pass
         // (measured ~half the sf0.1 cost, where the peel converges in
         // one round)
         lastSup = Some(sup)
-        Checkpoints.free(kept)
       } else {
+        val kept = sup.filter(col("s") >= k - 2)
+          .select(col("u"), col("v"))
+          .localCheckpoint()
         Checkpoints.free(e)
         Checkpoints.free(sup)
         e = kept

@@ -1472,8 +1472,11 @@ object Relational {
     val discount = NdcgDisc.zipWithIndex.foldRight(lit(NdcgDisc.last): Column) {
       case ((d, i), acc) => when(col("rn") === (i + 1).toLong, d).otherwise(acc)
     }
+    // broadcast is scale-safe here: recs is the trained model, ≤211·5
+    // rows by construction (round 21 — the SMJ re-shuffled the basket
+    // pair relation to attach a thousand-row table)
     val hits = rel
-      .join(recs, col("qi") === col("item") && col("rj") === col("nbr"))
+      .join(broadcast(recs), col("qi") === col("item") && col("rj") === col("nbr"))
       .groupBy("okey", "qi").agg(sum(discount).as("dcg"))
     val idcgCum = NdcgDisc.scanLeft(0L)(_ + _).tail // 1e6, 1630930, ...
     val idcg = idcgCum.init.zipWithIndex.foldRight(lit(idcgCum.last): Column) {

@@ -308,11 +308,19 @@ object Stats {
       .groupBy("flag", "v").agg(sum("wt").as("f"))
     val w = Window.partitionBy("flag").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = cells.withColumn("c", sum("f").over(w))
-    val tot = cells.groupBy("flag").agg(sum("f").as("wtot"))
+    // wtot as a whole-partition window on the SAME flag partitioning as
+    // the running sum (round 21, opt guide §2.4): the old broadcast-join
+    // `tot` arm rebuilt the cells aggregate from a second full lineitem
+    // scan (the join's IsNotNull pushdown made the two subtrees differ,
+    // so ReuseExchange never fired) — one scan, zero joins now.
+    val wAll = Window.partitionBy("flag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = cells
+      .withColumn("c", sum("f").over(w))
+      .withColumn("wtot", sum("f").over(wAll))
     def at(num: Int, den: Int) = // smallest v with cumweight ≥ ⌈num·W/den⌉
       min(when(col("c") >= expr(s"($num * wtot + ${den - 1}) div $den"), col("v")))
-    cum.join(broadcast(tot), "flag")
+    cum
       .groupBy(col("flag"), col("wtot").as("w_total"))
       .agg(at(1, 4).as("wp25_cents"), at(1, 2).as("wmed_cents"),
         at(3, 4).as("wp75_cents"))
