@@ -920,7 +920,12 @@ object Graph {
     randomWalksOn(rawEdges(spark, dir, 211L, 197L), WalkSteps)
 
   def randomWalksOn(edgesDf: DataFrame, steps: Int): DataFrame = {
-    val e = symmetrize(edgesDf).cache()
+    // partitioned+sorted on src so every step's frontier join plans
+    // exchange/sort-free on the edge arm (round 21, opt guide §2.4)
+    val e = symmetrize(edgesDf)
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .localCheckpoint()
     var cur = e.select(col("src").as("start")).distinct()
       .select(col("start"), col("start").as("node"))
       .localCheckpoint()
@@ -941,7 +946,7 @@ object Graph {
     }
     val res = out.orderBy("start", "step").localCheckpoint()
     frames.foreach(Checkpoints.free)
-    e.unpersist()
+    Checkpoints.free(e)
     res
   }
 
@@ -976,7 +981,15 @@ object Graph {
     node2vecWalksOn(rawEdges(spark, dir, 211L, 197L), WalkSteps)
 
   def node2vecWalksOn(edgesDf: DataFrame, steps: Int): DataFrame = {
-    val e = symmetrize(edgesDf).cache()
+    // partitioned on src, sorted (src, dst): src is the frontier join
+    // key every step AND the prefix of the (prev, x) neighborhood-probe
+    // key — hash(src) satisfies ClusteredDistribution((prev, x)) and
+    // the (src, dst) ordering covers both sort requirements, so BOTH
+    // per-step joins plan exchange/sort-free on the edge arm (round 21)
+    val e = symmetrize(edgesDf)
+      .repartition(col("src"))
+      .sortWithinPartitions("src", "dst")
+      .localCheckpoint()
     val starts = e.select(col("src").as("start")).distinct()
     var out = starts.select(col("start"), lit(0L).as("step"), col("start").as("node"))
     // step 1 has no previous node: uniform hash argmin (randomWalks)
@@ -1010,7 +1023,7 @@ object Graph {
     }
     val res = out.orderBy("start", "step").localCheckpoint()
     frames.foreach(Checkpoints.free)
-    e.unpersist()
+    Checkpoints.free(e)
     res
   }
 
@@ -1175,7 +1188,12 @@ object Graph {
     * exit free. Expects an e(src, dst, w) table with BOTH directions of
     * each undirected edge present. */
   def ssspOn(edgesDf: DataFrame, source: Long, iters: Int): DataFrame = {
-    val e = edgesDf.select(col("src"), col("dst"), col("w")).cache()
+    // partitioned+sorted on src: the frontier-offer join key every
+    // round (round 21, opt guide §2.4 — no per-round edge re-shuffle)
+    val e = edgesDf.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .localCheckpoint()
     val spark = edgesDf.sparkSession
     import spark.implicits._
     var dist     = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
@@ -1210,7 +1228,7 @@ object Graph {
       round += 1
     }
     if (frontierCkpt ne dist) Checkpoints.free(frontierCkpt) // last frontier is dead too
-    e.unpersist() // dist is materialized with truncated lineage
+    Checkpoints.free(e) // dist is materialized with truncated lineage
     dist.orderBy("node")
   }
 
