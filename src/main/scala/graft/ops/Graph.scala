@@ -81,14 +81,15 @@ object Graph {
     // them once instead of re-shuffling per iteration
     val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("d")))
 
-    // Round-21 (opt guide §1.2): the rank rounds are a single-consumer
-    // chain, so they stay LAZY — the fixed-round chain runs in the ONE
-    // action the caller materializes, instead of one barrier job per
-    // round. e/nodes/deg stay checkpointed (multi-consumer across
-    // rounds); their blocks ride the result's lineage and are
-    // ContextCleaner-owned once the result goes out of scope.
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("node"), round(lit(1.0) / col("n"), 9).as("r"))
+    // Round-22: rank rounds checkpoint EAGERLY again (the r20 shape).
+    // Round 21 made them a lazy single-consumer chain — faster in this
+    // repo's warm-pair A/Bs, but the driver's cold-JVM bench measured
+    // pagerank 0.90× and personalized_pagerank 0.53× (VERDICT r21 #1):
+    // the one-shot deep plan's analysis + AQE replan + janino codegen
+    // is charged per cold run, and at 3 rounds the saved barriers don't
+    // cover it. Superseded rank checkpoints are freed immediately.
+    var ranks = ckpt(nodes.crossJoin(broadcast(n))
+      .select(col("node"), round(lit(1.0) / col("n"), 9).as("r")))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.select(col("node").as("src"), col("r")), "src")
@@ -97,12 +98,20 @@ object Graph {
           round((col("r") / col("d")) * 1e9).cast("long").as("cn"))
         .groupBy("node")
         .agg(sum("cn").as("sn"))
-      ranks = nodes
+      val prev = ranks
+      ranks = ckpt(nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
           round(lit(0.15) / col("n") +
-            lit(Damping) * (coalesce(col("sn"), lit(0L)).cast("double") / lit(1e9)), 9).as("r"))
+            lit(Damping) * (coalesce(col("sn"), lit(0L)).cast("double") / lit(1e9)), 9).as("r")))
+      if (materialize) Checkpoints.free(prev) // new ranks materialized; old round dead
+    }
+    if (materialize) {
+      // the output join reads only the final ranks + deg; the edge and
+      // node checkpoints are dead weight from here on
+      Checkpoints.free(e)
+      Checkpoints.free(nodes)
     }
     ranks
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
@@ -182,12 +191,13 @@ object Graph {
     val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("d")))
     val teleport =
       when(col("node") < PprSeedMax, lit(0.15) / col("s")).otherwise(lit(0.0))
-    // Round-21 (opt guide §1.2): lazy single-consumer rank chain, one
-    // materializing action — the pageRankOn convention.
-    var ranks = nodes.crossJoin(broadcast(s))
+    // Round-22: eager per-round rank checkpoints restored (the r20
+    // shape) — the driver's cold bench had the r21 lazy chain at 0.53×
+    // (VERDICT r21 #1); see the pageRankOn note.
+    var ranks = ckpt(nodes.crossJoin(broadcast(s))
       .select(col("node"),
         when(col("node") < PprSeedMax, round(lit(1.0) / col("s"), 9))
-          .otherwise(lit(0.0)).as("r"))
+          .otherwise(lit(0.0)).as("r")))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.select(col("node").as("src"), col("r")), "src")
@@ -196,14 +206,19 @@ object Graph {
           round((col("r") / col("d")) * 1e9).cast("long").as("cn"))
         .groupBy("node")
         .agg(sum("cn").as("sn"))
-      ranks = nodes
+      val prev = ranks
+      ranks = ckpt(nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(s))
         .select(col("node"),
           round(teleport +
             lit(Damping) * (coalesce(col("sn"), lit(0L)).cast("double") / lit(1e9)), 9)
-            .as("r"))
+            .as("r")))
+      Checkpoints.free(prev) // new ranks materialized; old round dead
     }
+    // the output join reads only the final ranks + deg
+    Checkpoints.free(e)
+    Checkpoints.free(nodes)
     ranks
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("d"), lit(0L)).as("out_deg"), col("r").as("rank"))
@@ -1188,11 +1203,14 @@ object Graph {
     * exit free. Expects an e(src, dst, w) table with BOTH directions of
     * each undirected edge present. */
   def ssspOn(edgesDf: DataFrame, source: Long, iters: Int): DataFrame = {
-    // partitioned+sorted on src: the frontier-offer join key every
-    // round (round 21, opt guide §2.4 — no per-round edge re-shuffle)
+    // Round 21 pre-partitioned+sorted this checkpoint on src (guide
+    // §2.4) to make the per-round frontier joins exchange-free; the
+    // driver's cold bench measured it 0.72× (VERDICT r21 #3): the
+    // upfront full shuffle+sort+materialization is paid once per run,
+    // while delta-relaxation converges in few rounds AND the per-round
+    // frontier is tiny (AQE broadcasts it), so the avoided edge-side
+    // exchanges never materialize anyway. Round 22: plain checkpoint.
     val e = edgesDf.select(col("src"), col("dst"), col("w"))
-      .repartition(col("src"))
-      .sortWithinPartitions("src")
       .localCheckpoint()
     val spark = edgesDf.sparkSession
     import spark.implicits._
