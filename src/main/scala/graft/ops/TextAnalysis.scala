@@ -481,17 +481,24 @@ object TextAnalysis {
     var v = cells.select(col("term")).distinct()
       .select(col("term"), lit(1000000L).as("v"))
       .localCheckpoint()
+    // Round-22: checkpoint the PRE-normalization aggregates u0/v0, not
+    // the normalized vectors. The r21 fully-lazy sweep relied on
+    // ReuseExchange to dedupe u0's two plan arms (max arm + stream arm)
+    // — under AQE that reuse is not guaranteed across independently
+    // re-optimized stages, and the driver's cold bench measured the
+    // sweep 0.84× (VERDICT r21 #3: the cells⋈v join likely ran twice).
+    // The r20 shape (checkpoint the normalized u) still ran u0 twice
+    // INSIDE the one checkpoint job, because the uMax broadcast arm
+    // recomputes the aggregate. Checkpointing u0 itself makes each
+    // cells join run exactly once per sweep: the max arm and the
+    // normalized projection are both cheap doc-/vocab-sized lazy reads
+    // of the checkpoint.
+    var v0Ckpt: DataFrame = null
     (1 to LsaIters).foreach { it =>
-      // The u half-step stays LAZY inside the sweep's one checkpoint job
-      // (round-21, opt guide §1.2: one barrier per sweep, not two). u0
-      // appears twice in the plan (max arm + stream arm) but both arms
-      // end in the same doc_id aggregate over the same exchange, so
-      // ReuseExchange computes the cells⋈v join and its shuffle once;
-      // only the doc-sized post-shuffle hash agg runs twice — cheaper
-      // than materializing + re-reading a doc-sized checkpoint was.
       val u0 = cells.join(v, "term")
         .groupBy("doc_id")
         .agg(expr("CAST(sum(CAST(a AS DECIMAL(38,0)) * v) div 1000000 AS DECIMAL(38,0))").as("u"))
+        .localCheckpoint() // doc-sized; feeds the max arm + the v half-step
       val uMax = u0.agg(max("u").as("m"))
       val u = u0.crossJoin(broadcast(uMax))
         .select(col("doc_id"),
@@ -499,14 +506,21 @@ object TextAnalysis {
       val v0 = cells.join(u, "doc_id")
         .groupBy("term")
         .agg(expr("CAST(sum(CAST(a AS DECIMAL(38,0)) * u) div 1000000 AS DECIMAL(38,0))").as("vv"))
+        .localCheckpoint() // vocab-sized; feeds the max arm + next sweep
       val vMax = v0.agg(max("vv").as("m"))
       val prev = v
+      val prevV0 = v0Ckpt
       v = v0.crossJoin(broadcast(vMax))
         .select(col("term"), expr("CAST((vv * 1000000) div m AS BIGINT)").as("v"))
-        .localCheckpoint()
-      Checkpoints.free(prev) // u was lazy inside this sweep's job; only v pins storage
+      v0Ckpt = v0
+      if (it == 1) Checkpoints.free(prev) // the seed-v checkpoint
+      if (prevV0 != null) Checkpoints.free(prevV0) // superseded sweep
+      Checkpoints.free(u0) // dead once v0 materialized
       mark(s"sweep $it")
     }
+    // the output is lazy over the final v0 checkpoint only; the cell
+    // table (the query's whole memory story) is dead from here on
+    Checkpoints.free(cells)
     v.orderBy(desc("v"), col("term"))
       .limit(20)
       .withColumn("rank", row_number().over(
