@@ -21,6 +21,44 @@ import org.apache.spark.sql.Dataset
   */
 object Checkpoints {
 
+  /** `localCheckpoint` that genuinely RETAINS `hashpartitioning(partKeys)`
+    * and the `sortKeys` ordering in the resulting `LogicalRDD`, so every
+    * downstream equi-join on `partKeys` plans exchange- AND sort-free on
+    * this arm (PlanSpec pins the mechanism executably).
+    *
+    * Why the AQE-off scope: under AQE (on by default) `localCheckpoint`
+    * captures `UnknownPartitioning` and no ordering —
+    * `LogicalRDD.fromDataset` cannot see through `AdaptiveSparkPlanExec`
+    * to the final plan's partitioning — so the round-21 inline
+    * repartition+sort+checkpoint sites paid their shuffle+sort with ZERO
+    * downstream benefit (round-22 probe: the per-round joins still
+    * re-exchanged and re-sorted both arms). With AQE disabled for just
+    * this one materialization the capture works, and consumers planned
+    * with AQE back on honor the leaf partitioning.
+    *
+    * The partition count comes from `spark.sql.shuffle.partitions`
+    * (conf-driven — core count in Bench, cluster-sized in production),
+    * so the layout stays scale-adaptive; the single checkpoint job
+    * foregoes AQE coalescing, acceptable for the edge-/matrix-sized
+    * tables this guards. NOT thread-safe (session-global conf flip):
+    * call only on a query's serial spine, never inside thread-pool
+    * fan-outs. */
+  def partitionedCheckpoint(df: org.apache.spark.sql.DataFrame,
+                            partKeys: Seq[String],
+                            sortKeys: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(k, "true")
+    spark.conf.set(k, "false")
+    try {
+      val sk = if (sortKeys.isEmpty) partKeys else sortKeys
+      df.repartition(partKeys.map(col): _*)
+        .sortWithinPartitions(sk.map(col): _*)
+        .localCheckpoint()
+    } finally spark.conf.set(k, prev)
+  }
+
   /** Frees the storage behind a `localCheckpoint`ed Dataset; no-op for
     * anything that is not a direct checkpoint handle. */
   def free(df: Dataset[_]): Unit = df.queryExecution.logical match {

@@ -624,10 +624,14 @@ object Graph {
     * over it ([[graphDiameterOn]]) can `Checkpoints.free` it directly
     * (free is a no-op through a Sort wrapper). */
   private[graft] def bfsDistTable(edgesDf: DataFrame, source: Long, iters: Int): DataFrame = {
-    val e = symmetrize(edgesDf)
-      .repartition(col("src"))
-      .sortWithinPartitions("src")
-      .localCheckpoint() // feeds every round's frontier join, exchange-free
+    // PLAIN checkpoint (round 22). The round-21 repartition(src)+sort
+    // never captured its layout (LogicalRDD records UnknownPartitioning
+    // under AQE) — a pure upfront exchange+sort. And CAPTURING it
+    // (Checkpoints.partitionedCheckpoint) cold-measured 0.83x here: the
+    // pinned layout locks every frontier join into SortMergeJoin, while
+    // with a plain checkpoint AQE broadcasts the tiny frontier and the
+    // edge arm never shuffles at all.
+    val e = symmetrize(edgesDf).localCheckpoint()
     val spark = edgesDf.sparkSession
     import spark.implicits._
     // Round-21 (opt guide §1.2): only the FRONTIER checkpoints per
@@ -935,12 +939,11 @@ object Graph {
     randomWalksOn(rawEdges(spark, dir, 211L, 197L), WalkSteps)
 
   def randomWalksOn(edgesDf: DataFrame, steps: Int): DataFrame = {
-    // partitioned+sorted on src so every step's frontier join plans
-    // exchange/sort-free on the edge arm (round 21, opt guide §2.4)
-    val e = symmetrize(edgesDf)
-      .repartition(col("src"))
-      .sortWithinPartitions("src")
-      .localCheckpoint()
+    // PLAIN checkpoint (round 22): the round-21 pre-partitioning never
+    // captured its layout under AQE (pure upfront cost), and capturing
+    // it cold-measured 0.80x — it forces SortMergeJoin where AQE
+    // otherwise broadcasts the per-step frontier (see bfsDistTable)
+    val e = symmetrize(edgesDf).localCheckpoint()
     var cur = e.select(col("src").as("start")).distinct()
       .select(col("start"), col("start").as("node"))
       .localCheckpoint()
@@ -996,15 +999,11 @@ object Graph {
     node2vecWalksOn(rawEdges(spark, dir, 211L, 197L), WalkSteps)
 
   def node2vecWalksOn(edgesDf: DataFrame, steps: Int): DataFrame = {
-    // partitioned on src, sorted (src, dst): src is the frontier join
-    // key every step AND the prefix of the (prev, x) neighborhood-probe
-    // key — hash(src) satisfies ClusteredDistribution((prev, x)) and
-    // the (src, dst) ordering covers both sort requirements, so BOTH
-    // per-step joins plan exchange/sort-free on the edge arm (round 21)
-    val e = symmetrize(edgesDf)
-      .repartition(col("src"))
-      .sortWithinPartitions("src", "dst")
-      .localCheckpoint()
+    // PLAIN checkpoint (round 22): the round-21 repartition(src)+sort
+    // never captured its layout under AQE (pure upfront cost), and
+    // capturing it cold-measured 0.70x — it forces SortMergeJoin where
+    // AQE otherwise broadcasts the frontier (see bfsDistTable)
+    val e = symmetrize(edgesDf).localCheckpoint()
     val starts = e.select(col("src").as("start")).distinct()
     var out = starts.select(col("start"), lit(0L).as("step"), col("start").as("node"))
     // step 1 has no previous node: uniform hash argmin (randomWalks)
@@ -1317,10 +1316,11 @@ object Graph {
     * the caller owns its storage (`Checkpoints.free` once consumed;
     * `lpaCommunitiesOn` instead lets its result ride the handle). */
   private[graft] def lpaLabelsOn(sym: DataFrame, iters: Int): DataFrame = {
-    val e = sym
-      .repartition(col("src"))
-      .sortWithinPartitions("src")
-      .localCheckpoint() // feeds every round's propagation join, exchange-free
+    // PLAIN checkpoint (round 22): the round-21 pre-partitioning never
+    // captured its layout under AQE (pure upfront cost), and capturing
+    // it cold-measured 0.76x — it forces SortMergeJoin where AQE
+    // otherwise broadcasts the node-sized label table (see bfsDistTable)
+    val e = sym.localCheckpoint()
     val adj = e.select(col("src").as("node"), col("dst"))
     var labels: DataFrame = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -1812,13 +1812,9 @@ object Graph {
     * (symmetrized here) — split out so specs can drive it with a
     * hand-checkable graph. `iters = 0` returns plain degrees. */
   def corenessOn(edgesDf: DataFrame, iters: Int): DataFrame = {
-    // Round-21 re-shape (opt guide §2.4/§1.2). (a) The edge table
-    // checkpoints PRE-PARTITIONED AND SORTED on dst — the key every
-    // round's label join probes — and the hash partitioning + ordering
-    // metadata ride the LogicalRDD, so each round's join plans with NO
-    // exchange and NO sort on the edge arm (the label arm is
-    // node-sized); previously every round re-shuffled and re-sorted the
-    // full edge table. (b) The h-index rounds are a SINGLE-CONSUMER
+    // Round-21 re-shape (opt guide §2.4/§1.2). (a — REVISED round 22)
+    // The edge table checkpoints plain: see the comment at the
+    // checkpoint below. (b) The h-index rounds are a SINGLE-CONSUMER
     // chain (c_t feeds only c_{t+1}), so rounds run LAZY in BLOCKS of
     // [[CorenessLazyBlock]] between checkpoints — one barrier per block
     // instead of per round. Fully-lazy-to-the-end measured SLOWER
@@ -1827,12 +1823,11 @@ object Graph {
     // pays a replan quadratic in depth; short blocks keep the replan
     // cost flat while still cutting 12 barrier jobs to 3. Storage
     // hygiene: superseded block checkpoints freed inline as before.
-    val e = symmetrize(edgesDf)
-      .repartition(col("dst"))
-      .sortWithinPartitions("dst")
-      .localCheckpoint()
-    // (node = dst, v = src): the alias-preserved hash(dst) partitioning
-    // + ordering make every round's using-join exchange/sort-free here
+    // PLAIN checkpoint (round 22): the round-21 repartition(dst)+sort
+    // never captured its layout under AQE (pure upfront cost), and
+    // capturing it cold-measured 0.79x — it forces SortMergeJoin where
+    // AQE otherwise broadcasts the node-sized degree table
+    val e = symmetrize(edgesDf).localCheckpoint()
     val adj = e.select(col("dst").as("node"), col("src").as("v"))
     var c: DataFrame = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
     var cH: DataFrame = null // direct handle of the last block checkpoint

@@ -1366,18 +1366,29 @@ object Relational {
       .distinct()
       .localCheckpoint() // feeds the item margin, the prune, both pair sides
     val icnt = baskets.groupBy("item").agg(count(lit(1)).as("ni"))
-    val kept = baskets
-      .join(broadcast(icnt.filter(col("ni") <= UcfPopCap).select("item")), Seq("item"))
-      .localCheckpoint() // pruned matrix; feeds the user margin + both sides
+    // pre-partitioned+sorted on item: both arms of the pair self-join
+    // below read this checkpoint exchange- and sort-free (round 22 —
+    // the coreness/walk-family §2.4 pattern, built through the AQE-off
+    // helper that actually captures the layout; an inline repartition+
+    // sort+checkpoint under AQE captures UnknownPartitioning and both
+    // arms re-shuffle anyway)
+    val kept = Checkpoints.partitionedCheckpoint(
+      baskets.join(broadcast(icnt.filter(col("ni") <= UcfPopCap).select("item")), Seq("item")),
+      Seq("item")) // pruned matrix; feeds the user margin + both sides
     Checkpoints.free(baskets)
     val ucnt = kept.groupBy("user").agg(count(lit(1)).as("cu"))
-    val pairs = kept.as("x")
-      .join(kept.as("y"), col("x.item") === col("y.item") && col("x.user") < col("y.user"))
+    // BOTH neighbor directions from ONE symmetric self-join (round 22):
+    // the old u<v join + union(pairs, swap(pairs)) duplicated the whole
+    // join+aggregate subtree in the plan — under AQE, ReuseExchange is
+    // not guaranteed to dedupe the copies across independently
+    // re-optimized stages, so the suite's heaviest pair aggregation
+    // could run twice. cij is symmetric, so joining on user inequality
+    // and grouping (i, j) directly yields exactly union's row set.
+    val nbrs = kept.as("x")
+      .join(kept.as("y"), col("x.item") === col("y.item") && col("x.user") =!= col("y.user"))
       .groupBy(col("x.user").as("i"), col("y.user").as("j"))
       .agg(count(lit(1)).as("cij"))
       .filter(col("cij") >= CfMinSup)
-    val nbrs = pairs.select(col("i"), col("j"), col("cij"))
-      .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cij")))
     val scored = nbrs
       .join(ucnt.select(col("user").as("i"), col("cu").as("nu")), Seq("i"))
       .join(ucnt.select(col("user").as("j"), col("cu").as("nv")), Seq("j"))

@@ -751,40 +751,41 @@ class PlanSpec extends SparkSpec {
       .forall(!_.contains("text")), "dedup_soft_weights shuffled document text")
   }
 
-  test("round-21: a pre-partitioned+sorted checkpoint joins exchange/sort-free on its key") {
-    // The mechanism behind corenessOn / lpaLabelsOn / bfsDistTable's
-    // round-21 re-shape: an edge table checkpointed AFTER
-    // repartition(key) + sortWithinPartitions(key) carries its
-    // HashPartitioning and ordering through the LogicalRDD, so every
-    // per-round join on that key plans with NO Exchange and NO Sort on
-    // the edge arm (previously each of the 12 coreness rounds
-    // re-shuffled and re-sorted the full edge table). The committed
-    // plans/r21/coreness_* files truncate at the final checkpoint, so
-    // this pins the claim executably instead.
+  test("round-22: partitionedCheckpoint joins exchange/sort-free on its key") {
+    // The mechanism behind corenessOn / lpaLabelsOn / bfsDistTable /
+    // the walk family / user_cf: an edge table checkpointed via
+    // Checkpoints.partitionedCheckpoint carries HashPartitioning(key)
+    // and the sort order through the LogicalRDD, so every per-round
+    // join on that key plans with NO Exchange and NO Sort on the edge
+    // arm. Round 22 found the round-21 inline shape (repartition +
+    // sortWithinPartitions + localCheckpoint under AQE) captured
+    // UnknownPartitioning — the shuffle+sort was paid with zero
+    // downstream benefit; the helper builds the checkpoint in a brief
+    // AQE-off scope, which is the only way LogicalRDD.fromDataset sees
+    // the physical partitioning. The label side here is large enough
+    // that the join cannot fall back to a broadcast, so this pins the
+    // SortMergeJoin arm shape itself (the round-21 version of this test
+    // silently passed through its BroadcastHashJoin escape hatch).
     import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val e = (1L to 200L).map(i => (i % 50, i % 31)).toDF("src", "dst")
-      .repartition(col("dst"))
-      .sortWithinPartitions("dst")
-      .localCheckpoint()
-    val labels = (0L to 30L).map(i => (i, i)).toDF("node", "c")
-    val round = e.select(col("dst").as("node"), col("src").as("v"))
-      .join(labels, "node")
-    val plan = round.queryExecution.executedPlan.toString
-    // the edge arm: ExistingRDD scan with no Exchange/Sort between it
-    // and the SortMergeJoin; the label arm may exchange (node-sized)
-    val smj = plan.linesIterator.find(_.contains("SortMergeJoin"))
-    if (smj.isDefined) {
-      // left (edge) arm = lines between SMJ and the ExistingRDD leaf
+    val e = graft.ops.Checkpoints.partitionedCheckpoint(
+      spark.range(0, 3000000).select((col("id") % 500).as("src"), (col("id") % 400000).as("dst")),
+      Seq("dst"))
+    try {
+      val labels = spark.range(0, 2000000).select(col("id").as("node"), col("id").as("c"))
+      val round = e.select(col("dst").as("node"), col("src").as("v"))
+        .join(labels, "node")
+      val plan = round.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      // the edge arm: ExistingRDD scan with no Exchange/Sort between it
+      // and the SortMergeJoin; the label arm may exchange (node-sized)
       val arm = plan.linesIterator
-        .dropWhile(!_.contains("SortMergeJoin"))
+        .dropWhile(!_.contains("SortMergeJoin")).drop(1) // the SMJ line itself
         .takeWhile(!_.contains("ExistingRDD")).toSeq
       assert(!arm.exists(l => l.contains("Exchange") || l.trim.startsWith("+- Sort")),
         s"checkpointed partitioning/ordering did not survive — edge arm re-planned:\n$plan")
-    } else {
-      // AQE may broadcast the tiny label side instead — equally
-      // exchange-free on the edge arm
-      assert(plan.contains("BroadcastHashJoin"), s"unexpected join shape:\n$plan")
-    }
+      // and the helper must restore AQE for everything planned after it
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+        "partitionedCheckpoint leaked its AQE-off scope")
+    } finally graft.ops.Checkpoints.free(e)
   }
 }
