@@ -47,16 +47,27 @@ object Checkpoints {
                             partKeys: Seq[String],
                             sortKeys: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
+    val sk = if (sortKeys.isEmpty) partKeys else sortKeys
+    capturedCheckpoint(
+      df.repartition(partKeys.map(col): _*).sortWithinPartitions(sk.map(col): _*),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[partitionedCheckpoint]] minus the repartition+sort: checkpoints
+    * `df` in the same brief AQE-off scope so whatever partitioning and
+    * ordering df's plan ALREADY produces (e.g. an explicit
+    * repartition(n, key) + key-partitioned window) is captured in the
+    * LogicalRDD instead of degraded to UnknownPartitioning. Same
+    * thread-safety caveat. */
+  def capturedCheckpoint(df: org.apache.spark.sql.DataFrame,
+                         level: org.apache.spark.storage.StorageLevel)
+      : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     val k = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(k, "true")
     spark.conf.set(k, "false")
-    try {
-      val sk = if (sortKeys.isEmpty) partKeys else sortKeys
-      df.repartition(partKeys.map(col): _*)
-        .sortWithinPartitions(sk.map(col): _*)
-        .localCheckpoint()
-    } finally spark.conf.set(k, prev)
+    try df.localCheckpoint(true, level)
+    finally spark.conf.set(k, prev)
   }
 
   /** Frees the storage behind a `localCheckpoint`ed Dataset; no-op for

@@ -1277,24 +1277,47 @@ object Dedup {
     // (round-21 ADVICE). So first bound nPos from the optimizer's size
     // estimate: gram rows ≤ total text chars ≤ uncompressed bytes, and
     // the plan estimate is scan bytes × compression factor; ×8 covers
-    // parquet text compression ratios with margin. Only when that
-    // conservative bound could EXCEED the floor does the exact
-    // aggregate run (grown corpora — where one extra scan is noise and
-    // exact 50 MB blocks are the thing that matters).
+    // parquet text compression ratios with margin, and the skip
+    // additionally demands a 4× band below the floor (round-22 ADVICE
+    // fix: zstd/dictionary text can compress >8×, and a CBO
+    // misestimate on a non-scan input must not silently
+    // under-partition — with the band, skipping is safe to a combined
+    // 32× underestimate). Skips are logged so under-partitioning is
+    // observable, never silent.
     val floorParts = 3L * docs.sparkSession.sparkContext.defaultParallelism
     val nPosBound = docs.queryExecution.optimizedPlan.stats.sizeInBytes * 8
     val nPos =
-      if (nPosBound / PairGramRowsPerTask <= floorParts) 0L
-      else Option(docs
+      if (nPosBound / PairGramRowsPerTask <= floorParts / 4) {
+        System.err.println(s"[dup_pair_spans] exact gram sizing skipped: " +
+          s"plan-stats bound $nPosBound chars stays >=4x under the " +
+          s"${floorParts}-task floor; gram stage runs at the floor")
+        0L
+      } else Option(docs
         .agg(sum(greatest(length(col("text")) - (l - 1), lit(0)))).first.get(0))
         .fold(0L)(_.asInstanceOf[Long])
     // both-bounded (the linkPredictOn pass-24 lesson): ≥3 waves of
     // tasks so a coarse straggler can't own the stage, volume-scaled
-    // above that so per-task checkpoint blocks stay ~50 MB
+    // above that so the gram window's per-task sort state stays ~50 MB
+    // (the gram table itself is no longer materialized — see below)
     val parts = math.min(4096L, math.max(
       floorParts,
       nPos / PairGramRowsPerTask)).toInt
-    val grams = docs
+    // ONE-pass seed pairing (round 22, the standing r20 VERDICT item):
+    // the old shape checkpointed the gram table (3 longs × every text
+    // position — the whole memory story, 7.1 GB deserialized at 64×
+    // grown) and self-equi-joined it on h. That double-read was priced
+    // as exchange-free on the belief that the checkpoint carried its
+    // hash(h) partitioning — under AQE it does NOT (UnknownPartitioning,
+    // the round-22 central finding), so BOTH seed-join arms re-shuffled
+    // and re-sorted the suite's biggest intermediate. Instead: after
+    // the same h-keyed window count + cap filter (the window bounds hot
+    // grams LINEARLY before anything fans out), the ≤cap survivors of
+    // each gram group collect in place — same hash(h) partitioning, no
+    // second exchange, bounded ≤cap arrays — and the x<y seed pairs
+    // explode from each group with plain array expressions. The gram
+    // table is never materialized, never re-read, and no text or gram
+    // row crosses a shuffle twice.
+    val seeds = docs
       .select(col("doc_id"), posexplode(gramHashesCol(col("text"), l)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1L).as("pos"), col("h"))
       // the explicit repartition both sizes the stage and satisfies the
@@ -1302,19 +1325,14 @@ object Dedup {
       .repartition(parts, col("h"))
       .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("c") >= 2 && col("c") <= cap)
-      .drop("c")
-      // SERIALIZED: this gram table is the whole memory story (3 longs
-      // a row × every text position; 7.1 GB deserialized at 64× grown)
-      // and it is pinned for both seed-join arms, so it can't free
-      // inline — compact bytes bound the heap, and the hash(h)
-      // partitioning + sort metadata ride the LogicalRDD unchanged
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // both seed-join arms read it
-    val seeds = grams.as("a")
-      .join(grams.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
-        col("a.pos").as("px"), col("b.pos").as("py"))
+      .groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("g"))
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(g, a -> transform(g, b -> named_struct('a', a, 'b', b)))),
+          |  p -> p.a.doc_id < p.b.doc_id)""".stripMargin)).as("p"))
+      .select(col("p.a.doc_id").as("x"), col("p.b.doc_id").as("y"),
+        col("p.a.pos").as("px"), col("p.b.pos").as("py"))
     val islands = seeds
       .withColumn("d", col("px") - col("py"))
       // size the island window like the gram stage: seed fan-out is

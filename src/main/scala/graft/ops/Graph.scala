@@ -2044,8 +2044,6 @@ object Graph {
     // the per-block cost drops from deserialized row objects to compact
     // bytes, bounding the 256×-grown heap that deserialized blocks blew
     // to 7.4 GB, at the price of a decode on each of the 2-3 reads.
-    // Partitioning/ordering metadata rides the LogicalRDD either way,
-    // so the exchange-free wedge self-join is unchanged (PlanSpec).
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val ec = edgesDf.localCheckpoint(true, ser) // feeds adjacency + the anti-join
     // Volume-scaled parallelism (the sizedForVerify precedent): the
@@ -2072,13 +2070,18 @@ object Graph {
     // a deg-1 center forms none) — one shuffle, no degree join; the
     // explicit repartition both sizes the stage and satisfies the
     // window's distribution (no second exchange)
-    val adjW = adj
+    val adjW = Checkpoints.capturedCheckpoint(adj
       .repartition(parts, col("c"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("c")))
       .filter(col("deg") <= LpDegCap && col("deg") >= 2)
       .select(col("c"), col("nbr"),
-        round(lit(1000000.0) / log(col("deg"))).cast("long").as("aa_term"))
-      .localCheckpoint(true, ser) // both wedge arms read it, partitioning preserved
+        round(lit(1000000.0) / log(col("deg"))).cast("long").as("aa_term")),
+      ser) // both wedge arms read it; the AQE-off capture (round 22) is
+           // what actually carries hash(c, parts) + the window's c-sort
+           // into the LogicalRDD — the wedge self-join below then plans
+           // with no Exchange and no Sort on either arm (a plain
+           // checkpoint records UnknownPartitioning under AQE and both
+           // arms re-shuffled+re-sorted, the round-22 central finding)
     val wedges = adjW.as("a")
       .join(adjW.as("b"), col("a.c") === col("b.c") && col("a.nbr") < col("b.nbr"))
       .select(col("a.nbr").as("x"), col("b.nbr").as("y"), col("a.aa_term").as("t"))
