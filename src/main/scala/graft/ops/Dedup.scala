@@ -850,7 +850,15 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Drop the memoized cluster-label tables (see [[clusterLabels]]).
-    * Frees the backing checkpoint blocks too (round-21 ADVICE). */
+    * Frees the backing checkpoint blocks too (round-21 ADVICE).
+    *
+    * CONTRACT (round-22 ADVICE, applies to every `clear*Cache` sibling
+    * in Relational/TextAnalysis): the freed checkpoint blocks have no
+    * lineage, so eviction INVALIDATES every lazy DataFrame previously
+    * derived from a cached handle — such a plan fails with missing
+    * checkpoint blocks instead of recomputing. Callers must treat
+    * eviction as a barrier between fully-materialized passes (the
+    * bench calls it strictly between passes, never mid-query). */
   def clearLabelsCache(): Unit = {
     labelsCache.values.foreach(Checkpoints.freeIfLive)
     labelsCache.clear()
@@ -864,7 +872,7 @@ object Dedup {
   private def computeClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(spark, dir).select("id_a", "id_b")
     ccOn(pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst"))
+      .toDF("src", "dst"), directHandle = true) // the eviction must be able to free it
   }
 
   /** Connected-component representatives over a SYMMETRIC (src, dst)
@@ -874,7 +882,8 @@ object Dedup {
     * strings lexicographically, so components converge on their minimum
     * id either way. Returns (id, rep) for nodes WITH at least one edge;
     * singletons are the caller's left-join concern. */
-  private[graft] def ccOn(edges0: DataFrame, maxIters: Int = 20): DataFrame = {
+  private[graft] def ccOn(edges0: DataFrame, maxIters: Int = 20,
+                          directHandle: Boolean = false): DataFrame = {
     // (round-21 note: a lazy-block variant of this loop — self-loop
     // edges + geometric blocks of un-checkpointed rounds — was built
     // and MEASURED SLOWER on both deep and shallow consumers (dbscan
@@ -926,7 +935,23 @@ object Dedup {
     // the memoized labels read only the final round's checkpoint; the
     // edge table's blocks are dead weight from here on
     Checkpoints.free(edges)
-    labels
+    // `labels` is a rename VIEW over the final round's 3-column
+    // checkpoint — a shape Checkpoints.free cannot reach through, so
+    // the r21 clearLabelsCache eviction was silently a no-op on the
+    // blocks and every bench pass stranded one labels-sized block set
+    // (caught by the new GraphSpec freeIfLive pin). directHandle pays
+    // ONE extra node-sized checkpoint to hand the caller a freeable
+    // handle (and releases the wider round table immediately) — taken
+    // only by the memoized clusterLabels/eviction path; single-use lazy
+    // consumers (dbscan, entity_resolve) keep the barrier-free view,
+    // whose tail block stays ContextCleaner-owned exactly as before
+    // (cold A/B: the unconditional extra barrier cost entity_resolve
+    // ~8% for nothing).
+    if (directHandle) {
+      val out = labels.localCheckpoint()
+      Checkpoints.free(labelsCkpt)
+      out
+    } else labels
   }
 
   /** Per-CLUSTER keep-best — the composition real dedup pipelines run

@@ -898,12 +898,24 @@ object Graph {
     val perSource: Seq[DataFrame] = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
+      import scala.util.{Failure, Success}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(4, sources.size)))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      try Await.result(
-        Future.sequence(sources.map(s => Future(deltasFor(s)))), 60.minutes)
+      // await every sweep as a Try (r21 ADVICE): if one sweep fails,
+      // the completed siblings' per-source checkpoints and the edge
+      // checkpoint must still free — a bare Future.sequence rethrows
+      // before the frees below run and strands them for the session
+      val settled = try Await.result(
+        Future.sequence(sources.map(s => Future(deltasFor(s)).transform(Success(_)))),
+        60.minutes)
       finally pool.shutdown()
+      settled.collectFirst { case Failure(t) => t }.foreach { t =>
+        settled.foreach(_.foreach(Checkpoints.free))
+        Checkpoints.free(e)
+        throw t
+      }
+      settled.map(_.get)
     }
     val bc = perSource.reduce(_ union _)
       .groupBy("node").agg(sum("delta").as("bc_nanos"))

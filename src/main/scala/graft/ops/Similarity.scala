@@ -1251,6 +1251,10 @@ object Similarity {
       import scala.concurrent.duration._
       val pool = java.util.concurrent.Executors.newFixedThreadPool(methods.size)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      // the brute checkpoint must free whether the method futures
+      // succeed or not (r21 ADVICE: a sibling failure stranded it for
+      // the session); the result rows are plain tuples, so freeing
+      // after the Await is safe either way
       try Await.result(Future.sequence(methods.map { case (m, mk) => Future {
         val r = mk().select(col("query_id"), col("neighbor_id"))
           .join(brute.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
@@ -1259,7 +1263,7 @@ object Similarity {
           .head()
         (m, r.getLong(0), r.getLong(1), r.getLong(1) * 1000000L / bruteN)
       }}), 60.minutes)
-      finally pool.shutdown()
+      finally { pool.shutdown(); Checkpoints.free(brute) }
     }
     rows.toDF("method", "n_retrieved", "n_hits", "recall_micros")
       .orderBy("method")

@@ -573,6 +573,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("artifact-cache eviction frees its checkpoint blocks (freeIfLive, live branch)") {
+    // Round-22 (VERDICT r21 item 10): the clear*Cache evictions free
+    // their backing checkpoint blocks via Checkpoints.freeIfLive — pin
+    // it executably: an eviction must return the persistent-RDD census
+    // to its pre-build level, not merely drop the memo entry. (The
+    // stopped-session branch — freeIfLive must NO-OP instead of
+    // throwing — is not reachable here without killing the suite's
+    // shared context; the guard is a one-line isStopped check.)
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val ck = Seq((1L, 2L), (3L, 4L)).toDF("a", "b").localCheckpoint()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    graft.ops.Checkpoints.freeIfLive(ck)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "freeIfLive did not drop the checkpoint's blocks on a live session")
+    // and through a real eviction path: the cluster-labels artifact cache
+    graft.ops.Dedup.clearLabelsCache() // reset whatever earlier suites built
+    val base = spark.sparkContext.getPersistentRDDs.size
+    graft.ops.Dedup.clusterLabels(spark, sfDir).count()
+    val built = spark.sparkContext.getPersistentRDDs.size
+    assert(built > base, "clusterLabels should checkpoint its label table")
+    graft.ops.Dedup.clearLabelsCache()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after < built, "clearLabelsCache freed no checkpoint blocks")
+    // allowance 1: the minhash band checkpoint backs the (consumed)
+    // lazy pair frame and is ContextCleaner-owned — everything the
+    // cache itself pinned must be gone
+    assert(after <= base + 1,
+      s"clearLabelsCache left label checkpoint blocks behind ($base -> $after)")
+  }
+
   test("k_truss peel cascades on a hand graph: clique survives, spur triangles die") {
     import spark.implicits._
     // 4-clique {1,2,3,4}; node 5 hangs off edges (1,5),(2,5) closing one
