@@ -408,20 +408,28 @@ object Graph {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
 
-  /** Per-edge triangle SUPPORT over a canonical u<v edge table — the
-    * [[triangleCountOn]] wedge machinery re-aimed at edges: every
-    * closed wedge credits its three edges. Fully lazy; callers
-    * checkpoint what they reuse. */
-  private def edgeSupportOn(e: DataFrame): DataFrame = {
+  /** Degree-oriented (src → dst points low-degree → high) edge view of
+    * a canonical u<v edge table — the wedge-generation input shared by
+    * [[edgeSupportOn]]'s lazy and checkpointed shapes. */
+  private def orientedOn(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val ej = e
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
     val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val or = ej.select(
+    ej.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+  }
+
+  /** Per-edge triangle SUPPORT from a degree-oriented view `or` and the
+    * canonical edge set `e` it came from — every closed wedge credits
+    * its three edges. Fully lazy; callers checkpoint what they reuse
+    * (and in particular may pass a CHECKPOINTED `or` so the wedge
+    * self-join reads one materialization instead of computing the
+    * orientation subtree once per arm). */
+  private def supportFromOriented(or: DataFrame, e: DataFrame): DataFrame = {
     val tri = or.as("a").join(or.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.src").as("c0"), col("a.dst").as("x"), col("b.dst").as("y"))
@@ -433,6 +441,12 @@ object Graph {
       .select(col("ed.u").as("u"), col("ed.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("s"))
   }
+
+  /** [[supportFromOriented]] over the lazily-derived orientation — the
+    * single-shot shape (the orientation subtree plans once per
+    * self-join arm; fine when the caller runs it once). */
+  private def edgeSupportOn(e: DataFrame): DataFrame =
+    supportFromOriented(orientedOn(e), e)
 
   /** k-truss decomposition at k = [[KTrussK]] (Cohen 2008) — the
     * triangle-cohesion community core [[kcoreDecompose]]'s pure degree
@@ -489,7 +503,17 @@ object Graph {
     var round = 1
     var lastSup: Option[DataFrame] = None
     while (round <= rounds && lastSup.isEmpty) {
-      val sup = edgeSupportOn(e).localCheckpoint()
+      // round 22: materialize the degree-oriented view ONCE per round
+      // with its hash(src) layout captured — the wedge self-join's two
+      // arms otherwise each recompute the orientation subtree (deg agg
+      // + two joins) and re-exchange it (ReuseExchange across AQE
+      // stages is not guaranteed — the lsa_topic lesson); with the
+      // captured layout both arms read the one materialization
+      // exchange- and sort-free
+      val or = Checkpoints.partitionedCheckpoint(
+        orientedOn(e), Seq("src"), Seq("src", "dst"))
+      val sup = supportFromOriented(or, e).localCheckpoint()
+      Checkpoints.free(or) // sup is materialized; the oriented view is dead
       // probe convergence on the support checkpoint FIRST (one cheap
       // aggregate) — the converged round (the common case at sf0.1,
       // where the peel fixes in one pass) used to also pay an
