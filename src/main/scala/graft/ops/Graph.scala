@@ -2224,21 +2224,28 @@ object Graph {
         }
       }
       if (!active.isEmpty) {
-        // ---- forward min-label coloring to fixpoint
-        var colors = active.select(col("node"), col("node").as("color")).localCheckpoint()
+        // ---- forward min-label coloring to fixpoint. Change detection
+        // RIDES the round checkpoint (round 22, the mstForestOn inner-
+        // loop convention): the old color stays aboard as a column, so
+        // convergence is one cheap filter-count over the materialized
+        // checkpoint instead of a second join-shuffle job per
+        // iteration (node-sized exchange × 2, every round).
+        var colorsCkpt = active.select(col("node"), col("node").as("color"))
+          .localCheckpoint()
+        var colors = colorsCkpt // (node, color) view over the handle
         var coloring = true
         while (coloring) {
           val offers = colors.join(e, col("node") === col("src"))
             .select(col("dst").as("node"), col("color").as("c2"))
             .groupBy("node").agg(min("c2").as("c2"))
           val next = colors.join(offers, Seq("node"), "left")
-            .select(col("node"),
+            .select(col("node"), col("color").as("old"),
               least(col("color"), coalesce(col("c2"), col("color"))).as("color"))
             .localCheckpoint()
-          val changed = next.join(colors.withColumnRenamed("color", "old"), Seq("node"))
-            .filter(col("color") < col("old")).count()
-          Checkpoints.free(colors)
-          colors = next
+          val changed = next.filter(col("color") < col("old")).count()
+          Checkpoints.free(colorsCkpt)
+          colorsCkpt = next
+          colors = next.select(col("node"), col("color"))
           coloring = changed > 0L
         }
         // ---- backward sweep inside each color class from its root
@@ -2270,7 +2277,7 @@ object Graph {
         e = e.join(active.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(active.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .select(col("src"), col("dst")).localCheckpoint()
-        Checkpoints.free(reached); Checkpoints.free(colors)
+        Checkpoints.free(reached); Checkpoints.free(colorsCkpt)
         Checkpoints.free(prevDone); Checkpoints.free(prevActive); Checkpoints.free(prevE)
       }
     }

@@ -1479,7 +1479,19 @@ object Relational {
     val rel = test.as("a")
       .join(test.as("b"), col("a.okey") === col("b.okey") && col("a.item") =!= col("b.item"))
       .select(col("a.okey").as("okey"), col("a.item").as("qi"), col("b.item").as("rj"))
-    val nrel = rel.groupBy("okey", "qi").agg(count(lit(1)).as("n_rel"))
+    // n_rel WITHOUT the pair self-join (round 22): items are distinct
+    // per basket, so rel holds exactly |basket|−1 rows per (okey, qi) —
+    // the old `rel.groupBy(okey, qi).count` made the basket-pair
+    // self-join a TWO-consumer subtree (ReuseExchange across AQE stages
+    // is not guaranteed — the lsa_topic lesson — so the suite's
+    // heaviest relation here could compute twice). One per-basket size
+    // aggregate is algebraically identical, including the exclusion of
+    // singleton-basket items (|B| = 1 ⇒ no rel rows ⇒ no query), and
+    // leaves `rel` single-consumer.
+    val nrel = test
+      .join(test.groupBy("okey").agg((count(lit(1)) - 1L).as("n_rel")), "okey")
+      .filter(col("n_rel") >= 1L)
+      .select(col("okey"), col("item").as("qi"), col("n_rel"))
     val discount = NdcgDisc.zipWithIndex.foldRight(lit(NdcgDisc.last): Column) {
       case ((d, i), acc) => when(col("rn") === (i + 1).toLong, d).otherwise(acc)
     }
