@@ -1327,21 +1327,30 @@ object Dedup {
     val parts = math.min(4096L, math.max(
       floorParts,
       nPos / PairGramRowsPerTask)).toInt
-    // ONE-pass seed pairing (round 22, the standing r20 VERDICT item):
-    // the old shape checkpointed the gram table (3 longs × every text
-    // position — the whole memory story, 7.1 GB deserialized at 64×
-    // grown) and self-equi-joined it on h. That double-read was priced
-    // as exchange-free on the belief that the checkpoint carried its
-    // hash(h) partitioning — under AQE it does NOT (UnknownPartitioning,
-    // the round-22 central finding), so BOTH seed-join arms re-shuffled
-    // and re-sorted the suite's biggest intermediate. Instead: after
-    // the same h-keyed window count + cap filter (the window bounds hot
-    // grams LINEARLY before anything fans out), the ≤cap survivors of
-    // each gram group collect in place — same hash(h) partitioning, no
-    // second exchange, bounded ≤cap arrays — and the x<y seed pairs
-    // explode from each group with plain array expressions. The gram
-    // table is never materialized, never re-read, and no text or gram
-    // row crosses a shuffle twice.
+    // ONE-pass STREAMING seed pairing (round 22, the standing r20
+    // VERDICT item): the old shape checkpointed the gram table (3 longs
+    // × every text position — the whole memory story, 7.1 GB
+    // deserialized at 64× grown) and self-equi-joined it on h. That
+    // double-read was priced as exchange-free on the belief that the
+    // checkpoint carried its hash(h) partitioning — under AQE it does
+    // NOT (UnknownPartitioning, the round-22 central finding), so BOTH
+    // seed-join arms re-shuffled and re-sorted the suite's biggest
+    // intermediate. After the h-keyed window count + cap filter (the
+    // window bounds hot grams LINEARLY before anything fans out), the
+    // rows are already hash(h)-partitioned AND h-sorted, so each
+    // surviving gram is one contiguous ≤cap run: a sorted-run
+    // mapPartitions (the Events.debounce secondary-sort pattern) emits
+    // the cross-doc pairs with O(cap) state — no gram materialization,
+    // no double-read, no aggregation. (A collect_list + array-explode
+    // variant was probed first: +31% at sf0.1 but 3.5× SLOWER at the
+    // 32× grown probe — ObjectHashAggregate buffers millions of
+    // per-gram array groups per task and collapses into sort-fallback
+    // spills exactly where the sizing math assumes streaming state.)
+    // Pair emission is order-independent: every unordered cross-doc row
+    // pair is emitted exactly once as (smaller doc, larger doc), so the
+    // multiset equals the old a.h = b.h && a.doc < b.doc join's.
+    val spark = docs.sparkSession
+    import spark.implicits._
     val seeds = docs
       .select(col("doc_id"), posexplode(gramHashesCol(col("text"), l)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1L).as("pos"), col("h"))
@@ -1350,14 +1359,35 @@ object Dedup {
       .repartition(parts, col("h"))
       .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("c") >= 2 && col("c") <= cap)
-      .groupBy("h")
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("g"))
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(g, a -> transform(g, b -> named_struct('a', a, 'b', b)))),
-          |  p -> p.a.doc_id < p.b.doc_id)""".stripMargin)).as("p"))
-      .select(col("p.a.doc_id").as("x"), col("p.b.doc_id").as("y"),
-        col("p.a.pos").as("px"), col("p.b.pos").as("py"))
+      .select(col("h"), col("doc_id"), col("pos"))
+      // explicit, so the run invariant below never silently depends on
+      // WindowExec's sort; RemoveRedundantSorts elides it (already true)
+      .sortWithinPartitions("h")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Long)] {
+          private val base = it.buffered
+          private var out: Iterator[(Long, Long, Long, Long)] = Iterator.empty
+          private def refill(): Unit = {
+            while (!out.hasNext && base.hasNext) {
+              val h = base.head._1
+              val run = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+              while (base.hasNext && base.head._1 == h) {
+                val r = base.next(); run += ((r._2, r._3))
+              }
+              val arr = run.toArray
+              out = for {
+                i <- arr.indices.iterator
+                j <- arr.indices.iterator
+                if arr(i)._1 < arr(j)._1
+              } yield (arr(i)._1, arr(j)._1, arr(i)._2, arr(j)._2)
+            }
+          }
+          def hasNext: Boolean = { refill(); out.hasNext }
+          def next(): (Long, Long, Long, Long) = { refill(); out.next() }
+        }
+      }
+      .toDF("x", "y", "px", "py")
     val islands = seeds
       .withColumn("d", col("px") - col("py"))
       // size the island window like the gram stage: seed fan-out is
